@@ -1,0 +1,77 @@
+"""Typed schemas for the engine (SURVEY.md §1.4 mapping table).
+
+The reference's dynamic dict-of-dicts document model
+(type_definitions.py:37-60, ensure_required_fields at
+context7/pdf_to_json_converter.py:169-188) becomes fixed Spark
+StructTypes with nullable metadata fields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# north-rule input shape (BASELINE.json input_hint)
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+# extracted output span: equality tuple (kind, text, media_ref, offset)
+# + metadata (FIXTURES.md §2; reference element dict fields at
+# markdown_extractor.py:289-304,415-430,495-513,539-557)
+OUT_SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("page", IntegerType()),
+        StructField("level", IntegerType()),
+        StructField("token_count", IntegerType()),
+        StructField("section_path", ArrayType(StringType())),
+        StructField("section_id", StringType()),
+        StructField("table_headers", ArrayType(StringType())),
+        StructField("table_rows", ArrayType(ArrayType(StringType()))),
+        StructField("is_multi_page", BooleanType()),
+        StructField("page_range", StringType()),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("out_spans", ArrayType(OUT_SPAN_STRUCT)),
+    ]
+)
+
+# per-partition checkpoint/lineage table (FIXTURES.md §4; reference
+# analog: the table-cache resume files, table_extraction.py:256-283)
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType(), False),
+        StructField("status", StringType(), False),
+        StructField("row_count", LongType()),
+        StructField("bytes", LongType()),
+        StructField("wall_ms", LongType()),
+        StructField("run_id", StringType()),
+    ]
+)

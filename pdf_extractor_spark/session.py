@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for the 100 TB design point (SURVEY.md §4 "custom Spark
+work"): AQE on (runtime re-plan + skew-join splitting), Arrow transfer
+on with bounded batch sizes so a mega-document's span array cannot blow
+an executor's Python worker (reference analog: the 1 GiB memory guard,
+table_extraction.py:59).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package so executors can import it — the programmatic
+    equivalent of ``spark-submit --py-files`` (north rule deployment
+    mode). Without this, UDFs unpickle-fail on workers whenever the
+    driver wasn't launched from the repo root."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "pdf_extractor_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return out
+
+
+def get_spark(
+    app_name: str = "pdf_extractor_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 64,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batches: mega-doc span arrays are large per row,
+        # so cap rows-per-batch (SURVEY.md §4 item 3)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark
