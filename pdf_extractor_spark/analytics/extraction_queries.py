@@ -1,0 +1,60 @@
+"""Driver-facing extraction queries (rows-only checks).
+
+The full span-extraction state machine is not ANSI-SQL-expressible
+(stateful markdown walk + multi-page table merge), so these entries
+carry no DuckDB oracle — the driver records the weaker rows-only
+check. Exactness is instead enforced by the unit suite
+(tests/test_extract_spark.py) which compares the Spark pipeline
+against the pure-Python oracle (docmodel.extract_document) on the
+north-rule equality tuple (kind, text, media_ref, order).
+
+The corpus is synthesized deterministically from the ``documents``
+table's doc_ids (mapInPandas, executor-side — the driver never holds
+it), so row counts scale with sf and are stable across runs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import make_doc_spans
+from ..operators.extract import extract_spans, extracted_flat
+from ..schema import DOCS_SCHEMA
+from .base import load
+
+
+def spans_corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.doc_id → deterministic interleaved span corpus."""
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ints = pdf["doc_id"].astype("int64").tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [f"doc-{i:07d}" for i in ints],
+                    "spans": [make_doc_spans(i, mega_every=50, mega_factor=20) for i in ints],
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=DOCS_SCHEMA)
+
+
+def extract_elements_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction pipeline → exploded element view."""
+    corpus = spans_corpus_from_documents(spark, sf_dir)
+    flat = extracted_flat(extract_spans(corpus, mega_span_threshold=2000))
+    return flat.select(
+        "doc_id", "offset", "kind", "media_ref", "page", "section_id"
+    )
+
+
+def extract_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — element-type histogram over the extracted corpus."""
+    corpus = spans_corpus_from_documents(spark, sf_dir)
+    flat = extracted_flat(extract_spans(corpus, mega_span_threshold=2000))
+    return flat.groupBy("kind").agg(F.count("*").alias("n"))

@@ -1,0 +1,130 @@
+"""Registry of graded queries: name → (Spark builder, DuckDB oracle, survey id)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, extraction_queries, multimodal, relational, similarity, textstats
+from .base import QuerySpec
+
+QUERIES: Dict[str, QuerySpec] = {
+    # --- extraction pipeline (rows-only: stateful walk not SQL-expressible) ---
+    "extract_elements_flat": QuerySpec(
+        extraction_queries.extract_elements_flat, None, "§3.1 pipeline", headline=True
+    ),
+    "extract_kind_histogram": QuerySpec(
+        extraction_queries.extract_kind_histogram, None, "A4"
+    ),
+    # --- text analysis -----------------------------------------------------
+    "doc_token_count": QuerySpec(
+        textstats.doc_token_count, textstats.DOC_TOKEN_COUNT_SQL, "A7"
+    ),
+    "md5_fingerprint": QuerySpec(
+        textstats.md5_fingerprint, textstats.MD5_FINGERPRINT_SQL, "F6"
+    ),
+    "like_multifield": QuerySpec(
+        textstats.like_multifield, textstats.LIKE_MULTIFIELD_SQL, "P7"
+    ),
+    "tag_membership": QuerySpec(
+        textstats.tag_membership, textstats.TAG_MEMBERSHIP_SQL, "P5"
+    ),
+    "tag_intersection": QuerySpec(
+        textstats.tag_intersection, textstats.TAG_INTERSECTION_SQL, "P6/U1"
+    ),
+    "quality_score": QuerySpec(
+        textstats.quality_score, textstats.QUALITY_SCORE_SQL, "training:quality",
+        headline=True,
+    ),
+    "lang_id_heuristic": QuerySpec(
+        textstats.lang_id_heuristic, textstats.LANG_ID_SQL, "training:langid"
+    ),
+    "winnow_fingerprint": QuerySpec(
+        textstats.winnow_fingerprint, textstats.WINNOW_FINGERPRINT_SQL,
+        "training:fingerprint",
+    ),
+    "bm25_search": QuerySpec(
+        textstats.bm25_search, textstats.BM25_SEARCH_SQL, "F15/O1", headline=True
+    ),
+    "html_boilerplate_strip": QuerySpec(
+        textstats.html_boilerplate_strip, textstats.HTML_STRIP_SQL, "S3/P10"
+    ),
+    # --- dedup --------------------------------------------------------------
+    "exact_dedup_groups": QuerySpec(
+        dedup.exact_dedup_groups, dedup.EXACT_DEDUP_SQL, "training:dedup-exact",
+        headline=True,
+    ),
+    "ngram_jaccard_pairs": QuerySpec(
+        dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL, "training:dedup-jaccard"
+    ),
+    "minhash_band_buckets": QuerySpec(
+        dedup.minhash_band_buckets, dedup.MINHASH_BANDS_SQL, "training:dedup-minhash",
+        headline=True,
+    ),
+    "minhash_lsh_pairs": QuerySpec(
+        dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL, "training:dedup-lsh"
+    ),
+    "simhash_buckets": QuerySpec(
+        dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL, "training:dedup-simhash"
+    ),
+    # --- similarity search ---------------------------------------------------
+    "cosine_topk_bruteforce": QuerySpec(
+        similarity.cosine_topk_bruteforce, similarity.COSINE_TOPK_SQL,
+        "training:ann-brute", headline=True,
+    ),
+    "embedding_neardup_pairs": QuerySpec(
+        similarity.embedding_neardup_pairs, similarity.EMBEDDING_NEARDUP_SQL,
+        "training:dedup-cosine",
+    ),
+    "lsh_ann_topk": QuerySpec(
+        similarity.lsh_ann_topk, similarity.LSH_ANN_TOPK_SQL, "training:ann-lsh"
+    ),
+    # --- multimodal plumbing --------------------------------------------------
+    "media_decode_stub": QuerySpec(
+        multimodal.media_decode_stub, multimodal.MEDIA_DECODE_SQL,
+        "training:multimodal",
+    ),
+    # --- relational / query layer ---------------------------------------------
+    "tpch_q1_pricing_summary": QuerySpec(
+        relational.tpch_q1_pricing_summary, relational.TPCH_Q1_SQL, "A1-A6",
+        headline=True,
+    ),
+    "top_revenue_orders": QuerySpec(
+        relational.top_revenue_orders, relational.TOP_REVENUE_SQL, "O1+join",
+        headline=True,
+    ),
+    "paginated_documents": QuerySpec(
+        relational.paginated_documents, relational.PAGINATED_SQL, "O2"
+    ),
+    "semi_join_priority_counts": QuerySpec(
+        relational.semi_join_priority_counts, relational.SEMI_JOIN_SQL, "J6"
+    ),
+    "anti_join_idle_customers": QuerySpec(
+        relational.anti_join_idle_customers, relational.ANTI_JOIN_SQL, "S14-resume"
+    ),
+    "events_sessionize": QuerySpec(
+        relational.events_sessionize, relational.SESSIONIZE_SQL, "W5", headline=True
+    ),
+    "event_transitions": QuerySpec(
+        relational.event_transitions, relational.EVENT_TRANSITIONS_SQL, "J2"
+    ),
+    "rrf_hybrid_rank": QuerySpec(relational.rrf_hybrid_rank, relational.RRF_SQL, "J7/W4"),
+    "graph_2hop_region_suppliers": QuerySpec(
+        relational.graph_2hop_region_suppliers, relational.GRAPH_2HOP_SQL, "J5"
+    ),
+    "iou_spatial_join": QuerySpec(
+        relational.iou_spatial_join, relational.IOU_JOIN_SQL, "J1/F7"
+    ),
+    "fuzzy_keyword_match": QuerySpec(
+        relational.fuzzy_keyword_match, relational.FUZZY_MATCH_SQL, "A9/F14"
+    ),
+}
+
+
+def query_map() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_map() -> Dict[str, str]:
+    return {name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None}

@@ -1,0 +1,417 @@
+"""Relational / query-layer operators over the TPC-H-ish tables + events.
+
+SURVEY.md §2 coverage: A1-A8 aggregations (tpch_q1), O1/O2 top-k &
+pagination, J1 IoU spatial join, J2 as-of neighbor join, J5 graph
+traversal, J6 semi-join, anti-join (checkpoint-resume shape), J7 RRF
+rank fusion, W3/W4/W5 window patterns (row_number, rank lists,
+sessionization), A9/F14 fuzzy matching (levenshtein — identical in
+Spark and DuckDB), F7 IoU kernel as a native column expression.
+
+Scale notes are inline per operator; the common themes: broadcast the
+dimension side of every star join, keep theta-join predicates riding
+on an equi-key (page, bucket) so Catalyst plans a hash join, and let
+top-k plan as TakeOrderedAndProject instead of a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import load
+
+SESSION_GAP_S = 1800
+RRF_K = 60
+
+
+# ---------------------------------------------------------------------------
+# A1-A6 — TPC-H Q1 pricing summary (the canonical agg battery)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 + star join — top-revenue orders (broadcast the dimension side)
+# ---------------------------------------------------------------------------
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    revenue = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        revenue.join(orders, revenue.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_name").alias("cust_name"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+TOP_REVENUE_SQL = """
+SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name, r.revenue
+FROM (
+  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY 1
+) r
+JOIN orders o ON r.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# O2 — deterministic pagination (offset window, Spark ≥3.4 offset())
+# ---------------------------------------------------------------------------
+
+
+def paginated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.asc("doc_id"))
+        .select("doc_id", "lang", "n_chars")
+        .offset(20)
+        .limit(10)
+    )
+
+
+PAGINATED_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY doc_id ASC OFFSET 20 LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6 — semi-join: order priorities with any heavy lineitem
+# ---------------------------------------------------------------------------
+
+
+def semi_join_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    heavy = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti-join — customers with no orders (the checkpoint-resume join shape)
+# ---------------------------------------------------------------------------
+
+
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_idle"))
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_idle
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W5 — sessionization over the events table (lag → gap flag → running sum)
+# ---------------------------------------------------------------------------
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; cast via timestamp (session tz = UTC) to epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0).alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id", F.sum("new_s").over(w).alias("session_seq")
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SESSIONIZE_SQL = f"""
+SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {SESSION_GAP_S}
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+  )
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 — as-of / sequential-neighbor join (lead over user timeline)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        nxt.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+SELECT event_type, next_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# J7 / W4 — reciprocal-rank-fusion of two ranked lists
+# ---------------------------------------------------------------------------
+
+
+def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w2 = Window.orderBy(F.asc(F.md5("text")))
+    ranked = docs.select(
+        "doc_id",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    rrf = 1.0 / (RRF_K + F.col("r1")) + 1.0 / (RRF_K + F.col("r2"))
+    return (
+        ranked.select(
+            "doc_id", ((F.floor(rrf * 1000000) / 1000000).cast("double")).alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+RRF_SQL = f"""
+SELECT doc_id,
+       CAST(floor((1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2)) * 1000000) / 1000000 AS DOUBLE) AS rrf_score
+FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r1,
+         row_number() OVER (ORDER BY md5(text) ASC) AS r2
+  FROM documents
+)
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5 — fixed-depth graph traversal (supplier → nation → region, 2 hops)
+# ---------------------------------------------------------------------------
+
+
+def graph_2hop_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+GRAPH_2HOP_SQL = """
+SELECT r_name, count(*) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 / F7 — IoU spatial join (bboxes synthesized deterministically from
+# part keys; page equi-key keeps the theta join a hash join)
+# ---------------------------------------------------------------------------
+
+
+def _bbox_cols(prefix: str):
+    k = F.col("p_partkey")
+    x1 = (k % 100).cast("double")
+    y1 = F.col("p_size").cast("double")
+    x2 = x1 + 10 + (k % 7).cast("double")
+    y2 = y1 + 5 + (k % 11).cast("double")
+    return [
+        x1.alias(f"{prefix}x1"),
+        y1.alias(f"{prefix}y1"),
+        x2.alias(f"{prefix}x2"),
+        y2.alias(f"{prefix}y2"),
+        (F.floor(k / 2) % 50).alias("page"),
+        F.col("p_partkey").alias(f"{prefix}key"),
+    ]
+
+
+def iou_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    a = part.filter(F.col("p_partkey") % 2 == 0).select(*_bbox_cols("a_"))
+    b = part.filter(F.col("p_partkey") % 2 == 1).select(*_bbox_cols("b_"))
+    j = a.join(b.withColumnRenamed("page", "b_page"), F.col("page") == F.col("b_page"))
+    ix = F.greatest(F.lit(0.0), F.least("a_x2", "b_x2") - F.greatest("a_x1", "b_x1"))
+    iy = F.greatest(F.lit(0.0), F.least("a_y2", "b_y2") - F.greatest("a_y1", "b_y1"))
+    inter = ix * iy
+    area_a = (F.col("a_x2") - F.col("a_x1")) * (F.col("a_y2") - F.col("a_y1"))
+    area_b = (F.col("b_x2") - F.col("b_x1")) * (F.col("b_y2") - F.col("b_y1"))
+    iou = inter / (area_a + area_b - inter)
+    return (
+        j.select(
+            F.col("a_key").alias("a_key"),
+            F.col("b_key").alias("b_key"),
+            (F.floor(iou * 10000) / 10000).cast("double").alias("iou"),
+        )
+        .filter(F.col("iou") >= 0.1)
+    )
+
+
+IOU_JOIN_SQL = """
+WITH boxes AS (
+  SELECT p_partkey AS key,
+         CAST(p_partkey % 100 AS DOUBLE) AS x1,
+         CAST(p_size AS DOUBLE) AS y1,
+         CAST(p_partkey % 100 AS DOUBLE) + 10 + CAST(p_partkey % 7 AS DOUBLE) AS x2,
+         CAST(p_size AS DOUBLE) + 5 + CAST(p_partkey % 11 AS DOUBLE) AS y2,
+         CAST(floor(p_partkey / 2) AS BIGINT) % 50 AS page,
+         p_partkey % 2 AS side
+  FROM part
+)
+SELECT a_key, b_key, iou FROM (
+  SELECT a.key AS a_key, b.key AS b_key,
+         CAST(floor(
+           greatest(0.0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
+           * greatest(0.0, least(a.y2, b.y2) - greatest(a.y1, b.y1))
+           / ((a.x2 - a.x1) * (a.y2 - a.y1) + (b.x2 - b.x1) * (b.y2 - b.y1)
+              - greatest(0.0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
+                * greatest(0.0, least(a.y2, b.y2) - greatest(a.y1, b.y1)))
+           * 10000) / 10000 AS DOUBLE) AS iou
+  FROM boxes a JOIN boxes b ON a.page = b.page AND a.side = 0 AND b.side = 1
+)
+WHERE iou >= 0.1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9 / F14 — fuzzy keyword matching via levenshtein (identical builtin)
+# ---------------------------------------------------------------------------
+
+_FUZZY_KEYWORDS = ["widget", "gadget", "gizmo"]
+
+
+def fuzzy_keyword_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), r"\s+")
+    def _lev_le(k: str):
+        return lambda w: F.levenshtein(w, F.lit(k)) <= 2
+
+    cnt = None
+    for kw in _FUZZY_KEYWORDS:
+        hit = F.exists(words, _lev_le(kw)).cast("int")
+        cnt = hit if cnt is None else cnt + hit
+    return (
+        part.select("p_partkey", cnt.alias("match_cnt"))
+        .filter(F.col("match_cnt") >= 1)
+    )
+
+
+_FUZZY_SQL_TERMS = " + ".join(
+    f"(CASE WHEN len(list_filter(string_split_regex(p_name, '\\s+'), "
+    f"w -> levenshtein(w, '{kw}') <= 2)) > 0 THEN 1 ELSE 0 END)"
+    for kw in _FUZZY_KEYWORDS
+)
+
+FUZZY_MATCH_SQL = rf"""
+SELECT p_partkey, match_cnt FROM (
+  SELECT p_partkey, {_FUZZY_SQL_TERMS} AS match_cnt FROM part
+)
+WHERE match_cnt >= 1
+"""

@@ -1,0 +1,400 @@
+"""Text-analysis operators over the ``documents`` table.
+
+SURVEY.md §2 coverage: A7 (token counting), F6 (md5 fingerprints),
+P5/P6/P7 (tag + LIKE predicates), F15/O1 (BM25 top-k), S3/P10 (HTML
+boilerplate strip — the cheap native-regex path; the UDF path lives in
+``textproc.html_to_text``), plus the training-pipeline text ops the
+engine adds: language-ID heuristic, quality scoring, winnowing
+fingerprints.
+
+Parity rules used throughout (Spark side ↔ DuckDB oracle side):
+* tokenization = regex split on ``\\s+`` (identical both engines);
+* hashing = md5 hex (identical);
+* rounding = ``floor(x*10^k)/10^k`` — floor avoids the half-up vs
+  half-even divergence between engines;
+* every computed column is aliased identically in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load
+
+STOPWORDS = ["the", "a", "fast", "slow"]
+BM25_TERMS = ["spark", "window", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), r"\s+")
+
+
+def _floor_round(col: Column, k: int) -> Column:
+    scale = 10**k
+    return (F.floor(col * scale) / scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A7 — token counting
+# ---------------------------------------------------------------------------
+
+
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(_tokens()).alias("n_tokens"), F.col("n_chars")
+    )
+
+
+DOC_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(text, '\s+')) AS n_tokens,
+       n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6 — md5 content fingerprint
+# ---------------------------------------------------------------------------
+
+
+def md5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("fp"))
+
+
+MD5_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# P7 — multi-field LIKE predicate composition
+# ---------------------------------------------------------------------------
+
+
+def like_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = (
+        F.lower("text").contains("spark") & F.lower("text").contains("window")
+    ) | F.lower("source").contains("src1")
+    return docs.filter(pred).select("doc_id", "lang", "source")
+
+
+LIKE_MULTIFIELD_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE (lower(text) LIKE '%spark%' AND lower(text) LIKE '%window%')
+   OR lower(source) LIKE '%src1%'
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5 — tag membership (tags := token set of the document)
+# ---------------------------------------------------------------------------
+
+
+def tag_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.array_contains(_tokens(), "vector")).select(
+        "doc_id", "lang"
+    )
+
+
+TAG_MEMBERSHIP_SQL = r"""
+SELECT doc_id, lang
+FROM documents
+WHERE list_contains(string_split_regex(text, '\s+'), 'vector')
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6 / U1 — tag-intersection cardinality predicate
+# ---------------------------------------------------------------------------
+
+_TAG_KEYWORDS = ["spark", "vector", "stream", "hash"]
+
+
+def tag_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_common = F.size(
+        F.array_intersect(_tokens(), F.array(*[F.lit(k) for k in _TAG_KEYWORDS]))
+    )
+    return (
+        docs.select("doc_id", n_common.alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+
+
+TAG_INTERSECTION_SQL = r"""
+SELECT doc_id, n_common
+FROM (
+  SELECT doc_id,
+         len(list_intersect(string_split_regex(text, '\s+'),
+                            ['spark','vector','stream','hash'])) AS n_common
+  FROM documents
+)
+WHERE n_common >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline: quality scoring (length / stopword / word-len ratios)
+# ---------------------------------------------------------------------------
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))  # type: ignore[arg-type]
+    )
+    stop_ratio = stop_hits / n_tokens
+    avg_len = (F.col("n_chars") - (n_tokens - 1)) / n_tokens
+    score = (
+        0.5 * F.least(n_tokens.cast("double"), F.lit(256.0)) / 256.0
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * F.least(avg_len, F.lit(8.0)) / 8.0
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        _floor_round(stop_ratio, 4).alias("stop_ratio"),
+        _floor_round(score, 4).alias("quality"),
+    )
+
+
+QUALITY_SCORE_SQL = r"""
+SELECT doc_id,
+       n_tokens,
+       CAST(floor(stop_ratio * 10000) / 10000 AS DOUBLE) AS stop_ratio,
+       CAST(floor((0.5 * least(CAST(n_tokens AS DOUBLE), 256.0) / 256.0
+             + 0.3 * (1.0 - stop_ratio)
+             + 0.2 * least(avg_len, 8.0) / 8.0) * 10000) / 10000 AS DOUBLE) AS quality
+FROM (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(len(list_filter(toks, t -> list_contains(['the','a','fast','slow'], t))) AS DOUBLE)
+           / len(toks) AS stop_ratio,
+         CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_len
+  FROM (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS toks FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline: language-ID heuristic (stopword-set hit counts)
+# ---------------------------------------------------------------------------
+
+_LANG_SETS = {
+    "en": ["the", "a", "table", "join"],
+    "de": ["der", "und", "fenster"],
+    "es": ["el", "y", "tabla"],
+}
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+        )
+        for lang, ws in _LANG_SETS.items()
+    }
+    pred = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]), "en")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+LANG_ID_SQL = r"""
+SELECT doc_id,
+       CASE WHEN en >= de AND en >= es THEN 'en'
+            WHEN de >= es THEN 'de'
+            ELSE 'es' END AS lang_pred
+FROM (
+  SELECT doc_id,
+         len(list_intersect(toks, ['the','a','table','join'])) AS en,
+         len(list_intersect(toks, ['der','und','fenster'])) AS de,
+         len(list_intersect(toks, ['el','y','tabla'])) AS es
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline: winnowing document fingerprint (min rolling hash)
+# ---------------------------------------------------------------------------
+
+_WINDOW = 8
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _WINDOW),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(_WINDOW)])
+        ),
+    )
+    fp = F.when(F.size(toks) >= _WINDOW, F.array_min(windows)).otherwise(
+        F.md5("text")
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+WINNOW_FINGERPRINT_SQL = rf"""
+SELECT doc_id,
+       CASE WHEN len(toks) >= {_WINDOW}
+            THEN list_min(list_transform(
+                   generate_series(1, len(toks) - {_WINDOW - 1}),
+                   i -> md5(array_to_string(toks[i:i+{_WINDOW - 1}], ' '))))
+            ELSE md5(text) END AS fingerprint
+FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F15 / O1 — BM25 keyword search, top-10
+# ---------------------------------------------------------------------------
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    def _eq(term: str):
+        # NB: capture via factory, not lambda default args — Spark counts
+        # default args in HOF lambda arity and would pass the array index.
+        return lambda t: t == F.lit(term)
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t_))).alias(f"tf_{i}")
+            for i, t_ in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        comp = idf * (
+            tf
+            * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = comp if score is None else score + comp
+    return (
+        joined.select("doc_id", _floor_round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_BM25_TF_SQL = ", ".join(
+    f"CAST(len(list_filter(toks, t -> t = '{term}')) AS DOUBLE) AS tf_{i}"
+    for i, term in enumerate(BM25_TERMS)
+)
+_BM25_SCORE_SQL = " + ".join(
+    f"ln(1.0 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+    f" * (d.tf_{i} * ({BM25_K1} + 1.0)"
+    f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)))"
+    for i in range(len(BM25_TERMS))
+)
+BM25_SEARCH_SQL = rf"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         {_BM25_TF_SQL}
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(dl) AS avgdl,
+         {', '.join(f'CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}' for i in range(len(BM25_TERMS)))}
+  FROM per_doc
+)
+SELECT doc_id,
+       CAST(floor(({_BM25_SCORE_SQL}) * 10000) / 10000 AS DOUBLE) AS bm25
+FROM per_doc d CROSS JOIN stats s
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3 / P10 — HTML boilerplate strip, native-regex path
+# (the general UDF path is textproc.html_to_text; this is the cheap
+#  Catalyst-only variant the reference's bleach/html2text call maps to
+#  for structurally simple html — corpus_utils.py:138-147)
+# ---------------------------------------------------------------------------
+
+_HTML_WRAP_SPARK = (
+    "<html><head><style>p{{color:red}}</style></head><body>"
+    "<nav><a href='/'>home</a></nav><h1>Doc </h1><p>",
+    "</p><script>var x=1;</script><footer>c</footer></body></html>",
+)
+
+
+def html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_WRAP_SPARK[0].replace("{{", "{").replace("}}", "}")),
+        F.col("text"),
+        F.lit(_HTML_WRAP_SPARK[1]),
+    )
+    s = html
+    for tag in ("script", "style", "nav", "footer"):
+        s = F.regexp_replace(s, f"<{tag}[^>]*>.*?</{tag}>", " ")
+    s = F.regexp_replace(s, "</?(p|div|h1|br)[^>]*>", "\n")
+    s = F.regexp_replace(s, "<[^>]+>", " ")
+    s = F.regexp_replace(s, "&amp;", "&")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return docs.select("doc_id", s.alias("clean_text"))
+
+
+HTML_STRIP_SQL = r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(h, '<script[^>]*>.*?</script>', ' ', 'g'),
+              '<style[^>]*>.*?</style>', ' ', 'g'),
+            '<nav[^>]*>.*?</nav>', ' ', 'g'),
+          '<footer[^>]*>.*?</footer>', ' ', 'g'),
+        '</?(p|div|h1|br)[^>]*>', chr(10), 'g'),
+      '<[^>]+>', ' ', 'g'),
+    '&amp;', '&'),
+  '\s+', ' ', 'g')) AS clean_text
+FROM (
+  SELECT doc_id,
+         '<html><head><style>p{color:red}</style></head><body>'
+         || '<nav><a href=''/''>home</a></nav><h1>Doc </h1><p>'
+         || text
+         || '</p><script>var x=1;</script><footer>c</footer></body></html>' AS h
+  FROM documents
+)
+"""

@@ -1,0 +1,138 @@
+"""Per-partition checkpoint/lineage + idempotent resume (north rule).
+
+Reference analog: the per-file JSON table cache that lets a crashed
+run skip already-extracted documents (table_extraction.py:256-283,
+load_or_extract_tables short-circuit at :267-280). At 100 TB that
+becomes a *lineage table*: one row per completed bucket with recorded
+row-count / byte / wall-time metrics, and resume = anti-join of the
+input's buckets against the completed set — exactly the shape of
+SURVEY.md §4 custom-work item 4.
+
+Bucketing is ``pmod(xxhash64(doc_id), n_buckets)`` — a pure function
+of the data (NOT spark_partition_id()), so a resumed run with a
+different parallelism or input split layout still agrees on what a
+"partition" is. Output is laid out as one parquet subtree per bucket
+(Iceberg partition stand-in); a bucket directory is only ever written
+whole, then its lineage row committed after, so a crash between the
+two leaves a re-doable bucket, never a half-counted one
+(write-then-commit ordering = idempotent at-least-once).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_spans, extracted_flat
+
+LINEAGE_FILE = "lineage.json"  # tiny driver-side manifest (Iceberg stand-in)
+
+
+def bucket_of(doc_id_col, n_buckets: int):
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
+
+
+def _lineage_path(output_dir: str) -> str:
+    return os.path.join(output_dir, LINEAGE_FILE)
+
+
+def read_lineage(output_dir: str) -> dict[str, dict]:
+    path = _lineage_path(output_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_lineage(output_dir: str, entries: dict[str, dict]) -> None:
+    path = _lineage_path(output_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entries, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic rename = commit point
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def run_with_lineage(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    n_buckets: int = 16,
+    run_id: str = "run-0",
+    merge_strategy: str = "default",
+    mega_span_threshold: int = 20_000,
+    fail_after_buckets: Optional[int] = None,
+) -> dict[str, dict]:
+    """Extract ``docs`` bucket-by-bucket with resumable lineage.
+
+    Re-invoking with the same ``output_dir`` skips completed buckets
+    (anti-join against the lineage manifest). ``fail_after_buckets``
+    exists for crash-injection tests.
+
+    Returns the lineage manifest {bucket: {status, row_count, bytes,
+    wall_ms, run_id}}.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    lineage = read_lineage(output_dir)
+    done = {int(b) for b, e in lineage.items() if e["status"] == "done"}
+
+    bucketed = docs.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+    todo = sorted(set(range(n_buckets)) - done)
+
+    # One pass computes every pending bucket; per-bucket commit happens
+    # in bucket order. (On a real cluster each bucket is one Iceberg
+    # partition append + one lineage-row insert — same protocol.)
+    pending = bucketed.filter(F.col("bucket").isin([int(b) for b in todo])) if todo else None
+    if pending is not None:
+        extracted = extracted_flat(
+            extract_spans(
+                pending.drop("bucket"),
+                merge_strategy=merge_strategy,
+                mega_span_threshold=mega_span_threshold,
+            )
+        ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        extracted = extracted.persist()
+        try:
+            for i, b in enumerate(todo):
+                if fail_after_buckets is not None and i >= fail_after_buckets:
+                    raise RuntimeError(f"injected failure before bucket {b}")
+                t0 = time.time()
+                part_dir = os.path.join(output_dir, f"bucket={b}")
+                part_df = extracted.filter(F.col("bucket") == int(b)).drop("bucket")
+                part_df.write.mode("overwrite").parquet(part_dir)
+                row_count = spark.read.parquet(part_dir).count()
+                lineage[str(b)] = {
+                    "status": "done",
+                    "row_count": row_count,
+                    "bytes": _dir_bytes(part_dir),
+                    "wall_ms": int((time.time() - t0) * 1000),
+                    "run_id": run_id,
+                }
+                _commit_lineage(output_dir, lineage)
+        finally:
+            extracted.unpersist()
+    return lineage
+
+
+def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read back all committed buckets."""
+    lineage = read_lineage(output_dir)
+    parts = [
+        os.path.join(output_dir, f"bucket={b}")
+        for b, e in sorted(lineage.items(), key=lambda kv: int(kv[0]))
+        if e["status"] == "done"
+    ]
+    if not parts:
+        raise FileNotFoundError(f"no committed buckets under {output_dir}")
+    return spark.read.parquet(*parts)

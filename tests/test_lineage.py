@@ -1,0 +1,51 @@
+"""Checkpoint/lineage resume: crash-injection + idempotency."""
+
+import pytest
+
+from pdf_extractor_spark.corpus import corpus_rows
+from pdf_extractor_spark.docmodel import extract_document
+from pdf_extractor_spark.lineage import read_lineage, read_output, run_with_lineage
+from pdf_extractor_spark.schema import DOCS_SCHEMA
+
+N_DOCS = 16
+N_BUCKETS = 4
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(corpus_rows(N_DOCS), schema=DOCS_SCHEMA)
+
+
+def expected_total_rows():
+    return sum(len(extract_document(r["spans"])) for r in corpus_rows(N_DOCS))
+
+
+def test_crash_resume_produces_complete_output(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_lineage(
+            spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1", fail_after_buckets=2
+        )
+    partial = read_lineage(out)
+    assert sum(e["status"] == "done" for e in partial.values()) == 2
+
+    lineage = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r2")
+    assert len(lineage) == N_BUCKETS
+    # resumed buckets carry the resume run_id; completed ones keep r1
+    assert {e["run_id"] for e in lineage.values()} == {"r1", "r2"}
+    assert read_output(spark, out).count() == expected_total_rows()
+
+
+def test_second_run_is_noop(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out")
+    first = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    again = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r3")
+    assert first == again  # nothing re-done, run_ids unchanged
+    assert all(e["run_id"] == "r1" for e in again.values())
+
+
+def test_metrics_recorded(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out")
+    lineage = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS)
+    assert sum(e["row_count"] for e in lineage.values()) == expected_total_rows()
+    assert all(e["bytes"] > 0 and e["wall_ms"] >= 0 for e in lineage.values())
