@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..corpus import make_doc_spans
-from ..operators.extract import extract_spans, extracted_flat
+from ..operators.extract import extract_elements
 from ..schema import DOCS_SCHEMA
 from .base import load
 
@@ -47,7 +47,7 @@ def spans_corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extract_elements_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full extraction pipeline → exploded element view."""
     corpus = spans_corpus_from_documents(spark, sf_dir)
-    flat = extracted_flat(extract_spans(corpus, mega_span_threshold=2000))
+    flat = extract_elements(corpus, mega_span_threshold=2000)
     return flat.select(
         "doc_id", "offset", "kind", "media_ref", "page", "section_id"
     )
@@ -56,5 +56,5 @@ def extract_elements_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extract_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — element-type histogram over the extracted corpus."""
     corpus = spans_corpus_from_documents(spark, sf_dir)
-    flat = extracted_flat(extract_spans(corpus, mega_span_threshold=2000))
+    flat = extract_elements(corpus, mega_span_threshold=2000)
     return flat.groupBy("kind").agg(F.count("*").alias("n"))

@@ -28,7 +28,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.extract import extract_spans, extracted_flat
+from .operators.extract import extract_elements
 
 LINEAGE_FILE = "lineage.json"  # tiny driver-side manifest (Iceberg stand-in)
 
@@ -95,12 +95,10 @@ def run_with_lineage(
     # partition append + one lineage-row insert — same protocol.)
     pending = bucketed.filter(F.col("bucket").isin([int(b) for b in todo])) if todo else None
     if pending is not None:
-        extracted = extracted_flat(
-            extract_spans(
-                pending.drop("bucket"),
-                merge_strategy=merge_strategy,
-                mega_span_threshold=mega_span_threshold,
-            )
+        extracted = extract_elements(
+            pending.drop("bucket"),
+            merge_strategy=merge_strategy,
+            mega_span_threshold=mega_span_threshold,
         ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
         extracted = extracted.persist()
         try:

@@ -63,6 +63,15 @@ EXTRACTED_SCHEMA = StructType(
     ]
 )
 
+# element columns shared by the nested struct and the flat row schema
+ELEMENT_COLUMNS = tuple(f.name for f in OUT_SPAN_STRUCT.fields)
+
+# flat one-row-per-element schema (performance path: no nested array
+# construction; doc_id + the element fields inline)
+FLAT_SCHEMA = StructType(
+    [StructField("doc_id", StringType(), False), *OUT_SPAN_STRUCT.fields]
+)
+
 # per-partition checkpoint/lineage table (FIXTURES.md §4; reference
 # analog: the table-cache resume files, table_extraction.py:256-283)
 LINEAGE_SCHEMA = StructType(

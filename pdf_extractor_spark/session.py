@@ -37,7 +37,7 @@ def get_spark(
     app_name: str = "pdf_extractor_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 64,
+    arrow_batch_rows: int = 256,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -50,8 +50,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bound Arrow batches: mega-doc span arrays are large per row,
-        # so cap rows-per-batch (SURVEY.md §4 item 3)
+        # bound Arrow batches: mega-doc span arrays are large per row, so
+        # cap rows-per-batch (SURVEY.md §4 item 3). 256 rows × the scalar
+        # path's 5k-span ceiling ≈ 80 MB worst-case batch; docs above the
+        # ceiling take the explode/applyInPandas skew path instead.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
