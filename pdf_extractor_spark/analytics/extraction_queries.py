@@ -58,3 +58,32 @@ def extract_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spans_corpus_from_documents(spark, sf_dir)
     flat = extract_elements(corpus, mega_span_threshold=2000)
     return flat.groupBy("kind").agg(F.count("*").alias("n"))
+
+
+def merged_tables_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/J2/J3 — native windowed multi-page table merge (chain
+    semantics) over the pre-merge extracted corpus."""
+    from ..operators.table_merge import merge_tables_native
+
+    corpus = spans_corpus_from_documents(spark, sf_dir)
+    flat = extract_elements(corpus, merge_strategy="none", mega_span_threshold=2000)
+    merged = merge_tables_native(flat)
+    return merged.select(
+        "doc_id",
+        "first_offset",
+        "first_page",
+        "last_page",
+        "is_multi_page",
+        "page_range",
+        F.size("table_rows").alias("n_rows"),
+    )
+
+
+def table_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/P2 — table confidence metrics + accept gate over the
+    extracted corpus (pure Catalyst expressions)."""
+    from ..operators.quality import with_table_quality
+
+    corpus = spans_corpus_from_documents(spark, sf_dir)
+    flat = extract_elements(corpus, mega_span_threshold=2000)
+    return with_table_quality(flat)

@@ -6,7 +6,15 @@ from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, extraction_queries, multimodal, relational, similarity, textstats
+from . import (
+    dedup,
+    extraction_queries,
+    hybrid,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
 from .base import QuerySpec
 
 QUERIES: Dict[str, QuerySpec] = {
@@ -16,6 +24,12 @@ QUERIES: Dict[str, QuerySpec] = {
     ),
     "extract_kind_histogram": QuerySpec(
         extraction_queries.extract_kind_histogram, None, "A4"
+    ),
+    "merged_tables_native": QuerySpec(
+        extraction_queries.merged_tables_native, None, "W5/J2/J3 native"
+    ),
+    "table_quality_scores": QuerySpec(
+        extraction_queries.table_quality_scores, None, "A5/P2"
     ),
     # --- text analysis -----------------------------------------------------
     "doc_token_count": QuerySpec(
@@ -110,6 +124,9 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.event_transitions, relational.EVENT_TRANSITIONS_SQL, "J2"
     ),
     "rrf_hybrid_rank": QuerySpec(relational.rrf_hybrid_rank, relational.RRF_SQL, "J7/W4"),
+    "hybrid_search_rrf": QuerySpec(
+        hybrid.hybrid_search_rrf, hybrid.HYBRID_RRF_SQL, "J7 faithful", headline=True
+    ),
     "graph_2hop_region_suppliers": QuerySpec(
         relational.graph_2hop_region_suppliers, relational.GRAPH_2HOP_SQL, "J5"
     ),

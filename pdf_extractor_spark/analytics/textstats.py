@@ -266,8 +266,9 @@ FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM document
 # ---------------------------------------------------------------------------
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document — shared by bm25_search and
+    the hybrid RRF query."""
     toks = _tokens()
     def _eq(term: str):
         # NB: capture via factory, not lambda default args — Spark counts
@@ -304,8 +305,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
         )
         score = comp if score is None else score + comp
+    return joined.select("doc_id", _floor_round(score, 4).alias("bm25"))
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        joined.select("doc_id", _floor_round(score, 4).alias("bm25"))
+        bm25_scores(load(spark, sf_dir, "documents"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
@@ -321,8 +326,8 @@ _BM25_SCORE_SQL = " + ".join(
     f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)))"
     for i in range(len(BM25_TERMS))
 )
-BM25_SEARCH_SQL = rf"""
-WITH per_doc AS (
+BM25_SCORES_CTE = rf"""
+per_doc AS (
   SELECT doc_id,
          CAST(len(toks) AS DOUBLE) AS dl,
          {_BM25_TF_SQL}
@@ -332,10 +337,15 @@ WITH per_doc AS (
          avg(dl) AS avgdl,
          {', '.join(f'CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}' for i in range(len(BM25_TERMS)))}
   FROM per_doc
-)
-SELECT doc_id,
-       CAST(floor(({_BM25_SCORE_SQL}) * 10000) / 10000 AS DOUBLE) AS bm25
-FROM per_doc d CROSS JOIN stats s
+), bm25_scored AS (
+  SELECT doc_id,
+         CAST(floor(({_BM25_SCORE_SQL}) * 10000) / 10000 AS DOUBLE) AS bm25
+  FROM per_doc d CROSS JOIN stats s
+)"""
+
+BM25_SEARCH_SQL = f"""
+WITH {BM25_SCORES_CTE}
+SELECT doc_id, bm25 FROM bm25_scored
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 10
 """

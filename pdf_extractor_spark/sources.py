@@ -1,0 +1,133 @@
+"""Document sources and sinks (SURVEY.md §2.1).
+
+S4  JSON source            → spark.read.json with the explicit span schema
+S5  txt/md source          → binaryFile scan + utf-8→latin-1 decode fallback
+S6  directory glob source  → pathGlobFilter + recursiveFileLookup options
+S7  markdown line classifier → line → span-kind state machine (code fences)
+S13 JSON sink              → one JSON document per line (to_json, text sink)
+
+Everything is DataFrame-native; the only Python is the Arrow-batched
+decode/classify kernel (mapInPandas), mirroring the reference's
+corpus_utils loaders (corpus_utils.py:121-205) Spark-first.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import DOCS_SCHEMA
+
+_PAGE_RE = re.compile(r"\s*<!--\s*page:\s*\d+\s*-->\s*$")
+_TABLE_RE = re.compile(r"^\s*\|.*\|\s*$")
+_IMAGE_RE = re.compile(r"^\s*!\[.*\]\(.*\)\s*$")
+
+
+def lines_to_spans(text: str) -> List[dict]:
+    """Markdown-ish line classifier → ordered span dicts (S7).
+
+    Mirrors the reference's markdown tokenizer source
+    (markdown_extractor.py:223-226 + the per-token walk) as a line
+    state machine: headings, ``|...|`` table rows, image refs, page
+    markers, fenced code blocks (fences toggle, content accumulates
+    into one code span), raw html lines, everything else text.
+    """
+    spans: List[dict] = []
+    code_buf: List[str] | None = None
+
+    def add(kind: str, line: str, media_ref: str = "") -> None:
+        spans.append(
+            {"kind": kind, "text": line, "media_ref": media_ref, "offset": len(spans)}
+        )
+
+    for line in text.split("\n"):
+        if code_buf is not None:
+            if line.lstrip().startswith("```"):
+                add("code", "\n".join(code_buf))
+                code_buf = None
+            else:
+                code_buf.append(line)
+            continue
+        if line.lstrip().startswith("```"):
+            code_buf = []
+        elif _PAGE_RE.match(line):
+            add("page_marker", line.strip())
+        elif line.lstrip().startswith("#"):
+            add("heading", line.strip())
+        elif _TABLE_RE.match(line):
+            add("table_row", line.strip())
+        elif _IMAGE_RE.match(line):
+            m = re.match(r"^\s*!\[.*\]\((.*)\)\s*$", line)
+            add("image", line.strip(), m.group(1).strip() if m else "")
+        elif line.lstrip().startswith("<") and line.rstrip().endswith(">"):
+            add("html", line.strip())
+        else:
+            add("text", line)
+    if code_buf is not None:  # unterminated fence: flush as code
+        add("code", "\n".join(code_buf))
+    return spans
+
+
+def decode_with_fallback(payload: bytes) -> str:
+    """utf-8 then latin-1, mirroring corpus_utils.py:148-165 (S5)."""
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin-1")
+
+
+def read_text_docs(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.md",
+    recursive: bool = True,
+) -> DataFrame:
+    """Directory of text/markdown files → docs(doc_id, spans).
+
+    One document per file; doc_id = file name relative-ish (base name).
+    The glob/recursion ride the DataFrame reader (S6) so partition
+    planning and file listing stay on the JVM; decode + classify run
+    in Arrow batches (S5/S7).
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .select("path", "content")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [os.path.basename(p) for p in pdf["path"]],
+                    "spans": [
+                        lines_to_spans(decode_with_fallback(bytes(c)))
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return files.mapInPandas(gen, schema=DOCS_SCHEMA)
+
+
+def read_docs_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines of {doc_id, spans:[{kind,text,media_ref,offset}]} (S4).
+
+    Explicit schema — never schema inference at scale."""
+    return spark.read.schema(DOCS_SCHEMA).json(path)
+
+
+def write_docs_json(docs: DataFrame, path: str) -> None:
+    """docs/extracted → one JSON object per line (S13 sink shape:
+    the reference dumps an ordered element list per document,
+    api.py:564-568)."""
+    docs.select(F.to_json(F.struct(*docs.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

@@ -1,0 +1,116 @@
+"""Sources/sinks (S4-S7, S13) + streaming exactly-once ingestion."""
+
+import json
+import os
+
+from pdf_extractor_spark.corpus import corpus_rows
+from pdf_extractor_spark.docmodel import extract_document
+from pdf_extractor_spark.schema import DOCS_SCHEMA
+from pdf_extractor_spark.sources import (
+    decode_with_fallback,
+    lines_to_spans,
+    read_docs_json,
+    read_text_docs,
+    write_docs_json,
+)
+from pdf_extractor_spark.streaming import read_stream_output, stream_extract
+
+MD = """# 1.2. Title here
+
+First paragraph line one.
+line two.
+
+| A | B |
+|---|---|
+| 1 | 2 |
+
+![fig](img.png)
+
+```python
+x = 1
+```
+<!-- page: 2 -->
+<div>html line</div>
+tail text.
+"""
+
+
+def test_lines_to_spans_classification():
+    spans = lines_to_spans(MD)
+    kinds = [s["kind"] for s in spans]
+    assert kinds.count("heading") == 1
+    assert kinds.count("table_row") == 3
+    assert kinds.count("image") == 1
+    assert kinds.count("code") == 1
+    assert kinds.count("page_marker") == 1
+    assert kinds.count("html") == 1
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    img = next(s for s in spans if s["kind"] == "image")
+    assert img["media_ref"] == "img.png"
+    code = next(s for s in spans if s["kind"] == "code")
+    assert code["text"] == "x = 1"
+
+
+def test_decode_fallback():
+    assert decode_with_fallback("héllo".encode("utf-8")) == "héllo"
+    assert decode_with_fallback("héllo".encode("latin-1")) == "héllo"
+
+
+def test_text_glob_source_end_to_end(spark, tmp_path):
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    (tmp_path / "doc1.md").write_text(MD)
+    (sub / "doc2.md").write_text("# Only heading\n\nbody.")
+    (tmp_path / "ignored.txt").write_text("not matched")
+    docs = read_text_docs(spark, str(tmp_path), glob="*.md", recursive=True)
+    got = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    assert set(got) == {"doc1.md", "doc2.md"}
+    # pipeline-compatible: extraction over the loaded spans works
+    els = extract_document([s.asDict() for s in got["doc1.md"]])
+    assert [e["kind"] for e in els] == [
+        "heading", "text", "table", "image", "code", "text", "text",
+    ]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    rows = corpus_rows(4)
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    path = str(tmp_path / "docs_json")
+    write_docs_json(df, path)
+    back = read_docs_json(spark, path)
+    a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in df.collect()}
+    b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in back.collect()}
+    assert a == b
+    # sink lines are self-describing JSON docs (S13 contract)
+    line = json.loads(
+        next(
+            open(os.path.join(path, f)).readline()
+            for f in os.listdir(path)
+            if f.endswith(".txt") or f.startswith("part-")
+        )
+    )
+    assert {"doc_id", "spans"} <= set(line)
+
+
+def test_streaming_exactly_once(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    rows = corpus_rows(6)
+    df1 = spark.createDataFrame(rows[:3], schema=DOCS_SCHEMA)
+    df1.write.mode("append").parquet(inp)
+    stream_extract(spark, inp, out, ckpt)
+    n1 = read_stream_output(spark, out).count()
+    expect1 = sum(len(extract_document(r["spans"])) for r in rows[:3])
+    assert n1 == expect1
+
+    # second wave: only the new files are processed (checkpoint resume)
+    df2 = spark.createDataFrame(rows[3:], schema=DOCS_SCHEMA)
+    df2.write.mode("append").parquet(inp)
+    stream_extract(spark, inp, out, ckpt)
+    n2 = read_stream_output(spark, out).count()
+    expect_all = sum(len(extract_document(r["spans"])) for r in rows)
+    assert n2 == expect_all  # no reprocessing, no loss
+
+    # re-running with nothing new is a no-op
+    stream_extract(spark, inp, out, ckpt)
+    assert read_stream_output(spark, out).count() == expect_all
