@@ -79,6 +79,42 @@ def merged_tables_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_region_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 — ruling-line/whitespace table-region detection over
+    synthesized monospace page grids (every third doc lattice-ruled,
+    every third whitespace-aligned, rest prose)."""
+    from pyspark.sql import functions as F2
+
+    from ..operators.table_detect import detect_regions_df
+
+    docs = load(spark, sf_dir, "documents")
+    w0 = F2.split(F2.col("text"), r"\s+")
+    cell = lambda i: F2.coalesce(F2.element_at(w0, i), F2.lit("x"))  # noqa: E731
+    lattice = F2.concat_ws(
+        "\n",
+        F2.lit("| A | B |"),
+        F2.lit("|---|---|"),
+        F2.concat(F2.lit("| "), cell(1), F2.lit(" | "), cell(2), F2.lit(" |")),
+    )
+    stream = F2.concat_ws(
+        "\n",
+        F2.lit("colA      colB"),
+        F2.concat(F2.rpad(cell(1), 10, " "), cell(2)),
+        F2.concat(F2.rpad(cell(3), 10, " "), cell(4)),
+    )
+    page_text = (
+        F2.when(F2.col("doc_id") % 3 == 0, lattice)
+        .when(F2.col("doc_id") % 3 == 1, stream)
+        .otherwise(F2.col("text"))
+    )
+    pages = docs.select(
+        F2.col("doc_id").cast("string").alias("doc_id"),
+        F2.lit(1).alias("page"),
+        page_text.alias("page_text"),
+    )
+    return detect_regions_df(pages)
+
+
 def table_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/P2 — table confidence metrics + accept gate over the
     extracted corpus (pure Catalyst expressions)."""

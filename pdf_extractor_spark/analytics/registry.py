@@ -31,6 +31,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "table_quality_scores": QuerySpec(
         extraction_queries.table_quality_scores, None, "A5/P2"
     ),
+    "table_region_detection": QuerySpec(
+        extraction_queries.table_region_detection, None, "S9/S10"
+    ),
     # --- text analysis -----------------------------------------------------
     "doc_token_count": QuerySpec(
         textstats.doc_token_count, textstats.DOC_TOKEN_COUNT_SQL, "A7"
@@ -135,6 +138,13 @@ QUERIES: Dict[str, QuerySpec] = {
     ),
     "fuzzy_keyword_match": QuerySpec(
         relational.fuzzy_keyword_match, relational.FUZZY_MATCH_SQL, "A9/F14"
+    ),
+    "graph_traverse_2hops": QuerySpec(
+        relational.graph_traverse_2hops, relational.GRAPH_TRAVERSE_2HOPS_SQL,
+        "J5 var-depth",
+    ),
+    "metadata_extract": QuerySpec(
+        relational.metadata_extract, relational.METADATA_EXTRACT_SQL, "F5"
     ),
 }
 

@@ -415,3 +415,86 @@ SELECT p_partkey, match_cnt FROM (
 )
 WHERE match_cnt >= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# J5 — variable-depth traversal over a derived edge table
+# (customer →(places)→ order →(contains)→ part; operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def graph_traverse_2hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import traverse
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust_edges = orders.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    part_edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = cust_edges.unionByName(part_edges)
+    starts = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 5)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("vertex"))
+    )
+    return traverse(edges, starts, min_hops=1, max_hops=2, direction="outbound")
+
+
+GRAPH_TRAVERSE_2HOPS_SQL = """
+WITH h1 AS (
+  SELECT DISTINCT 'o:' || o_orderkey AS vertex
+  FROM orders WHERE o_custkey < 5
+), h2 AS (
+  SELECT DISTINCT 'p:' || l.l_partkey AS vertex
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey < 5
+)
+SELECT vertex, 1 AS hops FROM h1
+UNION ALL
+SELECT vertex, 2 AS hops FROM h2 WHERE vertex NOT IN (SELECT vertex FROM h1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5 — metadata k:v extraction via native regex (parsers.py:154-189)
+# ---------------------------------------------------------------------------
+
+
+def metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    header = F.concat(
+        F.lit("Title: Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("\nAuthor: synth-"),
+        F.col("source"),
+        F.lit("\nDate: 2026-01-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("\n\n"),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(header, r"Title: ([^\n]+)", 1).alias("title"),
+        F.regexp_extract(header, r"Author: ([^\n]+)", 1).alias("author"),
+        F.regexp_extract(header, r"Date: ([^\n]+)", 1).alias("date"),
+    )
+
+
+METADATA_EXTRACT_SQL = r"""
+SELECT doc_id,
+       regexp_extract(h, 'Title: ([^\n]+)', 1) AS title,
+       regexp_extract(h, 'Author: ([^\n]+)', 1) AS author,
+       regexp_extract(h, 'Date: ([^\n]+)', 1) AS date
+FROM (
+  SELECT doc_id,
+         'Title: Document ' || doc_id || chr(10) ||
+         'Author: synth-' || source || chr(10) ||
+         'Date: 2026-01-0' || (doc_id % 9 + 1) || chr(10) || chr(10) || text AS h
+  FROM documents
+)
+"""

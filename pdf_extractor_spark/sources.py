@@ -131,3 +131,100 @@ def write_docs_json(docs: DataFrame, path: str) -> None:
     docs.select(F.to_json(F.struct(*docs.columns)).alias("value")).write.mode(
         "overwrite"
     ).text(path)
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 — PDF byte-stream source (pure-Python content-stream parser)
+# ---------------------------------------------------------------------------
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
+_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_TD_NEWLINE_RE = re.compile(rb"T\*|\bTd\b|\bTD\b")
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out = []
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            out.append({b"n": "\n", b"t": "\t", b"r": "\r"}.get(nxt, nxt.decode("latin-1")))
+            i += 2
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    return "".join(out)
+
+
+def parse_pdf_bytes(data: bytes) -> List[str]:
+    """Minimal uncompressed-PDF text extraction (the reference's
+    per-page ``page.get_text("text")`` concatenation,
+    corpus_utils.py:121-131, rebuilt from the raw byte stream — no
+    PDF library in this container).
+
+    Supported subset: uncompressed content streams, ``BT..ET`` text
+    objects, ``(..) Tj`` shows, ``[..] TJ`` arrays, ``Td/TD/T*`` as
+    line breaks, backslash escapes. One string per page stream, in
+    object order (== page order for writers that emit pages in order).
+    """
+    pages: List[str] = []
+    for stream in _STREAM_RE.findall(data):
+        chunks: List[str] = []
+        for block in _BT_RE.findall(stream):
+            # text-positioning operators delimit lines
+            segments = _TD_NEWLINE_RE.split(block)
+            lines = []
+            for seg in segments:
+                strs = [_pdf_unescape(s) for s in _STR_RE.findall(seg)]
+                if strs:
+                    lines.append("".join(strs))
+            if lines:
+                chunks.append("\n".join(lines))
+        if chunks:
+            pages.append("\n".join(chunks))
+    return pages
+
+
+def pdf_to_spans(data: bytes) -> List[dict]:
+    """PDF bytes → interleaved spans: page markers + classified lines."""
+    spans: List[dict] = []
+    for pageno, page_text in enumerate(parse_pdf_bytes(data), start=1):
+        if pageno > 1:
+            spans.append(
+                {
+                    "kind": "page_marker",
+                    "text": f"<!-- page: {pageno} -->",
+                    "media_ref": "",
+                    "offset": len(spans),
+                }
+            )
+        for s in lines_to_spans(page_text):
+            s["offset"] = len(spans)
+            spans.append(s)
+    return spans
+
+
+def read_pdf_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """Directory of PDFs → docs(doc_id, spans); parse runs in Arrow
+    batches on executors (S1: binaryFile scan → mapInPandas)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [os.path.basename(p) for p in pdf["path"]],
+                    "spans": [pdf_to_spans(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return files.mapInPandas(gen, schema=DOCS_SCHEMA)

@@ -1,0 +1,65 @@
+"""Variable-hop traversal (J5) + corrections overlay (S15)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.corrections import apply_corrections
+from pdf_extractor_spark.operators.graph import traverse
+from pdf_extractor_spark.schema import FLAT_SCHEMA
+
+EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d"), ("d", "a"),
+]
+
+
+def _graph(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    starts = spark.createDataFrame([("a",)], "vertex string")
+    return edges, starts
+
+
+def test_traverse_outbound_min_depth(spark):
+    edges, starts = _graph(spark)
+    got = {r["vertex"]: r["hops"] for r in traverse(edges, starts, 1, 3).collect()}
+    # a→{b,e}@1, →{c,d}@2 (d via e), never revisits a (hop-minimal)
+    assert got == {"b": 1, "e": 1, "c": 2, "d": 2}
+
+
+def test_traverse_min_hops_filter(spark):
+    edges, starts = _graph(spark)
+    got = {r["vertex"]: r["hops"] for r in traverse(edges, starts, 2, 2).collect()}
+    assert got == {"c": 2, "d": 2}
+
+
+def test_traverse_inbound_and_any(spark):
+    edges, starts = _graph(spark)
+    inbound = {r["vertex"] for r in traverse(edges, starts, 1, 1, "inbound").collect()}
+    assert inbound == {"d"}
+    any1 = {r["vertex"] for r in traverse(edges, starts, 1, 1, "any").collect()}
+    assert any1 == {"b", "e", "d"}
+
+
+def test_corrections_override_and_refingerprint(spark):
+    elements = spark.createDataFrame(
+        [
+            ("d1", "text", "orig one", "", 0, 1, 0, 2, [], "sid0", None, None, False, None),
+            ("d1", "text", "orig two", "", 1, 1, 0, 2, [], "sid1", None, None, False, None),
+        ],
+        schema=FLAT_SCHEMA,
+    )
+    corr = spark.createDataFrame(
+        [("d1", 1, "fixed two")],
+        "doc_id string, offset int, corrected_text string",
+    )
+    out = {r["offset"]: r for r in apply_corrections(elements, corr).collect()}
+    assert out[0]["text"] == "orig one" and out[0]["section_id"] == "sid0"
+    assert out[1]["text"] == "fixed two"
+    import hashlib
+
+    assert out[1]["section_id"] == hashlib.md5(b"fixed two").hexdigest()
+    plan = (
+        apply_corrections(elements, corr)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,62 @@
+"""Physical-plan audits across the whole query registry.
+
+The north rule demands zero per-row Python (no BatchEvalPython
+anywhere) and scale-correct physical shapes: filters pushed into the
+parquet scan, dimension sides broadcast, top-k planned as
+TakeOrderedAndProject rather than a global sort.
+"""
+
+import pytest
+
+from pdf_extractor_spark.analytics import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_batch_eval_python_anywhere(spark):
+    """Every registry query: Arrow-vectorized or JVM-only — never
+    row-at-a-time Python."""
+    offenders = []
+    for name in QUERIES:
+        if "BatchEvalPython" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P2-style predicate on a parquet scan must appear in
+    PushedFilters, and unused columns must be pruned (ReadSchema)."""
+    plan = _plan(spark, "paginated_documents")
+    assert "PushedFilters" in plan
+    plan2 = _plan(spark, "doc_token_count")
+    assert "text" in plan2 and "source" not in plan2.split("ReadSchema")[1][:200]
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ("top_revenue_orders", "graph_2hop_region_suppliers"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_topk_plans_take_ordered(spark):
+    """orderBy+limit must not be a global sort."""
+    for name in ("bm25_search", "cosine_topk_bruteforce", "top_revenue_orders"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in _plan(spark, "semi_join_priority_counts")
+    assert "LeftAnti" in _plan(spark, "anti_join_idle_customers")
+
+
+def test_iou_join_is_hash_not_nested_loop(spark):
+    """The theta predicate rides on the page equi-key: must plan as a
+    hash join (broadcast or shuffled), never BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "iou_spatial_join")
+    assert "NestedLoop" not in plan, plan
