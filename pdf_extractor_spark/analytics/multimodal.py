@@ -88,3 +88,101 @@ SELECT doc_id,
        'fake/v1' AS codec
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# additional media kernels: resize + frame-sample (same stub pattern —
+# deterministic fake kernel, real Spark plumbing)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_w", IntegerType()),
+        StructField("resized_h", IntegerType()),
+        StructField("thumb", StringType()),  # base64-ish digest stand-in
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ref", StringType()),
+    ]
+)
+
+TARGET_W, TARGET_H = 224, 224
+FRAME_STRIDE = 10
+
+
+def fake_resize(payload: bytes) -> dict:
+    """STUB resize kernel — aspect-preserving fit to 224x224, digest as
+    thumbnail stand-in (PIL absent; swap this function in production)."""
+    import hashlib
+
+    meta = fake_decode_media(payload)
+    w, h = meta["width"], meta["height"]
+    scale = min(TARGET_W / w, TARGET_H / h)
+    return {
+        "width": w,
+        "height": h,
+        "resized_w": max(1, int(w * scale)),
+        "resized_h": max(1, int(h * scale)),
+        "thumb": hashlib.md5(payload).hexdigest()[:16],
+    }
+
+
+def resize_media(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → resize metadata via mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_resize(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return docs_with_payload.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → one row per sampled frame (UDTF-style
+    fan-out inside mapInPandas; frames = decode stub's frame count,
+    sampled every FRAME_STRIDE)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, refs = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = fake_decode_media(bytes(p))["frames"]
+                for k in range(0, n, FRAME_STRIDE):
+                    ids.append(did)
+                    idxs.append(k)
+                    refs.append(f"frame://{did}/{k}")
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_ref": refs}
+            )
+
+    return docs_with_payload.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(docs)
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       'frame://' || doc_id || '/' || frame_idx AS frame_ref
+FROM (
+  SELECT doc_id,
+         unnest(generate_series(0, octet_length(encode(text)) % 30, {FRAME_STRIDE})) AS frame_idx
+  FROM documents
+)
+"""

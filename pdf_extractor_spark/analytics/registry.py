@@ -102,6 +102,10 @@ QUERIES: Dict[str, QuerySpec] = {
         multimodal.media_decode_stub, multimodal.MEDIA_DECODE_SQL,
         "training:multimodal",
     ),
+    "media_frame_sample": QuerySpec(
+        multimodal.media_frame_sample, multimodal.MEDIA_FRAME_SAMPLE_SQL,
+        "training:multimodal-frames",
+    ),
     # --- relational / query layer ---------------------------------------------
     "tpch_q1_pricing_summary": QuerySpec(
         relational.tpch_q1_pricing_summary, relational.TPCH_Q1_SQL, "A1-A6",

@@ -1,0 +1,54 @@
+"""Multimodal binary-column plumbing: decode / resize / frame-sample."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.analytics.multimodal import (
+    decode_media_batch,
+    fake_decode_media,
+    fake_resize,
+    resize_media,
+    sample_frames,
+)
+
+
+def _payload_df(spark):
+    return spark.createDataFrame(
+        [(1, b"x" * 100), (2, b"y" * 700)], "doc_id long, payload binary"
+    ).repartition(2)
+
+
+def test_decode_stub_deterministic():
+    a, b = fake_decode_media(b"abc"), fake_decode_media(b"abc")
+    assert a == b and a["n_bytes"] == 3 and a["codec"] == "fake/v1"
+
+
+def test_resize_preserves_aspect(spark):
+    got = {r["doc_id"]: r for r in resize_media(_payload_df(spark)).collect()}
+    for did, r in got.items():
+        assert r["resized_w"] <= 224 and r["resized_h"] <= 224
+        # aspect ratio preserved within integer truncation
+        orig = r["width"] / r["height"]
+        new = r["resized_w"] / r["resized_h"]
+        assert abs(orig - new) / orig < 0.05
+        assert len(r["thumb"]) == 16
+    assert fake_resize(b"x" * 100)["width"] == got[1]["width"]
+
+
+def test_frame_sampling_stride(spark):
+    rows = sample_frames(_payload_df(spark)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    n1 = fake_decode_media(b"x" * 100)["frames"]
+    assert sorted(by_doc[1]) == list(range(0, n1, 10))
+    assert all(r["frame_ref"].startswith("frame://") for r in rows)
+
+
+def test_plumbing_is_arrow_batched(spark):
+    plan = (
+        resize_media(_payload_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
