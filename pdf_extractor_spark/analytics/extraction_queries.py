@@ -29,6 +29,9 @@ from .base import load
 
 def spans_corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.doc_id → deterministic interleaved span corpus."""
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(spark)  # driver-owned sessions lack our package zip
     ids = load(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,6 +89,9 @@ def table_region_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F2
 
     from ..operators.table_detect import detect_regions_df
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
 
     docs = load(spark, sf_dir, "documents")
     w0 = F2.split(F2.col("text"), r"\s+")
@@ -113,6 +119,19 @@ def table_region_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         page_text.alias("page_text"),
     )
     return detect_regions_df(pages)
+
+
+def sections_native_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 native — running page + section-hierarchy forward-fill as
+    pure window functions over the exploded span corpus."""
+    from ..operators.sections import annotate_spans_native
+
+    corpus = spans_corpus_from_documents(spark, sf_dir)
+    ann = annotate_spans_native(corpus)
+    return ann.select(
+        "doc_id", "offset", "kind", "page",
+        F.concat_ws(" / ", "section_path").alias("section"),
+    )
 
 
 def table_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

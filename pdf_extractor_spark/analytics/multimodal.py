@@ -73,6 +73,9 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text encoded to a binary payload column, decoded back
     to typed metadata through the mapInPandas pipeline."""
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -170,6 +173,9 @@ def sample_frames(docs_with_payload: DataFrame) -> DataFrame:
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )

@@ -34,6 +34,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "table_region_detection": QuerySpec(
         extraction_queries.table_region_detection, None, "S9/S10"
     ),
+    "sections_native_annotation": QuerySpec(
+        extraction_queries.sections_native_annotation, None, "W1/W2 native"
+    ),
     # --- text analysis -----------------------------------------------------
     "doc_token_count": QuerySpec(
         textstats.doc_token_count, textstats.DOC_TOKEN_COUNT_SQL, "A7"

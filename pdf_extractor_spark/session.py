@@ -33,6 +33,16 @@ def _package_zip() -> str:
     return out
 
 
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to executors on an externally-created session
+    (the driver contract hands us its own SparkSession). Idempotent —
+    repeat addPyFile calls with the same path are no-ops."""
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:  # already added under a conflicting name — fine
+        pass
+
+
 def get_spark(
     app_name: str = "pdf_extractor_spark",
     master: str | None = None,
