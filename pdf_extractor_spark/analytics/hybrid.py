@@ -47,18 +47,23 @@ def _semantic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # top-k FIRST via orderBy().limit() — plans as TakeOrderedAndProject
+    # (parallel partial top-k, no single-reducer global window); the
+    # row_number window then runs over only INITIAL_K rows.
     w_b = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     bm25_top = (
         bm25_scores(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(INITIAL_K)
         .withColumn("r_bm25", F.row_number().over(w_b))
-        .filter(F.col("r_bm25") <= INITIAL_K)
         .select("doc_id", "r_bm25")
     )
     w_s = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
     sem_top = (
         _semantic_scores(spark, sf_dir)
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(INITIAL_K)
         .withColumn("r_sem", F.row_number().over(w_s))
-        .filter(F.col("r_sem") <= INITIAL_K)
         .select("doc_id", "r_sem")
     )
     worst = INITIAL_K + 1

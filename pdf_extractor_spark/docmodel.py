@@ -246,6 +246,27 @@ def extract_document(
     contradicts its own golden fixture and is documented as a repo
     quirk we do not inherit (SURVEY.md §7.4).
     """
+    return extract_document_cols(
+        [s.get("kind") for s in spans],
+        [s.get("text") for s in spans],
+        [s.get("media_ref") for s in spans],
+        [s.get("offset") or 0 for s in spans],
+        merge_strategy,
+    )
+
+
+def extract_document_cols(
+    kinds: List[Optional[str]],
+    texts: List[Optional[str]],
+    media_refs: List[Optional[str]],
+    offsets: List[int],
+    merge_strategy: str = "default",
+) -> List[Dict[str, Any]]:
+    """Columnar entry point (the Arrow fast path): four parallel lists
+    instead of per-span dicts. Same semantics as :func:`extract_document`
+    — that wrapper delegates here, so there is still exactly ONE
+    implementation of the extraction state machine.
+    """
     threshold = STRATEGY_THRESHOLDS[merge_strategy]
     elements: List[Dict[str, Any]] = []
     section_path: List[str] = []
@@ -288,10 +309,11 @@ def extract_document(
                 elements.append(el)
             table_buf = []
 
-    for span in sorted(spans, key=lambda s: s["offset"]):
-        kind = span.get("kind") or ""
-        text = span.get("text") or ""
-        media_ref = span.get("media_ref") or ""
+    order = sorted(range(len(offsets)), key=offsets.__getitem__)
+    for idx in order:
+        kind = kinds[idx] or ""
+        text = texts[idx] or ""
+        media_ref = media_refs[idx] or ""
 
         if kind == "page_marker":
             flush_text()
