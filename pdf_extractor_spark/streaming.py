@@ -59,3 +59,65 @@ def stream_extract(
 
 def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.schema(FLAT_SCHEMA).parquet(output_dir)
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Event-time tumbling-window aggregation with a watermark.
+
+    The engine's streaming-analytics face (the reference has none —
+    SURVEY.md §2.9): counts + value sums per (event_type, window) with
+    late data bounded by the watermark, so state is evicted and the
+    job runs forever at constant memory. Append output mode: windows
+    emit once finalized (watermark passed), exactly-once via the
+    checkpoint.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    events_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    ev = spark.readStream.schema(events_schema).parquet(input_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -114,3 +114,37 @@ def test_streaming_exactly_once(spark, tmp_path):
     # re-running with nothing new is a no-op
     stream_extract(spark, inp, out, ckpt)
     assert read_stream_output(spark, out).count() == expect_all
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Event-time tumbling windows + watermark over the events table:
+    finalized windows match the batch groupBy, late state evicted."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.streaming import stream_windowed_event_counts
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("ein", "eout", "eckpt"))
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    os.makedirs(inp)
+    src.write.mode("append").parquet(inp)
+    stream_windowed_event_counts(spark, inp, out, ckpt)
+    # second drain with no new data: nothing new emitted (checkpoint)
+    stream_windowed_event_counts(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+
+    batch = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    # append mode only emits windows the watermark has passed; every
+    # emitted window must match the batch result exactly
+    emitted = {
+        (r["window_start"], r["event_type"]): r["n"] for r in got.collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+    assert emitted, "no windows finalized — watermark too large for fixture"
+    for k, n in emitted.items():
+        assert expect[k] == n
