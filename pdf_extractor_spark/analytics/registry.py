@@ -153,6 +153,12 @@ QUERIES: Dict[str, QuerySpec] = {
     "metadata_extract": QuerySpec(
         relational.metadata_extract, relational.METADATA_EXTRACT_SQL, "F5"
     ),
+    "bbox_transform": QuerySpec(
+        relational.bbox_transform, relational.BBOX_TRANSFORM_SQL, "F8"
+    ),
+    "union_dedup_best": QuerySpec(
+        relational.union_dedup_best, relational.UNION_DEDUP_SQL, "U3"
+    ),
 }
 
 

@@ -498,3 +498,68 @@ FROM (
   FROM documents
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# F8 — camelot→pymupdf coordinate transform (y-flip + zoom) as exprs
+# ---------------------------------------------------------------------------
+
+PAGE_H = 842.0  # A4 points
+ZOOM = 2.0
+
+
+def bbox_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    x1 = (k % 100).cast("double")
+    y1 = F.col("p_size").cast("double")
+    x2 = x1 + 10.0
+    y2 = y1 + 5.0
+    return part.select(
+        "p_partkey",
+        (x1 * ZOOM).alias("tx1"),
+        ((F.lit(PAGE_H) - y2) * ZOOM).alias("ty1"),
+        (x2 * ZOOM).alias("tx2"),
+        ((F.lit(PAGE_H) - y1) * ZOOM).alias("ty2"),
+    )
+
+
+BBOX_TRANSFORM_SQL = f"""
+SELECT p_partkey,
+       CAST(p_partkey % 100 AS DOUBLE) * {ZOOM} AS tx1,
+       ({PAGE_H} - (CAST(p_size AS DOUBLE) + 5.0)) * {ZOOM} AS ty1,
+       (CAST(p_partkey % 100 AS DOUBLE) + 10.0) * {ZOOM} AS tx2,
+       ({PAGE_H} - CAST(p_size AS DOUBLE)) * {ZOOM} AS ty2
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# U3 — union + dedup-by-key (candidate merge, hybrid.py:170-214 shape)
+# ---------------------------------------------------------------------------
+
+
+def union_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_custkey", "o_totalprice"
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("o_custkey")
+        .agg(F.round(F.max("o_totalprice"), 2).alias("best_price"))
+    )
+
+
+UNION_DEDUP_SQL = """
+SELECT o_custkey, round(max(o_totalprice), 2) AS best_price
+FROM (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+GROUP BY 1
+"""
