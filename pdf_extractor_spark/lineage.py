@@ -71,14 +71,26 @@ def run_with_lineage(
     n_buckets: int = 16,
     run_id: str = "run-0",
     merge_strategy: str = "default",
-    mega_span_threshold: int = 20_000,
+    mega_span_threshold: int = 5_000,
     fail_after_buckets: Optional[int] = None,
+    commit_mode: str = "per_bucket",
 ) -> dict[str, dict]:
     """Extract ``docs`` bucket-by-bucket with resumable lineage.
 
     Re-invoking with the same ``output_dir`` skips completed buckets
     (anti-join against the lineage manifest). ``fail_after_buckets``
     exists for crash-injection tests.
+
+    ``commit_mode``:
+    * ``per_bucket`` — one write + lineage commit per bucket, finest
+      resume granularity (a crash loses at most one bucket's work);
+      costs one Spark job per bucket.
+    * ``batch`` — ONE Spark job writes every pending bucket via
+      dynamic partition overwrite (``partitionBy(bucket)``), then all
+      lineage rows commit together. The scale mode: no driver-side
+      job-per-bucket loop; a crash before the commit point redoes the
+      whole pending wave (still idempotent — dynamic overwrite
+      replaces only pending partitions).
 
     Returns the lineage manifest {bucket: {status, row_count, bytes,
     wall_ms, run_id}}.
@@ -100,6 +112,33 @@ def run_with_lineage(
             merge_strategy=merge_strategy,
             mega_span_threshold=mega_span_threshold,
         ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        if commit_mode == "batch":
+            extracted = extracted.persist()
+            t0 = time.time()
+            (
+                extracted.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(output_dir)
+            )
+            wall_ms = int((time.time() - t0) * 1000)
+            counts = {
+                r["bucket"]: r["count"]
+                for r in extracted.groupBy("bucket").count().collect()
+            }
+            extracted.unpersist()
+            for b in todo:
+                part_dir = os.path.join(output_dir, f"bucket={b}")
+                lineage[str(b)] = {
+                    "status": "done",
+                    "row_count": int(counts.get(b, 0)),
+                    "bytes": _dir_bytes(part_dir),
+                    "wall_ms": wall_ms,  # shared job wall
+                    "run_id": run_id,
+                }
+            _commit_lineage(output_dir, lineage)
+            return lineage
+
         extracted = extracted.persist()
         try:
             for i, b in enumerate(todo):

@@ -49,3 +49,30 @@ def test_metrics_recorded(spark, docs_df, tmp_path):
     lineage = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS)
     assert sum(e["row_count"] for e in lineage.values()) == expected_total_rows()
     assert all(e["bytes"] > 0 and e["wall_ms"] >= 0 for e in lineage.values())
+
+
+def test_batch_commit_mode_equivalent(spark, docs_df, tmp_path):
+    """Batch mode (one partitioned write, no per-bucket job loop)
+    produces the same output and manifest totals as per-bucket mode,
+    and resumes the same way."""
+    out_b = str(tmp_path / "batch")
+    lineage = run_with_lineage(
+        spark, docs_df, out_b, n_buckets=N_BUCKETS, run_id="rb",
+        commit_mode="batch",
+    )
+    assert len(lineage) == N_BUCKETS
+    assert sum(e["row_count"] for e in lineage.values()) == expected_total_rows()
+    assert read_output(spark, out_b).count() == expected_total_rows()
+    # partial manifest → batch resume completes only the missing buckets
+    out_p = str(tmp_path / "resume")
+    with pytest.raises(RuntimeError):
+        run_with_lineage(
+            spark, docs_df, out_p, n_buckets=N_BUCKETS, run_id="r1",
+            fail_after_buckets=2,
+        )
+    resumed = run_with_lineage(
+        spark, docs_df, out_p, n_buckets=N_BUCKETS, run_id="r2",
+        commit_mode="batch",
+    )
+    assert {e["run_id"] for e in resumed.values()} == {"r1", "r2"}
+    assert read_output(spark, out_p).count() == expected_total_rows()
