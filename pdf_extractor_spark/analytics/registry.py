@@ -100,6 +100,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "lsh_ann_topk": QuerySpec(
         similarity.lsh_ann_topk, similarity.LSH_ANN_TOPK_SQL, "training:ann-lsh"
     ),
+    "ivf_label_probe_topk": QuerySpec(
+        similarity.ivf_label_probe_topk, similarity.IVF_LABEL_PROBE_SQL,
+        "training:ann-ivf",
+    ),
     # --- multimodal plumbing --------------------------------------------------
     "media_decode_stub": QuerySpec(
         multimodal.media_decode_stub, multimodal.MEDIA_DECODE_SQL,

@@ -200,3 +200,41 @@ WHERE vec_id != {QUERY_VEC_ID}
 ORDER BY cos DESC, vec_id ASC
 LIMIT {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-style partition-probe ANN (scale path #2): embeddings carry a
+# cluster assignment (label); search only the query's cluster. At
+# 100 TB the table is physically partitioned by label so the probe
+# prunes partitions at the scan (partition pruning, not a filter).
+# ---------------------------------------------------------------------------
+
+
+def ivf_label_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("label").alias("q_label")
+    )
+    cand = emb.join(F.broadcast(query), F.col("label") == F.col("q_label")).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    return (
+        cand.select("vec_id", "label", _floor4(cos).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+IVF_LABEL_PROBE_SQL = f"""
+WITH q AS (
+  SELECT embedding AS q_embedding, label AS q_label
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, label,
+       CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000) / 10000 AS DOUBLE) AS cos
+FROM embeddings JOIN q ON label = q_label
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
