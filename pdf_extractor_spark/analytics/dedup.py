@@ -283,3 +283,84 @@ SELECT simhash, count(*) AS n_docs FROM (
 )
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end dedup: survivors after LSH pair removal
+# (policy: a doc colliding with any smaller-id doc is removed — one
+#  deterministic pass, no transitive closure; the winner of each
+#  collision set is its minimum doc_id)
+# ---------------------------------------------------------------------------
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = _docs_with_injected_dups(spark, sf_dir)
+    bands = _with_bands(pool)
+    a, b = bands.alias("a"), bands.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return pool.join(removed, "doc_id", "left_anti").select("doc_id")
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
+removed AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT p.doc_id FROM ({_DUP_SOURCE_SQL}) p
+WHERE p.doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+# ---------------------------------------------------------------------------
+# composed training-data filter: language + quality + near-dup removal
+# (the shape of a real pretraining-corpus cleaning job)
+# ---------------------------------------------------------------------------
+
+_MIN_TOKENS = 40
+_MAX_STOP_RATIO = 0.30
+
+
+def training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in ("the", "a", "fast", "slow")]))
+    )  # distinct-hit ratio proxy (portable)
+    kept = docs.filter(
+        (F.col("lang") == "en")
+        & (n_tokens >= _MIN_TOKENS)
+        & (stop_hits.cast("double") / n_tokens <= _MAX_STOP_RATIO)
+    ).select("doc_id", F.md5("text").alias("fp"))
+    # exact-dup removal among the kept set: keep min doc_id per fp
+    keeper = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return keeper.select("doc_id").orderBy("doc_id")
+
+
+TRAINING_FILTER_SQL = rf"""
+WITH kept AS (
+  SELECT doc_id, md5(text) AS fp
+  FROM (
+    SELECT doc_id, lang, text,
+           string_split_regex(text, '\s+') AS toks
+    FROM documents
+  )
+  WHERE lang = 'en'
+    AND len(toks) >= {_MIN_TOKENS}
+    AND CAST(len(list_intersect(toks, ['the','a','fast','slow'])) AS DOUBLE)
+        / len(toks) <= {_MAX_STOP_RATIO}
+)
+SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp ORDER BY doc_id
+"""

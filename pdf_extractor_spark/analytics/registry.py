@@ -88,6 +88,13 @@ QUERIES: Dict[str, QuerySpec] = {
     "simhash_buckets": QuerySpec(
         dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL, "training:dedup-simhash"
     ),
+    "dedup_survivors": QuerySpec(
+        dedup.dedup_survivors, dedup.DEDUP_SURVIVORS_SQL, "training:dedup-e2e"
+    ),
+    "training_corpus_filter": QuerySpec(
+        dedup.training_corpus_filter, dedup.TRAINING_FILTER_SQL,
+        "training:compose",
+    ),
     # --- similarity search ---------------------------------------------------
     "cosine_topk_bruteforce": QuerySpec(
         similarity.cosine_topk_bruteforce, similarity.COSINE_TOPK_SQL,

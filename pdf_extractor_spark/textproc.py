@@ -33,8 +33,17 @@ def md5_hex(text: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# ASCII fast path: for pure-ASCII input NFC and NFKD are identity and
+# category-C characters are exactly C0 controls + DEL — a translate()
+# table replaces the per-char category scan (hot path: every heading).
+_ASCII_CTRL_DELETE = {c: None for c in (*range(0x20), 0x7F)}
+
+
 def clean_title(title: str, to_ascii: bool = False) -> str:
     try:
+        if title.isascii():
+            cleaned = title.translate(_ASCII_CTRL_DELETE).strip()
+            return cleaned if cleaned else "Unnamed Section"
         cleaned = unicodedata.normalize("NFC", title)
         cleaned = "".join(c for c in cleaned if unicodedata.category(c)[0] != "C")
         if to_ascii:
