@@ -142,3 +142,34 @@ def table_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spans_corpus_from_documents(spark, sf_dir)
     flat = extract_elements(corpus, mega_span_threshold=2000)
     return with_table_quality(flat)
+
+
+def search_extracted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3(b) full lifecycle — extract, then BM25-search the extracted
+    text elements (the reference's search layer runs over extracted
+    docs in ArangoDB; here it is a DataFrame pipeline over the
+    extraction output)."""
+    corpus = spans_corpus_from_documents(spark, sf_dir)
+    flat = extract_elements(corpus, mega_span_threshold=2000)
+    text_docs = (
+        flat.filter(F.col("kind").isin("text", "heading"))
+        .groupBy("doc_id")
+        .agg(
+            # collect_list order is partitioning-dependent: sort by the
+            # element offset before concatenation for determinism
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+    )
+    from .textstats import bm25_scores
+
+    return (
+        bm25_scores(text_docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -37,6 +37,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "sections_native_annotation": QuerySpec(
         extraction_queries.sections_native_annotation, None, "W1/W2 native"
     ),
+    "search_extracted_bm25": QuerySpec(
+        extraction_queries.search_extracted_bm25, None, "§3.3 lifecycle"
+    ),
     # --- text analysis -----------------------------------------------------
     "doc_token_count": QuerySpec(
         textstats.doc_token_count, textstats.DOC_TOKEN_COUNT_SQL, "A7"
