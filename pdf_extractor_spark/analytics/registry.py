@@ -173,6 +173,12 @@ QUERIES: Dict[str, QuerySpec] = {
     "union_dedup_best": QuerySpec(
         relational.union_dedup_best, relational.UNION_DEDUP_SQL, "U3"
     ),
+    "first_match_enrich": QuerySpec(
+        relational.first_match_enrich, relational.FIRST_MATCH_ENRICH_SQL, "J4"
+    ),
+    "paginated_with_total": QuerySpec(
+        relational.paginated_with_total, relational.PAGINATED_TOTAL_SQL, "A2/O2"
+    ),
 }
 
 

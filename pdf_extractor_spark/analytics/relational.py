@@ -563,3 +563,65 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# J4 — first-match enrichment join (left join + row_number()==1 dedup;
+# reference: markdown elements matched to marker blocks by page only,
+# first match wins — markdown_extractor.py:398-413,460-473)
+# ---------------------------------------------------------------------------
+
+
+def first_match_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    first_li = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", F.col("l_partkey").alias("first_partkey"))
+    )
+    return orders.join(
+        first_li, orders.o_orderkey == first_li.l_orderkey, "left"
+    ).select("o_orderkey", "o_orderpriority", "first_partkey")
+
+
+FIRST_MATCH_ENRICH_SQL = """
+SELECT o.o_orderkey, o.o_orderpriority, f.first_partkey
+FROM orders o
+LEFT JOIN (
+  SELECT l_orderkey, first_partkey FROM (
+    SELECT l_orderkey, l_partkey AS first_partkey,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+) f ON o.o_orderkey = f.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2 — pagination with windowed total-match count
+# (LENGTH-of-subquery total alongside the page slice, bm25.py:180-191)
+# ---------------------------------------------------------------------------
+
+
+def paginated_with_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    w = Window.partitionBy()
+    return (
+        docs.select(
+            "doc_id", "n_chars", F.count("*").over(w).alias("total_matches")
+        )
+        .orderBy(F.asc("doc_id"))
+        .offset(10)
+        .limit(5)
+    )
+
+
+PAGINATED_TOTAL_SQL = """
+SELECT doc_id, n_chars, total_matches FROM (
+  SELECT doc_id, n_chars, count(*) OVER () AS total_matches
+  FROM documents WHERE n_chars >= 200
+)
+ORDER BY doc_id ASC OFFSET 10 LIMIT 5
+"""
