@@ -9,7 +9,7 @@ observable behavior including its embedded EXPECTED_RESULTS cases
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.+)$")
 _KV_RE = re.compile(r"^([A-Za-z0-9_\- ]+):\s*(.+)$", re.MULTILINE)

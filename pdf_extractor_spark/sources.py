@@ -139,7 +139,6 @@ def write_docs_json(docs: DataFrame, path: str) -> None:
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 _TD_NEWLINE_RE = re.compile(rb"T\*|\bTd\b|\bTD\b")
 

@@ -1,0 +1,93 @@
+"""Spot tests tying the analytics query layer into the pytest suite
+(the driver's DuckDB gate covers full parity; these assert semantic
+facts directly)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_finds_injected_duplicates(spark):
+    from pdf_extractor_spark.analytics.dedup import (
+        DUP_ID_OFFSET,
+        N_INJECTED_DUPS,
+        minhash_lsh_pairs,
+    )
+
+    pairs = {
+        (r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(spark, SF).collect()
+    }
+    for i in range(N_INJECTED_DUPS):
+        assert (i, i + DUP_ID_OFFSET) in pairs, f"dup {i} not detected"
+
+
+def test_dedup_survivors_drop_injected_copies(spark):
+    from pdf_extractor_spark.analytics.dedup import (
+        DUP_ID_OFFSET,
+        dedup_survivors,
+    )
+
+    survivors = {r["doc_id"] for r in dedup_survivors(spark, SF).collect()}
+    assert not any(d >= DUP_ID_OFFSET for d in survivors)
+    assert 0 in survivors  # originals win (min doc_id policy)
+
+
+def test_cosine_topk_selfpair_excluded_and_sorted(spark):
+    from pdf_extractor_spark.analytics.similarity import cosine_topk_bruteforce
+
+    rows = cosine_topk_bruteforce(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] != 0 for r in rows)
+    cs = [r["cos"] for r in rows]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_embedding_neardup_contains_injected(spark):
+    from pdf_extractor_spark.analytics.similarity import (
+        DUP_ID_OFFSET,
+        embedding_neardup_pairs,
+    )
+
+    pairs = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in embedding_neardup_pairs(spark, SF).collect()
+    }
+    assert pairs[(0, DUP_ID_OFFSET)] >= 0.9999  # exact copy → cos 1.0
+
+
+def test_bm25_scores_terms_present(spark):
+    from pdf_extractor_spark.analytics.textstats import bm25_search
+    from pdf_extractor_spark.analytics.base import load
+    from pyspark.sql import functions as F
+
+    top = [r["doc_id"] for r in bm25_search(spark, SF).collect()]
+    docs = load(spark, SF, "documents")
+    top_texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(top)).collect()
+    }
+    # every top-10 doc contains at least one query term
+    for d in top:
+        assert any(t in top_texts[d].split() for t in ("spark", "window", "merge"))
+
+
+def test_sessionize_invariants(spark):
+    from pdf_extractor_spark.analytics.relational import events_sessionize
+
+    rows = events_sessionize(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_sessions"] <= r["n_events"]
+
+
+def test_training_filter_subset_of_en(spark):
+    from pdf_extractor_spark.analytics.dedup import training_corpus_filter
+    from pdf_extractor_spark.analytics.base import load
+    from pyspark.sql import functions as F
+
+    kept = {r["doc_id"] for r in training_corpus_filter(spark, SF).collect()}
+    en = {
+        r["doc_id"]
+        for r in load(spark, SF, "documents").filter(F.col("lang") == "en").collect()
+    }
+    assert kept and kept <= en
