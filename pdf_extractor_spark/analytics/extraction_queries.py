@@ -32,7 +32,10 @@ def spans_corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ensure_pyfiles
 
     ensure_pyfiles(spark)  # driver-owned sessions lack our package zip
-    ids = load(spark, sf_dir, "documents").select("doc_id")
+    # the documents table is a single parquet file → repartition the id
+    # list so corpus synthesis and extraction parallelize across cores
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    ids = load(spark, sf_dir, "documents").select("doc_id").repartition(n_parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
