@@ -121,3 +121,87 @@ def stream_windowed_event_counts(
     )
     query.awaitTermination()
     return query
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = 1800,
+):
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the arbitrary-state API the batch
+    window version W5 cannot express incrementally).
+
+    State per user = (last_ts, session_start, n_events). A gap larger
+    than ``gap_s`` closes the running session and emits it; the open
+    session survives in the state store across micro-batches and
+    restarts (checkpointed). Emits only CLOSED sessions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),  # epoch seconds
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", LongType()),
+            StructField("start_ts", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    events_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        last_ts, start_ts, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        batch = pd.concat(list(pdfs))
+        for ts in sorted(int(t.timestamp()) for t in batch["ts"]):
+            if last_ts is not None and ts - last_ts > gap_s:
+                closed.append((user_id, start_ts, last_ts, n))
+                start_ts, n = None, 0
+            if start_ts is None:
+                start_ts = ts
+            last_ts = ts
+            n += 1
+        state.update((last_ts, start_ts, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    ev = spark.readStream.schema(events_schema).parquet(input_dir)
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    query = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -148,3 +148,45 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     assert emitted, "no windows finalized — watermark too large for fixture"
     for k, n in emitted.items():
         assert expect[k] == n
+
+
+def test_stateful_sessionize_across_waves(spark, tmp_path):
+    """applyInPandasWithState: open sessions survive micro-batch waves
+    in the state store; a gap closes and emits exactly one session."""
+    import datetime as dt
+
+    from pdf_extractor_spark.streaming import stream_sessionize_stateful
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("sin", "sout", "sckpt"))
+    os.makedirs(inp)
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def ev(eid, user, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user)
+
+    # wave 1: user 1 has events at 0,10 min; user 2 at 0 min
+    w1 = spark.createDataFrame(
+        [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 0)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    w1.write.mode("append").parquet(inp)
+    stream_sessionize_stateful(spark, inp, out, ckpt, gap_s=1800)
+    # nothing closed yet → no output files (or empty)
+    try:
+        n_closed = spark.read.parquet(out).count()
+    except Exception:
+        n_closed = 0
+    assert n_closed == 0
+
+    # wave 2: user 1 returns 2h later (closes session 1), user 2 +10min
+    w2 = spark.createDataFrame(
+        [ev(4, 1, 130), ev(5, 2, 10)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    w2.write.mode("append").parquet(inp)
+    stream_sessionize_stateful(spark, inp, out, ckpt, gap_s=1800)
+    closed = spark.read.parquet(out).collect()
+    assert len(closed) == 1
+    s = closed[0]
+    assert s["user_id"] == 1 and s["n_events"] == 2
+    assert s["session_end"] - s["session_start"] == 600  # 0→10 min
