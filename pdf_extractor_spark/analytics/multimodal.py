@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -192,3 +194,42 @@ FROM (
   FROM documents
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# feature-extract stub: binary payload → fixed-width feature vector
+# (deterministic md5-derived fake; a real deployment swaps the kernel
+# for an image/audio encoder — the Arrow plumbing is identical)
+# ---------------------------------------------------------------------------
+
+FEATURE_DIMS = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def fake_extract_features(payload: bytes) -> list:
+    """STUB feature kernel — 16 floats in [0,1) from the md5 digest."""
+    import hashlib
+
+    digest = hashlib.md5(payload).digest()
+    return [digest[i] / 256.0 for i in range(FEATURE_DIMS)]
+
+
+def extract_features(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → (doc_id, features:array<float>)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "features": [fake_extract_features(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return docs_with_payload.mapInPandas(gen, schema=FEATURES_SCHEMA)

@@ -179,6 +179,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "paginated_with_total": QuerySpec(
         relational.paginated_with_total, relational.PAGINATED_TOTAL_SQL, "A2/O2"
     ),
+    "events_props_extract": QuerySpec(
+        relational.events_props_extract, relational.EVENTS_PROPS_SQL, "S4/F12"
+    ),
 }
 
 

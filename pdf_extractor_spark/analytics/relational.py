@@ -625,3 +625,26 @@ SELECT doc_id, n_chars, total_matches FROM (
 )
 ORDER BY doc_id ASC OFFSET 10 LIMIT 5
 """
+
+
+# ---------------------------------------------------------------------------
+# S4/F12 — JSON field extraction from the events props column
+# ---------------------------------------------------------------------------
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_mod10"))
+        .groupBy("k_mod10")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod10,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""

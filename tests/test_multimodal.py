@@ -52,3 +52,20 @@ def test_plumbing_is_arrow_batched(spark):
         .toString()
     )
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_feature_extract_stub(spark):
+    from pdf_extractor_spark.analytics.multimodal import (
+        FEATURE_DIMS,
+        extract_features,
+        fake_extract_features,
+    )
+
+    feats = {r["doc_id"]: r["features"] for r in extract_features(_payload_df(spark)).collect()}
+    assert all(len(v) == FEATURE_DIMS for v in feats.values())
+    assert all(0.0 <= x < 1.0 for v in feats.values() for x in v)
+    # deterministic and matches the local kernel
+    import numpy as np
+
+    local = fake_extract_features(b"x" * 100)
+    assert np.allclose(feats[1], local, atol=1e-6)
