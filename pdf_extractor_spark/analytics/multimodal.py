@@ -59,6 +59,12 @@ def fake_decode_media(payload: bytes) -> dict:
     }
 
 
+def _as_bytes(p) -> bytes:
+    """NULL-safe payload coercion: a nullable binary column may carry
+    None rows (e.g. encode(NULL text)); treat them as empty media."""
+    return b"" if p is None else bytes(p)
+
+
 def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload:binary) → media metadata.
 
@@ -66,7 +72,7 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     (the loop below is inside the batch, same as any pandas op).
     """
     for pdf in batches:
-        metas = [fake_decode_media(p) for p in pdf["payload"]]
+        metas = [fake_decode_media(_as_bytes(p)) for p in pdf["payload"]]
         out = pd.DataFrame(metas)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
@@ -141,11 +147,14 @@ def fake_resize(payload: bytes) -> dict:
 
 
 def resize_media(docs_with_payload: DataFrame) -> DataFrame:
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(docs_with_payload.sparkSession)
     """(doc_id, payload:binary) → resize metadata via mapInPandas."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_resize(bytes(p)) for p in pdf["payload"]]
+            metas = [fake_resize(_as_bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
@@ -154,6 +163,9 @@ def resize_media(docs_with_payload: DataFrame) -> DataFrame:
 
 
 def sample_frames(docs_with_payload: DataFrame) -> DataFrame:
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(docs_with_payload.sparkSession)
     """(doc_id, payload:binary) → one row per sampled frame (UDTF-style
     fan-out inside mapInPandas; frames = decode stub's frame count,
     sampled every FRAME_STRIDE)."""
@@ -162,7 +174,7 @@ def sample_frames(docs_with_payload: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, idxs, refs = [], [], []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                n = fake_decode_media(bytes(p))["frames"]
+                n = fake_decode_media(_as_bytes(p))["frames"]
                 for k in range(0, n, FRAME_STRIDE):
                     ids.append(did)
                     idxs.append(k)
@@ -217,10 +229,14 @@ def fake_extract_features(payload: bytes) -> list:
     import hashlib
 
     digest = hashlib.md5(payload).digest()
-    return [digest[i] / 256.0 for i in range(FEATURE_DIMS)]
+    # md5 yields 16 bytes; cycle so FEATURE_DIMS is a free parameter
+    return [digest[i % len(digest)] / 256.0 for i in range(FEATURE_DIMS)]
 
 
 def extract_features(docs_with_payload: DataFrame) -> DataFrame:
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(docs_with_payload.sparkSession)
     """(doc_id, payload:binary) → (doc_id, features:array<float>)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -228,7 +244,7 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "features": [fake_extract_features(bytes(p)) for p in pdf["payload"]],
+                    "features": [fake_extract_features(_as_bytes(p)) for p in pdf["payload"]],
                 }
             )
 

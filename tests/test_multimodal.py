@@ -69,3 +69,18 @@ def test_feature_extract_stub(spark):
 
     local = fake_extract_features(b"x" * 100)
     assert np.allclose(feats[1], local, atol=1e-6)
+
+
+def test_null_payload_rows_are_safe(spark):
+    from pdf_extractor_spark.analytics.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"data"), (2, None)], "doc_id long, payload binary"
+    )
+    assert resize_media(df).count() == 2
+    assert extract_features(df).count() == 2
+    assert sample_frames(df).count() >= 1  # null payload → 1 frame (n=1)
