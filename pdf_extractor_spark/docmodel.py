@@ -268,9 +268,11 @@ def extract_document_cols(
     implementation of the extraction state machine.
     """
     threshold = STRATEGY_THRESHOLDS[merge_strategy]
+    # null offsets are legal (SPAN_STRUCT.offset is nullable; JSON
+    # sources may omit it) — treat as 0 so ordering stays total
+    offsets = [o if o is not None else 0 for o in offsets]
     elements: List[Dict[str, Any]] = []
     section_path: List[str] = []
-    section_counts = [0] * 6
     current_page = 1
     text_buf: List[str] = []
     table_buf: List[str] = []
@@ -329,14 +331,10 @@ def extract_document_cols(
             hm = HEADING_RE.match(text.strip())
             level = len(hm.group(1)) if hm else 1
             raw_title = (hm.group(2) if hm else text).strip()
-            if not NUMBER_RE.match(raw_title):
-                # headings without an explicit number advance the auto
-                # counters (markdown_extractor.py:344-357); numbered
-                # headings (:338-343) keep their own number, which stays
-                # part of the displayed text per the golden fixture.
-                for j in range(level, len(section_counts)):
-                    section_counts[j] = 0
-                section_counts[level - 1] += 1
+            # numbered headings (markdown_extractor.py:338-343) keep
+            # their number as part of the displayed text per the golden
+            # fixture; the reference's auto section counters (:344-357)
+            # feed only metadata we deliberately exclude (docs/PARITY.md)
             display = clean_title(raw_title, to_ascii=True)
             # stack semantics per the golden fixture: truncate to the
             # parent levels, then push this heading's display text.

@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 from .operators.extract import extract_elements
 
 LINEAGE_FILE = "lineage.json"  # tiny driver-side manifest (Iceberg stand-in)
+META_KEY = "__meta__"          # manifest metadata (n_buckets guard)
+
+
+def _bucket_items(lineage: dict):
+    return [(b, e) for b, e in lineage.items() if b != META_KEY]
 
 
 def bucket_of(doc_id_col, n_buckets: int):
@@ -97,7 +102,15 @@ def run_with_lineage(
     """
     os.makedirs(output_dir, exist_ok=True)
     lineage = read_lineage(output_dir)
-    done = {int(b) for b, e in lineage.items() if e["status"] == "done"}
+    meta = lineage.get(META_KEY)
+    if meta is not None and meta.get("n_buckets") != n_buckets:
+        raise ValueError(
+            f"resume with n_buckets={n_buckets} but {output_dir} was "
+            f"bucketed with n_buckets={meta.get('n_buckets')} — mixing "
+            "bucketings would silently drop documents"
+        )
+    lineage[META_KEY] = {"n_buckets": n_buckets}
+    done = {int(b) for b, e in _bucket_items(lineage) if e["status"] == "done"}
 
     bucketed = docs.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
     todo = sorted(set(range(n_buckets)) - done)
@@ -129,10 +142,12 @@ def run_with_lineage(
             extracted.unpersist()
             for b in todo:
                 part_dir = os.path.join(output_dir, f"bucket={b}")
+                # empty buckets produce no partition dir under dynamic
+                # overwrite; record row_count 0 (read_output skips them)
                 lineage[str(b)] = {
                     "status": "done",
                     "row_count": int(counts.get(b, 0)),
-                    "bytes": _dir_bytes(part_dir),
+                    "bytes": _dir_bytes(part_dir) if b in counts else 0,
                     "wall_ms": wall_ms,  # shared job wall
                     "run_id": run_id,
                 }
@@ -147,12 +162,13 @@ def run_with_lineage(
                 t0 = time.time()
                 part_dir = os.path.join(output_dir, f"bucket={b}")
                 part_df = extracted.filter(F.col("bucket") == int(b)).drop("bucket")
-                part_df.write.mode("overwrite").parquet(part_dir)
-                row_count = spark.read.parquet(part_dir).count()
+                row_count = part_df.count()
+                if row_count > 0:
+                    part_df.write.mode("overwrite").parquet(part_dir)
                 lineage[str(b)] = {
                     "status": "done",
                     "row_count": row_count,
-                    "bytes": _dir_bytes(part_dir),
+                    "bytes": _dir_bytes(part_dir) if row_count > 0 else 0,
                     "wall_ms": int((time.time() - t0) * 1000),
                     "run_id": run_id,
                 }
@@ -163,12 +179,12 @@ def run_with_lineage(
 
 
 def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    """Read back all committed buckets."""
+    """Read back all committed non-empty buckets."""
     lineage = read_lineage(output_dir)
     parts = [
         os.path.join(output_dir, f"bucket={b}")
-        for b, e in sorted(lineage.items(), key=lambda kv: int(kv[0]))
-        if e["status"] == "done"
+        for b, e in sorted(_bucket_items(lineage), key=lambda kv: int(kv[0]))
+        if e["status"] == "done" and e.get("row_count", 0) > 0
     ]
     if not parts:
         raise FileNotFoundError(f"no committed buckets under {output_dir}")

@@ -21,20 +21,38 @@ def apply_corrections(elements: DataFrame, corrections: DataFrame) -> DataFrame:
     """elements(flat schema) ⟕ corrections(doc_id, offset,
     corrected_text) → elements with text overridden where corrected.
 
-    Corrected rows are re-fingerprinted (section_id = md5(text), F6) so
-    downstream dedup/equality sees the corrected content."""
+    Corrected rows are re-fingerprinted (section_id = md5(text), F6)
+    and re-token-counted so downstream dedup/equality/analytics see the
+    corrected content; corrected TABLE rows get their structured fields
+    nulled (the text is authoritative — a re-parse pass rebuilds them
+    if needed), keeping text and table_rows consistent."""
     fixed = corrections.select(
         "doc_id", "offset", F.col("corrected_text").alias("_corr")
     )
     joined = elements.join(F.broadcast(fixed), ["doc_id", "offset"], "left")
-    corrected_text = F.coalesce(F.col("_corr"), F.col("text"))
+    corrected = F.col("_corr").isNotNull()
+    # same tokenization as textproc.token_count (alnum runs + marks)
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"), 0)
+    )
+    corrected_table = corrected & (F.col("kind") == "table")
     return (
-        joined.withColumn("text", corrected_text)
+        joined.withColumn("text", F.coalesce(F.col("_corr"), F.col("text")))
         .withColumn(
             "section_id",
-            F.when(F.col("_corr").isNotNull(), F.md5(F.col("text"))).otherwise(
-                F.col("section_id")
-            ),
+            F.when(corrected, F.md5(F.col("text"))).otherwise(F.col("section_id")),
+        )
+        .withColumn(
+            "token_count",
+            F.when(corrected, n_tokens).otherwise(F.col("token_count")),
+        )
+        .withColumn(
+            "table_headers",
+            F.when(corrected_table, F.lit(None)).otherwise(F.col("table_headers")),
+        )
+        .withColumn(
+            "table_rows",
+            F.when(corrected_table, F.lit(None)).otherwise(F.col("table_rows")),
         )
         .drop("_corr")
     )

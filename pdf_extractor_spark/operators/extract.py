@@ -121,7 +121,8 @@ def _flat_batches(merge_strategy: str):
         for pdf in batches:
             out: dict = {c: [] for c in ("doc_id", *ELEMENT_COLUMNS)}
             for did, spans in zip(pdf["doc_id"], pdf["spans"]):
-                for el in extract_document(list(spans), merge_strategy):
+                span_list = [] if spans is None else list(spans)
+                for el in extract_document(span_list, merge_strategy):
                     out["doc_id"].append(did)
                     for c in ELEMENT_COLUMNS:
                         out[c].append(el[c])
@@ -184,7 +185,9 @@ def make_extract_udf(merge_strategy: str = "default"):
     def extract_udf(spans_col: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in spans_col:
             yield series.map(
-                lambda spans: extract_document(list(spans), merge_strategy)
+                lambda spans: extract_document(
+                    [] if spans is None else list(spans), merge_strategy
+                )
             )
 
     return extract_udf

@@ -47,13 +47,19 @@ def annotate_spans_native(docs: DataFrame) -> DataFrame:
         F.col("kind") == "page_marker",
         F.regexp_extract("text", r"<!--\s*page:\s*(\d+)\s*-->", 1).cast("int"),
     )
+    hashes = F.regexp_extract(F.trim("text"), r"^(#{1,6})", 1)
     heading_level = F.when(
         F.col("kind") == "heading",
-        F.length(F.regexp_extract(F.trim("text"), r"^(#{1,6})", 1)),
+        # hashless headings default to level 1 with the raw text as
+        # title — same as the state machine (docmodel heading branch)
+        F.greatest(F.length(hashes), F.lit(1)),
     )
     heading_title = F.when(
         F.col("kind") == "heading",
-        F.trim(F.regexp_extract(F.trim("text"), r"^#{1,6}\s*(.*)$", 1)),
+        F.when(
+            F.length(hashes) > 0,
+            F.trim(F.regexp_extract(F.trim("text"), r"^#{1,6}\s*(.*)$", 1)),
+        ).otherwise(F.trim("text")),
     )
 
     annotated = spans.select(

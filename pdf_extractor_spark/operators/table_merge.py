@@ -90,13 +90,16 @@ def merge_tables_native(elements: DataFrame) -> DataFrame:
     grouped = flagged.withColumn(
         "merge_group", F.sum("new_group").over(w)
     )
+    # min_by keeps the FIRST table's headers deterministically
+    # (F.first is shuffle-order-dependent; improved_table_merger.py
+    #  keeps d1's header row on merge)
     agg = (
         grouped.groupBy("doc_id", "merge_group")
         .agg(
             F.min("offset").alias("first_offset"),
             F.min("page").alias("first_page"),
             F.max("page").alias("last_page"),
-            F.first("table_headers").alias("table_headers"),
+            F.min_by("table_headers", "offset").alias("table_headers"),
             # rows concat in offset order: collect (offset, rows) structs,
             # sort, then flatten — keeps row order deterministic under
             # any shuffle layout

@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 
 from .schema import DOCS_SCHEMA
 
+
+def _doc_id_from(path: str, root: str) -> str:
+    """doc_id = path relative to the input root (basename alone would
+    collide for same-named files in different subdirectories, silently
+    conflating documents in every doc_id-keyed operator)."""
+    p = path[len("file:"):] if path.startswith("file:") else path
+    root = os.path.abspath(root)
+    rel = os.path.relpath(p, root)
+    return rel.replace(os.sep, "/")
+
 _PAGE_RE = re.compile(r"\s*<!--\s*page:\s*\d+\s*-->\s*$")
 _TABLE_RE = re.compile(r"^\s*\|.*\|\s*$")
 _IMAGE_RE = re.compile(r"^\s*!\[.*\]\(.*\)\s*$")
@@ -102,11 +112,13 @@ def read_text_docs(
         .select("path", "content")
     )
 
+    root = path
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": [os.path.basename(p) for p in pdf["path"]],
+                    "doc_id": [_doc_id_from(p, root) for p in pdf["path"]],
                     "spans": [
                         lines_to_spans(decode_with_fallback(bytes(c)))
                         for c in pdf["content"]
@@ -217,11 +229,13 @@ def read_pdf_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFr
         .select("path", "content")
     )
 
+    root = path
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": [os.path.basename(p) for p in pdf["path"]],
+                    "doc_id": [_doc_id_from(p, root) for p in pdf["path"]],
                     "spans": [pdf_to_spans(bytes(c)) for c in pdf["content"]],
                 }
             )

@@ -177,6 +177,11 @@ def stream_sessionize_stateful(
         closed = []
         batch = pd.concat(list(pdfs))
         for ts in sorted(int(t.timestamp()) for t in batch["ts"]):
+            if last_ts is not None and ts < last_ts:
+                # cross-batch late arrival: drop (the stateful analog
+                # of a watermark) — last_ts must stay monotone or a
+                # session could close with end < start
+                continue
             if last_ts is not None and ts - last_ts > gap_s:
                 closed.append((user_id, start_ts, last_ts, n))
                 start_ts, n = None, 0

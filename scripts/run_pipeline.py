@@ -66,7 +66,12 @@ def main() -> int:
         mega_span_threshold=args.mega_span_threshold,
     )
     wall = time.time() - t0
-    done = {b: e for b, e in lineage.items() if e["status"] == "done"}
+    from pdf_extractor_spark.lineage import META_KEY
+
+    done = {
+        b: e for b, e in lineage.items()
+        if b != META_KEY and e["status"] == "done"
+    }
     this_run = [e for e in done.values() if e["run_id"] == run_id]
     print(
         json.dumps(

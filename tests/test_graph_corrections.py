@@ -63,3 +63,22 @@ def test_corrections_override_and_refingerprint(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_corrections_recompute_tokens_and_null_table_fields(spark):
+    from pdf_extractor_spark.textproc import token_count
+
+    elements = spark.createDataFrame(
+        [
+            ("d1", "table", "| A |", "", 0, 1, 0, 3, [], "s",
+             ["A"], [["1"]], False, None),
+        ],
+        schema=FLAT_SCHEMA,
+    )
+    corr = spark.createDataFrame(
+        [("d1", 0, "plain replacement text!")],
+        "doc_id string, offset int, corrected_text string",
+    )
+    out = apply_corrections(elements, corr).collect()[0]
+    assert out["token_count"] == token_count("plain replacement text!")
+    assert out["table_headers"] is None and out["table_rows"] is None

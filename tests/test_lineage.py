@@ -4,7 +4,16 @@ import pytest
 
 from pdf_extractor_spark.corpus import corpus_rows
 from pdf_extractor_spark.docmodel import extract_document
-from pdf_extractor_spark.lineage import read_lineage, read_output, run_with_lineage
+from pdf_extractor_spark.lineage import (
+    META_KEY,
+    read_lineage,
+    read_output,
+    run_with_lineage,
+)
+
+
+def buckets(lineage):
+    return {b: e for b, e in lineage.items() if b != META_KEY}
 from pdf_extractor_spark.schema import DOCS_SCHEMA
 
 N_DOCS = 16
@@ -26,10 +35,12 @@ def test_crash_resume_produces_complete_output(spark, docs_df, tmp_path):
         run_with_lineage(
             spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1", fail_after_buckets=2
         )
-    partial = read_lineage(out)
+    partial = buckets(read_lineage(out))
     assert sum(e["status"] == "done" for e in partial.values()) == 2
 
-    lineage = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r2")
+    lineage = buckets(
+        run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r2")
+    )
     assert len(lineage) == N_BUCKETS
     # resumed buckets carry the resume run_id; completed ones keep r1
     assert {e["run_id"] for e in lineage.values()} == {"r1", "r2"}
@@ -38,17 +49,24 @@ def test_crash_resume_produces_complete_output(spark, docs_df, tmp_path):
 
 def test_second_run_is_noop(spark, docs_df, tmp_path):
     out = str(tmp_path / "out")
-    first = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
-    again = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r3")
+    first = buckets(
+        run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    )
+    again = buckets(
+        run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r3")
+    )
     assert first == again  # nothing re-done, run_ids unchanged
     assert all(e["run_id"] == "r1" for e in again.values())
 
 
 def test_metrics_recorded(spark, docs_df, tmp_path):
     out = str(tmp_path / "out")
-    lineage = run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS)
+    lineage = buckets(run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS))
     assert sum(e["row_count"] for e in lineage.values()) == expected_total_rows()
-    assert all(e["bytes"] > 0 and e["wall_ms"] >= 0 for e in lineage.values())
+    assert all(
+        e["wall_ms"] >= 0 and (e["bytes"] > 0 or e["row_count"] == 0)
+        for e in lineage.values()
+    )
 
 
 def test_batch_commit_mode_equivalent(spark, docs_df, tmp_path):
@@ -56,9 +74,11 @@ def test_batch_commit_mode_equivalent(spark, docs_df, tmp_path):
     produces the same output and manifest totals as per-bucket mode,
     and resumes the same way."""
     out_b = str(tmp_path / "batch")
-    lineage = run_with_lineage(
-        spark, docs_df, out_b, n_buckets=N_BUCKETS, run_id="rb",
-        commit_mode="batch",
+    lineage = buckets(
+        run_with_lineage(
+            spark, docs_df, out_b, n_buckets=N_BUCKETS, run_id="rb",
+            commit_mode="batch",
+        )
     )
     assert len(lineage) == N_BUCKETS
     assert sum(e["row_count"] for e in lineage.values()) == expected_total_rows()
@@ -70,9 +90,31 @@ def test_batch_commit_mode_equivalent(spark, docs_df, tmp_path):
             spark, docs_df, out_p, n_buckets=N_BUCKETS, run_id="r1",
             fail_after_buckets=2,
         )
-    resumed = run_with_lineage(
-        spark, docs_df, out_p, n_buckets=N_BUCKETS, run_id="r2",
-        commit_mode="batch",
+    resumed = buckets(
+        run_with_lineage(
+            spark, docs_df, out_p, n_buckets=N_BUCKETS, run_id="r2",
+            commit_mode="batch",
+        )
     )
     assert {e["run_id"] for e in resumed.values()} == {"r1", "r2"}
     assert read_output(spark, out_p).count() == expected_total_rows()
+
+
+def test_empty_buckets_and_nbucket_guard(spark, tmp_path):
+    """Empty buckets are committed with row_count 0 (not crashed on);
+    resuming with a different n_buckets raises instead of silently
+    dropping documents."""
+    few = spark.createDataFrame(corpus_rows(3), schema=DOCS_SCHEMA)
+    out = str(tmp_path / "few")
+    lineage = buckets(run_with_lineage(spark, few, out, n_buckets=8, run_id="r1"))
+    assert len(lineage) == 8
+    assert sum(e["row_count"] == 0 for e in lineage.values()) > 0
+    total = sum(len(extract_document(r["spans"])) for r in corpus_rows(3))
+    assert read_output(spark, out).count() == total
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_with_lineage(spark, few, out, n_buckets=4)
+
+    # batch mode with empty buckets
+    out_b = str(tmp_path / "few_batch")
+    run_with_lineage(spark, few, out_b, n_buckets=8, commit_mode="batch")
+    assert read_output(spark, out_b).count() == total

@@ -64,7 +64,7 @@ def test_text_glob_source_end_to_end(spark, tmp_path):
     (tmp_path / "ignored.txt").write_text("not matched")
     docs = read_text_docs(spark, str(tmp_path), glob="*.md", recursive=True)
     got = {r["doc_id"]: r["spans"] for r in docs.collect()}
-    assert set(got) == {"doc1.md", "doc2.md"}
+    assert set(got) == {"doc1.md", "a/b/doc2.md"}
     # pipeline-compatible: extraction over the loaded spans works
     els = extract_document([s.asDict() for s in got["doc1.md"]])
     assert [e["kind"] for e in els] == [
@@ -190,3 +190,42 @@ def test_stateful_sessionize_across_waves(spark, tmp_path):
     s = closed[0]
     assert s["user_id"] == 1 and s["n_events"] == 2
     assert s["session_end"] - s["session_start"] == 600  # 0→10 min
+
+
+def test_doc_id_uses_relative_path_no_collision(spark, tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "intro.md").write_text("# A intro\n\nalpha.")
+    (tmp_path / "b" / "intro.md").write_text("# B intro\n\nbeta.")
+    docs = read_text_docs(spark, str(tmp_path), glob="*.md", recursive=True)
+    ids = {r["doc_id"] for r in docs.collect()}
+    assert ids == {"a/intro.md", "b/intro.md"}
+
+
+def test_stateful_sessionize_drops_cross_batch_late_events(spark, tmp_path):
+    import datetime as dt
+
+    from pdf_extractor_spark.streaming import stream_sessionize_stateful
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("lin", "lout", "lckpt"))
+    os.makedirs(inp)
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def ev(eid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), 1)
+
+    spark.createDataFrame(
+        [ev(1, 60)], "event_id long, ts timestamp, user_id long"
+    ).write.mode("append").parquet(inp)
+    stream_sessionize_stateful(spark, inp, out, ckpt, gap_s=1800)
+    # wave 2: a LATE event (t=0) plus a far-future event that closes
+    # the session; the late event must not regress last_ts
+    spark.createDataFrame(
+        [ev(2, 0), ev(3, 600)], "event_id long, ts timestamp, user_id long"
+    ).write.mode("append").parquet(inp)
+    stream_sessionize_stateful(spark, inp, out, ckpt, gap_s=1800)
+    closed = spark.read.parquet(out).collect()
+    assert len(closed) == 1
+    s = closed[0]
+    assert s["session_end"] >= s["session_start"]
+    assert s["n_events"] == 1  # late event dropped, not folded in
