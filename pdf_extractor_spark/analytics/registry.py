@@ -56,6 +56,12 @@ QUERIES: Dict[str, QuerySpec] = {
     "tag_intersection": QuerySpec(
         textstats.tag_intersection, textstats.TAG_INTERSECTION_SQL, "P6/U1"
     ),
+    "tag_search_all": QuerySpec(
+        textstats.tag_search_all, textstats.TAG_SEARCH_ALL_SQL, "P5-AND"
+    ),
+    "glossary_prefix_search": QuerySpec(
+        textstats.glossary_prefix_search, textstats.GLOSSARY_PREFIX_SQL, "P7-prefix"
+    ),
     "quality_score": QuerySpec(
         textstats.quality_score, textstats.QUALITY_SCORE_SQL, "training:quality",
         headline=True,

@@ -408,3 +408,51 @@ FROM (
   FROM documents
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# P5 AND-mode — all tags must be present (tag_search.py:54-57
+# POSITION(doc.tags, tag) != false, AND-joined)
+# ---------------------------------------------------------------------------
+
+_ALL_TAGS = ["table", "join", "merge"]
+
+
+def tag_search_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    pred = None
+    for t in _ALL_TAGS:
+        c = F.array_contains(toks, t)
+        pred = c if pred is None else (pred & c)
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+TAG_SEARCH_ALL_SQL = r"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks FROM documents)
+WHERE list_contains(toks, 'table')
+  AND list_contains(toks, 'join')
+  AND list_contains(toks, 'merge')
+"""
+
+
+# ---------------------------------------------------------------------------
+# P7 prefix search — glossary-style term lookup (glossary.py:53-59)
+# ---------------------------------------------------------------------------
+
+
+def glossary_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(F.lower("p_name").startswith("sma"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+GLOSSARY_PREFIX_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE lower(p_name) LIKE 'sma%'
+ORDER BY p_partkey
+"""

@@ -93,8 +93,17 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    lo = run_level(repo, n, n_docs)
-    hi = run_level(repo, n * 4, n_docs)
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # interleave the two levels across repeated subprocesses so a CPU
+    # steal burst cannot bias one level; keep the best run per level
+    los, his = [], []
+    for _ in range(rounds):
+        los.append(run_level(repo, n, n_docs))
+        his.append(run_level(repo, n * 4, n_docs))
+    lo = max(los, key=lambda r: r["docs_per_sec"])
+    hi = max(his, key=lambda r: r["docs_per_sec"])
+    lo["all_walls"] = [round(w, 2) for r in los for w in r["walls"]]
+    hi["all_walls"] = [round(w, 2) for r in his for w in r["walls"]]
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4
     report = {
         "n_docs": n_docs,
@@ -123,9 +132,9 @@ def main() -> int:
             "deterministic corpus), full extraction pipeline (span state\n"
             "machine + multi-page table merge) to the exploded element view,\n"
             "`count()` as the terminal action.\n\n"
-            "| parallelism | wall (s, min of 3) | all runs (s) | docs/sec |\n|---|---|---|---|\n"
-            f"| local[{n}] | {lo['wall_s']:.2f} | {[round(w, 2) for w in lo['walls']]} | {lo['docs_per_sec']:.1f} |\n"
-            f"| local[{n * 4}] | {hi['wall_s']:.2f} | {[round(w, 2) for w in hi['walls']]} | {hi['docs_per_sec']:.1f} |\n\n"
+            "| parallelism | wall (s, best) | all timed runs (s) | docs/sec |\n|---|---|---|---|\n"
+            f"| local[{n}] | {lo['wall_s']:.2f} | {lo['all_walls']} | {lo['docs_per_sec']:.1f} |\n"
+            f"| local[{n * 4}] | {hi['wall_s']:.2f} | {hi['all_walls']} | {hi['docs_per_sec']:.1f} |\n\n"
             f"speedup {n}→{n * 4} cores: **{report['speedup']}×**  \n"
             f"scaling efficiency = ({hi['docs_per_sec']:.1f} / "
             f"{lo['docs_per_sec']:.1f}) / 4 = **{report['scaling_efficiency']}** "
