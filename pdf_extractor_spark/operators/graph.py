@@ -26,14 +26,20 @@ def traverse(
     min_hops: int = 1,
     max_hops: int = 2,
     direction: str = "outbound",
+    edge_types: list[str] | None = None,
 ) -> DataFrame:
     """Vertices reachable from ``starts`` in min..max hops.
 
     ``edges``: (src, dst[, type]); ``starts``: (vertex).
+    ``edge_types`` filters traversable edges by type (P8 —
+    ``FILTER e.type IN [...]``, graph_traverse.py:53-70); the filter is
+    applied before the hop joins so it pushes into the edge scan.
     Returns (vertex, hops) with the minimal hop count per vertex,
     excluding the start vertices themselves (matching AQL semantics of
     returning visited v per path depth, deduplicated to min depth).
     """
+    if edge_types is not None:
+        edges = edges.filter(F.col("type").isin(list(edge_types)))
     if direction == "inbound":
         edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     elif direction == "any":

@@ -82,3 +82,20 @@ def test_corrections_recompute_tokens_and_null_table_fields(spark):
     out = apply_corrections(elements, corr).collect()[0]
     assert out["token_count"] == token_count("plain replacement text!")
     assert out["table_headers"] is None and out["table_rows"] is None
+
+
+def test_traverse_edge_type_filter(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "cites"), ("a", "c", "links"), ("b", "d", "cites")],
+        "src string, dst string, type string",
+    )
+    starts = spark.createDataFrame([("a",)], "vertex string")
+    from pdf_extractor_spark.operators.graph import traverse
+
+    cites_only = {
+        r["vertex"]: r["hops"]
+        for r in traverse(edges, starts, 1, 2, edge_types=["cites"]).collect()
+    }
+    assert cites_only == {"b": 1, "d": 2}  # 'links' edge never traversed
+    all_types = {r["vertex"] for r in traverse(edges, starts, 1, 2).collect()}
+    assert all_types == {"b", "c", "d"}
