@@ -45,7 +45,7 @@ def main() -> int:
 
     # --- extraction headline: corpus staged untimed, warm, min of 2 ---
     corpus_path = f"/tmp/bench_corpus_sf{sf}.parquet"
-    if not os.path.exists(corpus_path):
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         # spans_corpus_from_documents repartitions internally so the
         # corpus (and the timed extraction) parallelize across cores
         spans_corpus_from_documents(spark, sf_dir).write.mode("overwrite").parquet(

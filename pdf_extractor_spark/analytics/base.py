@@ -5,7 +5,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -35,3 +36,21 @@ class QuerySpec:
     sql: Optional[str]
     survey: str
     headline: bool = False  # include in bench.py timing loop
+
+
+def tokens(col: str = "text") -> Column:
+    """Shared tokenization: regex split on whitespace — identical to
+    the oracle side's string_split_regex(text, '\\s+')."""
+    return F.split(F.col(col), r"\s+")
+
+
+def floor_round(col: Column, k: int) -> Column:
+    """floor(x*10^k)/10^k — engine-portable rounding (no half-up vs
+    half-even divergence)."""
+    scale = 10**k
+    return (F.floor(col * scale) / scale).cast("double")
+
+
+# shared constants for the injected-duplicate queries (dedup + similarity)
+N_INJECTED_DUPS = 20
+DUP_ID_OFFSET = 1_000_000

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import load
+from .base import DUP_ID_OFFSET, N_INJECTED_DUPS, load
+from .base import tokens as _tokens
 
 SHINGLE = 3           # words per shingle
 MINHASH_K = 8         # signature length
@@ -32,14 +33,6 @@ LSH_BANDS = 4         # bands of 2 rows each
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_BUCKET = 20   # candidate policy: same lang, same doc_id//20
 JACCARD_THRESHOLD = 0.5
-N_INJECTED_DUPS = 20  # synthetic duplicates for the LSH pair queries
-DUP_ID_OFFSET = 1_000_000
-
-
-def _tokens(col: str = "text") -> Column:
-    return F.split(F.col(col), r"\s+")
-
-
 # ---------------------------------------------------------------------------
 # exact dedup: hash-groupBy
 # ---------------------------------------------------------------------------

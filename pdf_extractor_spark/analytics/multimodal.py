@@ -147,10 +147,10 @@ def fake_resize(payload: bytes) -> dict:
 
 
 def resize_media(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → resize metadata via mapInPandas."""
     from ..session import ensure_pyfiles
 
     ensure_pyfiles(docs_with_payload.sparkSession)
-    """(doc_id, payload:binary) → resize metadata via mapInPandas."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,12 +163,12 @@ def resize_media(docs_with_payload: DataFrame) -> DataFrame:
 
 
 def sample_frames(docs_with_payload: DataFrame) -> DataFrame:
-    from ..session import ensure_pyfiles
-
-    ensure_pyfiles(docs_with_payload.sparkSession)
     """(doc_id, payload:binary) → one row per sampled frame (UDTF-style
     fan-out inside mapInPandas; frames = decode stub's frame count,
     sampled every FRAME_STRIDE)."""
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(docs_with_payload.sparkSession)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -234,10 +234,10 @@ def fake_extract_features(payload: bytes) -> list:
 
 
 def extract_features(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → (doc_id, features:array<float>)."""
     from ..session import ensure_pyfiles
 
     ensure_pyfiles(docs_with_payload.sparkSession)
-    """(doc_id, payload:binary) → (doc_id, features:array<float>)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

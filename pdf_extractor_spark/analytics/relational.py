@@ -182,7 +182,9 @@ GROUP BY 1
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; cast via timestamp (session tz = UTC) to epoch
+    # ts is TIMESTAMP_NTZ; cast via timestamp (session tz = UTC) to
+    # WHOLE-second epoch — the oracle floors epoch(ts) identically, so
+    # fractional-second gaps straddling the threshold cannot diverge
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
     flagged = ev.select(
@@ -206,7 +208,7 @@ FROM (
          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
   FROM (
     SELECT user_id, ts, event_id,
-           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > {SESSION_GAP_S}
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS new_s

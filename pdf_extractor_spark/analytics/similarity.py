@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import load
+import math
+
+from .base import DUP_ID_OFFSET, N_INJECTED_DUPS, load
+from .base import floor_round
 
 DIMS = 64
 QUERY_VEC_ID = 0
@@ -31,10 +34,6 @@ TOP_K = 10
 LSH_PLANES = 8
 NEARDUP_MAX_ID = 300
 NEARDUP_THRESHOLD = 0.7
-N_INJECTED_DUPS = 20
-DUP_ID_OFFSET = 1_000_000
-
-
 def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -50,7 +49,7 @@ def _cosine(a: Column, b: Column) -> Column:
 
 
 def _floor4(col: Column) -> Column:
-    return (F.floor(col * 10000) / 10000).cast("double")
+    return floor_round(col, 4)
 
 
 _DOT_SQL = (
@@ -148,7 +147,7 @@ def _bucket_expr_spark(emb_col: Column) -> Column:
     """sign-bit bucket id from sin-derived hyperplanes (deterministic)."""
     total = None
     for j in range(LSH_PLANES):
-        plane = F.array(*[F.lit(__import__("math").sin((j + 1) * (i + 1))) for i in range(DIMS)])
+        plane = F.array(*[F.lit(math.sin((j + 1) * (i + 1))) for i in range(DIMS)])
         bit = F.when(_dot(_as_double(emb_col), plane) >= 0, F.lit(2**j)).otherwise(F.lit(0))
         total = bit if total is None else total + bit
     return total.cast("long")
@@ -173,8 +172,6 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_sql(emb: str) -> str:
-    import math
-
     terms = []
     for j in range(LSH_PLANES):
         plane = ", ".join(f"{math.sin((j + 1) * (i + 1))!r}" for i in range(DIMS))

@@ -20,21 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .base import floor_round as _floor_round
 from .base import load
+from .base import tokens as _tokens
 
 STOPWORDS = ["the", "a", "fast", "slow"]
 BM25_TERMS = ["spark", "window", "merge"]
 BM25_K1 = 1.2
 BM25_B = 0.75
-
-
-def _tokens(col: str = "text") -> Column:
-    return F.split(F.col(col), r"\s+")
-
-
-def _floor_round(col: Column, k: int) -> Column:
-    scale = 10**k
-    return (F.floor(col * scale) / scale).cast("double")
 
 
 # ---------------------------------------------------------------------------

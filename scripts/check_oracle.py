@@ -34,7 +34,10 @@ def canon(v) -> str:
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # full precision with 6-decimal rounding: absorbs fp noise but
+        # still exposes large-magnitude divergences ('%.6g' would hash
+        # 1.8e10 +- thousands identically)
+        return repr(round(v, 6))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
@@ -49,6 +52,10 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:

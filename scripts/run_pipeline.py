@@ -40,10 +40,18 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import SparkSession
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        spark = active  # provided by spark-submit
-    else:
+    # Under spark-submit the master comes from the submit args: build
+    # WITHOUT .master() so we never override --master. Bare `python`
+    # runs have no master configured -> that getOrCreate raises -> fall
+    # back to the local session factory.
+    try:
+        spark = (
+            SparkSession.builder.appName("run_pipeline")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
+        )
+    except Exception:
         from pdf_extractor_spark.session import get_spark
 
         spark = get_spark("run_pipeline")

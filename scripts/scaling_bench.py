@@ -27,7 +27,7 @@ import os
 import subprocess
 import sys
 
-CORPUS = "/tmp/scaling_corpus.parquet"
+CORPUS_TMPL = "/tmp/scaling_corpus_{n}.parquet"
 
 PLATFORM_NOTE = """
 ## Platform context: why 8→32 cores caps below target here
@@ -59,7 +59,7 @@ from pdf_extractor_spark.operators.extract import extract_elements
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); corpus = sys.argv[3]
 spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-if not os.path.exists(corpus):
+if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
     corpus_df(spark, n_docs, mega_every=1, mega_factor=10,
               partitions=128).write.mode("overwrite").parquet(corpus)
 docs = spark.read.parquet(corpus)
@@ -79,7 +79,14 @@ spark.stop()
 
 def run_level(repo: str, cores: int, n_docs: int) -> dict:
     res = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=repo), str(cores), str(n_docs), CORPUS],
+        [
+            sys.executable,
+            "-c",
+            CHILD.format(repo=repo),
+            str(cores),
+            str(n_docs),
+            CORPUS_TMPL.format(n=n_docs),
+        ],
         capture_output=True,
         text=True,
         timeout=1800,
