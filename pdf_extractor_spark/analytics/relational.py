@@ -340,12 +340,12 @@ def iou_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = part.filter(F.col("p_partkey") % 2 == 0).select(*_bbox_cols("a_"))
     b = part.filter(F.col("p_partkey") % 2 == 1).select(*_bbox_cols("b_"))
     j = a.join(b.withColumnRenamed("page", "b_page"), F.col("page") == F.col("b_page"))
-    ix = F.greatest(F.lit(0.0), F.least("a_x2", "b_x2") - F.greatest("a_x1", "b_x1"))
-    iy = F.greatest(F.lit(0.0), F.least("a_y2", "b_y2") - F.greatest("a_y1", "b_y1"))
-    inter = ix * iy
-    area_a = (F.col("a_x2") - F.col("a_x1")) * (F.col("a_y2") - F.col("a_y1"))
-    area_b = (F.col("b_x2") - F.col("b_x1")) * (F.col("b_y2") - F.col("b_y1"))
-    iou = inter / (area_a + area_b - inter)
+    from ..geometry import iou_expr
+
+    iou = iou_expr(
+        F.col("a_x1"), F.col("a_y1"), F.col("a_x2"), F.col("a_y2"),
+        F.col("b_x1"), F.col("b_y1"), F.col("b_x2"), F.col("b_y2"),
+    )
     return (
         j.select(
             F.col("a_key").alias("a_key"),
