@@ -201,8 +201,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CAST n_sessions: DuckDB's windowed sum(int) yields HUGEINT (int128) and
+# max() propagates it; a driver-side hash canon that stringifies hugeint
+# via Decimal flips the hash on identical values. Pin every integer
+# aggregate to BIGINT (check_oracle.py audits all oracles for this).
 SESSIONIZE_SQL = f"""
-SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq

@@ -86,12 +86,23 @@ def main() -> int:
         try:
             rel = con.sql(spec.sql)
             ocols = [c for c in rel.columns]
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
+        # Non-canonical oracle output types (HUGEINT from sum(int),
+        # DECIMAL from arithmetic) stringify differently under some hash
+        # canons even when values are logically identical — require an
+        # explicit CAST in the oracle SQL.
+        bad_types = [
+            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            if t.startswith(("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT"))
+        ]
+        if bad_types:
+            problems.append(f"non-canonical oracle types {bad_types}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
