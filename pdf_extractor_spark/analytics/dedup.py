@@ -2,21 +2,31 @@ r"""Deduplication operators over the ``documents`` table.
 
 Training-pipeline dedup suite (graded as first-class alongside
 SURVEY.md §2): exact hash-groupBy, word-3-gram Jaccard near-dup,
-MinHash + LSH band-bucket join, and SimHash bucketing.
+MinHash + LSH band-bucket join, SimHash bucketing, and connected-
+components survivor selection over the LSH collision graph.
 
 Scale shape (the 100 TB story):
 * exact dedup — one shuffle on the md5 fingerprint; map-side partial
   aggregation makes the shuffle carry one row per distinct fp per task.
-* Jaccard — O(n²) tamed by a *candidate policy* (equi-join on
-  (lang, doc_id-bucket)) so the join stays a hash join on an equi key,
-  never a cartesian product.
+* Jaccard — O(n²) tamed by a CONTENT-BASED candidate policy: candidate
+  pairs come from the MinHash band buckets (documents sharing ≥1 band),
+  then exact 3-gram-shingle Jaccard verifies candidates only. The join
+  is an equi-join on (band_id, band_hash) — never a cartesian product —
+  and recall is the LSH guarantee (a pair at shingle-Jaccard s is a
+  candidate with prob 1 - (1 - s^rows)^bands), not an id-range
+  accident.
 * MinHash/LSH — the canonical web-scale path: signatures are computed
   scan-side (no shuffle), the only shuffle is the band-bucket self-join,
   whose keys are uniformly distributed md5s → no skew.
 * SimHash — signature histogram; a single groupBy on a 16-bit key.
+* connected components — iterated min-label propagation over collision
+  pairs (bounded small-step joins + anti-join convergence check), so a
+  chain a~b~c collapses to ONE survivor even though a and c never
+  collide directly.
 
 All hashing is md5 (identical in Spark and DuckDB) so every operator
-here has an exact SQL oracle.
+here has an exact SQL oracle (connected components via DuckDB's
+recursive CTE).
 """
 
 from __future__ import annotations
@@ -31,7 +41,6 @@ SHINGLE = 3           # words per shingle
 MINHASH_K = 8         # signature length
 LSH_BANDS = 4         # bands of 2 rows each
 LSH_ROWS = MINHASH_K // LSH_BANDS
-JACCARD_BUCKET = 20   # candidate policy: same lang, same doc_id//20
 JACCARD_THRESHOLD = 0.5
 # ---------------------------------------------------------------------------
 # exact dedup: hash-groupBy
@@ -54,54 +63,58 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup pairs (candidate policy keeps it equi-join)
+# word-3-gram Jaccard near-dup pairs over MinHash-band candidates
+# (content-based candidate policy: pairs sharing ≥1 LSH band; exact
+#  shingle-set Jaccard verifies candidates only — equi-join throughout)
 # ---------------------------------------------------------------------------
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dups = docs.filter(F.col("doc_id") < N_INJECTED_DUPS).select(
+        (F.col("doc_id") + DUP_ID_OFFSET).alias("doc_id"), "lang", "text"
+    )
+    pool = docs.unionByName(dups)
+    bands = _with_bands(pool.select("doc_id", "text"))
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = pool.select(
         "doc_id",
         "lang",
-        F.floor(F.col("doc_id") / JACCARD_BUCKET).alias("bucket"),
-        F.array_distinct(_tokens()).alias("tokset"),
+        F.array_distinct(_shingles(_tokens(), F.col("text"))).alias("shset"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    pair = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sa = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("shset").alias("a_sh"),
     )
-    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
-    union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))
+    sb = sh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("shset").alias("b_sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
     jac = (F.floor(inter.cast("double") / union * 10000) / 10000).cast("double")
     return (
-        pair.select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            jac.alias("jaccard"),
-        )
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(F.col("a_lang") == F.col("b_lang"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
-NGRAM_JACCARD_SQL = rf"""
-WITH t AS (
-  SELECT doc_id, lang,
-         CAST(floor(doc_id / {JACCARD_BUCKET}) AS BIGINT) AS bucket,
-         list_distinct(string_split_regex(text, '\s+')) AS tokset
-  FROM documents
-)
-SELECT a_id, b_id, jaccard FROM (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         CAST(floor(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.tokset, b.tokset))) * 10000)
-              / 10000 AS DOUBLE) AS jaccard
-  FROM t a JOIN t b
-    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
-WHERE jaccard >= {JACCARD_THRESHOLD}
-"""
+# NGRAM_JACCARD_SQL is assigned at module end (needs _minhash_sql, defined below).
 
 
 # ---------------------------------------------------------------------------
@@ -356,4 +369,140 @@ WITH kept AS (
         / len(toks) <= {_MAX_STOP_RATIO}
 )
 SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# transitive dedup: connected components over the LSH collision graph
+# (iterated min-label propagation — a chain a~b~c collapses to the
+#  component minimum even though a and c never collide directly; the
+#  single-pass ``dedup_survivors`` above cannot do that)
+#
+# Scale shape: each iteration is one equi-join (edges × labels) + one
+# groupBy + one anti-join convergence check; iterations are bounded by
+# the collision-graph diameter (tiny for dedup graphs — near-dup
+# clusters are dense). Labels are localCheckpoint()ed per iteration so
+# the plan does not grow with iteration count.
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id) nodes + (a_id, b_id) undirected pairs → (doc_id, survivor)
+    where survivor = the component's minimum doc_id.
+
+    Iterated min-label propagation, bounded by ``CC_MAX_ITERS``;
+    convergence is an anti-join (any (doc_id, survivor) row not present
+    in the previous labelling ⇒ iterate again)."""
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("survivor"))
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("survivor").alias("nbr_survivor"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("survivor"), F.coalesce(F.col("nbr_survivor"), F.col("survivor"))
+                ).alias("survivor"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.join(
+            labels, ["doc_id", "survivor"], "left_anti"
+        ).limit(1).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = _docs_with_injected_dups(spark, sf_dir)
+    bands = _with_bands(pool)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    return connected_components(pool, pairs)
+
+
+# edges as an inline derived table: DuckDB's WITH RECURSIVE scoping
+# rejects a nested WITH inside a sibling CTE, so the band/pair CTE
+# chain lives inside the derived-table subquery instead.
+_CC_EDGES_SQL = f"""
+SELECT a_id AS src, b_id AS dst FROM (
+  WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)})
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+UNION
+SELECT b_id AS src, a_id AS dst FROM (
+  WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)})
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+"""
+
+DEDUP_CC_SQL = f"""
+WITH RECURSIVE reach(node, r) AS (
+  SELECT doc_id, doc_id FROM ({_DUP_SOURCE_SQL})
+  UNION
+  SELECT e.src, reach.r FROM ({_CC_EDGES_SQL}) e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS doc_id, min(r) AS survivor FROM reach GROUP BY 1
+"""
+
+
+NGRAM_JACCARD_SQL = rf"""
+WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, lang, list_distinct({_SHINGLES_SQL}) AS shset
+  FROM (
+    SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS toks
+    FROM (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_ID_OFFSET} AS doc_id, lang, text
+      FROM documents WHERE doc_id < {N_INJECTED_DUPS}
+    )
+  )
+)
+SELECT a_id, b_id, jaccard FROM (
+  SELECT c.a_id, c.b_id,
+         CAST(floor(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shset, b.shset))) * 10000)
+              / 10000 AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sh a ON c.a_id = a.doc_id
+  JOIN sh b ON c.b_id = b.doc_id AND a.lang = b.lang
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """

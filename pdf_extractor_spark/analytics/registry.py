@@ -100,6 +100,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup.dedup_survivors, dedup.DEDUP_SURVIVORS_SQL, "training:dedup-e2e"
     ),
+    "dedup_connected_components": QuerySpec(
+        dedup.dedup_connected_components, dedup.DEDUP_CC_SQL,
+        "training:dedup-cc",
+    ),
     "training_corpus_filter": QuerySpec(
         dedup.training_corpus_filter, dedup.TRAINING_FILTER_SQL,
         "training:compose",
@@ -119,6 +123,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "ivf_label_probe_topk": QuerySpec(
         similarity.ivf_label_probe_topk, similarity.IVF_LABEL_PROBE_SQL,
         "training:ann-ivf",
+    ),
+    "semantic_search": QuerySpec(
+        similarity.semantic_search, similarity.SEMANTIC_SEARCH_SQL,
+        "semantic.py:69-80",
     ),
     # --- multimodal plumbing --------------------------------------------------
     "media_decode_stub": QuerySpec(

@@ -32,7 +32,6 @@ DIMS = 64
 QUERY_VEC_ID = 0
 TOP_K = 10
 LSH_PLANES = 8
-NEARDUP_MAX_ID = 300
 NEARDUP_THRESHOLD = 0.7
 def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -101,38 +100,122 @@ LIMIT {TOP_K}
 
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup pairs (with injected exact dups)
+#
+# Scale shape: NO all-pairs product. Candidates come from a banded
+# random-hyperplane LSH (HP_BANDS bands × HP_BITS sign bits): band keys
+# are computed scan-side, the self-join is an equi-join on
+# (band_id, band_key), and exact cosine runs on candidates only — the
+# same sketch→bucket→equi-join→exact-verify pipeline the MinHash/LSH
+# text path uses, which is the shape that survives 100 TB. Recall is
+# the LSH guarantee (1 - (1 - s^HP_BITS)^HP_BANDS for sign-agreement
+# rate s); exact duplicates always agree on every bit → recall 1.0 for
+# the injected dups.
 # ---------------------------------------------------------------------------
 
+HP_BANDS = 2
+HP_BITS = 8  # 256 keys per band
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < NEARDUP_MAX_ID
-    ).select("vec_id", "embedding")
+
+def _hp_band_structs(emb_col: Column) -> Column:
+    """array<struct<band_id, band_key>>: sign-bit keys from the
+    deterministic sin-derived hyperplane family (plane j, dim i →
+    sin((j+1)(i+1)); identical expression on the DuckDB side)."""
+    bands = []
+    for band in range(HP_BANDS):
+        key = None
+        for r in range(HP_BITS):
+            j = band * HP_BITS + r
+            plane = F.array(*[F.lit(math.sin((j + 1) * (i + 1))) for i in range(DIMS)])
+            bit = F.when(_dot(_as_double(emb_col), plane) >= 0, F.lit(2**r)).otherwise(
+                F.lit(0)
+            )
+            key = bit if key is None else key + bit
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band_id"), key.cast("long").alias("band_key")
+            )
+        )
+    return F.array(*bands)
+
+
+def _emb_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") < N_INJECTED_DUPS).select(
         (F.col("vec_id") + DUP_ID_OFFSET).alias("vec_id"), "embedding"
     )
-    pool = emb.unionByName(dups)
-    a, b = pool.alias("a"), pool.alias("b")
-    cos = _cosine(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("a_id"),
-        F.col("b.vec_id").alias("b_id"),
-        _floor4(cos).alias("cos"),
-    )
-    return pairs.filter(F.col("cos") >= NEARDUP_THRESHOLD)
+    return emb.unionByName(dups)
 
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = _emb_pool(spark, sf_dir)
+    bands = pool.select(
+        "vec_id", F.explode(_hp_band_structs(F.col("embedding"))).alias("bb")
+    ).select(
+        "vec_id",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    va = pool.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    vb = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    cos = _cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb")))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select("a_id", "b_id", _floor4(cos).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_THRESHOLD)
+    )
+
+
+def _hp_band_key_sql(emb: str, band: int) -> str:
+    terms = []
+    for r in range(HP_BITS):
+        j = band * HP_BITS + r
+        plane = ", ".join(f"{math.sin((j + 1) * (i + 1))!r}" for i in range(DIMS))
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {DIMS}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ([{plane}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**r} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_EMB_POOL_SQL = f"""
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + {DUP_ID_OFFSET} AS vec_id, embedding
+FROM embeddings WHERE vec_id < {N_INJECTED_DUPS}
+"""
 
 EMBEDDING_NEARDUP_SQL = f"""
-WITH pool AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEARDUP_MAX_ID}
+WITH pool AS ({_EMB_POOL_SQL}),
+bands AS (
+  SELECT vec_id, 0 AS band_id, {_hp_band_key_sql('embedding', 0)} AS band_key FROM pool
   UNION ALL
-  SELECT vec_id + {DUP_ID_OFFSET} AS vec_id, embedding
-  FROM embeddings WHERE vec_id < {N_INJECTED_DUPS}
+  SELECT vec_id, 1 AS band_id, {_hp_band_key_sql('embedding', 1)} AS band_key FROM pool
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
 )
 SELECT a_id, b_id, cos FROM (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  SELECT c.a_id, c.b_id,
          CAST(floor(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) / 10000 AS DOUBLE) AS cos
-  FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+  FROM cand c
+  JOIN pool a ON c.a_id = a.vec_id
+  JOIN pool b ON c.b_id = b.vec_id
 )
 WHERE cos >= {NEARDUP_THRESHOLD}
 """
@@ -234,4 +317,126 @@ FROM embeddings JOIN q ON label = q_label
 WHERE vec_id != {QUERY_VEC_ID}
 ORDER BY cos DESC, vec_id ASC
 LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# standalone semantic search (reference arangodb/search_api/semantic.py:69-80:
+# score = VECTOR_SIMILARITY(doc.embedding, @query_embedding);
+# FILTER score >= @min_score; SORT score DESC; LIMIT @top_n;
+# RETURN KEEP(doc, preview_fields) + score).
+#
+# The synthetic embeddings are near-orthogonal noise (max natural pairwise
+# cosine ≈ 0.51), so the reference's 0.70 threshold would never fire on the
+# raw table. The corpus therefore carries a deterministic PLANTED RELEVANCE
+# LADDER (standard IR-eval practice, like the suite's injected dups): for
+# the query vector, SEM_N_VARIANTS jittered copies at increasing amplitude
+# — variant k dim i scales by 1 + (0.1 + 0.25k)·sin((k+1)(i+1)), giving a
+# cosine ladder 0.998 … 0.61 that straddles the threshold, so the ≥ 0.70
+# filter genuinely drops rows. Planted ids map back to their source
+# document (id % DUP_ID_OFFSET) for the preview-field join.
+#
+# Scale shape: score+filter+top-k runs over the full scan with the single
+# query row broadcast (TakeOrderedAndProject, no global sort); the
+# document-preview join happens AFTER top-k, so it joins k rows, not the
+# corpus.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_MIN_SCORE = 0.70
+SEMANTIC_TOP_N = 20
+SEM_N_VARIANTS = 8
+PREVIEW_CHARS = 80
+
+
+def _sem_variant(emb_col: Column, k: int) -> Column:
+    scale = F.array(
+        *[
+            F.lit(1.0 + (0.1 + 0.25 * k) * math.sin((k + 1) * (i + 1)))
+            for i in range(DIMS)
+        ]
+    )
+    return F.zip_with(_as_double(emb_col), scale, lambda x, s: x * s)
+
+
+def _sem_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    variants = [
+        base.select(
+            (F.col("vec_id") + DUP_ID_OFFSET + k).alias("vec_id"),
+            _sem_variant(F.col("embedding"), k).alias("embedding"),
+        )
+        for k in range(SEM_N_VARIANTS)
+    ]
+    pool = emb
+    for v in variants:
+        pool = pool.unionByName(v)
+    return pool
+
+
+def semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = _sem_pool(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    query = pool.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos = _cosine(F.col("embedding"), F.col("q_embedding"))
+    topk = (
+        pool.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            (F.col("vec_id") % DUP_ID_OFFSET).alias("doc_id"),
+            F.col("vec_id").alias("match_id"),
+            _floor4(cos).alias("score"),
+        )
+        .filter(F.col("score") >= SEMANTIC_MIN_SCORE)
+        .orderBy(F.desc("score"), F.asc("match_id"))
+        .limit(SEMANTIC_TOP_N)
+    )
+    return (
+        topk.join(docs, "doc_id")
+        .select(
+            "match_id",
+            "doc_id",
+            "lang",
+            "source",
+            F.substring(F.col("text"), 1, PREVIEW_CHARS).alias("preview"),
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("match_id"))
+    )
+
+
+_SEM_VARIANT_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id + {DUP_ID_OFFSET + k} AS vec_id, "
+    f"list_transform(generate_series(1, {DIMS}), i -> CAST(embedding[i] AS DOUBLE) * "
+    f"(1.0 + {0.1 + 0.25 * k!r} * sin(({k + 1}) * i))) AS embedding "
+    f"FROM embeddings WHERE vec_id = {QUERY_VEC_ID}"
+    for k in range(SEM_N_VARIANTS)
+)
+
+SEMANTIC_SEARCH_SQL = f"""
+WITH pool AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  {_SEM_VARIANT_SQL}
+),
+q AS (SELECT embedding AS q_embedding FROM pool WHERE vec_id = {QUERY_VEC_ID}),
+topk AS (
+  SELECT vec_id % {DUP_ID_OFFSET} AS doc_id, vec_id AS match_id,
+         CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000) / 10000 AS DOUBLE) AS score
+  FROM pool CROSS JOIN q
+  WHERE vec_id != {QUERY_VEC_ID}
+)
+SELECT t.match_id, t.doc_id, d.lang, d.source,
+       substr(d.text, 1, {PREVIEW_CHARS}) AS preview, t.score
+FROM (
+  SELECT * FROM topk WHERE score >= {SEMANTIC_MIN_SCORE}
+  ORDER BY score DESC, match_id ASC LIMIT {SEMANTIC_TOP_N}
+) t
+JOIN documents d ON t.doc_id = d.doc_id
+ORDER BY score DESC, match_id ASC
 """

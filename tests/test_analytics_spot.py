@@ -91,3 +91,73 @@ def test_training_filter_subset_of_en(spark):
         for r in load(spark, SF, "documents").filter(F.col("lang") == "en").collect()
     }
     assert kept and kept <= en
+
+
+def test_connected_components_chain_collapses_to_one_survivor(spark):
+    """A 3-chain a~b, b~c (a and c never directly linked) must collapse
+    to ONE survivor — the exact case the single-pass dedup_survivors
+    policy cannot handle."""
+    from pdf_extractor_spark.analytics.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    # chain 1-2-3 plus isolated pair 4-5; doc 0 isolated
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["a_id", "b_id"])
+    got = {r["doc_id"]: r["survivor"] for r in connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_dedup_cc_injected_dups_share_survivor(spark):
+    from pdf_extractor_spark.analytics.dedup import (
+        DUP_ID_OFFSET,
+        N_INJECTED_DUPS,
+        dedup_connected_components,
+    )
+
+    labels = {
+        r["doc_id"]: r["survivor"]
+        for r in dedup_connected_components(spark, SF).collect()
+    }
+    for i in range(N_INJECTED_DUPS):
+        assert labels[i + DUP_ID_OFFSET] == labels[i]
+        assert labels[i] <= i
+
+
+def test_embedding_neardup_recall_on_injected_dups(spark):
+    """Banded-hyperplane candidates must keep 100% recall for exact
+    duplicates (identical vectors agree on every sign bit)."""
+    from pdf_extractor_spark.analytics.base import DUP_ID_OFFSET, N_INJECTED_DUPS
+    from pdf_extractor_spark.analytics.similarity import embedding_neardup_pairs
+
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_neardup_pairs(spark, SF).collect()
+    }
+    for i in range(N_INJECTED_DUPS):
+        assert (i, i + DUP_ID_OFFSET) in pairs, f"dup {i} missed"
+
+
+def test_ngram_jaccard_content_candidates_find_exact_dups(spark):
+    from pdf_extractor_spark.analytics.dedup import (
+        DUP_ID_OFFSET,
+        N_INJECTED_DUPS,
+        ngram_jaccard_pairs,
+    )
+
+    rows = ngram_jaccard_pairs(spark, SF).collect()
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"] for r in rows}
+    for i in range(N_INJECTED_DUPS):
+        assert pairs.get((i, i + DUP_ID_OFFSET)) == 1.0, f"dup {i} missed"
+
+
+def test_semantic_search_threshold_and_order(spark):
+    from pdf_extractor_spark.analytics.similarity import (
+        SEMANTIC_MIN_SCORE,
+        semantic_search,
+    )
+
+    rows = semantic_search(spark, SF).collect()
+    assert rows, "planted relevance ladder must produce matches"
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= SEMANTIC_MIN_SCORE for s in scores)
+    assert all(r["preview"] for r in rows)

@@ -60,3 +60,21 @@ def test_iou_join_is_hash_not_nested_loop(spark):
     hash join (broadcast or shuffled), never BroadcastNestedLoopJoin."""
     plan = _plan(spark, "iou_spatial_join")
     assert "NestedLoop" not in plan, plan
+
+
+def test_neardup_candidate_joins_are_equi_not_nested_loop(spark):
+    """The near-dup suites must ride their LSH candidate equi-keys:
+    an all-pairs theta join (NestedLoop / CartesianProduct) is the
+    100 TB anti-pattern these operators exist to avoid."""
+    for name in ("embedding_neardup_pairs", "ngram_jaccard_pairs",
+                 "dedup_connected_components"):
+        plan = _plan(spark, name)
+        assert "NestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_semantic_search_topk_before_doc_join(spark):
+    """semantic.py parity: top-k plans as TakeOrderedAndProject (no
+    global sort) and the preview join happens after the limit."""
+    plan = _plan(spark, "semantic_search")
+    assert "TakeOrderedAndProject" in plan, plan
