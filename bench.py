@@ -44,7 +44,12 @@ def main() -> int:
     timings: dict[str, float] = {}
 
     # --- extraction headline: corpus staged untimed, warm, min of 2 ---
-    corpus_path = f"/tmp/bench_corpus_sf{sf}.parquet"
+    from pdf_extractor_spark.corpus import corpus_fingerprint
+
+    # fingerprint keys the cache on generator source + params: editing
+    # make_doc_spans can't silently time a stale staged corpus
+    fp = corpus_fingerprint(mega_every=50, mega_factor=20)
+    corpus_path = f"/tmp/bench_corpus_sf{sf}_{fp}.parquet"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         # spans_corpus_from_documents repartitions internally so the
         # corpus (and the timed extraction) parallelize across cores

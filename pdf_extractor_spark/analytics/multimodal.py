@@ -202,7 +202,10 @@ SELECT doc_id,
        'frame://' || doc_id || '/' || frame_idx AS frame_ref
 FROM (
   SELECT doc_id,
-         unnest(generate_series(0, octet_length(encode(text)) % 30, {FRAME_STRIDE})) AS frame_idx
+         -- COALESCE mirrors the Spark kernel, which coerces a NULL
+         -- payload to b'' and still emits frame 0; without it a NULL
+         -- text row would yield no series row and break hash parity
+         unnest(generate_series(0, coalesce(octet_length(encode(text)), 0) % 30, {FRAME_STRIDE})) AS frame_idx
   FROM documents
 )
 """

@@ -76,6 +76,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "bm25_search": QuerySpec(
         textstats.bm25_search, textstats.BM25_SEARCH_SQL, "F15/O1", headline=True
     ),
+    "fuzzy_partial_ratio_search": QuerySpec(
+        textstats.fuzzy_partial_ratio_search, textstats.FUZZY_PARTIAL_RATIO_SQL,
+        "A9/F14 faithful",
+    ),
     "html_boilerplate_strip": QuerySpec(
         textstats.html_boilerplate_strip, textstats.HTML_STRIP_SQL, "S3/P10"
     ),

@@ -449,3 +449,98 @@ SELECT p_partkey, p_name FROM part
 WHERE lower(p_name) LIKE 'sma%'
 ORDER BY p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# A9/F14 faithful — rapidfuzz partial_ratio-style fuzzy scoring
+# (reference arangodb/search_api/search_basic.py:142-165: per keyword,
+#  fuzz.partial_ratio(kw.lower(), field.lower()) best-of-fields; keep a
+#  doc when ANY keyword scores >= threshold; total = SUM of the scores
+#  that clear the threshold; sort total desc, limit).
+#
+# partial_ratio = best normalized similarity of the needle against any
+# equal-length window of the haystack. The engine computes the windowed
+# normalized-Levenshtein similarity max(100 * (1 - lev(kw, window)/|kw|))
+# over every window start — a documented proxy for rapidfuzz's
+# indel-ratio alignment, identical in Spark and DuckDB (both have
+# native levenshtein + substr, so the whole thing stays JVM-side /
+# vectorized — no Python UDF). The scored field is the lowercased
+# first PR_FIELD_CHARS chars of the document (bounds compute; windows
+# are O(field_len) per keyword per row, embarrassingly parallel —
+# no shuffle at all until the final top-k).
+# ---------------------------------------------------------------------------
+
+PR_KEYWORDS = ["spark", "windoe", "mirge"]  # 0/1/1 edits from corpus words
+PR_THRESHOLD = 70.0
+PR_FIELD_CHARS = 120
+PR_LIMIT = 20
+
+
+def _pr_score(field: Column, kw: str) -> Column:
+    k = len(kw)
+    n_windows = F.greatest(F.lit(1), F.length(field) - F.lit(k - 1))
+    sims = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: 100.0
+        * (
+            1
+            - F.levenshtein(F.substr(field, i, F.lit(k)), F.lit(kw))
+            / F.lit(float(k))
+        ),
+    )
+    return F.array_max(sims)
+
+
+def fuzzy_partial_ratio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    field = F.lower(F.substring(F.col("text"), 1, PR_FIELD_CHARS))
+    scored = docs.select(
+        "doc_id",
+        *[_pr_score(field, kw).alias(f"s{i}") for i, kw in enumerate(PR_KEYWORDS)],
+    )
+    clears = [
+        F.when(F.col(f"s{i}") >= PR_THRESHOLD, F.col(f"s{i}")).otherwise(0.0)
+        for i in range(len(PR_KEYWORDS))
+    ]
+    total = clears[0]
+    for c in clears[1:]:
+        total = total + c
+    return (
+        scored.withColumn("total_score", _floor_round(total, 4))
+        .filter(F.col("total_score") > 0)  # ANY keyword cleared threshold
+        .select("doc_id", "total_score")
+        .orderBy(F.desc("total_score"), F.asc("doc_id"))
+        .limit(PR_LIMIT)
+    )
+
+
+def _pr_score_sql(field: str, kw: str) -> str:
+    k = len(kw)
+    return (
+        f"list_max(list_transform("
+        f"generate_series(1, greatest(1, len({field}) - {k - 1})), "
+        f"i -> 100.0 * (1 - levenshtein(substr({field}, i, {k}), '{kw}') / {float(k)!r})))"
+    )
+
+
+_PR_SCORE_COLS = ", ".join(
+    f"{_pr_score_sql('fld', kw)} AS s{i}" for i, kw in enumerate(PR_KEYWORDS)
+)
+_PR_TOTAL = " + ".join(
+    f"(CASE WHEN s{i} >= {PR_THRESHOLD} THEN s{i} ELSE 0.0 END)"
+    for i in range(len(PR_KEYWORDS))
+)
+
+FUZZY_PARTIAL_RATIO_SQL = f"""
+SELECT doc_id, total_score FROM (
+  SELECT doc_id,
+         CAST(floor(({_PR_TOTAL}) * 10000) / 10000 AS DOUBLE) AS total_score
+  FROM (
+    SELECT doc_id, {_PR_SCORE_COLS}
+    FROM (SELECT doc_id, lower(substr(text, 1, {PR_FIELD_CHARS})) AS fld FROM documents)
+  )
+)
+WHERE total_score > 0
+ORDER BY total_score DESC, doc_id ASC
+LIMIT {PR_LIMIT}
+"""

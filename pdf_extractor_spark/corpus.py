@@ -165,3 +165,16 @@ def _batch_to_pdf(ids, mega_every: int, mega_factor: int):
             "spans": [make_doc_spans(i, mega_every, mega_factor) for i in ids],
         }
     )
+
+
+def corpus_fingerprint(**params) -> str:
+    """Cache key for staged bench corpora: hashes make_doc_spans'
+    SOURCE plus the generation params, so editing the generator (or
+    changing mega_every/mega_factor) invalidates /tmp caches instead of
+    silently timing a stale corpus."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(make_doc_spans)
+    blob = src + "|" + "|".join(f"{k}={params[k]}" for k in sorted(params))
+    return hashlib.md5(blob.encode()).hexdigest()[:10]

@@ -178,14 +178,107 @@ def run_with_lineage(
     return lineage
 
 
+def _bucket_dir(output_dir: str, b: str | int, entry: dict) -> str:
+    """Resolve a bucket's current data directory: versioned path if a
+    MERGE rewrote it (see :func:`upsert_elements`), base path otherwise."""
+    if entry.get("path"):
+        return os.path.join(output_dir, entry["path"])
+    return os.path.join(output_dir, f"bucket={b}")
+
+
 def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
     """Read back all committed non-empty buckets."""
     lineage = read_lineage(output_dir)
     parts = [
-        os.path.join(output_dir, f"bucket={b}")
+        _bucket_dir(output_dir, b, e)
         for b, e in sorted(_bucket_items(lineage), key=lambda kv: int(kv[0]))
         if e["status"] == "done" and e.get("row_count", 0) > 0
     ]
     if not parts:
         raise FileNotFoundError(f"no committed buckets under {output_dir}")
     return spark.read.parquet(*parts)
+
+
+# ---------------------------------------------------------------------------
+# S16 — keyed MERGE on the extracted-element store
+# (reference arangodb/crud.py update/replace/delete semantics: mutate
+#  documents in place by key. Re-expressed for an immutable parquet
+#  store as copy-on-write: the affected buckets are REWRITTEN into a
+#  new versioned directory (anti-join out the touched keys, union the
+#  new rows), then the manifest row flips to the new path — exactly the
+#  Iceberg copy-on-write MERGE protocol. A crash between write and
+#  commit leaves the old version referenced, so the operation is
+#  idempotent and the store is never half-updated.)
+# ---------------------------------------------------------------------------
+
+MERGE_KEYS = ("doc_id", "offset")
+
+
+def _merge_buckets(
+    spark: SparkSession,
+    output_dir: str,
+    changes: DataFrame,
+    *,
+    insert: bool,
+) -> dict[str, dict]:
+    lineage = read_lineage(output_dir)
+    meta = lineage.get(META_KEY)
+    if meta is None:
+        raise FileNotFoundError(f"no lineage manifest under {output_dir}")
+    n_buckets = meta["n_buckets"]
+    keyed = changes.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+    affected = sorted(
+        r["bucket"] for r in keyed.select("bucket").distinct().collect()
+    )
+    for b in affected:
+        entry = lineage.get(str(b))
+        if entry is None or entry.get("status") != "done":
+            raise ValueError(
+                f"bucket {b} has no committed data — MERGE targets an "
+                "extracted store, run the pipeline first"
+            )
+        delta = keyed.filter(F.col("bucket") == int(b)).drop("bucket")
+        t0 = time.time()
+        if entry.get("row_count", 0) > 0:
+            current = spark.read.parquet(_bucket_dir(output_dir, b, entry))
+            merged = current.join(
+                delta.select(*MERGE_KEYS), list(MERGE_KEYS), "left_anti"
+            )
+        else:
+            merged = None
+        if insert:
+            new_rows = delta if merged is None else merged.unionByName(delta)
+        else:
+            new_rows = merged
+        version = entry.get("version", 0) + 1
+        rel_path = f"bucket={b}__v{version}"
+        new_dir = os.path.join(output_dir, rel_path)
+        row_count = new_rows.count() if new_rows is not None else 0
+        if row_count > 0:
+            new_rows.write.mode("overwrite").parquet(new_dir)
+        lineage[str(b)] = {
+            "status": "done",
+            "row_count": row_count,
+            "bytes": _dir_bytes(new_dir) if row_count > 0 else 0,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "run_id": entry.get("run_id", "merge"),
+            "version": version,
+            "path": rel_path if row_count > 0 else None,
+        }
+        _commit_lineage(output_dir, lineage)
+    return lineage
+
+
+def upsert_elements(
+    spark: SparkSession, output_dir: str, updates: DataFrame
+) -> dict[str, dict]:
+    """MERGE: rows matching (doc_id, offset) are replaced, new keys are
+    inserted. ``updates`` must carry the extracted-element schema."""
+    return _merge_buckets(spark, output_dir, updates, insert=True)
+
+
+def delete_elements(
+    spark: SparkSession, output_dir: str, keys: DataFrame
+) -> dict[str, dict]:
+    """Keyed delete: rows matching (doc_id, offset) are removed."""
+    return _merge_buckets(spark, output_dir, keys.select(*MERGE_KEYS), insert=False)

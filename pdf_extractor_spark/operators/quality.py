@@ -66,3 +66,59 @@ def accepted_tables(
     """P2 — drop tables below the confidence gate
     (table_extraction.py:429-433)."""
     return with_table_quality(elements).filter(F.col("confidence") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# P11 — numeric cell coercion, Spark-native (table_extraction.py:373-392
+# ``df.apply(pd.to_numeric, errors="ignore")``: a column converts only
+# when EVERY cell parses). try_cast inside nested HOF lambdas keeps the
+# whole inference in Catalyst — no Python, no shuffle (pure map).
+# The pure-Python twin is parsers.infer_column_types / coerce_numeric_columns.
+# ---------------------------------------------------------------------------
+
+
+def column_types_expr(headers: Column, rows: Column) -> Column:
+    """array<string> of per-column type tags ('bigint'|'double'|'string').
+
+    A column is bigint when every cell try_casts to bigint, double when
+    every cell try_casts to double, else string — pandas' errors="ignore"
+    column semantics. Empty tables yield all-'string' (no evidence)."""
+
+    def col_type(j: Column) -> Column:
+        all_int = F.forall(
+            rows, lambda r: F.element_at(r, j).try_cast("bigint").isNotNull()
+        )
+        # pandas maps empty cells to NaN and still converts the column
+        # to float — an empty cell blocks bigint but not double; pandas
+        # rejects literal "nan"/"inf" strings that Spark's cast accepts
+        all_num = F.forall(
+            rows,
+            lambda r: (
+                F.element_at(r, j).try_cast("double").isNotNull()
+                & ~F.lower(F.trim(F.element_at(r, j))).rlike(
+                    r"^[+-]?(nan|inf|infinity)$"
+                )
+            )
+            | (F.length(F.trim(F.element_at(r, j))) == 0),
+        )
+        return (
+            F.when(F.size(rows) == 0, "string")
+            .when(all_int, "bigint")
+            .when(all_num, "double")
+            .otherwise("string")
+        )
+
+    return F.transform(F.sequence(F.lit(1), F.size(headers)), col_type)
+
+
+def with_column_types(elements: DataFrame) -> DataFrame:
+    """Table elements annotated with inferred per-column types."""
+    tables = elements.filter(F.col("kind") == "table")
+    return tables.select(
+        "doc_id",
+        "offset",
+        "table_headers",
+        column_types_expr(F.col("table_headers"), F.col("table_rows")).alias(
+            "col_types"
+        ),
+    )

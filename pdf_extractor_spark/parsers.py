@@ -98,3 +98,84 @@ def extract_metadata(text: str) -> Dict[str, str]:
     if dm:
         metadata["date"] = dm.group(1).strip()
     return metadata
+
+
+# ---------------------------------------------------------------------------
+# P11 — numeric cell coercion (reference table_extraction.py:373-392
+# clean_table_dataframe: ``df.apply(pd.to_numeric, errors="ignore")``,
+# i.e. a COLUMN is converted to a numeric dtype only when EVERY cell in
+# it parses; otherwise the column stays string, cell values untouched).
+# ---------------------------------------------------------------------------
+
+
+_INT_CELL_RE = re.compile(r"[+-]?\d+")
+
+
+def _cell_int(v: Any) -> int:
+    # Python's int() accepts underscore groupings ("1_0"); pandas'
+    # to_numeric and Spark's cast do not — gate on a strict digit regex.
+    if not isinstance(v, str) or not _INT_CELL_RE.fullmatch(v.strip()):
+        raise ValueError(v)
+    return int(v)
+
+
+_NONFINITE_RE = re.compile(r"[+-]?(nan|inf|infinity)", re.IGNORECASE)
+
+
+def _cell_float(v: Any) -> float:
+    if not isinstance(v, str) or "_" in v:
+        raise ValueError(v)
+    if not v.strip():
+        return float("nan")  # pandas: empty cell → NaN, column still floats
+    if _NONFINITE_RE.fullmatch(v.strip()):
+        raise ValueError(v)  # pandas rejects "nan"/"inf" strings
+    return float(v)
+
+
+def coerce_numeric_columns(rows: List[List[str]]) -> List[List[Any]]:
+    """Column-wise numeric coercion of table data rows.
+
+    Mirrors pandas' column semantics: a column becomes int when every
+    cell parses as an integer, float when every cell parses as a float,
+    and stays the original strings otherwise (errors="ignore" — no
+    partial conversion within a column).
+    """
+    if not rows:
+        return rows
+    ncols = len(rows[0])
+    cols: List[List[Any]] = []
+    for c in range(ncols):
+        vals = [r[c] for r in rows]
+        coerced: List[Any]
+        try:
+            coerced = [_cell_int(v) for v in vals]
+        except (TypeError, ValueError):
+            try:
+                coerced = [_cell_float(v) for v in vals]
+            except (TypeError, ValueError):
+                coerced = list(vals)
+        cols.append(coerced)
+    return [[cols[c][i] for c in range(ncols)] for i in range(len(rows))]
+
+
+def infer_column_types(rows: List[List[str]]) -> List[str]:
+    """Per-column inferred type tag ('bigint' | 'double' | 'string') —
+    the metadata twin of :func:`coerce_numeric_columns`, matching the
+    Spark-native ``column_types_expr`` (operators/quality.py)."""
+    if not rows:
+        return []
+    out = []
+    for c in range(len(rows[0])):
+        vals = [r[c] for r in rows]
+        try:
+            [_cell_int(v) for v in vals]
+            out.append("bigint")
+            continue
+        except (TypeError, ValueError):
+            pass
+        try:
+            [_cell_float(v) for v in vals]
+            out.append("double")
+        except (TypeError, ValueError):
+            out.append("string")
+    return out

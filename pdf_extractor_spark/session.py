@@ -39,8 +39,14 @@ def ensure_pyfiles(spark: SparkSession) -> None:
     repeat addPyFile calls with the same path are no-ops."""
     try:
         spark.sparkContext.addPyFile(_package_zip())
-    except Exception:  # already added under a conflicting name — fine
-        pass
+    except Exception as e:  # noqa: BLE001
+        # Duplicate registration is benign (repeat addPyFile with the
+        # same path); anything else (zip build error, unwritable tmp)
+        # would otherwise resurface later as an opaque executor
+        # ModuleNotFoundError — surface it at the call site.
+        msg = str(e)
+        if "has been added already" not in msg and "already" not in msg.lower():
+            raise
 
 
 def get_spark(

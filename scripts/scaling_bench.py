@@ -27,7 +27,9 @@ import os
 import subprocess
 import sys
 
-CORPUS_TMPL = "/tmp/scaling_corpus_{n}.parquet"
+# {fp} = corpus_fingerprint(...): cache invalidates when the generator
+# source or its params change (no silently-stale staged corpus)
+CORPUS_TMPL = "/tmp/scaling_corpus_{n}_{fp}.parquet"
 
 PLATFORM_NOTE = """
 ## Measurement variance — full disclosure
@@ -90,6 +92,10 @@ spark.stop()
 
 
 def run_level(repo: str, cores: int, n_docs: int) -> dict:
+    sys.path.insert(0, repo)
+    from pdf_extractor_spark.corpus import corpus_fingerprint
+
+    fp = corpus_fingerprint(mega_every=1, mega_factor=10, partitions=128)
     res = subprocess.run(
         [
             sys.executable,
@@ -97,7 +103,7 @@ def run_level(repo: str, cores: int, n_docs: int) -> dict:
             CHILD.format(repo=repo),
             str(cores),
             str(n_docs),
-            CORPUS_TMPL.format(n=n_docs),
+            CORPUS_TMPL.format(n=n_docs, fp=fp),
         ],
         capture_output=True,
         text=True,

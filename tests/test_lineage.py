@@ -118,3 +118,91 @@ def test_empty_buckets_and_nbucket_guard(spark, tmp_path):
     out_b = str(tmp_path / "few_batch")
     run_with_lineage(spark, few, out_b, n_buckets=8, commit_mode="batch")
     assert read_output(spark, out_b).count() == total
+
+
+# ---------------------------------------------------------------------------
+# S16 — keyed MERGE (upsert/delete) on the extracted store
+# (reference arangodb/crud.py update/replace/delete; copy-on-write
+#  versioned bucket rewrite + manifest commit)
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_replaces_exactly_once(spark, docs_df, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import upsert_elements
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    before = read_output(spark, out)
+    target = before.orderBy("doc_id", "offset").limit(1).collect()[0]
+
+    updates = before.filter(
+        (F.col("doc_id") == target["doc_id"]) & (F.col("offset") == target["offset"])
+    ).withColumn("text", F.lit("CORRECTED TEXT"))
+    upsert_elements(spark, out, updates)
+
+    after = read_output(spark, out)
+    assert after.count() == before.count()  # replace, not append
+    hits = after.filter(
+        (F.col("doc_id") == target["doc_id"]) & (F.col("offset") == target["offset"])
+    ).collect()
+    assert len(hits) == 1  # exactly once
+    assert hits[0]["text"] == "CORRECTED TEXT"
+    # untouched rows unchanged
+    others = after.filter(F.col("doc_id") != target["doc_id"]).count()
+    assert others == before.filter(F.col("doc_id") != target["doc_id"]).count()
+
+
+def test_upsert_inserts_new_key_and_versions_bucket(spark, docs_df, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import read_lineage, upsert_elements
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    before = read_output(spark, out)
+    donor = before.orderBy("doc_id", "offset").limit(1)
+    new_row = donor.withColumn("offset", F.lit(999_999))
+    upsert_elements(spark, out, new_row)
+    after = read_output(spark, out)
+    assert after.count() == before.count() + 1
+    assert after.filter(F.col("offset") == 999_999).count() == 1
+    # the affected bucket advanced to v1 and points at the rewrite dir
+    lineage = buckets(read_lineage(out))
+    versioned = [e for e in lineage.values() if e.get("version")]
+    assert len(versioned) == 1 and versioned[0]["path"].endswith("__v1")
+
+    # second merge on the same bucket advances the version again
+    upsert_elements(spark, out, donor.withColumn("offset", F.lit(999_998)))
+    lineage2 = buckets(read_lineage(out))
+    assert max(e.get("version", 0) for e in lineage2.values()) == 2
+
+
+def test_delete_removes_key_and_resume_stays_noop(spark, docs_df, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import delete_elements
+
+    out = str(tmp_path / "out")
+    first = buckets(
+        run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    )
+    before = read_output(spark, out)
+    target = before.orderBy("doc_id", "offset").limit(1)
+    delete_elements(spark, out, target.select("doc_id", "offset"))
+    after = read_output(spark, out)
+    assert after.count() == before.count() - 1
+    t = target.collect()[0]
+    assert (
+        after.filter(
+            (F.col("doc_id") == t["doc_id"]) & (F.col("offset") == t["offset"])
+        ).count()
+        == 0
+    )
+    # a re-run after the merge must NOT re-extract (all buckets done)
+    again = buckets(
+        run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r9")
+    )
+    assert all(e["run_id"] != "r9" for e in again.values())
+    assert read_output(spark, out).count() == before.count() - 1
