@@ -241,3 +241,53 @@ def read_pdf_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFr
             )
 
     return files.mapInPandas(gen, schema=DOCS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S17 — Label Studio task sink (reference api.py:190-249
+# create_label_studio_tasks: one task per extracted table, shaped
+# {"data": {pdf_id, page, pdf_page_url, table_id, source, table_data:
+# {headers, rows}}, "meta": {pdf_id, table_id, page}}; batch-imported
+# and mirrored to a corrections-dir JSON file). The engine emits the
+# same task JSON as a JSON-lines directory — the batch-import payload —
+# entirely with native struct/to_json exprs (no driver-side loop; at
+# scale this is a distributed export, the HTTP POST stays out of the
+# data path). The HITL return trip is operators/corrections.py (S15).
+# ---------------------------------------------------------------------------
+
+
+def label_studio_tasks(elements: DataFrame, source: str = "engine") -> DataFrame:
+    """Flat extracted elements → one Label Studio task row per table."""
+    tables = elements.filter(F.col("kind") == "table")
+    data = F.struct(
+        F.col("doc_id").alias("pdf_id"),
+        F.col("page"),
+        F.concat(
+            F.lit("/data/upload/uploads/"),
+            F.col("doc_id"),
+            F.lit(".pdf#page="),
+            F.col("page").cast("string"),
+        ).alias("pdf_page_url"),
+        F.col("section_id").alias("table_id"),
+        F.lit(source).alias("source"),
+        F.struct(
+            F.col("table_headers").alias("headers"),
+            F.col("table_rows").alias("rows"),
+        ).alias("table_data"),
+    )
+    meta = F.struct(
+        F.col("doc_id").alias("pdf_id"),
+        F.col("section_id").alias("table_id"),
+        F.col("page"),
+    )
+    return tables.select(data.alias("data"), meta.alias("meta"))
+
+
+def write_label_studio_tasks(
+    elements: DataFrame, path: str, source: str = "engine"
+) -> None:
+    """Task rows → JSON-lines directory (the batch-import payload)."""
+    tasks = label_studio_tasks(elements, source=source)
+    tasks.select(
+        F.to_json(F.struct("data", "meta")).alias("value")
+    ).write.mode("overwrite").text(path)

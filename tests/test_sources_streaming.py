@@ -229,3 +229,39 @@ def test_stateful_sessionize_drops_cross_batch_late_events(spark, tmp_path):
     s = closed[0]
     assert s["session_end"] >= s["session_start"]
     assert s["n_events"] == 1  # late event dropped, not folded in
+
+
+def test_label_studio_task_sink_shape(spark, tmp_path):
+    """S17: every extracted table becomes one task with the reference's
+    data/meta shape (api.py:190-249)."""
+    import json as _json
+
+    from pdf_extractor_spark.corpus import corpus_df
+    from pdf_extractor_spark.operators.extract import extract_elements
+    from pdf_extractor_spark.sources import label_studio_tasks, write_label_studio_tasks
+
+    docs = corpus_df(spark, 30, partitions=2)
+    flat = extract_elements(docs)
+    n_tables = flat.filter(flat.kind == "table").count()
+    assert n_tables > 0
+
+    out = str(tmp_path / "ls_tasks")
+    write_label_studio_tasks(flat, out)
+    lines = []
+    import glob as _glob
+    for f in _glob.glob(out + "/part-*"):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == n_tables
+    task = _json.loads(lines[0])
+    assert set(task) == {"data", "meta"}
+    assert set(task["data"]) == {
+        "pdf_id", "page", "pdf_page_url", "table_id", "source", "table_data",
+    }
+    assert set(task["data"]["table_data"]) == {"headers", "rows"}
+    assert task["data"]["pdf_page_url"].endswith(f"#page={task['data']['page']}")
+    assert set(task["meta"]) == {"pdf_id", "table_id", "page"}
+    assert task["meta"]["table_id"] == task["data"]["table_id"]
+    # plan stays JVM-side: no Python eval in the sink path
+    plan = label_studio_tasks(flat)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
