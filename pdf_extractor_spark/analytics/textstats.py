@@ -276,6 +276,12 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
             for i, t_ in enumerate(BM25_TERMS)
         ],
     )
+    # BM25 needs corpus stats BEFORE scoring → two passes over per_doc.
+    # Persist the projection so the expensive part (parquet scan +
+    # tokenization of every document) runs once; what's cached is only
+    # (doc_id, dl, tf_*) — a handful of numerics per doc, ~10^4× smaller
+    # than the corpus, which is exactly what you'd materialize at 100 TB.
+    per_doc = per_doc.persist()
     stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
