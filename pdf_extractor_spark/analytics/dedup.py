@@ -87,11 +87,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id"))
         .distinct()
     )
+    # persist: consumed twice (a and b sides of the candidate join)
     sh = pool.select(
         "doc_id",
         "lang",
         F.array_distinct(_shingles(_tokens(), F.col("text"))).alias("shset"),
-    )
+    ).persist()
     sa = sh.select(
         F.col("doc_id").alias("a_id"),
         F.col("lang").alias("a_lang"),
@@ -146,23 +147,49 @@ def _minhash_sig(sh: Column) -> list[Column]:
 
 
 def _with_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, band_id, band_hash), one row per band."""
+    """(doc_id, text) → (doc_id, band_id, band_hash), one row per band.
+
+    Signature computation is explode → hash-aggregate, NOT a per-row
+    higher-order-function chain: Spark evaluates HOF lambdas
+    interpreted (outside whole-stage codegen), so k salted-md5
+    ``transform``s over ~10³ shingles per doc crawl, while
+    ``min(md5(shingle || salt))`` inside a groupBy runs codegen'd with
+    map-side partial aggregation — the shuffle carries k mins per doc
+    per task, not the shingles. Values are identical either way (same
+    min-over-salted-md5), so the DuckDB oracle is unchanged."""
     toks = _tokens()
-    sig = _minhash_sig(_shingles(toks, F.col("text")))
+    per_sh = docs.select(
+        "doc_id", F.explode(_shingles(toks, F.col("text"))).alias("s")
+    )
+    sigs = per_sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{k}")))).alias(f"sig{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.md5(
-                    F.concat(*[sig[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
+                    F.concat(
+                        *[F.col(f"sig{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                    )
                 ).alias("band_hash"),
             )
             for b in range(LSH_BANDS)
         ]
     )
-    return docs.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    out = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_hash").alias("band_hash"),
     )
+    # Persist: every consumer self-joins bands (a × b); the cached
+    # output is tiny — 4 rows of (id, int, 32-char hash) per doc —
+    # exactly the signature table a 100 TB run would materialize
+    # before LSH joining.
+    return out.persist()
 
 
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
