@@ -71,15 +71,21 @@ def main() -> int:
 
     # --- analytics headliners (same protocol as extraction: one warm
     # pass, then min-of-2 — this host's CPU-steal bursts make single
-    # cold shots ±20% noisy; see BENCH/BASELINE.md variance disclosure)
+    # cold shots ±20% noisy; see BENCH/BASELINE.md variance disclosure).
+    # Terminal action is a noop-format write, NOT count(): count() lets
+    # Catalyst prune pure projections (e.g. the MinHash signature
+    # columns), which would time a plan the real consumer never runs.
+    def run_full(df):
+        df.write.format("noop").mode("overwrite").save()
+
     for name, spec in QUERIES.items():
         if not spec.headline or name == "extract_elements_flat":
             continue
-        spec.fn(spark, sf_dir).count()  # warm: scan cache + codegen
+        run_full(spec.fn(spark, sf_dir))  # warm: scan cache + codegen
         q_walls = []
         for _ in range(2):
             t0 = time.time()
-            spec.fn(spark, sf_dir).count()
+            run_full(spec.fn(spark, sf_dir))
             q_walls.append(time.time() - t0)
         wall = min(q_walls)
         timings[name] = round(wall, 3)

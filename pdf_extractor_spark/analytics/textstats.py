@@ -482,27 +482,46 @@ PR_FIELD_CHARS = 120
 PR_LIMIT = 20
 
 
-def _pr_score(field: Column, kw: str) -> Column:
+def _pr_window_sim(kw: str) -> Column:
+    """Similarity of keyword ``kw`` vs the window starting at ``i`` in
+    ``fld`` — NULL when ``i`` is past this keyword's last window (max
+    ignores nulls), so one shared explode serves every keyword length."""
     k = len(kw)
-    n_windows = F.greatest(F.lit(1), F.length(field) - F.lit(k - 1))
-    sims = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: 100.0
-        * (
-            1
-            - F.levenshtein(F.substr(field, i, F.lit(k)), F.lit(kw))
-            / F.lit(float(k))
-        ),
+    in_range = F.col("i") <= F.greatest(
+        F.lit(1), F.length("fld") - F.lit(k - 1)
     )
-    return F.array_max(sims)
+    sim = 100.0 * (
+        1
+        - F.levenshtein(F.substr(F.col("fld"), F.col("i"), F.lit(k)), F.lit(kw))
+        / F.lit(float(k))
+    )
+    return F.when(in_range, sim)
 
 
 def fuzzy_partial_ratio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     field = F.lower(F.substring(F.col("text"), 1, PR_FIELD_CHARS))
-    scored = docs.select(
+    # explode windows → max aggregate (codegen'd) rather than an
+    # array_max over a transform(): Spark runs HOF lambdas interpreted,
+    # which made ~10³ levenshtein evals per doc the bottleneck. max is
+    # order-independent, so aggregation order cannot flip the result.
+    min_k = min(len(kw) for kw in PR_KEYWORDS)
+    base = docs.select("doc_id", field.alias("fld"))
+    win = base.select(
         "doc_id",
-        *[_pr_score(field, kw).alias(f"s{i}") for i, kw in enumerate(PR_KEYWORDS)],
+        "fld",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.length("fld") - F.lit(min_k - 1)),
+            )
+        ).alias("i"),
+    )
+    scored = win.groupBy("doc_id").agg(
+        *[
+            F.max(_pr_window_sim(kw)).alias(f"s{i}")
+            for i, kw in enumerate(PR_KEYWORDS)
+        ]
     )
     clears = [
         F.when(F.col(f"s{i}") >= PR_THRESHOLD, F.col(f"s{i}")).otherwise(0.0)
