@@ -265,3 +265,55 @@ def test_label_studio_task_sink_shape(spark, tmp_path):
     # plan stays JVM-side: no Python eval in the sink path
     plan = label_studio_tasks(flat)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_stream_extract_merge_replaces_redelivered_docs(spark, tmp_path):
+    """CDC path: a re-delivered (edited) document's elements REPLACE the
+    previous version in the lineage store — no duplicate keys."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import corpus_rows
+    from pdf_extractor_spark.lineage import read_output, run_with_lineage
+    from pdf_extractor_spark.schema import DOCS_SCHEMA
+    from pdf_extractor_spark.streaming import stream_extract_merge
+
+    store = str(tmp_path / "store")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = corpus_rows(12)
+    base = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    run_with_lineage(spark, base, store, n_buckets=4, run_id="seed")
+    before = read_output(spark, store)
+    n_before = before.count()
+    target_doc = rows[0]["doc_id"]
+    target_before = before.filter(F.col("doc_id") == target_doc).count()
+
+    # re-deliver doc 0 with edited content: same heading, one text span
+    edited = [{
+        "doc_id": target_doc,
+        "spans": [
+            {"kind": "heading", "text": "# Edited", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "edited body", "media_ref": "", "offset": 1},
+        ],
+    }]
+    spark.createDataFrame(edited, schema=DOCS_SCHEMA).write.mode("append").parquet(inbox)
+    stream_extract_merge(spark, inbox, store, ckpt)
+
+    after = read_output(spark, store)
+    got = after.filter(F.col("doc_id") == target_doc).orderBy("offset").collect()
+    # replaced at matching keys; old offsets beyond the new doc's length
+    # remain (documented CDC simplification -> compaction)
+    assert got[0]["kind"] == "heading" and got[0]["text"] == "Edited"
+    assert got[1]["kind"] == "text" and got[1]["text"] == "edited body"
+    # no duplicate (doc_id, offset) keys anywhere
+    dupes = (
+        after.groupBy("doc_id", "offset").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    # other documents untouched
+    assert after.filter(F.col("doc_id") != target_doc).count() == n_before - target_before
+
+    # replay: a second availableNow run consumes nothing new -> no change
+    stream_extract_merge(spark, inbox, store, ckpt)
+    assert read_output(spark, store).count() == after.count()
