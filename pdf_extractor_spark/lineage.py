@@ -226,7 +226,12 @@ def _merge_buckets(
     if meta is None:
         raise FileNotFoundError(f"no lineage manifest under {output_dir}")
     n_buckets = meta["n_buckets"]
-    keyed = changes.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+    # persist: consumed once for the affected-bucket list and once per
+    # affected bucket — without a cache a full upstream pipeline (e.g. a
+    # streaming extraction batch) would recompute each time
+    keyed = changes.withColumn(
+        "bucket", bucket_of(F.col("doc_id"), n_buckets)
+    ).persist()
     affected = sorted(
         r["bucket"] for r in keyed.select("bucket").distinct().collect()
     )
@@ -266,6 +271,7 @@ def _merge_buckets(
             "path": rel_path if row_count > 0 else None,
         }
         _commit_lineage(output_dir, lineage)
+    keyed.unpersist()
     return lineage
 
 

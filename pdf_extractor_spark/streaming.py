@@ -234,13 +234,15 @@ def stream_extract_merge(
     lineage.upsert_elements.
 
     Re-extracted documents may produce FEWER elements than before; the
-    per-doc anti-join removes only matched (doc_id, offset) keys, so a
-    shrinking doc first deletes its stale tail via
-    ``lineage.delete_elements`` with the doc's old keys — here we take
-    the standard CDC simplification of replacing matched keys and
-    leaving tail cleanup to a compaction pass.
+    keyed upsert replaces only matched (doc_id, offset) rows, so after
+    it lands the batch also deletes each re-delivered doc's stale tail
+    (offsets past its new maximum). Crash between the two merge
+    commits leaves the tail until the checkpoint replays the batch —
+    both steps are idempotent, so replay converges.
     """
-    from .lineage import upsert_elements
+    from pyspark.sql import functions as F
+
+    from .lineage import delete_elements, read_output, upsert_elements
 
     docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
     flat = docs.mapInPandas(_flat_batches(merge_strategy), schema=FLAT_SCHEMA)
@@ -248,7 +250,19 @@ def stream_extract_merge(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_elements(batch_df.sparkSession, store_dir, batch_df)
+        sess = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        upsert_elements(sess, store_dir, batch_df)
+        new_max = batch_df.groupBy("doc_id").agg(F.max("offset").alias("mx"))
+        stale = (
+            read_output(sess, store_dir)
+            .join(new_max, "doc_id")
+            .filter(F.col("offset") > F.col("mx"))
+            .select("doc_id", "offset")
+        )
+        if not stale.isEmpty():
+            delete_elements(sess, store_dir, stale)
+        batch_df.unpersist()
 
     query = (
         flat.writeStream.foreachBatch(merge_batch)

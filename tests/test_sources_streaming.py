@@ -302,8 +302,9 @@ def test_stream_extract_merge_replaces_redelivered_docs(spark, tmp_path):
 
     after = read_output(spark, store)
     got = after.filter(F.col("doc_id") == target_doc).orderBy("offset").collect()
-    # replaced at matching keys; old offsets beyond the new doc's length
-    # remain (documented CDC simplification -> compaction)
+    # replaced at matching keys AND the stale tail (old offsets past the
+    # new doc's length) was deleted: exactly the new extraction remains
+    assert len(got) == 2, [r["offset"] for r in got]
     assert got[0]["kind"] == "heading" and got[0]["text"] == "Edited"
     assert got[1]["kind"] == "text" and got[1]["text"] == "edited body"
     # no duplicate (doc_id, offset) keys anywhere
