@@ -206,3 +206,52 @@ def test_delete_removes_key_and_resume_stays_noop(spark, docs_df, tmp_path):
     )
     assert all(e["run_id"] != "r9" for e in again.values())
     assert read_output(spark, out).count() == before.count() - 1
+
+
+def test_merge_algebra_roundtrip(spark, docs_df, tmp_path):
+    """MERGE invariants over a randomized batch of updates: after
+    upsert, store = (old \ matched-keys) ∪ updates; deleting the
+    inserted new keys restores exactly old-with-replacements."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import delete_elements, upsert_elements
+
+    rng = random.Random(7)
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    old = {(r["doc_id"], r["offset"]): r["text"] for r in read_output(spark, out).collect()}
+
+    keys = sorted(old)
+    matched = rng.sample(keys, 5)
+    donor = read_output(spark, out).limit(1).collect()[0]
+
+    def mk(doc_id, offset, text):
+        d = donor.asDict()
+        d.update(doc_id=doc_id, offset=offset, text=text)
+        return d
+
+    new_keys = [(k[0], 10_000 + i) for i, k in enumerate(matched)]
+    updates = [mk(d, o, f"UPD-{d}-{o}") for d, o in matched] + [
+        mk(d, o, f"NEW-{d}-{o}") for d, o in new_keys
+    ]
+    upsert_elements(spark, out, spark.createDataFrame(updates, read_output(spark, out).schema))
+
+    got = {(r["doc_id"], r["offset"]): r["text"] for r in read_output(spark, out).collect()}
+    want = dict(old)
+    for d, o in matched:
+        want[(d, o)] = f"UPD-{d}-{o}"
+    for d, o in new_keys:
+        want[(d, o)] = f"NEW-{d}-{o}"
+    assert got == want
+
+    # delete the inserted keys -> old with replacements only
+    delete_elements(
+        spark, out,
+        spark.createDataFrame([{"doc_id": d, "offset": o} for d, o in new_keys]),
+    )
+    got2 = {(r["doc_id"], r["offset"]): r["text"] for r in read_output(spark, out).collect()}
+    for d, o in new_keys:
+        del want[(d, o)]
+    assert got2 == want
