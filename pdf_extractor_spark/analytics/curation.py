@@ -1,0 +1,193 @@
+r"""Corpus-curation operators for a pretraining-data pipeline.
+
+Beyond the reference's own surface (per the build mandate): the cleanup
+passes every large-scale training corpus needs before tokenization —
+PII redaction, repetition-based quality filtering (Gopher-style), and
+deterministic stratified sampling for domain mixing. All pure Catalyst
+(regexp / HOF / hash-aggregate), each with an exact DuckDB oracle.
+
+Scale shapes:
+* pii_redact — map-only regexp pass; no shuffle at all.
+* repetition_filter — token histogram via explode + two-level
+  hash-aggregate (map-side combined); the 2-gram dup ratio rides a
+  single-pass HOF on the already-materialized token array.
+* stratified_sample — map-only: the sampling decision is a pure
+  function of (md5(doc_id), lang), so any executor — or a re-run —
+  makes the same choice without coordination, and the sample is
+  reproducible by construction (no rand(), which would break resume
+  and the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import floor_round, load
+from .base import tokens as _tokens
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails + phone numbers)
+#
+# The synthetic corpus carries no natural PII, so the query plants a
+# deterministic contact line per document (same technique as
+# metadata_extract's synthesized header) and then redacts it — the op
+# is exercised with nonzero counts and the redaction regexes are the
+# real surface.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    n_emails = F.size(F.regexp_extract_all(contact, F.lit(_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(contact, F.lit(_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.substring(redacted, -40, 40).alias("redacted_tail"),
+    )
+
+
+PII_REDACT_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(c, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(c, '\+1-555-[0-9]{{4}}')) AS n_phones,
+       CASE WHEN len(r) >= 40 THEN substr(r, len(r) - 39, 40) ELSE r END AS redacted_tail
+FROM (
+  SELECT doc_id, c,
+         regexp_replace(regexp_replace(c, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '\+1-555-[0-9]{{4}}', '[PHONE]', 'g') AS r
+  FROM (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS c
+    FROM documents
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (Rae et al. 2021 §A1.1 heuristics,
+# re-derived for this corpus: drop documents dominated by a single
+# token or by repeated 2-grams)
+# ---------------------------------------------------------------------------
+
+TOP_TOKEN_MAX_FRAC = 0.20
+DUP_2GRAM_MAX_FRAC = 0.60
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    # top-token fraction: explode → (doc, token) counts → max/sum
+    per_tok = docs.select("doc_id", F.explode(toks).alias("t"))
+    tok_counts = per_tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    top_frac = tok_counts.groupBy("doc_id").agg(
+        floor_round(
+            F.max("c").cast("double") / F.sum("c"), 4
+        ).alias("top_tok_frac")
+    )
+    # duplicate-2-gram fraction: single-pass HOF on the token array
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    dup_frac = F.when(
+        F.size(toks) >= 2,
+        floor_round(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 4
+        ),
+    ).otherwise(0.0)
+    metrics = docs.select("doc_id", dup_frac.alias("dup_2gram_frac")).join(
+        top_frac, "doc_id"
+    )
+    keep = (F.col("top_tok_frac") <= TOP_TOKEN_MAX_FRAC) & (
+        F.col("dup_2gram_frac") <= DUP_2GRAM_MAX_FRAC
+    )
+    return metrics.select(
+        "doc_id", "dup_2gram_frac", "top_tok_frac", keep.cast("int").alias("keep")
+    )
+
+
+REPETITION_FILTER_SQL = rf"""
+WITH toksrc AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+),
+top AS (
+  SELECT doc_id,
+         CAST(floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000) / 10000 AS DOUBLE) AS top_tok_frac
+  FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS t FROM toksrc)
+    GROUP BY 1, 2
+  )
+  GROUP BY 1
+),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           CAST(floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 10000) / 10000 AS DOUBLE)
+         ELSE 0.0 END AS dup_2gram_frac
+  FROM (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS g
+    FROM toksrc
+  )
+)
+SELECT d.doc_id, d.dup_2gram_frac, t.top_tok_frac,
+       CAST(t.top_tok_frac <= {TOP_TOKEN_MAX_FRAC} AND d.dup_2gram_frac <= {DUP_2GRAM_MAX_FRAC} AS INTEGER) AS keep
+FROM dup d JOIN top t ON d.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (domain mixing)
+#
+# Sampling decision = first hex digit of md5(doc_id) against a
+# per-language threshold → en keeps 8/16, de 4/16, everything else
+# 2/16. Pure function of the row: reproducible across re-runs,
+# engines, and cluster sizes; partition-pruning-friendly when the
+# table is laid out by lang.
+# ---------------------------------------------------------------------------
+
+_LANG_HEX_THRESHOLD = {"en": "8", "de": "4"}
+_DEFAULT_HEX_THRESHOLD = "2"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    thr = F.lit(_DEFAULT_HEX_THRESHOLD)
+    for lang, t in _LANG_HEX_THRESHOLD.items():
+        thr = F.when(F.col("lang") == lang, t).otherwise(thr)
+    return (
+        docs.filter(digit < thr)
+        .select("doc_id", "lang")
+    )
+
+
+_THR_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in _LANG_HEX_THRESHOLD.items()
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      < (CASE {_THR_CASE} ELSE '{_DEFAULT_HEX_THRESHOLD}' END)
+"""

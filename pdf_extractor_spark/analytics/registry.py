@@ -7,6 +7,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    curation,
     dedup,
     extraction_queries,
     hybrid,
@@ -111,6 +112,18 @@ QUERIES: Dict[str, QuerySpec] = {
     "training_corpus_filter": QuerySpec(
         dedup.training_corpus_filter, dedup.TRAINING_FILTER_SQL,
         "training:compose",
+    ),
+    # --- corpus curation ----------------------------------------------------
+    "pii_redact": QuerySpec(
+        curation.pii_redact, curation.PII_REDACT_SQL, "training:pii"
+    ),
+    "repetition_filter": QuerySpec(
+        curation.repetition_filter, curation.REPETITION_FILTER_SQL,
+        "training:gopher-repetition",
+    ),
+    "stratified_sample": QuerySpec(
+        curation.stratified_sample, curation.STRATIFIED_SAMPLE_SQL,
+        "training:domain-mix",
     ),
     # --- similarity search ---------------------------------------------------
     "cosine_topk_bruteforce": QuerySpec(

@@ -161,3 +161,41 @@ def test_semantic_search_threshold_and_order(spark):
     assert scores == sorted(scores, reverse=True)
     assert all(s >= SEMANTIC_MIN_SCORE for s in scores)
     assert all(r["preview"] for r in rows)
+
+
+def test_pii_redact_counts_and_tail(spark):
+    from pdf_extractor_spark.analytics.curation import pii_redact
+
+    rows = pii_redact(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == 1 and r["n_phones"] == 1  # planted contact line
+        assert "[PHONE]" in r["redacted_tail"]
+        assert "@" not in r["redacted_tail"]
+
+
+def test_repetition_filter_bounds(spark):
+    from pdf_extractor_spark.analytics.curation import repetition_filter
+
+    rows = repetition_filter(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+        assert 0.0 < r["top_tok_frac"] <= 1.0
+    # the filter must actually separate: some kept, some dropped
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from pdf_extractor_spark.analytics.base import load
+    from pdf_extractor_spark.analytics.curation import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(spark, SF).collect()}
+    b = {r["doc_id"] for r in stratified_sample(spark, SF).collect()}
+    assert a == b  # pure function of the row, no rand()
+    docs = load(spark, SF, "documents")
+    n_en = docs.filter(docs.lang == "en").count()
+    got_en = stratified_sample(spark, SF).filter("lang = 'en'").count()
+    # en keeps 8/16 in expectation; loose band for a small table
+    assert 0.25 * n_en < got_en < 0.75 * n_en
