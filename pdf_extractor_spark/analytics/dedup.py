@@ -431,6 +431,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     edges = edges.localCheckpoint(eager=True)
     labels = nodes.select("doc_id", F.col("doc_id").alias("survivor"))
+    converged = False
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -452,7 +453,17 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         ).limit(1).count()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # never return a partially-propagated labelling as if it were
+        # the fixpoint — an unconverged result silently under-collapses
+        # components (and diverges from the recursive-CTE oracle)
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERS} "
+            "iterations — collision-graph diameter exceeds the bound; "
+            "raise CC_MAX_ITERS"
+        )
     return labels
 
 

@@ -168,13 +168,14 @@ def _batch_to_pdf(ids, mega_every: int, mega_factor: int):
 
 
 def corpus_fingerprint(**params) -> str:
-    """Cache key for staged bench corpora: hashes make_doc_spans'
-    SOURCE plus the generation params, so editing the generator (or
-    changing mega_every/mega_factor) invalidates /tmp caches instead of
-    silently timing a stale corpus."""
+    """Cache key for staged bench corpora: hashes this WHOLE module's
+    source plus the generation params, so editing any part of the
+    generation path (make_doc_spans, corpus_rows, corpus_df, id
+    mapping, partitioning) invalidates /tmp caches instead of silently
+    timing a stale corpus."""
     import hashlib
-    import inspect
 
-    src = inspect.getsource(make_doc_spans)
+    with open(__file__) as f:
+        src = f.read()
     blob = src + "|" + "|".join(f"{k}={params[k]}" for k in sorted(params))
     return hashlib.md5(blob.encode()).hexdigest()[:10]

@@ -232,46 +232,53 @@ def _merge_buckets(
     keyed = changes.withColumn(
         "bucket", bucket_of(F.col("doc_id"), n_buckets)
     ).persist()
-    affected = sorted(
-        r["bucket"] for r in keyed.select("bucket").distinct().collect()
-    )
-    for b in affected:
-        entry = lineage.get(str(b))
-        if entry is None or entry.get("status") != "done":
-            raise ValueError(
-                f"bucket {b} has no committed data — MERGE targets an "
-                "extracted store, run the pipeline first"
-            )
-        delta = keyed.filter(F.col("bucket") == int(b)).drop("bucket")
-        t0 = time.time()
-        if entry.get("row_count", 0) > 0:
-            current = spark.read.parquet(_bucket_dir(output_dir, b, entry))
-            merged = current.join(
-                delta.select(*MERGE_KEYS), list(MERGE_KEYS), "left_anti"
-            )
-        else:
-            merged = None
-        if insert:
-            new_rows = delta if merged is None else merged.unionByName(delta)
-        else:
-            new_rows = merged
-        version = entry.get("version", 0) + 1
-        rel_path = f"bucket={b}__v{version}"
-        new_dir = os.path.join(output_dir, rel_path)
-        row_count = new_rows.count() if new_rows is not None else 0
-        if row_count > 0:
-            new_rows.write.mode("overwrite").parquet(new_dir)
-        lineage[str(b)] = {
-            "status": "done",
-            "row_count": row_count,
-            "bytes": _dir_bytes(new_dir) if row_count > 0 else 0,
-            "wall_ms": int((time.time() - t0) * 1000),
-            "run_id": entry.get("run_id", "merge"),
-            "version": version,
-            "path": rel_path if row_count > 0 else None,
-        }
-        _commit_lineage(output_dir, lineage)
-    keyed.unpersist()
+    try:
+        affected = sorted(
+            r["bucket"] for r in keyed.select("bucket").distinct().collect()
+        )
+        for b in affected:
+            entry = lineage.get(str(b))
+            if entry is None or entry.get("status") != "done":
+                raise ValueError(
+                    f"bucket {b} has no committed data — MERGE targets an "
+                    "extracted store, run the pipeline first"
+                )
+            delta = keyed.filter(F.col("bucket") == int(b)).drop("bucket")
+            t0 = time.time()
+            if entry.get("row_count", 0) > 0:
+                current = spark.read.parquet(_bucket_dir(output_dir, b, entry))
+                merged = current.join(
+                    delta.select(*MERGE_KEYS), list(MERGE_KEYS), "left_anti"
+                )
+            else:
+                merged = None
+            if insert:
+                new_rows = delta if merged is None else merged.unionByName(delta)
+            else:
+                new_rows = merged
+            version = entry.get("version", 0) + 1
+            rel_path = f"bucket={b}__v{version}"
+            new_dir = os.path.join(output_dir, rel_path)
+            if new_rows is not None:
+                # write once, then count from the written files — a
+                # count() before the write would execute the whole
+                # read+anti-join+union plan a second time
+                new_rows.write.mode("overwrite").parquet(new_dir)
+                row_count = spark.read.parquet(new_dir).count()
+            else:
+                row_count = 0
+            lineage[str(b)] = {
+                "status": "done",
+                "row_count": row_count,
+                "bytes": _dir_bytes(new_dir) if row_count > 0 else 0,
+                "wall_ms": int((time.time() - t0) * 1000),
+                "run_id": entry.get("run_id", "merge"),
+                "version": version,
+                "path": rel_path if row_count > 0 else None,
+            }
+            _commit_lineage(output_dir, lineage)
+    finally:
+        keyed.unpersist()
     return lineage
 
 

@@ -108,7 +108,12 @@ def column_types_expr(headers: Column, rows: Column) -> Column:
             .otherwise("string")
         )
 
-    return F.transform(F.sequence(F.lit(1), F.size(headers)), col_type)
+    # guard: sequence(1, 0) on empty headers yields the DESCENDING
+    # array [1, 0] and element_at(r, 0) throws INVALID_INDEX_OF_ZERO
+    return F.when(
+        F.size(headers) > 0,
+        F.transform(F.sequence(F.lit(1), F.size(headers)), col_type),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def with_column_types(elements: DataFrame) -> DataFrame:

@@ -123,6 +123,8 @@ _NONFINITE_RE = re.compile(r"[+-]?(nan|inf|infinity)", re.IGNORECASE)
 
 
 def _cell_float(v: Any) -> float:
+    if v is None:
+        return float("nan")  # missing cell (ragged row pad) → NaN
     if not isinstance(v, str) or "_" in v:
         raise ValueError(v)
     if not v.strip():
@@ -130,6 +132,13 @@ def _cell_float(v: Any) -> float:
     if _NONFINITE_RE.fullmatch(v.strip()):
         raise ValueError(v)  # pandas rejects "nan"/"inf" strings
     return float(v)
+
+
+def _pad_rect(rows: List[List[str]]) -> List[List[Any]]:
+    """Pad ragged rows with None to the widest row — pandas'
+    DataFrame constructor does the same (NaN) before to_numeric."""
+    width = max(len(r) for r in rows)
+    return [list(r) + [None] * (width - len(r)) for r in rows]
 
 
 def coerce_numeric_columns(rows: List[List[str]]) -> List[List[Any]]:
@@ -142,10 +151,11 @@ def coerce_numeric_columns(rows: List[List[str]]) -> List[List[Any]]:
     """
     if not rows:
         return rows
-    ncols = len(rows[0])
+    rect = _pad_rect(rows)
+    ncols = len(rect[0])
     cols: List[List[Any]] = []
     for c in range(ncols):
-        vals = [r[c] for r in rows]
+        vals = [r[c] for r in rect]
         coerced: List[Any]
         try:
             coerced = [_cell_int(v) for v in vals]
@@ -155,7 +165,7 @@ def coerce_numeric_columns(rows: List[List[str]]) -> List[List[Any]]:
             except (TypeError, ValueError):
                 coerced = list(vals)
         cols.append(coerced)
-    return [[cols[c][i] for c in range(ncols)] for i in range(len(rows))]
+    return [[cols[c][i] for c in range(ncols)] for i in range(len(rect))]
 
 
 def infer_column_types(rows: List[List[str]]) -> List[str]:
@@ -164,9 +174,10 @@ def infer_column_types(rows: List[List[str]]) -> List[str]:
     Spark-native ``column_types_expr`` (operators/quality.py)."""
     if not rows:
         return []
+    rect = _pad_rect(rows)
     out = []
-    for c in range(len(rows[0])):
-        vals = [r[c] for r in rows]
+    for c in range(len(rect[0])):
+        vals = [r[c] for r in rect]
         try:
             [_cell_int(v) for v in vals]
             out.append("bigint")

@@ -37,16 +37,19 @@ def ensure_pyfiles(spark: SparkSession) -> None:
     """Ship this package to executors on an externally-created session
     (the driver contract hands us its own SparkSession). Idempotent —
     repeat addPyFile calls with the same path are no-ops."""
+    zip_path = _package_zip()
+    sc = spark.sparkContext
+    # check the registry instead of classifying exception text (message
+    # substrings are version-fragile and can swallow real failures):
+    # if our zip is already shipped, this is the benign duplicate case
+    zip_name = os.path.basename(zip_path)
     try:
-        spark.sparkContext.addPyFile(_package_zip())
-    except Exception as e:  # noqa: BLE001
-        # Duplicate registration is benign (repeat addPyFile with the
-        # same path); anything else (zip build error, unwritable tmp)
-        # would otherwise resurface later as an opaque executor
-        # ModuleNotFoundError — surface it at the call site.
-        msg = str(e)
-        if "has been added already" not in msg and "already" not in msg.lower():
-            raise
+        listed = list(sc.listFiles)
+    except Exception:  # noqa: BLE001 — API absent on exotic backends
+        listed = []
+    if any(f.endswith(zip_name) for f in listed):
+        return
+    sc.addPyFile(zip_path)
 
 
 def get_spark(

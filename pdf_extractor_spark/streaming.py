@@ -239,33 +239,60 @@ def stream_extract_merge(
     (offsets past its new maximum). Crash between the two merge
     commits leaves the tail until the checkpoint replays the batch —
     both steps are idempotent, so replay converges.
+
+    A document delivered TWICE within one micro-batch (rapid edits)
+    must not upsert both versions — mixed-version elements would leak
+    into the store. The batch therefore dedups per doc_id BEFORE
+    extraction, keeping the newest source file (modification time,
+    path as tie-break); extraction runs on the deduped batch inside
+    ``foreachBatch`` as a plain batch job.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from .lineage import delete_elements, read_output, upsert_elements
 
-    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
-    flat = docs.mapInPandas(_flat_batches(merge_strategy), schema=FLAT_SCHEMA)
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .parquet(input_dir)
+        .select(
+            "*",
+            F.col("_metadata.file_modification_time").alias("_mtime"),
+            F.col("_metadata.file_path").alias("_fpath"),
+        )
+    )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        upsert_elements(sess, store_dir, batch_df)
-        new_max = batch_df.groupBy("doc_id").agg(F.max("offset").alias("mx"))
-        stale = (
-            read_output(sess, store_dir)
-            .join(new_max, "doc_id")
-            .filter(F.col("offset") > F.col("mx"))
-            .select("doc_id", "offset")
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("_mtime"), F.desc("_fpath")
         )
-        if not stale.isEmpty():
-            delete_elements(sess, store_dir, stale)
-        batch_df.unpersist()
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "spans")
+        )
+        flat = latest.mapInPandas(
+            _flat_batches(merge_strategy), schema=FLAT_SCHEMA
+        ).persist()
+        try:
+            upsert_elements(sess, store_dir, flat)
+            new_max = flat.groupBy("doc_id").agg(F.max("offset").alias("mx"))
+            stale = (
+                read_output(sess, store_dir)
+                .join(new_max, "doc_id")
+                .filter(F.col("offset") > F.col("mx"))
+                .select("doc_id", "offset")
+            )
+            if not stale.isEmpty():
+                delete_elements(sess, store_dir, stale)
+        finally:
+            flat.unpersist()
 
     query = (
-        flat.writeStream.foreachBatch(merge_batch)
+        docs.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

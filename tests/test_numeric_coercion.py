@@ -108,3 +108,32 @@ def test_with_column_types_over_extracted_tables(spark):
     for r in rows:
         assert len(r["col_types"]) == len(r["table_headers"])
         assert set(r["col_types"]) <= {"bigint", "double", "string"}
+
+
+def test_ragged_rows_pad_like_pandas():
+    # pandas pads short rows with NaN: int column becomes float, string
+    # column unaffected; must not raise
+    rows = [["1", "x"], ["3"]]
+    got = coerce_numeric_columns(rows)
+    assert got[0][0] == 1.0 and got[1][0] == 3.0
+    assert got[0][1] == "x" and got[1][1] is None
+    assert infer_column_types(rows) == ["bigint", "string"]
+    # all-numeric ragged: missing cell -> NaN -> float column
+    rows2 = [["1", "2"], ["3"]]
+    tags = infer_column_types(rows2)
+    assert tags == ["bigint", "double"]
+
+
+def test_column_types_expr_empty_headers_no_crash(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.quality import column_types_expr
+
+    df = spark.createDataFrame(
+        [([], [["1", "2"]])],
+        "table_headers array<string>, table_rows array<array<string>>",
+    )
+    got = df.select(
+        column_types_expr(F.col("table_headers"), F.col("table_rows")).alias("t")
+    ).collect()
+    assert list(got[0]["t"]) == []

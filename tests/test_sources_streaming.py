@@ -318,3 +318,43 @@ def test_stream_extract_merge_replaces_redelivered_docs(spark, tmp_path):
     # replay: a second availableNow run consumes nothing new -> no change
     stream_extract_merge(spark, inbox, store, ckpt)
     assert read_output(spark, store).count() == after.count()
+
+
+def test_stream_merge_same_batch_double_delivery_keeps_latest(spark, tmp_path):
+    """Two versions of one doc in a single micro-batch: only the newest
+    file's version lands (no mixed-version or duplicate keys)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import corpus_rows
+    from pdf_extractor_spark.lineage import read_output, run_with_lineage
+    from pdf_extractor_spark.schema import DOCS_SCHEMA
+    from pdf_extractor_spark.streaming import stream_extract_merge
+
+    store = str(tmp_path / "store")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(corpus_rows(8), schema=DOCS_SCHEMA)
+    run_with_lineage(spark, base, store, n_buckets=2, run_id="seed")
+
+    doc = corpus_rows(8)[0]["doc_id"]
+
+    def deliver(text):
+        spark.createDataFrame(
+            [{"doc_id": doc, "spans": [
+                {"kind": "text", "text": text, "media_ref": "", "offset": 0}]}],
+            schema=DOCS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    deliver("version one")
+    _time.sleep(1.1)  # distinct file modification times
+    deliver("version two")
+    stream_extract_merge(spark, inbox, store, ckpt)
+
+    after = read_output(spark, store)
+    got = after.filter(F.col("doc_id") == doc).collect()
+    assert len(got) == 1
+    assert got[0]["text"] == "version two"
+    dupes = after.groupBy("doc_id", "offset").count().filter(F.col("count") > 1).count()
+    assert dupes == 0
