@@ -484,32 +484,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pool, pairs)
 
 
-# edges as an inline derived table: DuckDB's WITH RECURSIVE scoping
-# rejects a nested WITH inside a sibling CTE, so the band/pair CTE
-# chain lives inside the derived-table subquery instead.
-_CC_EDGES_SQL = f"""
-SELECT a_id AS src, b_id AS dst FROM (
-  WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)})
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-)
-UNION
-SELECT b_id AS src, a_id AS dst FROM (
-  WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)})
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-)
-"""
-
+# DuckDB's WITH RECURSIVE rejects a bare WITH as a sibling CTE *body*
+# (`bands AS (WITH base AS ...)` fails to scope), but accepts it inside
+# a parenthesized derived table — so wrap _minhash_sql once and let the
+# pairs CTE self-join the materialized bands instead of recomputing the
+# signature pipeline per join side.
 DEDUP_CC_SQL = f"""
-WITH RECURSIVE reach(node, r) AS (
+WITH RECURSIVE
+bands AS (SELECT * FROM ({_minhash_sql(_DUP_SOURCE_SQL)}) t),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(node, r) AS (
   SELECT doc_id, doc_id FROM ({_DUP_SOURCE_SQL})
   UNION
-  SELECT e.src, reach.r FROM ({_CC_EDGES_SQL}) e JOIN reach ON e.dst = reach.node
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
 )
 SELECT node AS doc_id, min(r) AS survivor FROM reach GROUP BY 1
 """
