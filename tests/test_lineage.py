@@ -255,3 +255,54 @@ def test_merge_algebra_roundtrip(spark, docs_df, tmp_path):
     for d, o in new_keys:
         del want[(d, o)]
     assert got2 == want
+
+
+def test_merge_crash_between_write_and_commit_is_idempotent(
+    spark, docs_df, tmp_path, monkeypatch
+):
+    """Copy-on-write protocol: a crash AFTER the new version dir is
+    written but BEFORE the manifest commit leaves the old version
+    served; retrying the merge converges to exactly-once effect."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark import lineage as L
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    before = read_output(spark, out)
+    target = before.orderBy("doc_id", "offset").limit(1)
+    updates = target.withColumn("text", F.lit("CRASHED-EDIT"))
+
+    real_commit = L._commit_lineage
+    calls = {"n": 0}
+
+    def exploding_commit(output_dir, entries):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(L, "_commit_lineage", exploding_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        L.upsert_elements(spark, out, updates)
+    assert calls["n"] == 1
+    monkeypatch.setattr(L, "_commit_lineage", real_commit)
+
+    # old version still served — the write happened but was never committed
+    t = target.collect()[0]
+    mid = read_output(spark, out)
+    assert mid.count() == before.count()
+    assert (
+        mid.filter(
+            (F.col("doc_id") == t["doc_id"]) & (F.col("offset") == t["offset"])
+        ).collect()[0]["text"]
+        == t["text"]
+    )
+
+    # retry converges: edit lands exactly once, version advances past the
+    # orphaned (uncommitted) v1 directory
+    L.upsert_elements(spark, out, updates)
+    after = read_output(spark, out)
+    assert after.count() == before.count()
+    hits = after.filter(
+        (F.col("doc_id") == t["doc_id"]) & (F.col("offset") == t["offset"])
+    ).collect()
+    assert len(hits) == 1 and hits[0]["text"] == "CRASHED-EDIT"
