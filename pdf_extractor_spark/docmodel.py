@@ -42,7 +42,6 @@ from .textproc import clean_title, html_to_text, md5_hex, token_count
 Span = Dict[str, Any]
 
 HEADING_RE = re.compile(r"^(#{1,6})\s*(.*)$", re.DOTALL)
-NUMBER_RE = re.compile(r"(\d+(?:\.\d+)*\.?)\s*(.*)", re.DOTALL)
 PAGE_RE = re.compile(r"<!--\s*page:\s*(\d+)\s*-->")
 IMAGE_RE = re.compile(r"!\[(.*?)\]\((.*?)\)")
 TABLE_LINE_RE = re.compile(r"\|.*\|")
@@ -69,6 +68,10 @@ def parse_markdown_table(content: str) -> Optional[Dict[str, Any]]:
     if not headers:
         return None
     separator = lines[1].strip("|").split("|")
+    # PREFIX match on purpose: the reference validates separators with
+    # re.match(r"[-: ]+", ...) (markdown_extractor.py:163), so a second
+    # row whose cells merely START with -/:/space (e.g. "| -1 | -2 |")
+    # is consumed as a separator there too — parity over intuition.
     if not all(SEPARATOR_CELL_RE.match(s.strip()) for s in separator):
         return None
     rows = []
@@ -391,7 +394,11 @@ def extract_document_cols(
                 )
             continue
 
-        # unknown kinds pass through as text lines (forward compat)
+        # unknown kinds pass through as text lines (forward compat);
+        # flush any open table first — buffering text under an open
+        # table would emit it AHEAD of earlier table rows, breaking
+        # offset-order equality
+        flush_table()
         text_buf.append(text)
 
     flush_text()

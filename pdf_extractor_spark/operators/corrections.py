@@ -31,9 +31,13 @@ def apply_corrections(elements: DataFrame, corrections: DataFrame) -> DataFrame:
     )
     joined = elements.join(F.broadcast(fixed), ["doc_id", "offset"], "left")
     corrected = F.col("_corr").isNotNull()
-    # same tokenization as textproc.token_count (alnum runs + marks)
+    # same tokenization as textproc.token_count (alnum runs + marks);
+    # (?U) makes Java's \s Unicode-aware like Python's re — without it
+    # NBSP etc. count as marks here but as whitespace in the twin
     n_tokens = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"), 0)
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"(?U)[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"), 0
+        )
     )
     corrected_table = corrected & (F.col("kind") == "table")
     return (

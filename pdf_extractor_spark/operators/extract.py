@@ -163,7 +163,11 @@ def _extract_mega_flat(mega: DataFrame, merge_strategy: str) -> DataFrame:
     """
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("offset")
+        # null offsets arrive as NaN in pandas; docmodel's `or 0` guard
+        # doesn't catch NaN (truthy) and NaN sort order is unstable —
+        # map them to 0 up front, matching the flat path's null handling
+        pdf = pdf.assign(offset=pdf["offset"].fillna(0).astype("int64"))
+        pdf = pdf.sort_values("offset", kind="mergesort")
         spans = pdf[["kind", "text", "media_ref", "offset"]].to_dict("records")
         els = extract_document(spans, merge_strategy)
         out: dict = {c: [e[c] for e in els] for c in ELEMENT_COLUMNS}
@@ -217,7 +221,11 @@ def extract_spans(
 
 def _extract_mega_nested(mega: DataFrame, merge_strategy: str) -> DataFrame:
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("offset")
+        # null offsets arrive as NaN in pandas; docmodel's `or 0` guard
+        # doesn't catch NaN (truthy) and NaN sort order is unstable —
+        # map them to 0 up front, matching the flat path's null handling
+        pdf = pdf.assign(offset=pdf["offset"].fillna(0).astype("int64"))
+        pdf = pdf.sort_values("offset", kind="mergesort")
         spans = pdf[["kind", "text", "media_ref", "offset"]].to_dict("records")
         out = extract_document(spans, merge_strategy)
         return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]], "out_spans": [out]})

@@ -85,8 +85,15 @@ def column_types_expr(headers: Column, rows: Column) -> Column:
     column semantics. Empty tables yield all-'string' (no evidence)."""
 
     def col_type(j: Column) -> Column:
+        # try_element_at: a ragged row shorter than the header count
+        # yields NULL instead of INVALID_ARRAY_INDEX — the missing cell
+        # behaves like pandas' NaN pad (blocks bigint, allowed for
+        # double), matching parsers._pad_rect
+        def cell(r: Column) -> Column:
+            return F.try_element_at(r, j)
+
         all_int = F.forall(
-            rows, lambda r: F.element_at(r, j).try_cast("bigint").isNotNull()
+            rows, lambda r: cell(r).try_cast("bigint").isNotNull()
         )
         # pandas maps empty cells to NaN and still converts the column
         # to float — an empty cell blocks bigint but not double; pandas
@@ -94,12 +101,11 @@ def column_types_expr(headers: Column, rows: Column) -> Column:
         all_num = F.forall(
             rows,
             lambda r: (
-                F.element_at(r, j).try_cast("double").isNotNull()
-                & ~F.lower(F.trim(F.element_at(r, j))).rlike(
-                    r"^[+-]?(nan|inf|infinity)$"
-                )
+                cell(r).try_cast("double").isNotNull()
+                & ~F.lower(F.trim(cell(r))).rlike(r"^[+-]?(nan|inf|infinity)$")
             )
-            | (F.length(F.trim(F.element_at(r, j))) == 0),
+            | (F.length(F.trim(cell(r))) == 0)
+            | cell(r).isNull(),
         )
         return (
             F.when(F.size(rows) == 0, "string")

@@ -10,8 +10,17 @@ real — the reference's carried-across-elements heading stack
     level-j    = last(heading text at level j)  +  its offset
     stack rule = include level j iff its offset exceeds every lower
                  level's offset (a later lower-level heading truncates
-                 the stack) — exactly the path[:level-1] + [title]
-                 semantics of the state machine.
+                 the stack).
+
+Known divergence from the state machine (documented, pinned by
+tests/test_sections_native.py): docmodel truncates the FLAT path list
+positionally (``path[:level-1] + [title]``), so a document that opens
+with '### A' then '## B' compresses to ['A','B'] there; the per-level
+window slots here yield ['B'] (the h3 slot is invalidated by the later
+h2). The two agree whenever heading levels never skip upward past an
+unseen level — every fixture and the reference golden. Title cleanup
+here is the ASCII path of clean_title (control-strip + trim +
+'Unnamed Section' fallback); NFC/NFKD folds are UDF-only.
 
 Zero Python: usable as a pre-pass for query planning (e.g. section
 filters pushed ahead of the heavy extraction UDF at 100 TB).
@@ -54,12 +63,16 @@ def annotate_spans_native(docs: DataFrame) -> DataFrame:
         # title — same as the state machine (docmodel heading branch)
         F.greatest(F.length(hashes), F.lit(1)),
     )
+    raw_title = F.when(
+        F.length(hashes) > 0,
+        F.trim(F.regexp_extract(F.trim("text"), r"^#{1,6}\s*(.*)$", 1)),
+    ).otherwise(F.trim("text"))
+    # clean_title's ASCII path, natively: strip C0 controls + DEL, trim,
+    # empty → 'Unnamed Section' (textproc.clean_title)
+    cleaned = F.trim(F.regexp_replace(raw_title, r"[\x00-\x1f\x7f]", ""))
     heading_title = F.when(
         F.col("kind") == "heading",
-        F.when(
-            F.length(hashes) > 0,
-            F.trim(F.regexp_extract(F.trim("text"), r"^#{1,6}\s*(.*)$", 1)),
-        ).otherwise(F.trim("text")),
+        F.when(F.length(cleaned) > 0, cleaned).otherwise(F.lit("Unnamed Section")),
     )
 
     annotated = spans.select(

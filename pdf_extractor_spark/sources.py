@@ -162,6 +162,15 @@ def _pdf_unescape(raw: bytes) -> str:
         c = raw[i : i + 1]
         if c == b"\\" and i + 1 < len(raw):
             nxt = raw[i + 1 : i + 2]
+            # octal escapes \d, \dd, \ddd (PDF 32000-1 §7.3.4.2) — the
+            # standard way writers embed literal parens in strings
+            if nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j] in b"01234567":
+                    j += 1
+                out.append(chr(int(raw[i + 1 : j], 8) & 0xFF))
+                i = j
+                continue
             out.append({b"n": "\n", b"t": "\t", b"r": "\r"}.get(nxt, nxt.decode("latin-1")))
             i += 2
         else:
@@ -259,12 +268,17 @@ def read_pdf_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFr
 def label_studio_tasks(elements: DataFrame, source: str = "engine") -> DataFrame:
     """Flat extracted elements → one Label Studio task row per table."""
     tables = elements.filter(F.col("kind") == "table")
+    # doc_id carries the source file's relative path INCLUDING its
+    # extension; the reference's pdf_id is an extension-less stem
+    # (api.py:201 formats f"{pdf_id}.pdf") — strip a trailing extension
+    # so URLs don't come out as "manual.pdf.pdf"
+    stem = F.regexp_replace(F.col("doc_id"), r"\.[A-Za-z0-9]+$", "")
     data = F.struct(
         F.col("doc_id").alias("pdf_id"),
         F.col("page"),
         F.concat(
             F.lit("/data/upload/uploads/"),
-            F.col("doc_id"),
+            stem,
             F.lit(".pdf#page="),
             F.col("page").cast("string"),
         ).alias("pdf_page_url"),

@@ -309,3 +309,30 @@ def test_unparseable_table_run_dropped():
     )
     out = extract_document(doc)
     assert [e["kind"] for e in out] == ["text"]
+
+
+def test_unknown_kind_flushes_open_table_buffer():
+    """An unknown-kind span between table rows must not emit its text
+    AHEAD of the earlier table rows (offset-order invariant)."""
+    from pdf_extractor_spark.docmodel import extract_document
+
+    spans = [
+        {"kind": "table_row", "text": "| A | B |", "media_ref": "", "offset": 0},
+        {"kind": "table_row", "text": "|---|---|", "media_ref": "", "offset": 1},
+        {"kind": "table_row", "text": "| 1 | 2 |", "media_ref": "", "offset": 2},
+        {"kind": "mystery", "text": "interloper", "media_ref": "", "offset": 3},
+        {"kind": "text", "text": "", "media_ref": "", "offset": 4},
+    ]
+    els = extract_document(spans)
+    kinds = [e["kind"] for e in els]
+    assert kinds == ["table", "text"]  # table (rows 0-2) BEFORE the text
+    assert els[1]["text"] == "interloper"
+
+
+def test_separator_prefix_match_mirrors_reference():
+    """Reference parity (markdown_extractor.py:163 uses a PREFIX
+    re.match): a second row starting with '-' is consumed as separator."""
+    from pdf_extractor_spark.docmodel import parse_markdown_table
+
+    t = parse_markdown_table("| x | y |\n| -1 | -2 |\n| 3 | 4 |")
+    assert t == {"headers": ["x", "y"], "rows": [["3", "4"]]}

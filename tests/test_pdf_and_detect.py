@@ -151,3 +151,13 @@ def test_detect_regions_df(spark):
     got = detect_regions_df(pages).collect()
     methods = {(r["doc_id"], r["page"]): r["method"] for r in got}
     assert methods == {("d1", 1): "lattice", ("d1", 2): "stream"}
+
+
+def test_pdf_octal_escapes_decode():
+    """\\ddd octal escapes (the standard way PDF writers embed literal
+    parens) decode to their characters, not digit garbage."""
+    from pdf_extractor_spark.sources import _pdf_unescape
+
+    assert _pdf_unescape(rb"hello \051world\050") == "hello )world("
+    assert _pdf_unescape(rb"\101\61\8") == "A18"  # \101='A', \61='1', \8 literal
+    assert _pdf_unescape(rb"tab\there") == "tab\there"
