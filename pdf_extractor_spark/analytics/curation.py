@@ -54,11 +54,16 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = F.regexp_replace(
         F.regexp_replace(contact, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
     )
+    # guard: Spark's substring(s, -40, 40) returns '' when |s| < 40
+    # while the oracle's CASE returns the whole string — mirror the CASE
+    tail = F.when(
+        F.length(redacted) >= 40, F.substring(redacted, -40, 40)
+    ).otherwise(redacted)
     return docs.select(
         "doc_id",
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
-        F.substring(redacted, -40, 40).alias("redacted_tail"),
+        tail.alias("redacted_tail"),
     )
 
 

@@ -90,12 +90,15 @@ def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode_media_batch, schema=MEDIA_META_SCHEMA)
 
 
+# coalesce mirrors the Spark kernel's NULL payload → b'' coercion
+# (same guard as MEDIA_FRAME_SAMPLE_SQL; an unguarded NULL text would
+# emit NULL metrics here vs 0-byte metrics there and break hash parity)
 MEDIA_DECODE_SQL = """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
-       CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INTEGER) AS height,
-       CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS frames,
+       CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+       CAST(coalesce(octet_length(encode(text)), 0) % 640 + 16 AS INTEGER) AS width,
+       CAST((coalesce(octet_length(encode(text)), 0) * 7) % 480 + 16 AS INTEGER) AS height,
+       CAST(coalesce(octet_length(encode(text)), 0) % 30 + 1 AS INTEGER) AS frames,
        'fake/v1' AS codec
 FROM documents
 """

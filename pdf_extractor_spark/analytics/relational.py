@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import load
+from .base import floor_round, load
 
 SESSION_GAP_S = 1800
 RRF_K = 60
@@ -33,14 +33,18 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # floor-rounding, not round(): Spark rounds doubles via their
+    # shortest decimal string (HALF_UP) while DuckDB rounds the binary
+    # value — sums landing near a .005 boundary would hash-diverge
+    # (CLAUDE.md oracle-parity rule; floor is identical in both engines)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            floor_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            floor_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            floor_round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            floor_round(F.sum(charge), 2).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -48,10 +52,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(floor(sum(l_quantity) * 100) / 100 AS DOUBLE) AS sum_qty,
+       CAST(floor(sum(l_extendedprice) * 100) / 100 AS DOUBLE) AS sum_base_price,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS DOUBLE) AS sum_disc_price,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) / 100 AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -71,9 +75,9 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy("l_orderkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            floor_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
     )
     return (
@@ -92,7 +96,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_REVENUE_SQL = """
 SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name, r.revenue
 FROM (
-  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT l_orderkey,
+         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS DOUBLE) AS revenue
   FROM lineitem GROUP BY 1
 ) r
 JOIN orders o ON r.l_orderkey = o.o_orderkey
@@ -261,7 +266,9 @@ GROUP BY 1, 2
 def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    w2 = Window.orderBy(F.asc(F.md5("text")))
+    # doc_id tiebreak: duplicate texts share an md5 and would rank
+    # arbitrarily per engine otherwise
+    w2 = Window.orderBy(F.asc(F.md5("text")), F.asc("doc_id"))
     ranked = docs.select(
         "doc_id",
         F.row_number().over(w1).alias("r1"),
@@ -283,7 +290,7 @@ SELECT doc_id,
 FROM (
   SELECT doc_id,
          row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r1,
-         row_number() OVER (ORDER BY md5(text) ASC) AS r2
+         row_number() OVER (ORDER BY md5(text) ASC, doc_id ASC) AS r2
   FROM documents
 )
 ORDER BY rrf_score DESC, doc_id ASC
@@ -556,12 +563,12 @@ def union_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.unionByName(b)
         .groupBy("o_custkey")
-        .agg(F.round(F.max("o_totalprice"), 2).alias("best_price"))
+        .agg(floor_round(F.max("o_totalprice"), 2).alias("best_price"))
     )
 
 
 UNION_DEDUP_SQL = """
-SELECT o_custkey, round(max(o_totalprice), 2) AS best_price
+SELECT o_custkey, CAST(floor(max(o_totalprice) * 100) / 100 AS DOUBLE) AS best_price
 FROM (
   SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
   UNION ALL

@@ -363,9 +363,12 @@ def _sem_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
     base = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    # variant id = source + OFFSET*(k+1): id % OFFSET recovers the
+    # SOURCE document (all variants derive from the query vector), so
+    # the preview join enriches with the right document's fields
     variants = [
         base.select(
-            (F.col("vec_id") + DUP_ID_OFFSET + k).alias("vec_id"),
+            (F.col("vec_id") + DUP_ID_OFFSET * (k + 1)).alias("vec_id"),
             _sem_variant(F.col("embedding"), k).alias("embedding"),
         )
         for k in range(SEM_N_VARIANTS)
@@ -410,7 +413,7 @@ def semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEM_VARIANT_SQL = "\nUNION ALL\n".join(
-    f"SELECT vec_id + {DUP_ID_OFFSET + k} AS vec_id, "
+    f"SELECT vec_id + {DUP_ID_OFFSET * (k + 1)} AS vec_id, "
     f"list_transform(generate_series(1, {DIMS}), i -> CAST(embedding[i] AS DOUBLE) * "
     f"(1.0 + {0.1 + 0.25 * k!r} * sin(({k + 1}) * i))) AS embedding "
     f"FROM embeddings WHERE vec_id = {QUERY_VEC_ID}"

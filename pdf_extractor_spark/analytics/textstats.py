@@ -281,6 +281,9 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
     # tokenization of every document) runs once; what's cached is only
     # (doc_id, dl, tf_*) — a handful of numerics per doc, ~10^4× smaller
     # than the corpus, which is exactly what you'd materialize at 100 TB.
+    # Deliberately session-lifetime (no unpersist): the builder can't
+    # know when its lazy consumers finish; entries are tiny and Spark's
+    # LRU evicts under pressure — same policy as dedup._with_bands.
     per_doc = per_doc.persist()
     stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),

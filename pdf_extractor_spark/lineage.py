@@ -127,19 +127,21 @@ def run_with_lineage(
         ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
         if commit_mode == "batch":
             extracted = extracted.persist()
-            t0 = time.time()
-            (
-                extracted.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket")
-                .parquet(output_dir)
-            )
-            wall_ms = int((time.time() - t0) * 1000)
-            counts = {
-                r["bucket"]: r["count"]
-                for r in extracted.groupBy("bucket").count().collect()
-            }
-            extracted.unpersist()
+            try:
+                t0 = time.time()
+                (
+                    extracted.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket")
+                    .parquet(output_dir)
+                )
+                wall_ms = int((time.time() - t0) * 1000)
+                counts = {
+                    r["bucket"]: r["count"]
+                    for r in extracted.groupBy("bucket").count().collect()
+                }
+            finally:
+                extracted.unpersist()
             for b in todo:
                 part_dir = os.path.join(output_dir, f"bucket={b}")
                 # empty buckets produce no partition dir under dynamic
@@ -186,16 +188,53 @@ def _bucket_dir(output_dir: str, b: str | int, entry: dict) -> str:
     return os.path.join(output_dir, f"bucket={b}")
 
 
-def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    """Read back all committed non-empty buckets."""
+def read_output(
+    spark: SparkSession,
+    output_dir: str,
+    for_doc_ids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Read back committed non-empty buckets.
+
+    ``for_doc_ids`` (a DataFrame with a doc_id column) restricts the
+    scan to the buckets those documents hash into — the Iceberg-style
+    partition-pruned read a keyed lookup should do instead of scanning
+    the whole store. Pruning collects only the small distinct bucket-id
+    list, never the doc_ids themselves."""
     lineage = read_lineage(output_dir)
-    parts = [
+    wanted: Optional[set] = None
+    if for_doc_ids is not None:
+        meta = lineage.get(META_KEY) or {}
+        n_buckets = meta.get("n_buckets")
+        if n_buckets:
+            wanted = {
+                r["bucket"]
+                for r in for_doc_ids.select(
+                    bucket_of(F.col("doc_id"), n_buckets).alias("bucket")
+                )
+                .distinct()
+                .collect()
+            }
+    all_parts = [
         _bucket_dir(output_dir, b, e)
         for b, e in sorted(_bucket_items(lineage), key=lambda kv: int(kv[0]))
         if e["status"] == "done" and e.get("row_count", 0) > 0
     ]
-    if not parts:
+    if not all_parts:
         raise FileNotFoundError(f"no committed buckets under {output_dir}")
+    parts = (
+        all_parts
+        if wanted is None
+        else [
+            _bucket_dir(output_dir, b, e)
+            for b, e in _bucket_items(lineage)
+            if e["status"] == "done"
+            and e.get("row_count", 0) > 0
+            and int(b) in wanted
+        ]
+    )
+    if not parts:
+        # pruned to buckets with no committed data: empty, store schema
+        return spark.read.parquet(*all_parts).limit(0)
     return spark.read.parquet(*parts)
 
 

@@ -126,6 +126,11 @@ def _flat_batches(merge_strategy: str):
                     out["doc_id"].append(did)
                     for c in ELEMENT_COLUMNS:
                         out[c].append(el[c])
+            if not out["doc_id"]:
+                # a batch whose docs all extract to nothing: pandas
+                # types the empty list columns float64 and Arrow cannot
+                # cast empty float64 → list<string> — yield nothing
+                continue
             yield pd.DataFrame(out)
 
     return gen

@@ -12,7 +12,6 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     IntegerType,
-    LongType,
     StringType,
     StructField,
     StructType,
@@ -72,15 +71,9 @@ FLAT_SCHEMA = StructType(
     [StructField("doc_id", StringType(), False), *OUT_SPAN_STRUCT.fields]
 )
 
-# per-partition checkpoint/lineage table (FIXTURES.md §4; reference
-# analog: the table-cache resume files, table_extraction.py:256-283)
-LINEAGE_SCHEMA = StructType(
-    [
-        StructField("partition_id", IntegerType(), False),
-        StructField("status", StringType(), False),
-        StructField("row_count", LongType()),
-        StructField("bytes", LongType()),
-        StructField("wall_ms", LongType()),
-        StructField("run_id", StringType()),
-    ]
-)
+# The lineage manifest is a JSON file keyed by bucket id, written by
+# lineage._commit_lineage — entries carry status/row_count/bytes/
+# wall_ms/run_id plus version/path after a MERGE rewrite. There is
+# deliberately NO DataFrame schema for it here: an earlier
+# LINEAGE_SCHEMA struct drifted from the real manifest shape and was
+# removed (the manifest is the single source of truth).

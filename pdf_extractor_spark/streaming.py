@@ -279,15 +279,32 @@ def stream_extract_merge(
         ).persist()
         try:
             upsert_elements(sess, store_dir, flat)
-            new_max = flat.groupBy("doc_id").agg(F.max("offset").alias("mx"))
+            # stale keys are derived from EVERY delivered doc, not just
+            # docs that extracted rows — a doc re-delivered empty must
+            # still have its old elements removed (mx = -1 → all stale)
+            new_max = (
+                latest.select("doc_id")
+                .join(
+                    flat.groupBy("doc_id").agg(F.max("offset").alias("_mx")),
+                    "doc_id",
+                    "left",
+                )
+                .select("doc_id", F.coalesce("_mx", F.lit(-1)).alias("mx"))
+            )
+            # scan only the buckets the delivered docs hash into, not
+            # the whole store (read_output restricted by bucket list)
             stale = (
-                read_output(sess, store_dir)
+                read_output(sess, store_dir, for_doc_ids=new_max.select("doc_id"))
                 .join(new_max, "doc_id")
                 .filter(F.col("offset") > F.col("mx"))
                 .select("doc_id", "offset")
+                .persist()
             )
-            if not stale.isEmpty():
-                delete_elements(sess, store_dir, stale)
+            try:
+                if not stale.isEmpty():
+                    delete_elements(sess, store_dir, stale)
+            finally:
+                stale.unpersist()
         finally:
             flat.unpersist()
 

@@ -358,3 +358,36 @@ def test_stream_merge_same_batch_double_delivery_keeps_latest(spark, tmp_path):
     assert got[0]["text"] == "version two"
     dupes = after.groupBy("doc_id", "offset").count().filter(F.col("count") > 1).count()
     assert dupes == 0
+
+
+def test_stream_merge_empty_redelivery_removes_all_elements(spark, tmp_path):
+    """A document re-delivered with spans that extract to NOTHING must
+    end with zero elements in the store (replace semantics, not skip)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import corpus_rows
+    from pdf_extractor_spark.lineage import read_output, run_with_lineage
+    from pdf_extractor_spark.schema import DOCS_SCHEMA
+    from pdf_extractor_spark.streaming import stream_extract_merge
+
+    store = str(tmp_path / "store")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(corpus_rows(8), schema=DOCS_SCHEMA)
+    run_with_lineage(spark, base, store, n_buckets=2, run_id="seed")
+    before = read_output(spark, store)
+    doc = corpus_rows(8)[0]["doc_id"]
+    n_doc = before.filter(F.col("doc_id") == doc).count()
+    assert n_doc > 0
+
+    # blank-only spans extract to zero elements
+    spark.createDataFrame(
+        [{"doc_id": doc, "spans": [
+            {"kind": "text", "text": "   ", "media_ref": "", "offset": 0}]}],
+        schema=DOCS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(inbox)
+    stream_extract_merge(spark, inbox, store, ckpt)
+
+    after = read_output(spark, store)
+    assert after.filter(F.col("doc_id") == doc).count() == 0
+    assert after.count() == before.count() - n_doc
