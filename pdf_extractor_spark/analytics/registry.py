@@ -13,6 +13,7 @@ from . import (
     hybrid,
     multimodal,
     relational,
+    search_api,
     similarity,
     textstats,
 )
@@ -76,6 +77,14 @@ QUERIES: Dict[str, QuerySpec] = {
     ),
     "bm25_search": QuerySpec(
         textstats.bm25_search, textstats.BM25_SEARCH_SQL, "F15/O1", headline=True
+    ),
+    "bm25_search_stemmed": QuerySpec(
+        textstats.bm25_search_stemmed, textstats.BM25_SEARCH_STEMMED_SQL,
+        "F15 text_en analyzer",
+    ),
+    "unified_search": QuerySpec(
+        search_api.unified_search_default, hybrid.HYBRID_RRF_SQL,
+        "search_functions.py:112-160 dispatch",
     ),
     "fuzzy_partial_ratio_search": QuerySpec(
         textstats.fuzzy_partial_ratio_search, textstats.FUZZY_PARTIAL_RATIO_SQL,

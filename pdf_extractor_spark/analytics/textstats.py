@@ -17,6 +17,9 @@ Parity rules used throughout (Spark side ↔ DuckDB oracle side):
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -572,3 +575,161 @@ WHERE total_score > 0
 ORDER BY total_score DESC, doc_id ASC
 LIMIT {PR_LIMIT}
 """
+
+
+# ---------------------------------------------------------------------------
+# F15 text_en variant — BM25 over the text_en analyzer
+# (reference ArangoSearch views use the built-in ``text_en`` analyzer —
+#  arangodb/config.py:25-26: lowercase + accent strip + English
+#  stemming, empty stopword list — so "tables"/"queries"/"merging"
+#  match documents containing "table"/"query"/"merge". The whitespace-
+#  token BM25 above is ranking-equivalent only on already-normalized
+#  text; this variant carries the analyzer itself.)
+#
+# Layering of the parity argument:
+#  * the Porter stemmer is verified against a pinned fixture of the
+#    published algorithm's own example words (tests/test_text_analyzer.py);
+#  * the oracle SQL applies the SAME deterministic token→stem mapping
+#    via an embedded VALUES lookup (non-identity stems of the corpus
+#    vocabulary; identity fallback for unseen tokens), so the driver
+#    gate independently verifies the BM25 math + analyzer plumbing
+#    cross-engine. (DuckDB's own stem() lives in the fts extension,
+#    which is unavailable offline.)
+# ---------------------------------------------------------------------------
+
+STEMMED_QUERY_TERMS = ["tables", "queries", "merging"]  # → tabl/queri/merg
+
+# the synthetic corpus vocabulary (TESTDATA.md documents.text) — used
+# only to build the oracle's stem lookup; unseen tokens fall back to
+# identity on the oracle side, so vocabulary drift fails loudly in the
+# gate rather than silently skewing it
+_CORPUS_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+
+
+def _stemmed_tokens_udf():
+    from ..textproc import text_en_tokens
+
+    @F.pandas_udf("array<string>")
+    def stem_toks(
+        batches: Iterator[pandas.Series],
+    ) -> Iterator[pandas.Series]:
+        for texts in batches:
+            yield texts.map(lambda t: text_en_tokens(t or ""))
+
+    return stem_toks
+
+
+def bm25_scores_stemmed(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) with text_en-analyzed tokens; query terms pass
+    through the same analyzer (ArangoSearch analyzes both sides)."""
+    from ..textproc import porter_stem
+
+    terms = [porter_stem(t) for t in STEMMED_QUERY_TERMS]
+    toks = _stemmed_tokens_udf()(F.col("text"))
+
+    def _eq(term: str):
+        # factory capture, not lambda default args (HOF arity rule)
+        return lambda t: t == F.lit(term)
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t_))).alias(f"tf_{i}")
+            for i, t_ in enumerate(terms)
+        ],
+    ).persist()  # same single-scan corpus-stats policy as bm25_scores
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        comp = idf * (
+            tf
+            * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = comp if score is None else score + comp
+    return joined.select("doc_id", _floor_round(score, 4).alias("bm25"))
+
+
+def bm25_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        bm25_scores_stemmed(load(spark, sf_dir, "documents"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _stemmed_sql() -> str:
+    from ..textproc import porter_stem
+
+    terms = [porter_stem(t) for t in STEMMED_QUERY_TERMS]
+    stem_values = ", ".join(
+        f"('{w}', '{porter_stem(w)}')"
+        for w in _CORPUS_VOCAB
+        if porter_stem(w) != w
+    )
+    tf_aggs = ", ".join(
+        f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    tf_cols = ", ".join(
+        f"CAST(coalesce(s.tf_{i}, 0) AS DOUBLE) AS tf_{i}"
+        for i in range(len(terms))
+    )
+    df_aggs = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * (d.tf_{i} * ({BM25_K1} + 1.0)"
+        f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH stem_map(tok, stem_tok) AS (SELECT * FROM (VALUES {stem_values})),
+tok_rows AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+stemmed AS (
+  SELECT t.doc_id, coalesce(m.stem_tok, t.tok) AS tok
+  FROM tok_rows t LEFT JOIN stem_map m ON t.tok = m.tok
+),
+per_doc AS (
+  SELECT d.doc_id, CAST(coalesce(s.dl, 0) AS DOUBLE) AS dl, {tf_cols}
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS dl, {tf_aggs}
+    FROM stemmed GROUP BY doc_id
+  ) s USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_aggs}
+  FROM per_doc
+)
+SELECT doc_id,
+       CAST(floor(({score}) * 10000) / 10000 AS DOUBLE) AS bm25
+FROM per_doc d CROSS JOIN stats s
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+BM25_SEARCH_STEMMED_SQL = _stemmed_sql()

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 from typing import Optional
 
@@ -32,6 +34,8 @@ from .operators.extract import extract_elements
 
 LINEAGE_FILE = "lineage.json"  # tiny driver-side manifest (Iceberg stand-in)
 META_KEY = "__meta__"          # manifest metadata (n_buckets guard)
+LOCK_STALE_S = 30.0            # a lock older than this is a crashed holder
+LOCK_WAIT_S = 60.0
 
 
 def _bucket_items(lineage: dict):
@@ -54,12 +58,53 @@ def read_lineage(output_dir: str) -> dict[str, dict]:
         return json.load(f)
 
 
-def _commit_lineage(output_dir: str, entries: dict[str, dict]) -> None:
+def _commit_lineage(output_dir: str, delta: dict[str, dict]) -> dict[str, dict]:
+    """Concurrency-safe manifest commit: merge ``delta`` into the
+    CURRENT manifest under an exclusive lock, then atomic-rename.
+
+    Two concurrent committers (e.g. streaming CDC + a batch backfill)
+    previously raced read→write and the loser's rows were silently
+    dropped; the lock serializes read-merge-write so both deltas land
+    (the file-system stand-in for Iceberg's optimistic manifest swap —
+    ``manifest_version`` in the META row is the swap counter). A lock
+    left by a crashed process is stolen after ``LOCK_STALE_S``.
+    """
     path = _lineage_path(output_dir)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(entries, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)  # atomic rename = commit point
+    lock = path + ".lock"
+    deadline = time.time() + LOCK_WAIT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
+                    os.unlink(lock)  # crashed holder — steal
+                    continue
+            except OSError:
+                continue  # holder released between open and stat
+            if time.time() > deadline:
+                raise TimeoutError(f"could not acquire manifest lock {lock}")
+            time.sleep(0.005)
+    try:
+        current = read_lineage(output_dir)
+        merged = {**current, **{k: v for k, v in delta.items() if k != META_KEY}}
+        meta = {**current.get(META_KEY, {}), **delta.get(META_KEY, {})}
+        meta["manifest_version"] = current.get(META_KEY, {}).get(
+            "manifest_version", 0
+        ) + 1
+        merged[META_KEY] = meta
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # atomic rename = commit point
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+    return merged
 
 
 def _dir_bytes(path: str) -> int:
@@ -142,18 +187,20 @@ def run_with_lineage(
                 }
             finally:
                 extracted.unpersist()
+            delta: dict[str, dict] = {META_KEY: {"n_buckets": n_buckets}}
             for b in todo:
                 part_dir = os.path.join(output_dir, f"bucket={b}")
                 # empty buckets produce no partition dir under dynamic
                 # overwrite; record row_count 0 (read_output skips them)
-                lineage[str(b)] = {
+                delta[str(b)] = {
                     "status": "done",
                     "row_count": int(counts.get(b, 0)),
                     "bytes": _dir_bytes(part_dir) if b in counts else 0,
                     "wall_ms": wall_ms,  # shared job wall
                     "run_id": run_id,
                 }
-            _commit_lineage(output_dir, lineage)
+            lineage.update({k: v for k, v in delta.items() if k != META_KEY})
+            _commit_lineage(output_dir, delta)
             return lineage
 
         extracted = extracted.persist()
@@ -167,14 +214,18 @@ def run_with_lineage(
                 row_count = part_df.count()
                 if row_count > 0:
                     part_df.write.mode("overwrite").parquet(part_dir)
-                lineage[str(b)] = {
+                entry = {
                     "status": "done",
                     "row_count": row_count,
                     "bytes": _dir_bytes(part_dir) if row_count > 0 else 0,
                     "wall_ms": int((time.time() - t0) * 1000),
                     "run_id": run_id,
                 }
-                _commit_lineage(output_dir, lineage)
+                lineage[str(b)] = entry
+                _commit_lineage(
+                    output_dir,
+                    {META_KEY: {"n_buckets": n_buckets}, str(b): entry},
+                )
         finally:
             extracted.unpersist()
     return lineage
@@ -252,29 +303,76 @@ def read_output(
 
 MERGE_KEYS = ("doc_id", "offset")
 
+_BUCKET_DIR_RE = re.compile(r"^bucket=\d+(__v\d+)?$")
+_MERGE_ROOT_RE = re.compile(r"^merge_v\d+$")
 
-def _merge_buckets(
+
+def merge_elements(
     spark: SparkSession,
     output_dir: str,
-    changes: DataFrame,
-    *,
-    insert: bool,
+    updates: Optional[DataFrame] = None,
+    delete_keys: Optional[DataFrame] = None,
+    commit_mode: str = "batch",
 ) -> dict[str, dict]:
+    """Keyed MERGE on the extracted store: one copy-on-write commit that
+    replaces rows matching ``updates``' (doc_id, offset), inserts the
+    new keys, and removes ``delete_keys``. A key appearing in both
+    frames is updated (updates win — delete applies only to keys not
+    re-inserted), matching delete-then-upsert CRUD order
+    (reference arangodb/crud.py update/replace/delete semantics).
+
+    ``commit_mode``:
+
+    * ``batch`` (default, the 100 TB shape) — ONE Spark wave for any
+      number of affected buckets: union-read every affected bucket's
+      current version, one global anti-join on the touched keys, one
+      ``partitionBy(bucket)`` write into a fresh ``merge_v{gen}``
+      generation directory, per-bucket counts from one
+      ``groupBy(bucket).count()`` over the written files, then a single
+      manifest commit flips every affected bucket to the new generation
+      atomically. No per-bucket driver loop — 10⁴ affected buckets cost
+      the same number of Spark jobs as 1.
+    * ``per_bucket`` — one read+anti-join+write+commit per affected
+      bucket; finest commit granularity (a crash loses at most one
+      bucket's rewrite) for fine-grain CDC touching a few buckets.
+
+    Either way a crash between write and manifest commit leaves the old
+    versions referenced (the new generation directory is orphaned, and
+    reclaimed by the post-commit vacuum of the next successful merge),
+    so retries converge — the Iceberg copy-on-write MERGE protocol.
+    """
+    if updates is None and delete_keys is None:
+        raise ValueError("merge_elements needs updates and/or delete_keys")
     lineage = read_lineage(output_dir)
     meta = lineage.get(META_KEY)
     if meta is None:
         raise FileNotFoundError(f"no lineage manifest under {output_dir}")
     n_buckets = meta["n_buckets"]
-    # persist: consumed once for the affected-bucket list and once per
-    # affected bucket — without a cache a full upstream pipeline (e.g. a
-    # streaming extraction batch) would recompute each time
-    keyed = changes.withColumn(
-        "bucket", bucket_of(F.col("doc_id"), n_buckets)
-    ).persist()
+
+    def keyed_of(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        if df is None:
+            return None
+        return df.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+
+    # persist: each frame is consumed for the affected-bucket list and
+    # again by the rewrite — without a cache a full upstream pipeline
+    # (e.g. a streaming extraction batch) would recompute per use
+    ups = keyed_of(updates)
+    dels = keyed_of(delete_keys.select(*MERGE_KEYS) if delete_keys is not None else None)
+    for df in (ups, dels):
+        if df is not None:
+            df.persist()
     try:
+        all_keys = None
+        for df in (ups, dels):
+            if df is not None:
+                k = df.select(*MERGE_KEYS, "bucket")
+                all_keys = k if all_keys is None else all_keys.unionByName(k)
         affected = sorted(
-            r["bucket"] for r in keyed.select("bucket").distinct().collect()
+            r["bucket"] for r in all_keys.select("bucket").distinct().collect()
         )
+        if not affected:
+            return lineage
         for b in affected:
             entry = lineage.get(str(b))
             if entry is None or entry.get("status") != "done":
@@ -282,55 +380,208 @@ def _merge_buckets(
                     f"bucket {b} has no committed data — MERGE targets an "
                     "extracted store, run the pipeline first"
                 )
-            delta = keyed.filter(F.col("bucket") == int(b)).drop("bucket")
-            t0 = time.time()
-            if entry.get("row_count", 0) > 0:
-                current = spark.read.parquet(_bucket_dir(output_dir, b, entry))
-                merged = current.join(
-                    delta.select(*MERGE_KEYS), list(MERGE_KEYS), "left_anti"
-                )
-            else:
-                merged = None
-            if insert:
-                new_rows = delta if merged is None else merged.unionByName(delta)
-            else:
-                new_rows = merged
-            version = entry.get("version", 0) + 1
-            rel_path = f"bucket={b}__v{version}"
-            new_dir = os.path.join(output_dir, rel_path)
-            if new_rows is not None:
-                # write once, then count from the written files — a
-                # count() before the write would execute the whole
-                # read+anti-join+union plan a second time
-                new_rows.write.mode("overwrite").parquet(new_dir)
-                row_count = spark.read.parquet(new_dir).count()
-            else:
-                row_count = 0
-            lineage[str(b)] = {
-                "status": "done",
-                "row_count": row_count,
-                "bytes": _dir_bytes(new_dir) if row_count > 0 else 0,
-                "wall_ms": int((time.time() - t0) * 1000),
-                "run_id": entry.get("run_id", "merge"),
-                "version": version,
-                "path": rel_path if row_count > 0 else None,
-            }
-            _commit_lineage(output_dir, lineage)
+        if commit_mode == "batch":
+            lineage = _merge_batch(
+                spark, output_dir, lineage, affected, ups, dels, all_keys,
+                n_buckets=n_buckets,
+            )
+        else:
+            lineage = _merge_per_bucket(
+                spark, output_dir, lineage, affected, ups, all_keys
+            )
     finally:
-        keyed.unpersist()
+        for df in (ups, dels):
+            if df is not None:
+                df.unpersist()
+    vacuum_store(output_dir)
     return lineage
 
 
+def _merge_batch(
+    spark: SparkSession,
+    output_dir: str,
+    lineage: dict,
+    affected: list,
+    ups: Optional[DataFrame],
+    dels: Optional[DataFrame],
+    all_keys: DataFrame,
+    *,
+    n_buckets: int,
+) -> dict:
+    t0 = time.time()
+    # one generation per merge commit; computed from COMMITTED versions
+    # only, so a retry after a crash reuses (and overwrites) the same
+    # orphaned generation directory — idempotent
+    gen = 1 + max(lineage[str(b)].get("version", 0) for b in affected)
+    rel_root = f"merge_v{gen}"
+    staging = os.path.join(output_dir, rel_root)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # orphan from a crashed attempt
+    src_dirs = [
+        _bucket_dir(output_dir, b, lineage[str(b)])
+        for b in affected
+        if lineage[str(b)].get("row_count", 0) > 0
+    ]
+    if src_dirs:
+        # bucket is a pure function of doc_id, so the partition column
+        # is recomputed rather than threaded through the store files
+        current = spark.read.parquet(*src_dirs).withColumn(
+            "bucket", bucket_of(F.col("doc_id"), n_buckets)
+        )
+        kept = current.join(
+            all_keys.select(*MERGE_KEYS).distinct(), list(MERGE_KEYS), "left_anti"
+        )
+        new_rows = kept.unionByName(ups) if ups is not None else kept
+    else:
+        new_rows = ups
+    counts: dict = {}
+    if new_rows is not None:
+        (
+            new_rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        has_parts = os.path.isdir(staging) and any(
+            name.startswith("bucket=") for name in os.listdir(staging)
+        )
+        if has_parts:
+            counts = {
+                r["bucket"]: r["count"]
+                for r in spark.read.parquet(staging)
+                .groupBy("bucket")
+                .count()
+                .collect()
+            }
+    wall_ms = int((time.time() - t0) * 1000)
+    delta: dict[str, dict] = {}
+    for b in affected:
+        old = lineage[str(b)]
+        rc = int(counts.get(b, 0))
+        rel_path = f"{rel_root}/bucket={b}"
+        entry = {
+            "status": "done",
+            "row_count": rc,
+            "bytes": _dir_bytes(os.path.join(output_dir, rel_path)) if rc > 0 else 0,
+            "wall_ms": wall_ms,  # shared wave wall
+            "run_id": old.get("run_id", "merge"),
+            "version": gen,
+            "path": rel_path if rc > 0 else None,
+        }
+        delta[str(b)] = entry
+        lineage[str(b)] = entry
+    _commit_lineage(output_dir, delta)
+    return lineage
+
+
+def _merge_per_bucket(
+    spark: SparkSession,
+    output_dir: str,
+    lineage: dict,
+    affected: list,
+    ups: Optional[DataFrame],
+    all_keys: DataFrame,
+) -> dict:
+    for b in affected:
+        entry = lineage[str(b)]
+        t0 = time.time()
+        keys_b = all_keys.filter(F.col("bucket") == int(b)).select(*MERGE_KEYS)
+        ups_b = (
+            ups.filter(F.col("bucket") == int(b)).drop("bucket")
+            if ups is not None
+            else None
+        )
+        if entry.get("row_count", 0) > 0:
+            current = spark.read.parquet(_bucket_dir(output_dir, b, entry))
+            kept = current.join(keys_b.distinct(), list(MERGE_KEYS), "left_anti")
+            new_rows = kept.unionByName(ups_b) if ups_b is not None else kept
+        else:
+            new_rows = ups_b
+        version = entry.get("version", 0) + 1
+        rel_path = f"bucket={b}__v{version}"
+        new_dir = os.path.join(output_dir, rel_path)
+        if new_rows is not None:
+            # write once, then count from the written files — a count()
+            # before the write would execute the whole plan a second time
+            new_rows.write.mode("overwrite").parquet(new_dir)
+            row_count = spark.read.parquet(new_dir).count()
+        else:
+            row_count = 0
+        new_entry = {
+            "status": "done",
+            "row_count": row_count,
+            "bytes": _dir_bytes(new_dir) if row_count > 0 else 0,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "run_id": entry.get("run_id", "merge"),
+            "version": version,
+            "path": rel_path if row_count > 0 else None,
+        }
+        lineage[str(b)] = new_entry
+        _commit_lineage(output_dir, {str(b): new_entry})
+    return lineage
+
+
+def vacuum_store(output_dir: str) -> list[str]:
+    """Reclaim version directories superseded by the committed manifest.
+
+    Copy-on-write MERGE leaves the previous version of every rewritten
+    bucket on disk (that is what makes the commit crash-safe); without
+    retention, frequent CDC merges grow the store without bound. After
+    a successful commit, every ``bucket=N[__vK]`` dir and ``merge_vG``
+    generation member NOT referenced by the manifest is superseded or
+    orphaned — delete it. Called automatically post-commit by
+    :func:`merge_elements`; safe to invoke any time (single-writer
+    store; readers re-resolve paths from the manifest per query).
+    """
+    lineage = read_lineage(output_dir)
+    if not lineage:
+        return []
+    referenced = {
+        e["path"] if e.get("path") else f"bucket={b}"
+        for b, e in _bucket_items(lineage)
+        if e.get("row_count", 0) > 0
+    }
+    removed: list[str] = []
+    for name in sorted(os.listdir(output_dir)):
+        full = os.path.join(output_dir, name)
+        if not os.path.isdir(full):
+            continue
+        if _BUCKET_DIR_RE.match(name):
+            if name not in referenced:
+                shutil.rmtree(full)
+                removed.append(name)
+        elif _MERGE_ROOT_RE.match(name):
+            for sub in sorted(os.listdir(full)):
+                rel = f"{name}/{sub}"
+                subfull = os.path.join(full, sub)
+                if os.path.isdir(subfull) and rel not in referenced:
+                    shutil.rmtree(subfull)
+                    removed.append(rel)
+            if not any(r.startswith(name + "/") for r in referenced):
+                shutil.rmtree(full)  # only _SUCCESS left
+    return removed
+
+
 def upsert_elements(
-    spark: SparkSession, output_dir: str, updates: DataFrame
+    spark: SparkSession,
+    output_dir: str,
+    updates: DataFrame,
+    commit_mode: str = "batch",
 ) -> dict[str, dict]:
     """MERGE: rows matching (doc_id, offset) are replaced, new keys are
     inserted. ``updates`` must carry the extracted-element schema."""
-    return _merge_buckets(spark, output_dir, updates, insert=True)
+    return merge_elements(
+        spark, output_dir, updates=updates, commit_mode=commit_mode
+    )
 
 
 def delete_elements(
-    spark: SparkSession, output_dir: str, keys: DataFrame
+    spark: SparkSession,
+    output_dir: str,
+    keys: DataFrame,
+    commit_mode: str = "batch",
 ) -> dict[str, dict]:
     """Keyed delete: rows matching (doc_id, offset) are removed."""
-    return _merge_buckets(spark, output_dir, keys.select(*MERGE_KEYS), insert=False)
+    return merge_elements(
+        spark, output_dir, delete_keys=keys, commit_mode=commit_mode
+    )

@@ -9,6 +9,7 @@ table_extraction.py:59).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -20,29 +21,53 @@ def _package_zip() -> str:
     """Zip this package so executors can import it — the programmatic
     equivalent of ``spark-submit --py-files`` (north rule deployment
     mode). Without this, UDFs unpickle-fail on workers whenever the
-    driver wasn't launched from the repo root."""
+    driver wasn't launched from the repo root.
+
+    The zip is CONTENT-ADDRESSED (sha256 of member paths + bytes in the
+    name) and built deterministically (sorted members, fixed
+    timestamps): a basename match in the session's file registry then
+    proves the very code being imported is what executors already hold
+    — a stale zip from another checkout gets a different name and is
+    shipped fresh instead of silently skipped.
+    """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(), "pdf_extractor_spark_pyfiles.zip")
-    with zipfile.ZipFile(out, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+    members: list[tuple[str, bytes]] = []
+    h = hashlib.sha256()
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs.sort()
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                with open(full, "rb") as fh:
+                    data = fh.read()
+                members.append((rel, data))
+                h.update(rel.encode())
+                h.update(b"\0")
+                h.update(data)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdf_extractor_spark_pyfiles_{h.hexdigest()[:16]}.zip",
+    )
+    if not os.path.exists(out):
+        tmp = out + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for rel, data in members:
+                info = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+                zf.writestr(info, data)
+        os.replace(tmp, out)
     return out
 
 
 def ensure_pyfiles(spark: SparkSession) -> None:
     """Ship this package to executors on an externally-created session
     (the driver contract hands us its own SparkSession). Idempotent —
-    repeat addPyFile calls with the same path are no-ops."""
+    the zip name is content-addressed, so an endswith match on the file
+    registry means THIS exact code is already shipped; any other zip
+    (same package, different content) falls through to addPyFile."""
     zip_path = _package_zip()
     sc = spark.sparkContext
-    # check the registry instead of classifying exception text (message
-    # substrings are version-fragile and can swallow real failures):
-    # if our zip is already shipped, this is the benign duplicate case
-    zip_name = os.path.basename(zip_path)
+    zip_name = "/" + os.path.basename(zip_path)
     try:
         listed = list(sc.listFiles)
     except Exception:  # noqa: BLE001 — API absent on exotic backends
@@ -82,5 +107,5 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
-    spark.sparkContext.addPyFile(_package_zip())
+    ensure_pyfiles(spark)
     return spark

@@ -272,9 +272,13 @@ def label_studio_tasks(elements: DataFrame, source: str = "engine") -> DataFrame
     # extension; the reference's pdf_id is an extension-less stem
     # (api.py:201 formats f"{pdf_id}.pdf") — strip a trailing extension
     # so URLs don't come out as "manual.pdf.pdf"
+    # the stem (not the extension-ful doc_id) is the pdf_id everywhere:
+    # the reference's pdf_id is an extension-less stem that api.py:201
+    # formats as f"{pdf_id}.pdf" — an extension-ful pdf_id would round-
+    # trip as "manual.pdf.pdf"
     stem = F.regexp_replace(F.col("doc_id"), r"\.[A-Za-z0-9]+$", "")
     data = F.struct(
-        F.col("doc_id").alias("pdf_id"),
+        stem.alias("pdf_id"),
         F.col("page"),
         F.concat(
             F.lit("/data/upload/uploads/"),
@@ -290,7 +294,7 @@ def label_studio_tasks(elements: DataFrame, source: str = "engine") -> DataFrame
         ).alias("table_data"),
     )
     meta = F.struct(
-        F.col("doc_id").alias("pdf_id"),
+        stem.alias("pdf_id"),
         F.col("section_id").alias("table_id"),
         F.col("page"),
     )

@@ -10,11 +10,14 @@ streaming analog of the lineage table's anti-join).
 Map-only streaming: the extraction kernel is the same Arrow-batched
 ``mapInPandas`` as the batch flat path, which is fully
 streaming-compatible (no stateful operator, no watermark needed).
-Mega-documents are a batch concern — the streaming path extracts every
-doc through the scalar kernel; a production deployment routes
-``size(spans) >= threshold`` rows to a side topic for batch backfill
-(the groupBy/applyInPandas skew path is not streamable without the
-state-store API, and does not need to be).
+Mega-documents (``size(spans) >= mega_span_threshold``) are routed OUT
+of the scalar kernel to a side parquet "backfill topic" — the
+groupBy/applyInPandas skew path is not streamable without the
+state-store API, and a true mega-doc in the stream would blow the
+Arrow batch bound the batch path guards against. The batch
+:func:`backfill_merge` / :func:`backfill_extract` companions drain the
+topic through the batch skew path and land the same rows the batch
+pipeline would have produced.
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ def stream_extract(
     checkpoint_dir: str,
     merge_strategy: str = "default",
     max_files_per_trigger: int | None = None,
+    mega_span_threshold: int | None = None,
+    backfill_dir: str | None = None,
 ):
     """Watch ``input_dir`` for parquet docs, extract, append parquet.
 
@@ -39,11 +44,33 @@ def stream_extract(
     then stop — so callers (and tests) invoke it per micro-batch wave;
     a long-running deployment would use a processingTime trigger
     instead. Returns the finished StreamingQuery.
+
+    With ``mega_span_threshold`` + ``backfill_dir`` set, mega-docs skip
+    the scalar kernel and land raw in the backfill topic (their own
+    checkpoint under ``<checkpoint_dir>_mega``); drain with
+    :func:`backfill_extract`.
     """
+    from pyspark.sql import functions as F
+
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
+    if mega_span_threshold is not None:
+        if backfill_dir is None:
+            raise ValueError("mega_span_threshold requires backfill_dir")
+        mega_q = (
+            docs.filter(F.size("spans") >= mega_span_threshold)
+            .writeStream.format("parquet")
+            .option("path", backfill_dir)
+            .option("checkpointLocation", checkpoint_dir + "_mega")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        docs = docs.filter(F.size("spans") < mega_span_threshold)
+    else:
+        mega_q = None
     flat = docs.mapInPandas(_flat_batches(merge_strategy), schema=FLAT_SCHEMA)
     query = (
         flat.writeStream.format("parquet")
@@ -54,11 +81,71 @@ def stream_extract(
         .start()
     )
     query.awaitTermination()
+    if mega_q is not None:
+        mega_q.awaitTermination()
     return query
 
 
+def backfill_extract(
+    spark: SparkSession,
+    backfill_dir: str,
+    output_dir: str,
+    merge_strategy: str = "default",
+    mega_span_threshold: int = 5_000,
+) -> int:
+    """Drain :func:`stream_extract`'s backfill topic through the BATCH
+    skew path (explode → shuffle by doc_id → ``applyInPandas``) and
+    append the flat rows to ``<output_dir>_backfill`` (a sibling of the
+    streaming sink — the sink's _spark_metadata log owns ``output_dir``
+    itself; :func:`read_stream_output` unions the two). Returns docs
+    drained. Consumed raw files are deleted after the append commits; a
+    crash between the two replays the backfill (at-least-once append —
+    the keyed store via :func:`backfill_merge` is the exactly-once
+    face).
+    """
+    import os
+
+    from .operators.extract import extract_elements
+
+    if not _has_parquet(backfill_dir):
+        return 0
+    raw = spark.read.schema(DOCS_SCHEMA).parquet(backfill_dir)
+    consumed = raw.inputFiles()
+    n_docs = raw.count()
+    if n_docs == 0:
+        return 0
+    flat = extract_elements(
+        raw.select("doc_id", "spans"),
+        merge_strategy=merge_strategy,
+        mega_span_threshold=mega_span_threshold,
+    )
+    flat.write.mode("append").parquet(output_dir + "_backfill")
+    for f in consumed:
+        path = f.removeprefix("file:")
+        if os.path.exists(path):
+            os.remove(path)
+    return n_docs
+
+
+def _has_parquet(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
 def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.schema(FLAT_SCHEMA).parquet(output_dir)
+    """Unified view of the streaming sink plus any batch-backfilled
+    flat rows. The two live in separate directories because a
+    streaming parquet sink owns its directory via the _spark_metadata
+    transaction log — batch files appended there would be invisible to
+    (batch and streaming) readers of the sink."""
+    out = spark.read.schema(FLAT_SCHEMA).parquet(output_dir)
+    side = output_dir + "_backfill"
+    if _has_parquet(side):
+        out = out.unionByName(spark.read.schema(FLAT_SCHEMA).parquet(side))
+    return out
 
 
 def stream_windowed_event_counts(
@@ -212,33 +299,73 @@ def stream_sessionize_stateful(
     return query
 
 
+def _merge_flat_into_store(
+    sess: SparkSession,
+    store_dir: str,
+    delivered: DataFrame,
+    flat: DataFrame,
+    commit_mode: str = "batch",
+) -> None:
+    """Land one deduped wave into the keyed store as ONE atomic MERGE
+    commit: upsert the extracted ``flat`` elements AND delete each
+    re-delivered doc's stale tail (offsets past its new maximum) in the
+    same manifest swap.
+
+    Stale keys are derived from EVERY ``delivered`` doc, not just docs
+    that extracted rows — a doc re-delivered empty must still have its
+    old elements removed (mx = -1 → all stale). The store scan is
+    restricted to the buckets the delivered docs hash into
+    (read_output pruning).
+    """
+    from pyspark.sql import functions as F
+
+    from .lineage import merge_elements, read_output
+
+    new_max = (
+        delivered.select("doc_id")
+        .join(
+            flat.groupBy("doc_id").agg(F.max("offset").alias("_mx")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("_mx", F.lit(-1)).alias("mx"))
+    )
+    stale = (
+        read_output(sess, store_dir, for_doc_ids=new_max.select("doc_id"))
+        .join(new_max, "doc_id")
+        .filter(F.col("offset") > F.col("mx"))
+        .select("doc_id", "offset")
+    )
+    merge_elements(
+        sess, store_dir, updates=flat, delete_keys=stale, commit_mode=commit_mode
+    )
+
+
 def stream_extract_merge(
     spark: SparkSession,
     input_dir: str,
     store_dir: str,
     checkpoint_dir: str,
     merge_strategy: str = "default",
+    mega_span_threshold: int | None = None,
+    backfill_dir: str | None = None,
 ):
     """CDC-style incremental extraction: new/updated document files are
     extracted and MERGED into an existing lineage store by
     (doc_id, offset) — re-delivered documents REPLACE their previous
     elements instead of appending duplicates.
 
-    ``foreachBatch`` + :func:`lineage.upsert_elements` composes the
+    ``foreachBatch`` + :func:`lineage.merge_elements` composes the
     exactly-once stream checkpoint (which micro-batches were consumed)
     with the store's copy-on-write MERGE commit (how a batch lands).
-    A crash between the two replays the micro-batch; replaying an
-    upsert of the same keys is idempotent, so the composition stays
-    exactly-once in effect. This is the streaming face of the
-    reference's update CRUD surface (arangodb/crud.py) — batch face:
-    lineage.upsert_elements.
-
-    Re-extracted documents may produce FEWER elements than before; the
-    keyed upsert replaces only matched (doc_id, offset) rows, so after
-    it lands the batch also deletes each re-delivered doc's stale tail
-    (offsets past its new maximum). Crash between the two merge
-    commits leaves the tail until the checkpoint replays the batch —
-    both steps are idempotent, so replay converges.
+    Each micro-batch is ONE atomic merge commit — the new elements
+    upsert and the stale tails (offsets past each re-delivered doc's
+    new maximum) delete in the same manifest swap, so the store is
+    never observable mid-update. A crash before the commit replays the
+    micro-batch; replaying the same merge is idempotent, so the
+    composition stays exactly-once in effect. This is the streaming
+    face of the reference's update CRUD surface (arangodb/crud.py) —
+    batch face: lineage.merge_elements.
 
     A document delivered TWICE within one micro-batch (rapid edits)
     must not upsert both versions — mixed-version elements would leak
@@ -246,11 +373,16 @@ def stream_extract_merge(
     extraction, keeping the newest source file (modification time,
     path as tie-break); extraction runs on the deduped batch inside
     ``foreachBatch`` as a plain batch job.
+
+    With ``mega_span_threshold`` + ``backfill_dir`` set, mega-docs in
+    the stream bypass the scalar kernel: their newest version is
+    appended raw to the backfill topic, to be drained by
+    :func:`backfill_merge` through the batch skew path. Run
+    backfill_merge before the next wave re-delivers those docs —
+    the store applies merges in arrival order (last merge wins).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from .lineage import delete_elements, read_output, upsert_elements
 
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -272,39 +404,23 @@ def stream_extract_merge(
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("doc_id", "spans")
+            .select("doc_id", "spans", "_mtime", "_fpath")
         )
-        flat = latest.mapInPandas(
+        if mega_span_threshold is not None:
+            if backfill_dir is None:
+                raise ValueError("mega_span_threshold requires backfill_dir")
+            n_spans = F.size("spans")
+            mega = latest.filter(n_spans >= mega_span_threshold)
+            if not mega.isEmpty():
+                mega.write.mode("append").parquet(backfill_dir)
+            latest = latest.filter(n_spans < mega_span_threshold)
+            if latest.isEmpty():
+                return
+        flat = latest.select("doc_id", "spans").mapInPandas(
             _flat_batches(merge_strategy), schema=FLAT_SCHEMA
         ).persist()
         try:
-            upsert_elements(sess, store_dir, flat)
-            # stale keys are derived from EVERY delivered doc, not just
-            # docs that extracted rows — a doc re-delivered empty must
-            # still have its old elements removed (mx = -1 → all stale)
-            new_max = (
-                latest.select("doc_id")
-                .join(
-                    flat.groupBy("doc_id").agg(F.max("offset").alias("_mx")),
-                    "doc_id",
-                    "left",
-                )
-                .select("doc_id", F.coalesce("_mx", F.lit(-1)).alias("mx"))
-            )
-            # scan only the buckets the delivered docs hash into, not
-            # the whole store (read_output restricted by bucket list)
-            stale = (
-                read_output(sess, store_dir, for_doc_ids=new_max.select("doc_id"))
-                .join(new_max, "doc_id")
-                .filter(F.col("offset") > F.col("mx"))
-                .select("doc_id", "offset")
-                .persist()
-            )
-            try:
-                if not stale.isEmpty():
-                    delete_elements(sess, store_dir, stale)
-            finally:
-                stale.unpersist()
+            _merge_flat_into_store(sess, store_dir, latest, flat)
         finally:
             flat.unpersist()
 
@@ -316,3 +432,62 @@ def stream_extract_merge(
     )
     query.awaitTermination()
     return query
+
+
+def backfill_merge(
+    spark: SparkSession,
+    backfill_dir: str,
+    store_dir: str,
+    merge_strategy: str = "default",
+    mega_span_threshold: int = 5_000,
+) -> int:
+    """Drain :func:`stream_extract_merge`'s mega-doc backfill topic into
+    the keyed store through the BATCH skew path, leaving the store in
+    exactly the state batch extraction of those docs would produce.
+
+    Dedups newest-per-doc across every pending backfill row (same
+    (_mtime, _fpath) order as the stream), extracts via
+    ``extract_elements`` (explode → shuffle → ``applyInPandas`` for the
+    mega tail, so no single Arrow batch owns a mega-doc), then lands
+    one atomic MERGE commit (upsert + stale-tail delete). Consumed raw
+    files are deleted only after the merge commits; a crash in between
+    replays the backfill — the keyed merge is idempotent, so the replay
+    converges. Returns number of docs merged.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not _has_parquet(backfill_dir):
+        return 0
+    raw = spark.read.parquet(backfill_dir)
+    consumed = raw.inputFiles()
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_mtime"), F.desc("_fpath"))
+    latest = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "spans")
+        .persist()
+    )
+    try:
+        n_docs = latest.count()
+        if n_docs > 0:
+            from .operators.extract import extract_elements
+
+            flat = extract_elements(
+                latest,
+                merge_strategy=merge_strategy,
+                mega_span_threshold=mega_span_threshold,
+            ).persist()
+            try:
+                _merge_flat_into_store(spark, store_dir, latest, flat)
+            finally:
+                flat.unpersist()
+    finally:
+        latest.unpersist()
+    for f in consumed:
+        path = f.removeprefix("file:")
+        if os.path.exists(path):
+            os.remove(path)
+    return n_docs

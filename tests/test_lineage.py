@@ -135,7 +135,12 @@ def test_upsert_replaces_exactly_once(spark, docs_df, tmp_path):
     out = str(tmp_path / "out")
     run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
     before = read_output(spark, out)
+    # materialize pre-merge facts: after the merge commits, vacuum
+    # reclaims the superseded version dirs, so pre-merge DataFrame
+    # handles must not be re-executed (readers re-resolve per query)
+    n_before = before.count()
     target = before.orderBy("doc_id", "offset").limit(1).collect()[0]
+    n_others_before = before.filter(F.col("doc_id") != target["doc_id"]).count()
 
     updates = before.filter(
         (F.col("doc_id") == target["doc_id"]) & (F.col("offset") == target["offset"])
@@ -143,7 +148,7 @@ def test_upsert_replaces_exactly_once(spark, docs_df, tmp_path):
     upsert_elements(spark, out, updates)
 
     after = read_output(spark, out)
-    assert after.count() == before.count()  # replace, not append
+    assert after.count() == n_before  # replace, not append
     hits = after.filter(
         (F.col("doc_id") == target["doc_id"]) & (F.col("offset") == target["offset"])
     ).collect()
@@ -151,7 +156,7 @@ def test_upsert_replaces_exactly_once(spark, docs_df, tmp_path):
     assert hits[0]["text"] == "CORRECTED TEXT"
     # untouched rows unchanged
     others = after.filter(F.col("doc_id") != target["doc_id"]).count()
-    assert others == before.filter(F.col("doc_id") != target["doc_id"]).count()
+    assert others == n_others_before
 
 
 def test_upsert_inserts_new_key_and_versions_bucket(spark, docs_df, tmp_path):
@@ -162,21 +167,36 @@ def test_upsert_inserts_new_key_and_versions_bucket(spark, docs_df, tmp_path):
     out = str(tmp_path / "out")
     run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
     before = read_output(spark, out)
-    donor = before.orderBy("doc_id", "offset").limit(1)
+    n_before = before.count()
+    # materialized donor row: post-merge vacuum reclaims the dirs a
+    # lazy pre-merge handle would re-scan
+    donor = spark.createDataFrame(
+        before.orderBy("doc_id", "offset").limit(1).collect(), before.schema
+    )
     new_row = donor.withColumn("offset", F.lit(999_999))
     upsert_elements(spark, out, new_row)
     after = read_output(spark, out)
-    assert after.count() == before.count() + 1
+    assert after.count() == n_before + 1
     assert after.filter(F.col("offset") == 999_999).count() == 1
     # the affected bucket advanced to v1 and points at the rewrite dir
     lineage = buckets(read_lineage(out))
     versioned = [e for e in lineage.values() if e.get("version")]
-    assert len(versioned) == 1 and versioned[0]["path"].endswith("__v1")
+    assert len(versioned) == 1 and "v1" in versioned[0]["path"]
 
     # second merge on the same bucket advances the version again
     upsert_elements(spark, out, donor.withColumn("offset", F.lit(999_998)))
     lineage2 = buckets(read_lineage(out))
     assert max(e.get("version", 0) for e in lineage2.values()) == 2
+
+    # per-bucket fine-grain mode uses the bucket=N__vK layout
+    upsert_elements(
+        spark, out, donor.withColumn("offset", F.lit(999_997)),
+        commit_mode="per_bucket",
+    )
+    lineage3 = buckets(read_lineage(out))
+    v3 = [e for e in lineage3.values() if e.get("version") == 3]
+    assert len(v3) == 1 and v3[0]["path"].endswith("__v3")
+    assert read_output(spark, out).count() == n_before + 3
 
 
 def test_delete_removes_key_and_resume_stays_noop(spark, docs_df, tmp_path):
@@ -189,11 +209,14 @@ def test_delete_removes_key_and_resume_stays_noop(spark, docs_df, tmp_path):
         run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
     )
     before = read_output(spark, out)
-    target = before.orderBy("doc_id", "offset").limit(1)
-    delete_elements(spark, out, target.select("doc_id", "offset"))
+    n_before = before.count()
+    t = before.orderBy("doc_id", "offset").limit(1).collect()[0]
+    delete_elements(
+        spark, out,
+        spark.createDataFrame([{"doc_id": t["doc_id"], "offset": t["offset"]}]),
+    )
     after = read_output(spark, out)
-    assert after.count() == before.count() - 1
-    t = target.collect()[0]
+    assert after.count() == n_before - 1
     assert (
         after.filter(
             (F.col("doc_id") == t["doc_id"]) & (F.col("offset") == t["offset"])
@@ -205,16 +228,15 @@ def test_delete_removes_key_and_resume_stays_noop(spark, docs_df, tmp_path):
         run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r9")
     )
     assert all(e["run_id"] != "r9" for e in again.values())
-    assert read_output(spark, out).count() == before.count() - 1
+    assert read_output(spark, out).count() == n_before - 1
 
 
-def test_merge_algebra_roundtrip(spark, docs_df, tmp_path):
-    """MERGE invariants over a randomized batch of updates: after
+@pytest.mark.parametrize("commit_mode", ["batch", "per_bucket"])
+def test_merge_algebra_roundtrip(spark, docs_df, tmp_path, commit_mode):
+    r"""MERGE invariants over a randomized batch of updates: after
     upsert, store = (old \ matched-keys) ∪ updates; deleting the
     inserted new keys restores exactly old-with-replacements."""
     import random
-
-    from pyspark.sql import functions as F
 
     from pdf_extractor_spark.lineage import delete_elements, upsert_elements
 
@@ -236,7 +258,11 @@ def test_merge_algebra_roundtrip(spark, docs_df, tmp_path):
     updates = [mk(d, o, f"UPD-{d}-{o}") for d, o in matched] + [
         mk(d, o, f"NEW-{d}-{o}") for d, o in new_keys
     ]
-    upsert_elements(spark, out, spark.createDataFrame(updates, read_output(spark, out).schema))
+    upsert_elements(
+        spark, out,
+        spark.createDataFrame(updates, read_output(spark, out).schema),
+        commit_mode=commit_mode,
+    )
 
     got = {(r["doc_id"], r["offset"]): r["text"] for r in read_output(spark, out).collect()}
     want = dict(old)
@@ -250,6 +276,7 @@ def test_merge_algebra_roundtrip(spark, docs_df, tmp_path):
     delete_elements(
         spark, out,
         spark.createDataFrame([{"doc_id": d, "offset": o} for d, o in new_keys]),
+        commit_mode=commit_mode,
     )
     got2 = {(r["doc_id"], r["offset"]): r["text"] for r in read_output(spark, out).collect()}
     for d, o in new_keys:
@@ -270,8 +297,12 @@ def test_merge_crash_between_write_and_commit_is_idempotent(
     out = str(tmp_path / "out")
     run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
     before = read_output(spark, out)
+    n_before = before.count()
     target = before.orderBy("doc_id", "offset").limit(1)
-    updates = target.withColumn("text", F.lit("CRASHED-EDIT"))
+    t = target.collect()[0]
+    updates = spark.createDataFrame([t], before.schema).withColumn(
+        "text", F.lit("CRASHED-EDIT")
+    )
 
     real_commit = L._commit_lineage
     calls = {"n": 0}
@@ -287,9 +318,8 @@ def test_merge_crash_between_write_and_commit_is_idempotent(
     monkeypatch.setattr(L, "_commit_lineage", real_commit)
 
     # old version still served — the write happened but was never committed
-    t = target.collect()[0]
     mid = read_output(spark, out)
-    assert mid.count() == before.count()
+    assert mid.count() == n_before
     assert (
         mid.filter(
             (F.col("doc_id") == t["doc_id"]) & (F.col("offset") == t["offset"])
@@ -301,8 +331,185 @@ def test_merge_crash_between_write_and_commit_is_idempotent(
     # orphaned (uncommitted) v1 directory
     L.upsert_elements(spark, out, updates)
     after = read_output(spark, out)
-    assert after.count() == before.count()
+    assert after.count() == n_before
     hits = after.filter(
         (F.col("doc_id") == t["doc_id"]) & (F.col("offset") == t["offset"])
     ).collect()
     assert len(hits) == 1 and hits[0]["text"] == "CRASHED-EDIT"
+
+
+def test_batch_merge_job_count_constant_in_bucket_count(spark, tmp_path):
+    """The scale contract for MERGE: Spark job count is CONSTANT in the
+    number of affected buckets (one union-read+anti-join+write wave +
+    one count + bucket-list collect), never one job per bucket — 4×
+    the buckets must NOT mean more jobs (AQE may split a query into a
+    few jobs, but that split doesn't scale with buckets)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import corpus_rows
+    from pdf_extractor_spark.lineage import upsert_elements
+
+    docs = spark.createDataFrame(corpus_rows(48), schema=DOCS_SCHEMA)
+    sc = spark.sparkContext
+    jobs = {}
+    for n_buckets in (4, 16):
+        out = str(tmp_path / f"out{n_buckets}")
+        run_with_lineage(spark, docs, out, n_buckets=n_buckets, run_id="r1")
+        n_rows = read_output(spark, out).count()
+        updates = read_output(spark, out).withColumn("text", F.lit("BULK-EDIT"))
+        group = f"bulk-merge-{n_buckets}"
+        sc.setJobGroup(group, "batch MERGE wave")
+        try:
+            upsert_elements(spark, out, updates)  # touches every bucket
+        finally:
+            sc.setJobGroup("", "")
+        jobs[n_buckets] = len(sc.statusTracker().getJobIdsForGroup(group))
+        got = read_output(spark, out)
+        assert got.count() == n_rows
+        assert got.filter(F.col("text") != "BULK-EDIT").count() == 0
+    assert jobs[16] <= jobs[4] + 1, (
+        f"batch MERGE job count grew with buckets: {jobs} — per-bucket loop?"
+    )
+
+
+def test_merge_elements_combined_upsert_delete_single_commit(
+    spark, docs_df, tmp_path
+):
+    """One merge_elements call applies updates AND deletes atomically:
+    exactly one manifest commit, updates win on key overlap."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark import lineage as L
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    before = read_output(spark, out)
+    n_before = before.count()
+    rows = before.orderBy("doc_id", "offset").limit(3).collect()
+    upd, gone, both = rows
+    updates = before.filter(
+        ((F.col("doc_id") == upd["doc_id"]) & (F.col("offset") == upd["offset"]))
+        | ((F.col("doc_id") == both["doc_id"]) & (F.col("offset") == both["offset"]))
+    ).withColumn("text", F.lit("MERGED"))
+    delete_keys = spark.createDataFrame(
+        [
+            {"doc_id": gone["doc_id"], "offset": gone["offset"]},
+            {"doc_id": both["doc_id"], "offset": both["offset"]},  # overlap
+        ]
+    )
+
+    commits = {"n": 0}
+    real = L._commit_lineage
+
+    def counting_commit(output_dir, delta):
+        commits["n"] += 1
+        return real(output_dir, delta)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(L, "_commit_lineage", counting_commit):
+        L.merge_elements(spark, out, updates=updates, delete_keys=delete_keys)
+    assert commits["n"] == 1
+
+    after = read_output(spark, out)
+    assert after.count() == n_before - 1  # one pure delete
+    assert (
+        after.filter(
+            (F.col("doc_id") == gone["doc_id"]) & (F.col("offset") == gone["offset"])
+        ).count()
+        == 0
+    )
+    # overlapping key: update wins over delete
+    hits = after.filter(F.col("text") == "MERGED").collect()
+    assert {(r["doc_id"], r["offset"]) for r in hits} == {
+        (upd["doc_id"], upd["offset"]),
+        (both["doc_id"], both["offset"]),
+    }
+
+
+@pytest.mark.parametrize("commit_mode", ["batch", "per_bucket"])
+def test_vacuum_reclaims_superseded_versions(spark, docs_df, tmp_path, commit_mode):
+    """Copy-on-write retention: after a merge commits, the superseded
+    version dirs are reclaimed automatically; only manifest-referenced
+    dirs remain, and the store content is unaffected."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import upsert_elements
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    before = read_output(spark, out)
+    n = before.count()
+    edit = spark.createDataFrame(before.limit(1).collect(), before.schema)
+    upsert_elements(
+        spark, out, edit.withColumn("text", F.lit("E1")), commit_mode=commit_mode
+    )
+    upsert_elements(
+        spark, out, edit.withColumn("text", F.lit("E2")), commit_mode=commit_mode
+    )
+
+    lineage = buckets(read_lineage(out))
+    referenced = {
+        e["path"] if e.get("path") else f"bucket={b}"
+        for b, e in lineage.items()
+        if e.get("row_count", 0) > 0
+    }
+    on_disk = set()
+    for name in os.listdir(out):
+        full = os.path.join(out, name)
+        if not os.path.isdir(full):
+            continue
+        if name.startswith("merge_v"):
+            on_disk.update(
+                f"{name}/{s}"
+                for s in os.listdir(full)
+                if os.path.isdir(os.path.join(full, s))
+            )
+        else:
+            on_disk.add(name)
+    assert on_disk == referenced, f"unreclaimed dirs: {on_disk - referenced}"
+    after = read_output(spark, out)
+    assert after.count() == n
+    assert after.filter(F.col("text") == "E2").count() == 1
+
+
+def test_concurrent_manifest_commits_lose_no_update(tmp_path):
+    """Two interleaved committers (streaming CDC + batch backfill shape):
+    the locked read-merge-write commit serializes them — every delta
+    lands, manifest_version counts every commit."""
+    import threading
+
+    from pdf_extractor_spark.lineage import META_KEY, _commit_lineage, read_lineage
+
+    out = str(tmp_path / "store")
+    import os
+
+    os.makedirs(out)
+    _commit_lineage(out, {META_KEY: {"n_buckets": 64}})
+
+    n_threads, n_commits = 8, 25
+    errors = []
+
+    def committer(tid):
+        try:
+            for i in range(n_commits):
+                _commit_lineage(
+                    out,
+                    {str(tid * n_commits + i): {"status": "done", "row_count": i}},
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=committer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    final = read_lineage(out)
+    entries = {k for k in final if k != META_KEY}
+    assert len(entries) == n_threads * n_commits  # zero lost updates
+    assert final[META_KEY]["manifest_version"] == n_threads * n_commits + 1
+    assert final[META_KEY]["n_buckets"] == 64  # meta survives merges

@@ -1,0 +1,157 @@
+"""text_en analyzer parity: Porter stemmer pinned fixture + the
+stemmed-BM25 divergence the analyzer exists to close.
+
+The stemmer is re-implemented from the published algorithm (M.F. Porter
+1980); the fixture below pins the paper's own example words — an
+implementation drift on any rule fails a specific word, not a vague
+ranking assertion.
+"""
+
+import pytest
+
+from pdf_extractor_spark.textproc import porter_stem, text_en_tokens
+
+SF = "/root/testdata/sf0.001"
+
+# (word → stem) pairs from the published algorithm's worked examples,
+# one per rule family (steps 1a-5b).
+PORTER_FIXTURE = {
+    # step 1a
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat",
+    # step 1b + cleanup
+    "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
+    "failing": "fail", "filing": "file",
+    # step 1c
+    "happy": "happi", "sky": "sky",
+    # step 2
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    # step 3
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    # step 4
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+    "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+    "homologou": "homolog", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler",
+    # step 5
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+}
+
+
+def test_porter_stemmer_matches_published_examples():
+    bad = {
+        w: (porter_stem(w), want)
+        for w, want in PORTER_FIXTURE.items()
+        if porter_stem(w) != want
+    }
+    assert not bad, f"porter divergence (got, want): {bad}"
+
+
+def test_porter_short_words_untouched():
+    for w in ("a", "be", "is", "s", ""):
+        assert porter_stem(w) == w
+
+
+def test_text_en_analyzer_pipeline():
+    # lowercase + accent strip + alnum segmentation + stem, no stopwords
+    assert text_en_tokens("Merging TABLES & queries, naïve!") == [
+        "merg", "tabl", "queri", "naiv",
+    ]
+    # stopwords are NOT removed (ArangoDB text_en ships empty stopwords)
+    assert text_en_tokens("the a") == ["the", "a"]
+    assert text_en_tokens("") == []
+    assert text_en_tokens("x2 42") == ["x2", "42"]
+
+
+def test_corpus_vocab_stems_cover_oracle_map():
+    """The oracle's VALUES lookup embeds exactly the non-identity stems
+    of the corpus vocabulary — if the vocabulary or the stemmer moves,
+    this pins where."""
+    from pdf_extractor_spark.analytics.textstats import _CORPUS_VOCAB
+
+    got = {w: porter_stem(w) for w in _CORPUS_VOCAB if porter_stem(w) != w}
+    assert got == {
+        "customer": "custom", "key": "kei", "merge": "merg",
+        "query": "queri", "table": "tabl", "value": "valu",
+    }
+
+
+def test_stemmed_bm25_finds_what_unstemmed_cannot(spark):
+    """The divergence the analyzer closes: the query terms are inflected
+    forms ("tables", "queries", "merging") that never appear verbatim in
+    the corpus — whitespace-token BM25 scores everything 0.0; the
+    text_en variant matches the stemmed corpus and ranks."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.analytics.base import load, tokens
+    from pdf_extractor_spark.analytics.textstats import (
+        STEMMED_QUERY_TERMS,
+        bm25_search_stemmed,
+    )
+
+    top = bm25_search_stemmed(spark, SF).collect()
+    assert len(top) == 10
+    assert top[0]["bm25"] > 0.0
+    scores = [r["bm25"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+    # the same inflected terms, verbatim, occur in zero documents
+    docs = load(spark, SF, "documents")
+    hits = docs.filter(
+        F.arrays_overlap(
+            tokens(), F.array(*[F.lit(t) for t in STEMMED_QUERY_TERMS])
+        )
+    ).count()
+    assert hits == 0
+
+
+def test_unified_search_dispatch_routes_like_reference(spark):
+    """search_functions.py:112-160 parity: each search_type reaches its
+    engine; unknown types and case variants fall back per reference."""
+    from pdf_extractor_spark.analytics.hybrid import hybrid_search_rrf
+    from pdf_extractor_spark.analytics.search_api import unified_search
+    from pdf_extractor_spark.analytics.similarity import semantic_search
+    from pdf_extractor_spark.analytics.textstats import bm25_search
+
+    assert unified_search(spark, SF, "bm25").collect() == bm25_search(
+        spark, SF
+    ).collect()
+    assert unified_search(spark, SF, "semantic").collect() == semantic_search(
+        spark, SF
+    ).collect()
+    hybrid_rows = hybrid_search_rrf(spark, SF).collect()
+    assert unified_search(spark, SF, "hybrid").collect() == hybrid_rows
+    # reference defaults: unknown type and case-insensitive match
+    assert unified_search(spark, SF, "nonsense").collect() == hybrid_rows
+    assert unified_search(spark, SF, "BM25").collect() == bm25_search(
+        spark, SF
+    ).collect()
+
+
+def test_stemmed_bm25_plan_stays_arrow_batched(spark):
+    """The analyzer kernel must be Arrow-batched (ArrowEvalPython /
+    scalar pandas UDF), never row-at-a-time BatchEvalPython."""
+    from pdf_extractor_spark.analytics.textstats import bm25_search_stemmed
+
+    plan = (
+        bm25_search_stemmed(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
