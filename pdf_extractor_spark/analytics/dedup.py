@@ -328,21 +328,48 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
-def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pool = _docs_with_injected_dups(spark, sf_dir)
-    bands = _with_bands(pool)
+def _survivors_from_pool(pool: DataFrame) -> DataFrame:
+    """Single-pass near-dup survivors, degenerate-corpus-safe.
+
+    Policy (unchanged from r1/r2, same output as the SQL oracle): a doc
+    is removed iff ANY smaller-id doc shares an LSH band with it — so
+    each text's survivor candidate is its group minimum, and it
+    survives iff no band-colliding text has a smaller group minimum.
+
+    The skew fix (r3): collapse byte-identical texts BEFORE the band
+    self-join. Identical docs share every band; joining them directly
+    makes one hot (band_id, band_hash) bucket quadratic — a corpus of
+    n identical docs costs n²/2 join rows that AQE can split but not
+    shrink. Collapsing first sends ONE representative per distinct
+    text into the join, so a million-copy spam document contributes a
+    single band row; group minima are recovered by hash-aggregation
+    (map-side combinable, no skew). Band-bucket width is bounded by
+    DISTINCT colliding texts, never by duplication factor.
+    """
+    groups = pool.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    bands = _with_bands(
+        groups.select(F.col("rep").alias("doc_id"), "text")
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    removed = (
+    nb_min = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
         )
-        .select(F.col("b.doc_id").alias("doc_id"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("rep"))
+        .agg(F.min(F.col("b.doc_id")).alias("nb_min"))
     )
-    return pool.join(removed, "doc_id", "left_anti").select("doc_id")
+    return (
+        groups.join(nb_min, "rep", "left")
+        .filter(F.col("nb_min").isNull())
+        .select(F.col("rep").alias("doc_id"))
+    )
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _survivors_from_pool(_docs_with_injected_dups(spark, sf_dir))
 
 
 DEDUP_SURVIVORS_SQL = f"""

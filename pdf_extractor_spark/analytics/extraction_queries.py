@@ -176,3 +176,33 @@ def search_extracted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+def ocr_extract_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — OCR-kind spans get deterministic cleanup (de-hyphenation,
+    ligature fold, line-break join — textproc.ocr_normalize) instead of
+    raw passthrough, then ride the ordinary text path.
+
+    The OCR-ish input is synthesized JVM-side from documents.text:
+    hyphenate the first word across a line break, break another line
+    mid-paragraph, and append ligature + curly-quote artifacts — the
+    three artifact classes the normalizer repairs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    mangled = F.concat(
+        F.regexp_replace(F.col("text"), r"^(\w+) (\w)", "$1-\n$2"),
+        F.lit("\nthe ﬁnal “scan”"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("ocr").alias("kind"),
+            mangled.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    ocr_docs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+    flat = extract_elements(ocr_docs)
+    return flat.select("doc_id", "kind", "text")

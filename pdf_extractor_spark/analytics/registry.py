@@ -42,9 +42,16 @@ QUERIES: Dict[str, QuerySpec] = {
     "search_extracted_bm25": QuerySpec(
         extraction_queries.search_extracted_bm25, None, "§3.3 lifecycle"
     ),
+    "ocr_extract_normalized": QuerySpec(
+        extraction_queries.ocr_extract_normalized, None, "S11 OCR cleanup"
+    ),
     # --- text analysis -----------------------------------------------------
     "doc_token_count": QuerySpec(
         textstats.doc_token_count, textstats.DOC_TOKEN_COUNT_SQL, "A7"
+    ),
+    "doc_token_count_bpe": QuerySpec(
+        textstats.doc_token_count_bpe, textstats.DOC_TOKEN_COUNT_BPE_SQL,
+        "A7 real-BPE upgrade",
     ),
     "md5_fingerprint": QuerySpec(
         textstats.md5_fingerprint, textstats.MD5_FINGERPRINT_SQL, "F6"

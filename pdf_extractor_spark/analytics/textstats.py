@@ -733,3 +733,60 @@ LIMIT 10
 
 
 BM25_SEARCH_STEMMED_SQL = _stemmed_sql()
+
+
+# ---------------------------------------------------------------------------
+# A7 upgrade — BPE token counting (real subword algorithm, vendored
+# merges table; see textproc.bpe_token_count and scripts/train_bpe.py)
+#
+# Oracle layering, same pattern as the stemmed BM25 above: the corpus
+# vocabulary is finite and pinned, so the oracle SQL embeds each word's
+# BPE token count as a VALUES lookup and independently verifies the
+# tokenize→sum plumbing cross-engine. An out-of-vocabulary token makes
+# the oracle emit NULL (count(*) != count(n)) — vocabulary drift fails
+# the gate loudly instead of skewing it.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_count_udf():
+    from ..textproc import bpe_token_count
+
+    @F.pandas_udf("int")
+    def bpe_count(
+        batches: Iterator[pandas.Series],
+    ) -> Iterator[pandas.Series]:
+        for texts in batches:
+            yield texts.map(lambda t: bpe_token_count(t or ""))
+
+    return bpe_count
+
+
+def doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _bpe_count_udf()(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def _bpe_sql() -> str:
+    from ..textproc import bpe_token_count
+
+    values = ", ".join(
+        f"('{w}', {bpe_token_count(w)})" for w in _CORPUS_VOCAB
+    )
+    return rf"""
+WITH bpe_counts(tok, n) AS (SELECT * FROM (VALUES {values})),
+tok_rows AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(CASE WHEN count(*) = count(m.n) THEN sum(m.n) END AS INT)
+         AS n_bpe_tokens
+FROM tok_rows t LEFT JOIN bpe_counts m ON t.tok = m.tok
+WHERE t.tok <> ''
+GROUP BY t.doc_id
+"""
+
+
+DOC_TOKEN_COUNT_BPE_SQL = _bpe_sql()

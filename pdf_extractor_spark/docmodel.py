@@ -37,7 +37,7 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List, Optional
 
-from .textproc import clean_title, html_to_text, md5_hex, token_count
+from .textproc import clean_title, html_to_text, md5_hex, ocr_normalize, token_count
 
 Span = Dict[str, Any]
 
@@ -392,6 +392,17 @@ def extract_document_cols(
                 elements.append(
                     _make_element("text", stripped, "", current_page, 0, section_path)
                 )
+            continue
+
+        if kind == "ocr":
+            # S11: OCR spans are normalized (de-hyphenation, ligature
+            # fold, line-break join — textproc.ocr_normalize) and then
+            # take the ordinary text path, so consecutive ocr/text
+            # spans paragraph-merge identically
+            flush_table()
+            cleaned = ocr_normalize(text)
+            if cleaned:
+                text_buf.append(cleaned)
             continue
 
         # unknown kinds pass through as text lines (forward compat);

@@ -267,3 +267,108 @@ def text_en_tokens(text: str) -> list[str]:
             .decode("ascii")
         )
     return [porter_stem(t) for t in _WORD_RE.findall(lowered)]
+
+
+# ---------------------------------------------------------------------------
+# A7 upgrade — real BPE token counting
+# (reference: markdown_extractor.py:237,287 counts tokens with
+# tiktoken's GPT-4 BPE. tiktoken + its vocabulary are unavailable
+# offline, so this applies the SAME algorithm — greedy lowest-rank
+# byte-pair merging, exactly tiktoken's apply loop — over a vendored
+# merges table trained deterministically on the test corpus
+# (scripts/train_bpe.py). Vocabulary divergence vs GPT-4 is quantified
+# in docs/PARITY.md item 4; the alnum-run proxy `token_count` above is
+# kept for the metadata column whose fixture predates this.)
+# ---------------------------------------------------------------------------
+
+_BPE_EOW = "</w>"
+_bpe_word_cache: dict[str, int] = {}
+
+
+def _bpe_ranks() -> dict[tuple[str, str], int]:
+    from .bpe_vocab import MERGES
+
+    return {pair: i for i, pair in enumerate(MERGES)}
+
+
+_BPE_RANKS = _bpe_ranks()
+
+
+def bpe_segments(word: str, ranks: dict | None = None) -> list[str]:
+    """Split one word into BPE symbols: start from characters + the
+    end-of-word marker, repeatedly merge the adjacent pair with the
+    LOWEST rank in the merges table (the tiktoken/Sennrich apply loop)
+    until no mergeable pair remains. ``ranks`` overrides the vendored
+    table (unit tests drive the algorithm with hand-built tables)."""
+    if ranks is None:
+        ranks = _BPE_RANKS
+    parts = list(word) + [_BPE_EOW]
+    while len(parts) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        pair = (parts[best_i], parts[best_i + 1])
+        merged = pair[0] + pair[1]
+        # merge every adjacent occurrence of this exact pair, left→right
+        out, i = [], 0
+        while i < len(parts):
+            if i < len(parts) - 1 and (parts[i], parts[i + 1]) == pair:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    # a bare end-of-word marker is a boundary, not a token
+    return [p for p in parts if p != _BPE_EOW]
+
+
+def bpe_token_count(text: str) -> int:
+    """Whitespace pre-tokenization, then BPE symbols per word."""
+    total = 0
+    for word in text.split():
+        n = _bpe_word_cache.get(word)
+        if n is None:
+            n = len(bpe_segments(word))
+            _bpe_word_cache[word] = n
+        total += n
+    return total
+
+
+# ---------------------------------------------------------------------------
+# S11 — OCR text normalization
+# (reference scope: the OCR source path is inert in the reference
+# checkout — SURVEY.md maps S11 as scoped-out — but raw OCR passthrough
+# leaves line-break hyphenation and ligature artifacts in the text
+# column. This is the minimal deterministic cleanup an OCR span gets
+# before entering the ordinary text path: de-hyphenate words split
+# across line breaks, fold the ligature/quote codepoints OCR engines
+# emit, join intra-paragraph line breaks, collapse whitespace.)
+# ---------------------------------------------------------------------------
+
+_OCR_HYPHEN_RE = re.compile(r"([A-Za-z])-[ \t]*\n[ \t]*([a-z])")
+_OCR_LINEBREAK_RE = re.compile(r"[ \t]*\n[ \t]*")
+_OCR_SPACES_RE = re.compile(r"[ \t\f\v]+")
+_OCR_CHARMAP = str.maketrans(
+    {
+        "ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff",
+        "ﬃ": "ffi", "ﬄ": "ffl",
+        "‘": "'", "’": "'",
+        "“": '"', "”": '"',
+        "–": "-", "—": "-",
+        " ": " ",
+    }
+)
+
+
+def ocr_normalize(text: str) -> str:
+    t = text.translate(_OCR_CHARMAP)
+    # "exam-\nple" → "example" (hyphen at line end + lowercase continuation)
+    t = _OCR_HYPHEN_RE.sub(r"\1\2", t)
+    # remaining line breaks are layout, not semantics → single space
+    t = _OCR_LINEBREAK_RE.sub(" ", t)
+    return _OCR_SPACES_RE.sub(" ", t).strip()

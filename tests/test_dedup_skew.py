@@ -1,0 +1,64 @@
+"""Skew drill: degenerate corpus (thousands of byte-identical docs →
+one hot (band_id, band_hash) bucket) against the near-dup pipeline.
+
+The 100 TB hazard: identical docs share every LSH band, so a naive
+band self-join is quadratic in the duplication factor — AQE skew-join
+can split the hot partition but cannot shrink n²/2 output rows. The
+pipeline therefore collapses identical texts to one representative
+BEFORE the join (dedup._survivors_from_pool); these tests pin both the
+correctness and the boundedness of that shape. docs/PLANS.md records
+the analysis.
+"""
+
+from pyspark.sql import functions as F
+
+N_COPIES = 2000     # one spam document, duplicated
+N_DISTINCT = 30     # ordinary corpus tail
+
+
+def degenerate_pool(spark):
+    spam = [(i, "buy cheap widgets now best price guaranteed") for i in range(N_COPIES)]
+    tail = [
+        (N_COPIES + i, f"unique document number {i} about topic {i * 7} with body {i * 13}")
+        for i in range(N_DISTINCT)
+    ]
+    return spark.createDataFrame(spam + tail, "doc_id long, text string")
+
+
+def test_degenerate_corpus_survivors_correct(spark):
+    from pdf_extractor_spark.analytics.dedup import _survivors_from_pool
+
+    survivors = sorted(
+        r["doc_id"] for r in _survivors_from_pool(degenerate_pool(spark)).collect()
+    )
+    # the 2000 identical copies collapse to exactly one survivor: min id
+    assert survivors[0] == 0
+    assert all(s >= N_COPIES for s in survivors[1:])
+    # every distinct doc survives (no accidental band collisions here)
+    assert len(survivors) == 1 + N_DISTINCT
+
+
+def test_band_join_input_bounded_by_distinct_texts(spark):
+    """The join-side evidence: after the exact collapse, band rows are
+    LSH_BANDS × distinct-texts — duplication factor 2000 contributes
+    exactly one representative, so no (band_id, band_hash) bucket can
+    be wider than the number of DISTINCT colliding texts."""
+    from pdf_extractor_spark.analytics.dedup import LSH_BANDS, _with_bands
+
+    pool = degenerate_pool(spark)
+    groups = pool.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    bands = _with_bands(groups.select(F.col("rep").alias("doc_id"), "text"))
+    n_texts = 1 + N_DISTINCT
+    assert bands.count() == LSH_BANDS * n_texts
+    widest = (
+        bands.groupBy("band_id", "band_hash").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert widest < N_COPIES / 100, f"hot bucket leaked through: {widest}"
+
+
+def test_aqe_skew_join_backstop_enabled(spark):
+    """For skewed-but-distinct corpora (many near-identical variants),
+    the residual mitigation is AQE's skew-join split — pinned on so a
+    config regression is caught here, not at 100 TB."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -336,3 +336,54 @@ def test_separator_prefix_match_mirrors_reference():
 
     t = parse_markdown_table("| x | y |\n| -1 | -2 |\n| 3 | 4 |")
     assert t == {"headers": ["x", "y"], "rows": [["3", "4"]]}
+
+
+# ---------------------------------------------------------------------------
+# S11 — OCR-kind normalization golden cases
+# ---------------------------------------------------------------------------
+
+
+def test_ocr_spans_normalized_and_paragraph_merged():
+    from pdf_extractor_spark.docmodel import extract_document
+
+    spans = [
+        {"kind": "ocr", "text": "The exam-\nple ﬁnds “rules”", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "plain continuation", "media_ref": "", "offset": 1},
+    ]
+    els = extract_document(spans)
+    assert len(els) == 1  # ocr + text merge into one paragraph
+    assert els[0]["kind"] == "text"
+    assert els[0]["text"] == 'The example finds "rules"\nplain continuation'
+
+
+def test_ocr_golden_cases():
+    from pdf_extractor_spark.textproc import ocr_normalize
+
+    # hyphenated line break joins only lowercase continuations
+    assert ocr_normalize("exam-\nple") == "example"
+    assert ocr_normalize("UPPER-\nCase") == "UPPER- Case"
+    # ligatures, dashes, curly quotes fold to ascii
+    assert ocr_normalize("ﬁre ﬂow — ‘q’") == "fire flow - 'q'"
+    # intra-paragraph line breaks and runs collapse
+    assert ocr_normalize("a\n b\t\tc  d") == "a b c d"
+    # blank-only input normalizes to empty (and the extraction path
+    # drops the span entirely)
+    assert ocr_normalize(" \n ") == ""
+    from pdf_extractor_spark.docmodel import extract_document
+
+    only_blank = [{"kind": "ocr", "text": " \n ", "media_ref": "", "offset": 0}]
+    assert extract_document(only_blank) == []
+
+
+def test_ocr_flushes_open_table_before_buffering():
+    from pdf_extractor_spark.docmodel import extract_document
+
+    spans = [
+        {"kind": "table_row", "text": "| A | B |", "media_ref": "", "offset": 0},
+        {"kind": "table_row", "text": "|---|---|", "media_ref": "", "offset": 1},
+        {"kind": "table_row", "text": "| 1 | 2 |", "media_ref": "", "offset": 2},
+        {"kind": "ocr", "text": "after ta-\nble", "media_ref": "", "offset": 3},
+    ]
+    els = extract_document(spans)
+    assert [e["kind"] for e in els] == ["table", "text"]
+    assert els[1]["text"] == "after table"

@@ -155,3 +155,52 @@ def test_stemmed_bm25_plan_stays_arrow_batched(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# A7 upgrade — BPE token counting (vendored merges table)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_apply_algorithm_hand_worked():
+    """Drive the apply loop with a hand-built ranks table — rank order
+    (not count order) decides merges, exactly like tiktoken's loop."""
+    from pdf_extractor_spark.textproc import bpe_segments
+
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2, ("w", "</w>"): 3}
+    assert bpe_segments("low", ranks) == ["low"]        # l+o → lo+w → low+</w>? no ("low","</w>") rank — stays ["low","</w>"] → marker dropped
+    assert bpe_segments("lower", ranks) == ["low", "er"]
+    assert bpe_segments("wow", ranks) == ["w", "o", "w</w>"]
+    # lowest rank wins even when a later pair appears first in the word
+    ranks2 = {("b", "c"): 0, ("a", "b"): 1}
+    assert bpe_segments("abc", ranks2) == ["a", "bc"]
+    # exact-pair matching: ("a","bc") must not satisfy a ("ab","c") rule
+    ranks3 = {("b", "c"): 0, ("ab", "c"): 1}
+    assert bpe_segments("abc", ranks3) == ["a", "bc"]
+    assert bpe_segments("", {}) == []
+
+
+def test_bpe_vendored_table_pinned():
+    """The merges table is a pinned artifact: a retrain that changes it
+    must be a deliberate commit, not drift."""
+    import hashlib
+    import os
+
+    import pdf_extractor_spark.bpe_vocab as v
+
+    src = open(os.path.abspath(v.__file__), "rb").read()
+    assert hashlib.md5(src).hexdigest() == "694dadb66ffa4d4188437bbc18430e7b"
+    assert len(v.MERGES) == 48
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in v.MERGES)
+
+
+def test_bpe_token_count_sums_words():
+    from pdf_extractor_spark.textproc import bpe_segments, bpe_token_count
+
+    n = bpe_token_count("window table")
+    assert n == len(bpe_segments("window")) + len(bpe_segments("table"))
+    assert bpe_token_count("") == 0
+    assert bpe_token_count("   ") == 0
+    # frequent corpus words merge to few symbols; OOV words fall back
+    # toward characters — the defining subword behavior
+    assert len(bpe_segments("window")) < len(bpe_segments("zzzqqq"))
