@@ -93,6 +93,11 @@ QUERIES: Dict[str, QuerySpec] = {
         search_api.unified_search_default, hybrid.HYBRID_RRF_SQL,
         "search_functions.py:112-160 dispatch",
     ),
+    "unified_search_collections": QuerySpec(
+        search_api.unified_search_collections,
+        search_api.UNIFIED_SEARCH_COLLECTIONS_SQL,
+        "search_functions.py:146-199 multi-collection merge",
+    ),
     "fuzzy_partial_ratio_search": QuerySpec(
         textstats.fuzzy_partial_ratio_search, textstats.FUZZY_PARTIAL_RATIO_SQL,
         "A9/F14 faithful",
@@ -156,6 +161,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "ivf_label_probe_topk": QuerySpec(
         similarity.ivf_label_probe_topk, similarity.IVF_LABEL_PROBE_SQL,
         "training:ann-ivf",
+    ),
+    "ivf_kmeans_topk": QuerySpec(
+        similarity.ivf_kmeans_topk, None, "training:ann-ivf-build"
     ),
     "semantic_search": QuerySpec(
         similarity.semantic_search, similarity.SEMANTIC_SEARCH_SQL,

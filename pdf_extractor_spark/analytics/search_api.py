@@ -42,3 +42,46 @@ def unified_search_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graded registry face: dispatch with the reference's default
     (hybrid) — oracle is therefore the hybrid RRF SQL."""
     return unified_search(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Multi-collection merge (search_functions.py:146-199): run the search
+# per collection — each collection scores against ITS OWN corpus
+# statistics, exactly like per-collection ArangoSearch views — then
+# extend, sort by score descending, truncate to top_n. The "collections"
+# here are the deterministic halves of the documents table by source
+# (src0-src9 vs src10-src19), the stand-in for DOC vs MESSAGE
+# collections.
+# ---------------------------------------------------------------------------
+
+MULTI_TOP_N = 10
+
+
+def unified_search_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .base import load
+    from .textstats import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    coll_a = docs.filter(F.length("source") == 4)   # src0..src9
+    coll_b = docs.filter(F.length("source") == 5)   # src10..src19
+    merged = bm25_scores(coll_a).unionByName(bm25_scores(coll_b))
+    return merged.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(MULTI_TOP_N)
+
+
+def _collections_sql() -> str:
+    from .textstats import bm25_collection_cte
+
+    return f"""
+WITH {bm25_collection_cte('a', 'length(source) = 4')},
+{bm25_collection_cte('b', 'length(source) = 5')}
+SELECT doc_id, bm25 FROM (
+  SELECT * FROM a_scored UNION ALL SELECT * FROM b_scored
+)
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {MULTI_TOP_N}
+"""
+
+
+UNIFIED_SEARCH_COLLECTIONS_SQL = _collections_sql()

@@ -790,3 +790,26 @@ GROUP BY t.doc_id
 
 
 DOC_TOKEN_COUNT_BPE_SQL = _bpe_sql()
+
+
+def bm25_collection_cte(prefix: str, where_sql: str) -> str:
+    """Per-collection BM25 CTE block (corpus stats computed WITHIN the
+    collection — reference search runs each collection's view with its
+    own statistics, search_functions.py:146-178)."""
+    return rf"""
+{prefix}_per_doc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         {_BM25_TF_SQL}
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        FROM documents WHERE {where_sql})
+), {prefix}_stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(dl) AS avgdl,
+         {', '.join(f'CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}' for i in range(len(BM25_TERMS)))}
+  FROM {prefix}_per_doc
+), {prefix}_scored AS (
+  SELECT doc_id,
+         CAST(floor(({_BM25_SCORE_SQL}) * 10000) / 10000 AS DOUBLE) AS bm25
+  FROM {prefix}_per_doc d CROSS JOIN {prefix}_stats s
+)"""

@@ -491,3 +491,52 @@ def backfill_merge(
         if os.path.exists(path):
             os.remove(path)
     return n_docs
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: only the FIRST arrival of each document
+    content passes; re-deliveries of identical content within the
+    watermark window are dropped (the streaming face of the batch
+    exact-dedup operator — a crawler re-fetching unchanged pages must
+    not re-emit them into the corpus).
+
+    Key = md5 of the canonical JSON of the spans array (content, not
+    doc_id — two ids carrying identical content are duplicates).
+    ``dropDuplicatesWithinWatermark`` keyed on that fingerprint keeps
+    state only within the watermark (event time = source-file
+    modification time), so state is EVICTED as the watermark advances
+    and the job runs forever at bounded memory — the unbounded-state
+    footgun of plain ``dropDuplicates`` on a stream is the reason this
+    operator exists.
+    """
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .parquet(input_dir)
+        .select(
+            "*", F.col("_metadata.file_modification_time").alias("ts")
+        )
+        .withColumn("fp", F.md5(F.to_json(F.struct("spans"))))
+    )
+    deduped = (
+        docs.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "spans")
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

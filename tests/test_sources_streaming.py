@@ -507,3 +507,41 @@ def test_stream_extract_mega_doc_side_path_and_backfill(spark, tmp_path):
     total_want = sum(len(extract_document(r["spans"])) for r in rows)
     assert flat2.count() == total_want
     assert backfill_extract(spark, backfill, out, mega_span_threshold=100) == 0
+
+
+def test_stream_dedup_exact_drops_content_duplicates(spark, tmp_path):
+    """§2.9 addition: only the FIRST arrival of each document content
+    passes, across micro-batches (state in the checkpointed store),
+    keyed on content fingerprint — a different doc_id carrying
+    identical spans is still a duplicate."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.schema import DOCS_SCHEMA
+    from pdf_extractor_spark.streaming import stream_dedup_exact
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id, "spans": [
+            {"kind": "text", "text": text, "media_ref": "", "offset": 0}]}
+
+    spark.createDataFrame([doc("a", "alpha"), doc("b", "beta")],
+                          schema=DOCS_SCHEMA).coalesce(1).write.mode("append").parquet(inbox)
+    stream_dedup_exact(spark, inbox, out, ckpt)
+    _time.sleep(1.1)
+    # wave 2: same content under a NEW id + genuinely new content
+    spark.createDataFrame([doc("a2", "alpha"), doc("c", "gamma")],
+                          schema=DOCS_SCHEMA).coalesce(1).write.mode("append").parquet(inbox)
+    stream_dedup_exact(spark, inbox, out, ckpt)
+
+    got = spark.read.parquet(out).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == ["a", "b", "c"], ids  # a2 (duplicate content) dropped
+
+    # replay: nothing new -> no change
+    stream_dedup_exact(spark, inbox, out, ckpt)
+    assert spark.read.parquet(out).count() == 3

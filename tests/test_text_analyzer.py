@@ -204,3 +204,36 @@ def test_bpe_token_count_sums_words():
     # frequent corpus words merge to few symbols; OOV words fall back
     # toward characters — the defining subword behavior
     assert len(bpe_segments("window")) < len(bpe_segments("zzzqqq"))
+
+
+def test_unified_search_collections_merges_per_collection_scores(spark):
+    """search_functions.py:146-199: each collection is scored against
+    ITS OWN corpus statistics, results merged and truncated by score —
+    so the merged list interleaves both collections and each side's
+    score equals that side's standalone BM25."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.analytics.base import load
+    from pdf_extractor_spark.analytics.search_api import (
+        MULTI_TOP_N,
+        unified_search_collections,
+    )
+    from pdf_extractor_spark.analytics.textstats import bm25_scores
+
+    rows = unified_search_collections(spark, SF).collect()
+    assert len(rows) == MULTI_TOP_N
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    docs = load(spark, SF, "documents")
+    a_scores = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs.filter(F.length("source") == 4)).collect()
+    }
+    b_scores = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs.filter(F.length("source") == 5)).collect()
+    }
+    for r in rows:
+        side = a_scores if r["doc_id"] in a_scores else b_scores
+        assert side[r["doc_id"]] == r["bm25"]
