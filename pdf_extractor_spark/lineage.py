@@ -50,7 +50,30 @@ def _lineage_path(output_dir: str) -> str:
     return os.path.join(output_dir, LINEAGE_FILE)
 
 
-def read_lineage(output_dir: str) -> dict[str, dict]:
+def _snapshot_path(output_dir: str, version: int) -> str:
+    return os.path.join(output_dir, f"lineage.v{version}.json")
+
+
+def read_lineage(
+    output_dir: str, as_of: Optional[int] = None
+) -> dict[str, dict]:
+    """Current manifest, or — with ``as_of`` — the snapshot committed
+    at that ``manifest_version`` (time travel; raises if the snapshot
+    was expired by :func:`vacuum_store`)."""
+    if as_of is not None:
+        current = read_lineage(output_dir)
+        cur_v = current.get(META_KEY, {}).get("manifest_version", 0)
+        if as_of == cur_v:
+            return current
+        snap = _snapshot_path(output_dir, as_of)
+        if not os.path.exists(snap):
+            raise FileNotFoundError(
+                f"no snapshot at manifest_version={as_of} under "
+                f"{output_dir} (current={cur_v}; expired snapshots are "
+                "removed by vacuum_store retention)"
+            )
+        with open(snap) as f:
+            return json.load(f)
     path = _lineage_path(output_dir)
     if not os.path.exists(path):
         return {}
@@ -97,6 +120,16 @@ def _commit_lineage(output_dir: str, delta: dict[str, dict]) -> dict[str, dict]:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
+        # snapshot BEFORE the swap: the superseded manifest becomes the
+        # numbered snapshot (Iceberg metadata-file analog) that
+        # read_output(as_of=...) resolves; expired by vacuum_store per
+        # its retain_snapshots policy
+        if current:
+            prev_v = current.get(META_KEY, {}).get("manifest_version", 0)
+            snap = _snapshot_path(output_dir, prev_v)
+            if not os.path.exists(snap):
+                with open(snap, "w") as f:
+                    json.dump(current, f, indent=1, sort_keys=True)
         os.replace(tmp, path)  # atomic rename = commit point
     finally:
         os.close(fd)
@@ -243,6 +276,7 @@ def read_output(
     spark: SparkSession,
     output_dir: str,
     for_doc_ids: Optional[DataFrame] = None,
+    as_of: Optional[int] = None,
 ) -> DataFrame:
     """Read back committed non-empty buckets.
 
@@ -250,8 +284,12 @@ def read_output(
     scan to the buckets those documents hash into — the Iceberg-style
     partition-pruned read a keyed lookup should do instead of scanning
     the whole store. Pruning collects only the small distinct bucket-id
-    list, never the doc_ids themselves."""
-    lineage = read_lineage(output_dir)
+    list, never the doc_ids themselves.
+
+    ``as_of`` reads the store AS OF an earlier ``manifest_version``
+    (time travel) — valid while that snapshot is within the vacuum
+    retention window (``vacuum_store(retain_snapshots=...)``)."""
+    lineage = read_lineage(output_dir, as_of=as_of)
     wanted: Optional[set] = None
     if for_doc_ids is not None:
         meta = lineage.get(META_KEY) or {}
@@ -313,6 +351,7 @@ def merge_elements(
     updates: Optional[DataFrame] = None,
     delete_keys: Optional[DataFrame] = None,
     commit_mode: str = "batch",
+    retain_snapshots: int = 0,
 ) -> dict[str, dict]:
     """Keyed MERGE on the extracted store: one copy-on-write commit that
     replaces rows matching ``updates``' (doc_id, offset), inserts the
@@ -393,7 +432,7 @@ def merge_elements(
         for df in (ups, dels):
             if df is not None:
                 df.unpersist()
-    vacuum_store(output_dir)
+    vacuum_store(output_dir, retain_snapshots=retain_snapshots)
     return lineage
 
 
@@ -521,27 +560,69 @@ def _merge_per_bucket(
     return lineage
 
 
-def vacuum_store(output_dir: str) -> list[str]:
+def list_snapshots(output_dir: str) -> list[int]:
+    """Manifest versions readable via ``as_of`` (retained snapshots +
+    the current manifest), ascending."""
+    versions = []
+    for name in os.listdir(output_dir):
+        m = re.match(r"^lineage\.v(\d+)\.json$", name)
+        if m:
+            versions.append(int(m.group(1)))
+    cur = read_lineage(output_dir).get(META_KEY, {}).get("manifest_version")
+    if cur is not None:
+        versions.append(cur)
+    return sorted(set(versions))
+
+
+def vacuum_store(output_dir: str, retain_snapshots: int = 0) -> list[str]:
     """Reclaim version directories superseded by the committed manifest.
 
     Copy-on-write MERGE leaves the previous version of every rewritten
     bucket on disk (that is what makes the commit crash-safe); without
     retention, frequent CDC merges grow the store without bound. After
     a successful commit, every ``bucket=N[__vK]`` dir and ``merge_vG``
-    generation member NOT referenced by the manifest is superseded or
-    orphaned — delete it. Called automatically post-commit by
-    :func:`merge_elements`; safe to invoke any time (single-writer
-    store; readers re-resolve paths from the manifest per query).
+    generation member NOT referenced by the manifest — nor by one of
+    the ``retain_snapshots`` newest manifest snapshots (the Iceberg
+    expire-snapshots window; those stay time-travel-readable via
+    ``read_output(as_of=...)``) — is superseded or orphaned — delete
+    it. Snapshot files older than the window are expired with their
+    data. Called automatically post-commit by :func:`merge_elements`;
+    safe to invoke any time (single-writer store; readers re-resolve
+    paths from the manifest per query).
     """
     lineage = read_lineage(output_dir)
     if not lineage:
         return []
-    referenced = {
-        e["path"] if e.get("path") else f"bucket={b}"
-        for b, e in _bucket_items(lineage)
-        if e.get("row_count", 0) > 0
-    }
+
+    def refs_of(manifest: dict) -> set:
+        return {
+            e["path"] if e.get("path") else f"bucket={b}"
+            for b, e in _bucket_items(manifest)
+            if e.get("row_count", 0) > 0
+        }
+
+    referenced = refs_of(lineage)
+    snap_versions = sorted(
+        v
+        for v in (
+            int(m.group(1))
+            for m in (
+                re.match(r"^lineage\.v(\d+)\.json$", n)
+                for n in os.listdir(output_dir)
+            )
+            if m
+        )
+    )
+    keep = set(snap_versions[len(snap_versions) - retain_snapshots:]) if retain_snapshots else set()
     removed: list[str] = []
+    for v in snap_versions:
+        snap = _snapshot_path(output_dir, v)
+        if v in keep:
+            with open(snap) as f:
+                referenced |= refs_of(json.load(f))
+        else:
+            os.unlink(snap)  # expired snapshot
+            removed.append(os.path.basename(snap))
     for name in sorted(os.listdir(output_dir)):
         full = os.path.join(output_dir, name)
         if not os.path.isdir(full):
@@ -567,11 +648,13 @@ def upsert_elements(
     output_dir: str,
     updates: DataFrame,
     commit_mode: str = "batch",
+    retain_snapshots: int = 0,
 ) -> dict[str, dict]:
     """MERGE: rows matching (doc_id, offset) are replaced, new keys are
     inserted. ``updates`` must carry the extracted-element schema."""
     return merge_elements(
-        spark, output_dir, updates=updates, commit_mode=commit_mode
+        spark, output_dir, updates=updates, commit_mode=commit_mode,
+        retain_snapshots=retain_snapshots,
     )
 
 
@@ -580,8 +663,93 @@ def delete_elements(
     output_dir: str,
     keys: DataFrame,
     commit_mode: str = "batch",
+    retain_snapshots: int = 0,
 ) -> dict[str, dict]:
     """Keyed delete: rows matching (doc_id, offset) are removed."""
     return merge_elements(
-        spark, output_dir, delete_keys=keys, commit_mode=commit_mode
+        spark, output_dir, delete_keys=keys, commit_mode=commit_mode,
+        retain_snapshots=retain_snapshots,
     )
+
+
+def compact_store(
+    spark: SparkSession,
+    output_dir: str,
+    files_per_bucket: int = 1,
+    retain_snapshots: int = 0,
+) -> dict[str, dict]:
+    """Small-file compaction (Iceberg ``rewrite_data_files`` analog).
+
+    Every copy-on-write MERGE rewrites affected buckets at the write
+    parallelism of the moment, so a store that has absorbed many CDC
+    batches accumulates shards of small parquet files per bucket — the
+    classic small-file problem that throttles scan throughput at scale
+    (file-open overhead, tiny row groups, starved vectorized readers).
+
+    Compaction is a content-identical rewrite: union-read every
+    non-empty bucket, ``repartition(n, bucket)`` so each bucket's rows
+    land in ``files_per_bucket`` task(s), write one new generation via
+    dynamic partition overwrite, commit ONE manifest swap, vacuum the
+    superseded dirs. Same crash protocol as MERGE: the new generation
+    is orphaned (and later reclaimed) unless the commit lands.
+
+    Returns the committed manifest.
+    """
+    lineage = read_lineage(output_dir)
+    meta = lineage.get(META_KEY)
+    if meta is None:
+        raise FileNotFoundError(f"no lineage manifest under {output_dir}")
+    n_buckets = meta["n_buckets"]
+    loaded = [
+        (int(b), e)
+        for b, e in _bucket_items(lineage)
+        if e.get("status") == "done" and e.get("row_count", 0) > 0
+    ]
+    if not loaded:
+        return lineage
+    gen = 1 + max(e.get("version", 0) for _, e in loaded)
+    rel_root = f"merge_v{gen}"
+    staging = os.path.join(output_dir, rel_root)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    t0 = time.time()
+    current = spark.read.parquet(
+        *[_bucket_dir(output_dir, b, e) for b, e in loaded]
+    ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+    n_tasks = max(1, len(loaded) * files_per_bucket)
+    (
+        current.repartition(n_tasks, "bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    counts = {
+        r["bucket"]: r["count"]
+        for r in spark.read.parquet(staging).groupBy("bucket").count().collect()
+    }
+    wall_ms = int((time.time() - t0) * 1000)
+    delta: dict[str, dict] = {}
+    for b, old in loaded:
+        rc = int(counts.get(b, 0))
+        if rc != old.get("row_count"):
+            raise RuntimeError(
+                f"compaction row-count drift in bucket {b}: "
+                f"{old.get('row_count')} -> {rc} — staging left for "
+                "inspection, manifest NOT committed"
+            )
+        rel_path = f"{rel_root}/bucket={b}"
+        entry = {
+            "status": "done",
+            "row_count": rc,
+            "bytes": _dir_bytes(os.path.join(output_dir, rel_path)),
+            "wall_ms": wall_ms,
+            "run_id": old.get("run_id", "compact"),
+            "version": gen,
+            "path": rel_path,
+        }
+        delta[str(b)] = entry
+        lineage[str(b)] = entry
+    _commit_lineage(output_dir, delta)
+    vacuum_store(output_dir, retain_snapshots=retain_snapshots)
+    return lineage

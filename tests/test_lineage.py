@@ -513,3 +513,120 @@ def test_concurrent_manifest_commits_lose_no_update(tmp_path):
     assert len(entries) == n_threads * n_commits  # zero lost updates
     assert final[META_KEY]["manifest_version"] == n_threads * n_commits + 1
     assert final[META_KEY]["n_buckets"] == 64  # meta survives merges
+
+
+def test_time_travel_read_within_retention_window(spark, docs_df, tmp_path):
+    """Iceberg-style snapshots: read_output(as_of=v) serves the store
+    as committed at manifest_version v while the snapshot is inside the
+    vacuum retention window; expiry makes it an explicit error."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import (
+        list_snapshots,
+        read_lineage,
+        upsert_elements,
+    )
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    v0 = read_lineage(out)[META_KEY]["manifest_version"]
+    before = read_output(spark, out)
+    n_before = before.count()
+    t = before.orderBy("doc_id", "offset").limit(1).collect()[0]
+    edit = spark.createDataFrame([t], before.schema)
+
+    upsert_elements(
+        spark, out, edit.withColumn("text", F.lit("V1")), retain_snapshots=1
+    )
+    v1 = read_lineage(out)[META_KEY]["manifest_version"]
+    # current shows the edit; as-of v0 still shows the original
+    assert read_output(spark, out).filter(F.col("text") == "V1").count() == 1
+    old = read_output(spark, out, as_of=v0)
+    assert old.count() == n_before
+    assert old.filter(F.col("text") == "V1").count() == 0
+    assert (
+        old.filter(
+            (F.col("doc_id") == t["doc_id"]) & (F.col("offset") == t["offset"])
+        ).collect()[0]["text"]
+        == t["text"]
+    )
+    assert set(list_snapshots(out)) >= {v0, v1}
+
+    # second merge with the same window expires v0 (data + snapshot)
+    upsert_elements(
+        spark, out, edit.withColumn("text", F.lit("V2")), retain_snapshots=1
+    )
+    with pytest.raises(FileNotFoundError, match="expired|no snapshot"):
+        read_output(spark, out, as_of=v0)
+    mid = read_output(spark, out, as_of=v1)
+    assert mid.filter(F.col("text") == "V1").count() == 1
+    assert read_output(spark, out).filter(F.col("text") == "V2").count() == 1
+
+
+def test_compact_store_collapses_small_files(spark, docs_df, tmp_path):
+    """After several copy-on-write merges, compaction rewrites each
+    bucket to files_per_bucket parquet files with identical content and
+    reclaims every superseded dir."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import compact_store, upsert_elements
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    base = read_output(spark, out)
+    donor = spark.createDataFrame(
+        base.orderBy("doc_id", "offset").limit(1).collect(), base.schema
+    )
+    # fragment the store: three merges, each rewrites buckets at write
+    # parallelism
+    for i in range(3):
+        upsert_elements(
+            spark, out,
+            donor.withColumn("offset", F.lit(900_000 + i)).repartition(4),
+        )
+    before_rows = sorted(
+        (r["doc_id"], r["offset"], r["text"])
+        for r in read_output(spark, out).collect()
+    )
+    lineage = buckets(read_lineage(out))
+    files_before = len(_glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True))
+
+    compact_store(spark, out)
+
+    after = read_output(spark, out)
+    after_rows = sorted(
+        (r["doc_id"], r["offset"], r["text"]) for r in after.collect()
+    )
+    assert after_rows == before_rows  # content-identical rewrite
+    lineage2 = buckets(read_lineage(out))
+    # one parquet file per non-empty bucket
+    n_loaded = sum(1 for e in lineage2.values() if e.get("row_count", 0) > 0)
+    files_after = len(_glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True))
+    assert files_after == n_loaded
+    assert files_after < files_before
+    # every loaded bucket advanced to the same new generation
+    gens = {e["version"] for e in lineage2.values() if e.get("row_count", 0) > 0}
+    assert len(gens) == 1
+    assert gens.pop() > max(e.get("version", 0) for e in lineage.values())
+    # superseded dirs reclaimed: disk == manifest references
+    referenced = {
+        e["path"] if e.get("path") else f"bucket={b}"
+        for b, e in lineage2.items()
+        if e.get("row_count", 0) > 0
+    }
+    on_disk = set()
+    for name in os.listdir(out):
+        full = os.path.join(out, name)
+        if not os.path.isdir(full):
+            continue
+        if name.startswith("merge_v"):
+            on_disk.update(
+                f"{name}/{s}" for s in os.listdir(full)
+                if os.path.isdir(os.path.join(full, s))
+            )
+        else:
+            on_disk.add(name)
+    assert on_disk == referenced
