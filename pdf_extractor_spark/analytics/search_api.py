@@ -30,11 +30,42 @@ SEARCH_TYPES = {
 
 
 def unified_search(
-    spark: SparkSession, sf_dir: str, search_type: str = "hybrid"
+    spark: SparkSession,
+    sf_dir: str,
+    search_type: str = "hybrid",
+    query: str | None = None,
+    top_n: int = 10,
 ) -> DataFrame:
     """Route to the engine named by ``search_type``; unknown types fall
-    back to hybrid, exactly like the reference dispatch."""
-    fn = SEARCH_TYPES.get(search_type.lower(), hybrid.hybrid_search_rrf)
+    back to hybrid, exactly like the reference dispatch.
+
+    ``query`` carries an arbitrary user query string for the lexical
+    engines: ``bm25`` tokenizes it lowercase-on-whitespace (the raw
+    analyzer), ``bm25_stemmed`` runs it through the full text_en
+    analyzer — both sides of the match see the same analysis, as in
+    ArangoSearch. The vector engines (semantic/hybrid) key on the
+    query EMBEDDING (vec_id 0 in the synthetic corpus) — a text query
+    would need the reference's external embedding service, so ``query``
+    is ignored there, as is ``top_n`` for engines with reference-pinned
+    result sizes. With ``query=None`` every engine runs its graded
+    fixture plan unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    from .base import load
+
+    st = search_type.lower()
+    if query is not None and st in ("bm25", "bm25_stemmed"):
+        docs = load(spark, sf_dir, "documents")
+        if st == "bm25":
+            terms = [t for t in query.lower().split() if t]
+            if not terms:
+                raise ValueError("empty query")
+            scored = textstats.bm25_scores(docs, terms)
+        else:
+            scored = textstats.bm25_scores_stemmed(docs, query)
+        return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_n)
+    fn = SEARCH_TYPES.get(st, hybrid.hybrid_search_rrf)
     return fn(spark, sf_dir)
 
 

@@ -262,9 +262,11 @@ FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM document
 # ---------------------------------------------------------------------------
 
 
-def bm25_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, bm25) for every document — shared by bm25_search and
-    the hybrid RRF query."""
+def bm25_scores(docs: DataFrame, terms: list | None = None) -> DataFrame:
+    """(doc_id, bm25) for every document — shared by bm25_search, the
+    hybrid RRF query, and the user-facing dispatch (``terms`` carries
+    an arbitrary tokenized query; default = the graded fixture terms)."""
+    terms = BM25_TERMS if terms is None else terms
     toks = _tokens()
     def _eq(term: str):
         # NB: capture via factory, not lambda default args — Spark counts
@@ -276,7 +278,7 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("dl"),
         *[
             F.size(F.filter(toks, _eq(t_))).alias(f"tf_{i}")
-            for i, t_ in enumerate(BM25_TERMS)
+            for i, t_ in enumerate(terms)
         ],
     )
     # BM25 needs corpus stats BEFORE scoring → two passes over per_doc.
@@ -287,18 +289,21 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
     # Deliberately session-lifetime (no unpersist): the builder can't
     # know when its lazy consumers finish; entries are tiny and Spark's
     # LRU evicts under pressure — same policy as dedup._with_bands.
-    per_doc = per_doc.persist()
+    # Only the fixed graded/benched plan is cached — ad-hoc query terms
+    # would otherwise grow one cache entry per distinct query string.
+    if terms is BM25_TERMS:
+        per_doc = per_doc.persist()
     stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
-            for i in range(len(BM25_TERMS))
+            for i in range(len(terms))
         ],
     )
     joined = per_doc.crossJoin(F.broadcast(stats))
     score = None
-    for i in range(len(BM25_TERMS)):
+    for i in range(len(terms)):
         idf = F.log(
             1.0
             + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
@@ -623,12 +628,18 @@ def _stemmed_tokens_udf():
     return stem_toks
 
 
-def bm25_scores_stemmed(docs: DataFrame) -> DataFrame:
+def bm25_scores_stemmed(docs: DataFrame, query: str | None = None) -> DataFrame:
     """(doc_id, bm25) with text_en-analyzed tokens; query terms pass
-    through the same analyzer (ArangoSearch analyzes both sides)."""
-    from ..textproc import porter_stem
+    through the same analyzer (ArangoSearch analyzes both sides).
+    ``query`` is an arbitrary user query string; default = the graded
+    fixture terms."""
+    from ..textproc import text_en_tokens
 
-    terms = [porter_stem(t) for t in STEMMED_QUERY_TERMS]
+    terms = text_en_tokens(
+        " ".join(STEMMED_QUERY_TERMS) if query is None else query
+    )
+    if not terms:
+        raise ValueError("empty query after analysis")
     toks = _stemmed_tokens_udf()(F.col("text"))
 
     def _eq(term: str):
@@ -642,7 +653,9 @@ def bm25_scores_stemmed(docs: DataFrame) -> DataFrame:
             F.size(F.filter(toks, _eq(t_))).alias(f"tf_{i}")
             for i, t_ in enumerate(terms)
         ],
-    ).persist()  # same single-scan corpus-stats policy as bm25_scores
+    )
+    if query is None:  # cache only the fixed graded plan (see bm25_scores)
+        per_doc = per_doc.persist()
     stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

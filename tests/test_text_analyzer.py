@@ -237,3 +237,44 @@ def test_unified_search_collections_merges_per_collection_scores(spark):
     for r in rows:
         side = a_scores if r["doc_id"] in a_scores else b_scores
         assert side[r["doc_id"]] == r["bm25"]
+
+
+def test_unified_search_adhoc_query_matches_independent_bm25(spark):
+    """The dispatch accepts ARBITRARY query strings: verify an ad-hoc
+    bm25 query against an independent pure-Python BM25 computed from
+    the parquet directly (same floor-rounding contract)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.analytics.search_api import unified_search
+
+    q = "hash value vector"
+    got = unified_search(spark, SF, "bm25", query=q, top_n=5).collect()
+    assert len(got) == 5
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    toks = [txt.split() for txt in t.column("text").to_pylist()]
+    terms = q.split()
+    n, avgdl = len(ids), sum(len(tk) for tk in toks) / len(ids)
+    df = {w: sum(1 for tk in toks if w in tk) for w in terms}
+    k1, b = 1.2, 0.75
+
+    def score(tk):
+        s = 0.0
+        for w in terms:
+            tf = tk.count(w)
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            s += idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl)))
+        return math.floor(s * 10000) / 10000
+
+    want = sorted(
+        ((score(tk), i) for i, tk in zip(ids, toks)),
+        key=lambda p: (-p[0], p[1]),
+    )[:5]
+    assert [(r["doc_id"], r["bm25"]) for r in got] == [(i, s) for s, i in want]
+
+    # the stemmed engine accepts inflected ad-hoc queries
+    got2 = unified_search(spark, SF, "bm25_stemmed", query="hashes valuing", top_n=3).collect()
+    assert len(got2) == 3 and got2[0]["bm25"] > 0.0
