@@ -82,15 +82,8 @@ def test_ivf_kmeans_topk_recall_and_determinism(spark):
     brute = {r["vec_id"] for r in cosine_topk_bruteforce(spark, SF).collect()}
     ivf = {r["vec_id"] for r in rows1}
     assert len(brute & ivf) >= 3, f"recall collapsed: {brute & ivf}"
+    # probe contract: candidates come from at most IVF_N_PROBE inverted
+    # lists — the partition-pruning promise of the layout
+    from pdf_extractor_spark.analytics.similarity import IVF_N_PROBE
 
-
-def test_ivf_probe_scans_fraction_of_lists(spark):
-    """The probe must read candidates from exactly IVF_N_PROBE inverted
-    lists — the partition-pruning contract of the layout."""
-    from pdf_extractor_spark.analytics.similarity import (
-        IVF_N_PROBE,
-        ivf_kmeans_topk,
-    )
-
-    clusters = {r["cluster"] for r in ivf_kmeans_topk(spark, SF).collect()}
-    assert len(clusters) <= IVF_N_PROBE
+    assert len({r["cluster"] for r in rows1}) <= IVF_N_PROBE
