@@ -461,10 +461,10 @@ ORDER BY score DESC, match_id ASC
 # Determinism (cross-run AND cross-implementation): init = the k
 # vectors with smallest md5(vec_id) (pseudo-random but fixed spread);
 # ties in assignment take the LOWEST cluster id (array_position finds
-# the first minimum); centroids are floor-rounded to 1e-6 after every
-# update so float summation order cannot leak into assignments. The
-# unit suite re-runs the identical algorithm in pure Python and
-# asserts centroid equality (tests/test_kmeans_ivf.py).
+# the first minimum); re-estimation aggregates FIXED-POINT component
+# sums (exact, commutative), so no aggregation order anywhere can
+# perturb a centroid. The unit suite re-runs the identical algorithm
+# in pure Python and asserts centroid equality (tests/test_kmeans_ivf.py).
 # ---------------------------------------------------------------------------
 
 KMEANS_K = 8
@@ -527,6 +527,9 @@ def _cluster_expr(vec: Column, centroids: list, codegen: bool = False) -> Column
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+_KMEANS_SCALE = 1_000_000
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = KMEANS_K,
@@ -535,7 +538,17 @@ def kmeans_fit(
     vec_col: str = "embedding",
     dim: int = DIMS,
 ) -> list:
-    """Train the coarse quantizer; returns the k×dim centroid matrix."""
+    """Train the coarse quantizer; returns the k×dim centroid matrix.
+
+    Re-estimation sums FIXED-POINT components (floor(x·10⁶) as long),
+    not doubles: integer addition is exact and commutative, so the
+    per-cluster mean is identical for ANY partitioning / aggregation
+    order — a float ``avg`` could differ by an ulp between runs and
+    flip a rounded centroid at a 10⁻⁶ grid boundary, silently breaking
+    the determinism the probe and the pure-Python parity test rely on.
+    Centroid = floor-div of the scaled sum by the count, back on the
+    10⁻⁶ grid.
+    """
     init = (
         emb.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")))
@@ -548,12 +561,23 @@ def kmeans_fit(
         agg = (
             emb.select(_cluster_expr(vec, cents).alias("cluster"), vec_col)
             .groupBy("cluster")
-            .agg(*[F.avg(vec[i].cast("double")).alias(f"m{i}") for i in range(dim)])
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(
+                        F.floor(vec[i].cast("double") * _KMEANS_SCALE).cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
             .collect()
         )
         by_cluster = {r["cluster"]: r for r in agg}
         cents = [
-            [_floor6(by_cluster[c][f"m{i}"]) for i in range(dim)]
+            [
+                by_cluster[c][f"s{i}"] // by_cluster[c]["n"] / _KMEANS_SCALE
+                for i in range(dim)
+            ]
             if c in by_cluster
             else cents[c]  # empty cluster keeps its centroid
             for c in range(k)

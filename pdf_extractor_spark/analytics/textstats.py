@@ -262,6 +262,36 @@ FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM document
 # ---------------------------------------------------------------------------
 
 
+def _bm25_from_per_doc(per_doc: DataFrame, n_terms: int) -> DataFrame:
+    """Shared scoring tail: corpus stats over a (doc_id, dl, tf_*)
+    projection, broadcast, Robertson idf × tf saturation, floor-round.
+    Both tokenizer front-ends (raw whitespace and text_en) feed this —
+    the BM25 math exists exactly once."""
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(n_terms)
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(n_terms):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        comp = idf * (
+            tf
+            * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = comp if score is None else score + comp
+    return joined.select("doc_id", _floor_round(score, 4).alias("bm25"))
+
+
 def bm25_scores(docs: DataFrame, terms: list | None = None) -> DataFrame:
     """(doc_id, bm25) for every document — shared by bm25_search, the
     hybrid RRF query, and the user-facing dispatch (``terms`` carries
@@ -293,29 +323,7 @@ def bm25_scores(docs: DataFrame, terms: list | None = None) -> DataFrame:
     # would otherwise grow one cache entry per distinct query string.
     if terms is BM25_TERMS:
         per_doc = per_doc.persist()
-    stats = per_doc.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
-    )
-    joined = per_doc.crossJoin(F.broadcast(stats))
-    score = None
-    for i in range(len(terms)):
-        idf = F.log(
-            1.0
-            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
-        )
-        tf = F.col(f"tf_{i}").cast("double")
-        comp = idf * (
-            tf
-            * (BM25_K1 + 1.0)
-            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-        )
-        score = comp if score is None else score + comp
-    return joined.select("doc_id", _floor_round(score, 4).alias("bm25"))
+    return _bm25_from_per_doc(per_doc, len(terms))
 
 
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,29 +664,7 @@ def bm25_scores_stemmed(docs: DataFrame, query: str | None = None) -> DataFrame:
     )
     if query is None:  # cache only the fixed graded plan (see bm25_scores)
         per_doc = per_doc.persist()
-    stats = per_doc.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
-    )
-    joined = per_doc.crossJoin(F.broadcast(stats))
-    score = None
-    for i in range(len(terms)):
-        idf = F.log(
-            1.0
-            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
-        )
-        tf = F.col(f"tf_{i}").cast("double")
-        comp = idf * (
-            tf
-            * (BM25_K1 + 1.0)
-            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-        )
-        score = comp if score is None else score + comp
-    return joined.select("doc_id", _floor_round(score, 4).alias("bm25"))
+    return _bm25_from_per_doc(per_doc, len(terms))
 
 
 def bm25_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,10 +102,17 @@ def _commit_lineage(output_dir: str, delta: dict[str, dict]) -> dict[str, dict]:
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
-                    os.unlink(lock)  # crashed holder — steal
+                    # crashed holder — steal via rename, which exactly
+                    # ONE contender wins (a bare unlink would let a
+                    # second stealer delete the first stealer's
+                    # freshly-created lock and put two committers in
+                    # the critical section at once)
+                    grave = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                    os.rename(lock, grave)
+                    os.unlink(grave)
                     continue
             except OSError:
-                continue  # holder released between open and stat
+                continue  # holder released / another stealer won
             if time.time() > deadline:
                 raise TimeoutError(f"could not acquire manifest lock {lock}")
             time.sleep(0.005)
@@ -450,8 +457,12 @@ def _merge_batch(
     t0 = time.time()
     # one generation per merge commit; computed from COMMITTED versions
     # only, so a retry after a crash reuses (and overwrites) the same
-    # orphaned generation directory — idempotent
-    gen = 1 + max(lineage[str(b)].get("version", 0) for b in affected)
+    # orphaned generation directory — idempotent. The max ranges over
+    # ALL buckets, not just affected ones: a committed merge_v{N}
+    # directory can hold live data for buckets this merge does not
+    # touch, and a gen derived from affected-only versions would reuse
+    # (and rmtree) that referenced directory — permanent data loss.
+    gen = 1 + max(e.get("version", 0) for _, e in _bucket_items(lineage))
     rel_root = f"merge_v{gen}"
     staging = os.path.join(output_dir, rel_root)
     if os.path.isdir(staging):
@@ -707,7 +718,8 @@ def compact_store(
     ]
     if not loaded:
         return lineage
-    gen = 1 + max(e.get("version", 0) for _, e in loaded)
+    # gen over ALL buckets (same collision rule as _merge_batch)
+    gen = 1 + max(e.get("version", 0) for _, e in _bucket_items(lineage))
     rel_root = f"merge_v{gen}"
     staging = os.path.join(output_dir, rel_root)
     if os.path.isdir(staging):

@@ -85,7 +85,15 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    # an explicit shuffle_partitions argument always wins; only the
+    # fallback depends on whether SPARK_GRAFT_CPUS is numeric (it can
+    # legitimately be '*' for local[*])
+    if shuffle_partitions is not None:
+        shuffle = shuffle_partitions
+    elif str(cpus).isdigit():
+        shuffle = int(cpus)
+    else:
+        shuffle = 32
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -269,13 +269,9 @@ def label_studio_tasks(elements: DataFrame, source: str = "engine") -> DataFrame
     """Flat extracted elements → one Label Studio task row per table."""
     tables = elements.filter(F.col("kind") == "table")
     # doc_id carries the source file's relative path INCLUDING its
-    # extension; the reference's pdf_id is an extension-less stem
-    # (api.py:201 formats f"{pdf_id}.pdf") — strip a trailing extension
-    # so URLs don't come out as "manual.pdf.pdf"
-    # the stem (not the extension-ful doc_id) is the pdf_id everywhere:
-    # the reference's pdf_id is an extension-less stem that api.py:201
-    # formats as f"{pdf_id}.pdf" — an extension-ful pdf_id would round-
-    # trip as "manual.pdf.pdf"
+    # extension; the reference's pdf_id is an extension-less stem used
+    # everywhere (api.py:201 formats f"{pdf_id}.pdf") — strip a
+    # trailing extension or ids round-trip as "manual.pdf.pdf"
     stem = F.regexp_replace(F.col("doc_id"), r"\.[A-Za-z0-9]+$", "")
     data = F.struct(
         stem.alias("pdf_id"),

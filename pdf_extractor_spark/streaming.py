@@ -107,10 +107,17 @@ def backfill_extract(
 
     from .operators.extract import extract_elements
 
-    if not _has_parquet(backfill_dir):
+    # the mega topic is a streaming parquet SINK, so its directory
+    # carries a _spark_metadata transaction log; a directory read would
+    # list files from that log — including files a previous drain
+    # already consumed and deleted, wedging every later drain with
+    # FILE_NOT_EXIST. Read the pending part files EXPLICITLY (a
+    # file-list read never consults the sink log), so drained+deleted
+    # files simply stop appearing.
+    pending = _backfill_files(backfill_dir)
+    if not pending:
         return 0
-    raw = spark.read.schema(DOCS_SCHEMA).parquet(backfill_dir)
-    consumed = raw.inputFiles()
+    raw = spark.read.schema(DOCS_SCHEMA).parquet(*pending)
     n_docs = raw.count()
     if n_docs == 0:
         return 0
@@ -120,11 +127,22 @@ def backfill_extract(
         mega_span_threshold=mega_span_threshold,
     )
     flat.write.mode("append").parquet(output_dir + "_backfill")
-    for f in consumed:
-        path = f.removeprefix("file:")
+    for path in pending:
         if os.path.exists(path):
             os.remove(path)
     return n_docs
+
+
+def _backfill_files(path: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
 
 
 def _has_parquet(path: str) -> bool:

@@ -8,6 +8,7 @@ invoked inside Arrow-batched pandas UDFs on executors.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import html as _html
 import re
@@ -282,7 +283,6 @@ def text_en_tokens(text: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 _BPE_EOW = "</w>"
-_bpe_word_cache: dict[str, int] = {}
 
 
 def _bpe_ranks() -> dict[tuple[str, str], int]:
@@ -327,16 +327,17 @@ def bpe_segments(word: str, ranks: dict | None = None) -> list[str]:
     return [p for p in parts if p != _BPE_EOW]
 
 
+@functools.lru_cache(maxsize=65_536)
+def _bpe_word_len(word: str) -> int:
+    # bounded per-process cache: executor python workers are long-lived
+    # and real corpora carry unbounded distinct tokens (ids, hashes) —
+    # an unbounded dict would grow for the worker's whole life
+    return len(bpe_segments(word))
+
+
 def bpe_token_count(text: str) -> int:
     """Whitespace pre-tokenization, then BPE symbols per word."""
-    total = 0
-    for word in text.split():
-        n = _bpe_word_cache.get(word)
-        if n is None:
-            n = len(bpe_segments(word))
-            _bpe_word_cache[word] = n
-        total += n
-    return total
+    return sum(_bpe_word_len(w) for w in text.split())
 
 
 # ---------------------------------------------------------------------------

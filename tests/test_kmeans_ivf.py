@@ -1,9 +1,10 @@
 """IVF index build: distributed Lloyd's k-means parity + probe recall.
 
 The Spark fit must equal a pure-Python re-run of the identical
-algorithm (same md5 init, lowest-id tie-break, 1e-6 floor-rounding
-after every update) — float summation order cannot leak through the
-rounding, so the two implementations are bit-comparable.
+algorithm: same md5 init, lowest-id tie-break, and FIXED-POINT
+re-estimation (sum of floor(x*1e6) longs, floor-div by count) — exact
+commutative integer sums, so no aggregation order in either
+implementation can perturb a centroid and the two are bit-comparable.
 """
 
 import hashlib
@@ -13,9 +14,11 @@ import pyarrow.parquet as pq
 
 SF = "/root/testdata/sf0.001"
 
+SCALE = 1_000_000
+
 
 def _floor6(x):
-    return math.floor(x * 1_000_000) / 1_000_000
+    return math.floor(x * SCALE) / SCALE
 
 
 def python_kmeans(ids, vecs, k, iters):
@@ -24,7 +27,7 @@ def python_kmeans(ids, vecs, k, iters):
     cents = [[_floor6(float(x)) for x in vecs[i]] for i in order[:k]]
     dim = len(cents[0])
     for _ in range(iters):
-        sums = [[0.0] * dim for _ in range(k)]
+        sums = [[0] * dim for _ in range(k)]
         counts = [0] * k
         for v in vecs:
             best, bd = 0, None
@@ -34,9 +37,9 @@ def python_kmeans(ids, vecs, k, iters):
                     best, bd = c, d
             counts[best] += 1
             for i in range(dim):
-                sums[best][i] += float(v[i])
+                sums[best][i] += math.floor(float(v[i]) * SCALE)
         cents = [
-            [_floor6(sums[c][i] / counts[c]) for i in range(dim)]
+            [sums[c][i] // counts[c] / SCALE for i in range(dim)]
             if counts[c]
             else cents[c]
             for c in range(k)
