@@ -215,7 +215,7 @@ def run_with_lineage(
             try:
                 t0 = time.time()
                 (
-                    extracted.write.mode("overwrite")
+                    _clustered(extracted).write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("bucket")
                     .parquet(output_dir)
@@ -253,7 +253,9 @@ def run_with_lineage(
                 part_df = extracted.filter(F.col("bucket") == int(b)).drop("bucket")
                 row_count = part_df.count()
                 if row_count > 0:
-                    part_df.write.mode("overwrite").parquet(part_dir)
+                    part_df.sortWithinPartitions(*MERGE_KEYS).write.mode(
+                        "overwrite"
+                    ).parquet(part_dir)
                 entry = {
                     "status": "done",
                     "row_count": row_count,
@@ -347,6 +349,40 @@ def read_output(
 # ---------------------------------------------------------------------------
 
 MERGE_KEYS = ("doc_id", "offset")
+
+
+def _clustered(df: DataFrame) -> DataFrame:
+    """Cluster rows by the merge key before a partitionBy('bucket')
+    write (Iceberg write sort-order analog). The leading 'bucket' key
+    satisfies the writer's required partition-column ordering, so no
+    extra sort is inserted and the secondary (doc_id, offset) order
+    survives into the files — every parquet row group then carries
+    tight doc_id min/max stats and a keyed read skips the row groups
+    (and whole files) that cannot contain its keys. A task-local sort,
+    no exchange."""
+    return df.sortWithinPartitions("bucket", *MERGE_KEYS)
+
+
+def point_lookup(
+    spark: SparkSession,
+    output_dir: str,
+    doc_ids: list,
+    as_of: Optional[int] = None,
+) -> DataFrame:
+    """Primary-key fetch of a few documents from the keyed store.
+
+    Reference analog: ``arangodb/crud.py:95`` ``get_document`` — an
+    ArangoDB point read served by the ``_key`` primary index. A 100 TB
+    parquet store has no index; the equivalent is layout: (1) the
+    manifest prunes the scan to the buckets the keys hash into
+    (:func:`read_output`), (2) the ``doc_id IN (...)`` predicate is
+    pushed into the parquet scan, where the clustered layout
+    (:func:`_clustered`) makes row-group min/max stats selective — a
+    lookup reads a handful of row groups, not the bucket.
+    """
+    ids_df = spark.createDataFrame([(str(d),) for d in doc_ids], "doc_id string")
+    scan = read_output(spark, output_dir, for_doc_ids=ids_df, as_of=as_of)
+    return scan.where(F.col("doc_id").isin([str(d) for d in doc_ids]))
 
 _BUCKET_DIR_RE = re.compile(r"^bucket=\d+(__v\d+)?$")
 _MERGE_ROOT_RE = re.compile(r"^merge_v\d+$")
@@ -487,7 +523,7 @@ def _merge_batch(
     counts: dict = {}
     if new_rows is not None:
         (
-            new_rows.write.mode("overwrite")
+            _clustered(new_rows).write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(staging)
@@ -553,7 +589,9 @@ def _merge_per_bucket(
         if new_rows is not None:
             # write once, then count from the written files — a count()
             # before the write would execute the whole plan a second time
-            new_rows.write.mode("overwrite").parquet(new_dir)
+            new_rows.sortWithinPartitions(*MERGE_KEYS).write.mode(
+                "overwrite"
+            ).parquet(new_dir)
             row_count = spark.read.parquet(new_dir).count()
         else:
             row_count = 0
@@ -730,7 +768,7 @@ def compact_store(
     ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
     n_tasks = max(1, len(loaded) * files_per_bucket)
     (
-        current.repartition(n_tasks, "bucket")
+        _clustered(current.repartition(n_tasks, "bucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")

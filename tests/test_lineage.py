@@ -630,3 +630,52 @@ def test_compact_store_collapses_small_files(spark, docs_df, tmp_path):
         else:
             on_disk.add(name)
     assert on_disk == referenced
+
+
+def test_point_lookup_prunes_buckets_and_files_are_clustered(
+    spark, docs_df, tmp_path
+):
+    """Primary-key fetch (reference arangodb/crud.py:95 get_document):
+    (1) the scan touches only the bucket dirs the keys hash into,
+    (2) written files are clustered by (doc_id, offset) so row-group
+    min/max stats are selective, (3) results equal a full-scan filter."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import bucket_of, point_lookup
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+
+    wanted = ["doc-0000003", "doc-0000007"]
+    want_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(d,) for d in wanted], "doc_id string")
+        .select(bucket_of(F.col("doc_id"), N_BUCKETS).alias("b"))
+        .collect()
+    }
+    assert len(want_buckets) < N_BUCKETS  # pruning must have something to skip
+
+    got = point_lookup(spark, out, wanted)
+    # pruned scan reads only the wanted buckets' files
+    touched = {
+        os.path.basename(os.path.dirname(f.replace("file:", "")))
+        for f in got.inputFiles()
+    }
+    assert touched == {f"bucket={b}" for b in want_buckets}
+
+    # value parity with an unpruned scan
+    full = read_output(spark, out).where(F.col("doc_id").isin(wanted))
+    key = lambda r: (r["doc_id"], r["offset"])  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(full.collect(), key=key)
+
+    # clustered layout: every file's rows sorted by (doc_id, offset)
+    files = _glob.glob(os.path.join(out, "bucket=*", "*.parquet"))
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "offset"])
+        pairs = list(zip(t.column("doc_id").to_pylist(), t.column("offset").to_pylist()))
+        assert pairs == sorted(pairs)
