@@ -15,6 +15,7 @@ from . import (
     relational,
     search_api,
     similarity,
+    solve,
     textstats,
 )
 from .base import QuerySpec
@@ -97,6 +98,15 @@ QUERIES: Dict[str, QuerySpec] = {
         search_api.unified_search_collections,
         search_api.UNIFIED_SEARCH_COLLECTIONS_SQL,
         "search_functions.py:146-199 multi-collection merge",
+    ),
+    "search_messages_filtered": QuerySpec(
+        search_api.search_messages_filtered,
+        search_api.SEARCH_MESSAGES_FILTERED_SQL,
+        "message_search.py:32-100 filtered search",
+    ),
+    "solve_query_escalation": QuerySpec(
+        solve.solve_query_escalation, solve.SOLVE_QUERY_SQL,
+        "advanced_query_solution.py:39-152 staged escalation",
     ),
     "fuzzy_partial_ratio_search": QuerySpec(
         textstats.fuzzy_partial_ratio_search, textstats.FUZZY_PARTIAL_RATIO_SQL,

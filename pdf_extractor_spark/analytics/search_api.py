@@ -88,6 +88,78 @@ def unified_search_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTI_TOP_N = 10
 
 
+# ---------------------------------------------------------------------------
+# Filtered message search (message_search.py:32-100 search_messages):
+# attribute predicates (conversation_id / message_type / date_range) are
+# applied as a FILTER after the SEARCH clause in the reference AQL
+# (bm25.py:48-59) — BM25 statistics therefore stay VIEW-GLOBAL; the
+# filter narrows candidates, it does not re-derive df/avgdl/N. The
+# synthetic stand-ins: source == conversation_id, lang == message_type,
+# n_chars range == date_range (the only range-typed attribute). The
+# candidate clause itself keeps the reference's `TOKENS(q) ALL IN doc`
+# containment (all query terms present).
+#
+# Scale shape: the scored side reuses the cached (doc_id, dl, tf_*)
+# projection; the candidate side is a fresh scan whose source/lang/
+# n_chars predicates push into parquet; the equi-join on doc_id
+# broadcasts the (small) filtered side under AQE.
+# ---------------------------------------------------------------------------
+
+MSG_FILTER_SOURCE = "src3"  # conversation_id stand-in
+MSG_FILTER_LANG = "en"  # message_type stand-in (USER/AGENT/SYSTEM)
+MSG_FILTER_NCHARS = (100, 500)  # date_range stand-in (range predicate)
+MSG_FILTER_TOP_N = 5  # reference default top_n=5 (message_search.py:37)
+
+
+def search_messages_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .base import load
+    from .textstats import BM25_TERMS, bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    scored = bm25_scores(docs)  # view-global corpus statistics
+    toks = F.split(F.col("text"), r"\s+")
+    cond = (
+        (F.col("source") == MSG_FILTER_SOURCE)
+        & (F.col("lang") == MSG_FILTER_LANG)
+        & F.col("n_chars").between(*MSG_FILTER_NCHARS)
+    )
+    for t in BM25_TERMS:  # SEARCH ... ALL IN doc (bm25.py:50)
+        cond = cond & F.array_contains(toks, t)
+    cand = docs.filter(cond).select("doc_id")
+    return (
+        scored.join(cand, "doc_id")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(MSG_FILTER_TOP_N)
+    )
+
+
+def _messages_filtered_sql() -> str:
+    from .textstats import BM25_SCORES_CTE, BM25_TERMS
+
+    contains = "".join(
+        " AND len(list_filter(string_split_regex(text, '\\s+'),"
+        f" t -> t = '{t}')) > 0"
+        for t in BM25_TERMS
+    )
+    lo, hi = MSG_FILTER_NCHARS
+    return f"""
+WITH {BM25_SCORES_CTE},
+cand AS (
+  SELECT doc_id FROM documents
+  WHERE source = '{MSG_FILTER_SOURCE}' AND lang = '{MSG_FILTER_LANG}'
+    AND n_chars BETWEEN {lo} AND {hi}{contains}
+)
+SELECT b.doc_id, b.bm25 FROM bm25_scored b JOIN cand USING (doc_id)
+ORDER BY b.bm25 DESC, b.doc_id ASC
+LIMIT {MSG_FILTER_TOP_N}
+"""
+
+
+SEARCH_MESSAGES_FILTERED_SQL = _messages_filtered_sql()
+
+
 def unified_search_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -1,0 +1,122 @@
+"""Filtered message search + staged-escalation solver.
+
+Reference behaviors under test:
+* message_search.py:32-100 — attribute filters narrow candidates but
+  BM25 statistics stay view-global (scores identical to the unfiltered
+  engine for the same doc).
+* advanced_query_solution.py:39-152 — three attempts with count gates:
+  direct-sufficient stops, short direct escalates through relationship
+  edges (similar before shared_topic, flat 0.7 score, cap 5), and an
+  empty direct+related falls through to the expanded search.
+"""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.analytics.search_api import (
+    MSG_FILTER_LANG,
+    MSG_FILTER_NCHARS,
+    MSG_FILTER_SOURCE,
+    MSG_FILTER_TOP_N,
+    search_messages_filtered,
+)
+from pdf_extractor_spark.analytics.solve import (
+    SOLVE_DIRECT_TOP,
+    SOLVE_MIN_RESULTS,
+    SOLVE_RELATED_CAP,
+    SOLVE_RELATED_SCORE,
+    solve_query_escalation,
+)
+from pdf_extractor_spark.analytics.textstats import BM25_TERMS, bm25_scores
+from pdf_extractor_spark.analytics.base import DUP_ID_OFFSET, load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filtered_search_scores_are_view_global(spark):
+    """Every hit satisfies the filters AND scores exactly what the
+    unfiltered engine gives that doc — the filter narrows candidates,
+    it must not re-derive corpus statistics (bm25.py:48-59 applies
+    FILTER after SEARCH; BM25() comes from the whole view)."""
+    got = search_messages_filtered(spark, SF).collect()
+    assert 0 < len(got) <= MSG_FILTER_TOP_N
+
+    docs = {
+        r["doc_id"]: r
+        for r in load(spark, SF, "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in got]))
+        .collect()
+    }
+    lo, hi = MSG_FILTER_NCHARS
+    for r in got:
+        d = docs[r["doc_id"]]
+        assert d["source"] == MSG_FILTER_SOURCE
+        assert d["lang"] == MSG_FILTER_LANG
+        assert lo <= d["n_chars"] <= hi
+        toks = d["text"].split()
+        assert all(t in toks for t in BM25_TERMS)  # ALL IN doc
+
+    global_scores = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(load(spark, SF, "documents"))
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    }
+    for r in got:
+        assert r["bm25"] == global_scores[r["doc_id"]]
+
+    # descending, doc_id-tiebroken, like the reference's SORT…LIMIT
+    keys = [(-r["bm25"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_solve_query_escalates_through_relationships(spark):
+    """Fixture path: the 0.95 bar keeps only the query's own document
+    (< 3 results), so the solver expands through relationship edges —
+    the exact-text duplicate first (similar), then shared-topic
+    neighbors — and stops with >= 3 combined (no expanded_search)."""
+    rows = solve_query_escalation(spark, SF).collect()
+    by_strategy = {}
+    for r in rows:
+        by_strategy.setdefault(r["strategy"], []).append(r)
+
+    direct = by_strategy["direct_search"]
+    assert 0 < len(direct) < SOLVE_MIN_RESULTS  # escalation triggered
+    related = by_strategy["graph_traversal"]
+    assert 0 < len(related) <= SOLVE_RELATED_CAP
+    assert "expanded_search" not in by_strategy  # combined >= 3 stopped it
+
+    seed = direct[0]["doc_id"]
+    sim = [r for r in related if r["rel_type"] == "similar"]
+    assert [r["doc_id"] for r in sim] == [seed + DUP_ID_OFFSET]
+    assert all(r["score"] == SOLVE_RELATED_SCORE for r in related)
+    assert all(r["seed_doc_id"] == seed for r in related)
+    # no doc appears under two strategies (result_keys dedup)
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_solve_query_direct_sufficient_skips_expansion(spark):
+    """Reference line 63: >= 3 direct results return immediately —
+    with a low bar the direct stage fills and both later stages'
+    guards kill their rows."""
+    rows = solve_query_escalation(spark, SF, direct_min=0.2).collect()
+    assert len(rows) == SOLVE_DIRECT_TOP
+    assert {r["strategy"] for r in rows} == {"direct_search"}
+
+
+def test_solve_query_falls_through_to_expanded(spark):
+    """With an unreachable direct bar there are no seeds, so no
+    relationship results either — the final attempt (top-10 expanded
+    search, line 137) is all that answers."""
+    rows = solve_query_escalation(spark, SF, direct_min=1.01).collect()
+    assert rows
+    assert {r["strategy"] for r in rows} == {"expanded_search"}
+
+
+def test_solve_query_use_relationships_false_returns_direct_only(spark):
+    """Reference lines 72-80: use_relationships=False returns the
+    direct results as-is, however few."""
+    rows = solve_query_escalation(spark, SF, use_relationships=False).collect()
+    assert rows
+    assert {r["strategy"] for r in rows} == {"direct_search"}
+    assert len(rows) < SOLVE_MIN_RESULTS
