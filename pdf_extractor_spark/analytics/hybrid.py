@@ -83,8 +83,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HYBRID_RRF_SQL = f"""
-WITH {BM25_SCORES_CTE},
+# CTE form so downstream oracles (agent-decision layer) can reuse the
+# fused top-N as `hybrid_result`; HYBRID_RRF_SQL below stays
+# value-identical to its pre-refactor form.
+HYBRID_RRF_CTE = f"""{BM25_SCORES_CTE},
 bm25_top AS (
   SELECT doc_id, r_bm25 FROM (
     SELECT doc_id,
@@ -105,15 +107,22 @@ sem_top AS (
            row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_sem
     FROM sem_scored
   ) WHERE r_sem <= {INITIAL_K}
-)
-SELECT doc_id,
-       CAST(floor((1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2)) * 1000000) / 1000000 AS DOUBLE) AS rrf_score
-FROM (
-  SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
-         coalesce(b.r_bm25, {INITIAL_K + 1}) AS r1,
-         coalesce(s.r_sem, {INITIAL_K + 1}) AS r2
-  FROM bm25_top b FULL OUTER JOIN sem_top s ON b.doc_id = s.doc_id
-)
+),
+hybrid_result AS (
+  SELECT doc_id,
+         CAST(floor((1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2)) * 1000000) / 1000000 AS DOUBLE) AS rrf_score
+  FROM (
+    SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+           coalesce(b.r_bm25, {INITIAL_K + 1}) AS r1,
+           coalesce(s.r_sem, {INITIAL_K + 1}) AS r2
+    FROM bm25_top b FULL OUTER JOIN sem_top s ON b.doc_id = s.doc_id
+  )
+  ORDER BY rrf_score DESC, doc_id ASC
+  LIMIT {TOP_N}
+)"""
+
+HYBRID_RRF_SQL = f"""
+WITH {HYBRID_RRF_CTE}
+SELECT doc_id, rrf_score FROM hybrid_result
 ORDER BY rrf_score DESC, doc_id ASC
-LIMIT {TOP_N}
 """

@@ -108,6 +108,14 @@ QUERIES: Dict[str, QuerySpec] = {
         solve.solve_query_escalation, solve.SOLVE_QUERY_SQL,
         "advanced_query_solution.py:39-152 staged escalation",
     ),
+    "relationship_need_score": QuerySpec(
+        solve.relationship_need_score, solve._decision_sqls()[0],
+        "agent_decision.py:27-41 need heuristic",
+    ),
+    "relationship_candidates": QuerySpec(
+        solve.relationship_candidates, solve._decision_sqls()[1],
+        "agent_decision.py:43-105 pair proposals",
+    ),
     "fuzzy_partial_ratio_search": QuerySpec(
         textstats.fuzzy_partial_ratio_search, textstats.FUZZY_PARTIAL_RATIO_SQL,
         "A9/F14 faithful",

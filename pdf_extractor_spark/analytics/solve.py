@@ -25,10 +25,10 @@ Relationship edges over the synthetic corpus (the reference's edges are
 ArangoDB documents written by hand or by prior runs — no deterministic
 external source exists, so both engines derive them from content):
 
-* ``similar`` — exact-text partners, ``md5(text)`` equality over the
+* ``SIMILAR`` — exact-text partners, ``md5(text)`` equality over the
   documents-plus-injected-duplicates pool (the dedup fixtures'
   convention, ``dedup._docs_with_injected_dups``).
-* ``shared_topic`` — equal *topic label*, where a doc's topic is its
+* ``SHARED_TOPIC`` — equal *topic label*, where a doc's topic is its
   globally rarest distinct token (argmin by (document-frequency,
   token)). This is a groupBy, NOT a pairwise token join — topic
   assignment costs two hash-aggregates over the exploded tokens (the
@@ -38,7 +38,7 @@ external source exists, so both engines derive them from content):
   filter).
 * The reference's third type, PREREQUISITE (line 96), has no
   deterministic analog in a synthetic corpus and is documented out —
-  the rel-type priority order (similar before shared_topic) is kept.
+  the rel-type priority order (SIMILAR before SHARED_TOPIC; constants from task_relationships.md:65-69) is kept.
 
 The reference caps related docs by *iteration order* (seeds in score
 order, rel types in priority order, break at 5); the set-based
@@ -175,7 +175,7 @@ def solve_query_escalation(
         .filter(F.col("doc_id") != F.col("seed_doc_id"))
         .select(
             "doc_id", "seed_doc_id", "seed_rank",
-            F.lit(1).alias("rel_priority"), F.lit("similar").alias("rel_type"),
+            F.lit(1).alias("rel_priority"), F.lit("SIMILAR").alias("rel_type"),
         )
     )
     topic = _topic_labels(docs_all)
@@ -190,7 +190,7 @@ def solve_query_escalation(
         .select(
             "doc_id", "seed_doc_id", "seed_rank",
             F.lit(2).alias("rel_priority"),
-            F.lit("shared_topic").alias("rel_type"),
+            F.lit("SHARED_TOPIC").alias("rel_type"),
         )
     )
     cand = sim_cand.unionByName(top_cand).join(
@@ -268,7 +268,7 @@ seeds AS (
 keyed AS (SELECT doc_id, md5(text) AS h FROM docs_all),
 sim_cand AS (
   SELECT k2.doc_id, s.seed_doc_id, s.seed_rank,
-         1 AS rel_priority, 'similar' AS rel_type
+         1 AS rel_priority, 'SIMILAR' AS rel_type
   FROM seeds s
   JOIN keyed k1 ON k1.doc_id = s.seed_doc_id
   JOIN keyed k2 ON k2.h = k1.h AND k2.doc_id != s.seed_doc_id
@@ -284,7 +284,7 @@ topic AS (
 ),
 top_cand AS (
   SELECT t2.doc_id, s.seed_doc_id, s.seed_rank,
-         2 AS rel_priority, 'shared_topic' AS rel_type
+         2 AS rel_priority, 'SHARED_TOPIC' AS rel_type
   FROM seeds s
   JOIN topic t1 ON t1.doc_id = s.seed_doc_id
   JOIN topic t2 ON t2.topic = t1.topic AND t2.doc_id != s.seed_doc_id
@@ -334,3 +334,211 @@ SELECT doc_id, score, strategy, rel_type, seed_doc_id FROM expanded
 
 
 SOLVE_QUERY_SQL = _solve_sql()
+
+
+# ---------------------------------------------------------------------------
+# Agent decision layer (arangodb/agent_decision.py) — deciding WHETHER
+# the store needs new relationship edges, and WHICH pairs to propose.
+# ---------------------------------------------------------------------------
+
+# Fixture query text for the need heuristic. Its two text-derived
+# signals (word count > 8, contains a relationship keyword) are
+# driver-side constants folded at plan build; the two data-derived
+# signals (result count, top fused score) come from the hybrid result.
+SOLVE_QUERY_TEXT = "how are these documents related to each other overall"
+NEED_KEYWORDS = ("relationship", "connection", "related")  # line 36
+
+
+def _static_need(query_text: str) -> float:
+    """The query-text-only part of should_create_relationship
+    (agent_decision.py:27-41): +0.2 for a long query, +0.3 for an
+    explicit relationship keyword."""
+    score = 0.2 if len(query_text.split()) > 8 else 0.0
+    if any(t in query_text.lower() for t in NEED_KEYWORDS):
+        score += 0.3
+    return score
+
+
+def relationship_need_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``should_create_relationship`` (agent_decision.py:27-41) as a
+    one-row scalar aggregate over the hybrid search result: +0.3 when
+    fewer than 3 results, +0.2 when the best fused score is weak
+    (< 0.5), plus the query-text constants, capped at 1.0. An empty
+    result contributes the count signal but not the top-score signal
+    (the reference guards ``results[0]`` behind ``if results``) —
+    ``max()`` returning NULL makes the WHEN fall through identically.
+    """
+    from . import hybrid
+
+    res = hybrid.hybrid_search_rrf(spark, sf_dir)
+    stats = res.agg(
+        F.count("*").alias("n_results"),
+        F.max("rrf_score").alias("top_score"),
+    )
+    need = F.least(
+        F.lit(1.0),
+        F.lit(_static_need(SOLVE_QUERY_TEXT))
+        + F.when(F.col("n_results") < 3, 0.3).otherwise(0.0)
+        + F.when(F.col("top_score") < 0.5, 0.2).otherwise(0.0),
+    )
+    return stats.select(
+        "n_results", "top_score",
+        (F.floor(need * 10000) / 10000).cast("double").alias("need_score"),
+    )
+
+
+RELATIONSHIP_NEED_SQL = f"""
+WITH {{hybrid_cte}},
+s AS (SELECT count(*) AS n_results, max(rrf_score) AS top_score
+      FROM hybrid_result)
+SELECT n_results, top_score,
+       CAST(floor(least(1.0, {{static_need}}
+         + CASE WHEN n_results < 3 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN top_score < 0.5 THEN 0.2 ELSE 0.0 END) * 10000) / 10000
+       AS DOUBLE) AS need_score
+FROM s
+"""
+
+
+def relationship_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``identify_relationship_candidates`` (agent_decision.py:43-105):
+    score every ordered pair (i < j, in fused-rank order) of the
+    hybrid top-N —
+
+    * fused-score proximity: ``max(0, 1 - |rrf_i - rrf_j|)`` (line 71)
+    * shared tags (stand-in: distinct-token intersection):
+      ``min(0.1 * |shared|, 0.5)``, suggesting SHARED_TOPIC (lines 72-77)
+    * content rules override the type (elif chain, lines 80-91):
+      doc1 citing doc2's key -> REFERENCES (+0.3), basic->advanced ->
+      PREREQUISITE (+0.2), cause->effect -> CAUSAL (+0.2)
+
+    keep pairs scoring >= 0.3, sorted by score (line 93-103; from/to
+    ids break ties deterministically where Python's stable sort kept
+    insertion order).
+
+    Scale: the pair space is the top-N result with itself — N(N-1)/2
+    pairs of an N<=5 row set, so the rank-inequality theta join is a
+    deliberate broadcast nested loop over a handful of rows (the
+    reference's own O(k^2) Python loop), never corpus-sized.
+    """
+    from . import hybrid
+
+    res = hybrid.hybrid_search_rrf(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.col("text")).alias("content"),
+        F.array_distinct(F.split("text", r"\s+")).alias("tags"),
+    )
+    ranked = (
+        res.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            ),
+        )
+        .join(docs, "doc_id")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pair = a.join(b, F.col("a.rank") < F.col("b.rank"))
+    shared = F.size(F.array_intersect(F.col("a.tags"), F.col("b.tags")))
+    cite = F.col("a.content").contains(F.lit("cite")) & F.col(
+        "a.content"
+    ).contains(F.col("b.doc_id").cast("string"))
+    prereq = F.col("a.content").contains(F.lit("basic")) & F.col(
+        "b.content"
+    ).contains(F.lit("advanced"))
+    causal = F.col("a.content").contains(F.lit("cause")) & F.col(
+        "b.content"
+    ).contains(F.lit("effect"))
+    bonus = (
+        F.when(cite, 0.3).when(prereq, 0.2).when(causal, 0.2).otherwise(0.0)
+    )
+    score = (
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.abs(F.col("a.rrf_score") - F.col("b.rrf_score")),
+        )
+        + F.when(shared > 0, F.least(shared * 0.1, F.lit(0.5))).otherwise(0.0)
+        + bonus
+    )
+    suggested = (
+        F.when(cite, "REFERENCES")
+        .when(prereq, "PREREQUISITE")
+        .when(causal, "CAUSAL")
+        .when(shared > 0, "SHARED_TOPIC")
+        .otherwise("SIMILAR")
+    )
+    explanation = (
+        F.when(cite, F.lit("Doc1 cites Doc2."))
+        .when(prereq, F.lit("Doc1 is basic, Doc2 is advanced."))
+        .when(causal, F.lit("Doc1 causes effect in Doc2."))
+        .when(shared > 0, F.format_string("Shared %d tags.", shared))
+        .otherwise(F.lit("General similarity."))
+    )
+    return (
+        pair.select(
+            F.col("a.doc_id").alias("from_doc_id"),
+            F.col("b.doc_id").alias("to_doc_id"),
+            (F.floor(score * 10000) / 10000).cast("double").alias("score"),
+            suggested.alias("suggested_type"),
+            explanation.alias("explanation"),
+        )
+        .filter(F.col("score") >= 0.3)
+        .orderBy(F.desc("score"), F.asc("from_doc_id"), F.asc("to_doc_id"))
+    )
+
+
+RELATIONSHIP_CANDIDATES_SQL = """
+WITH {hybrid_cte},
+ranked AS (
+  SELECT h.doc_id, h.rrf_score,
+         row_number() OVER (ORDER BY h.rrf_score DESC, h.doc_id ASC) AS rank,
+         lower(d.text) AS content,
+         list_distinct(string_split_regex(d.text, '\\s+')) AS tags
+  FROM hybrid_result h JOIN documents d ON d.doc_id = h.doc_id
+),
+pair AS (
+  SELECT a.doc_id AS from_doc_id, b.doc_id AS to_doc_id,
+         a.rrf_score AS r1, b.rrf_score AS r2,
+         len(list_intersect(a.tags, b.tags)) AS shared,
+         (contains(a.content, 'cite')
+          AND contains(a.content, CAST(b.doc_id AS VARCHAR))) AS cite,
+         (contains(a.content, 'basic')
+          AND contains(b.content, 'advanced')) AS prereq,
+         (contains(a.content, 'cause')
+          AND contains(b.content, 'effect')) AS causal
+  FROM ranked a JOIN ranked b ON a.rank < b.rank
+),
+scored AS (
+  SELECT from_doc_id, to_doc_id,
+         CAST(floor((
+           greatest(0.0, 1.0 - abs(r1 - r2))
+           + CASE WHEN shared > 0 THEN least(shared * 0.1, 0.5) ELSE 0.0 END
+           + CASE WHEN cite THEN 0.3 WHEN prereq THEN 0.2
+                  WHEN causal THEN 0.2 ELSE 0.0 END
+         ) * 10000) / 10000 AS DOUBLE) AS score,
+         CASE WHEN cite THEN 'REFERENCES' WHEN prereq THEN 'PREREQUISITE'
+              WHEN causal THEN 'CAUSAL'
+              WHEN shared > 0 THEN 'SHARED_TOPIC'
+              ELSE 'SIMILAR' END AS suggested_type,
+         CASE WHEN cite THEN 'Doc1 cites Doc2.'
+              WHEN prereq THEN 'Doc1 is basic, Doc2 is advanced.'
+              WHEN causal THEN 'Doc1 causes effect in Doc2.'
+              WHEN shared > 0 THEN printf('Shared %d tags.', shared)
+              ELSE 'General similarity.' END AS explanation
+  FROM pair
+)
+SELECT * FROM scored WHERE score >= 0.3
+ORDER BY score DESC, from_doc_id ASC, to_doc_id ASC
+"""
+
+
+def _decision_sqls() -> tuple:
+    from . import hybrid
+
+    need = RELATIONSHIP_NEED_SQL.format(
+        hybrid_cte=hybrid.HYBRID_RRF_CTE,
+        static_need=repr(_static_need(SOLVE_QUERY_TEXT)),
+    )
+    cand = RELATIONSHIP_CANDIDATES_SQL.format(hybrid_cte=hybrid.HYBRID_RRF_CTE)
+    return need, cand

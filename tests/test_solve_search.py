@@ -86,7 +86,7 @@ def test_solve_query_escalates_through_relationships(spark):
     assert "expanded_search" not in by_strategy  # combined >= 3 stopped it
 
     seed = direct[0]["doc_id"]
-    sim = [r for r in related if r["rel_type"] == "similar"]
+    sim = [r for r in related if r["rel_type"] == "SIMILAR"]
     assert [r["doc_id"] for r in sim] == [seed + DUP_ID_OFFSET]
     assert all(r["score"] == SOLVE_RELATED_SCORE for r in related)
     assert all(r["seed_doc_id"] == seed for r in related)
@@ -111,6 +111,85 @@ def test_solve_query_falls_through_to_expanded(spark):
     rows = solve_query_escalation(spark, SF, direct_min=1.01).collect()
     assert rows
     assert {r["strategy"] for r in rows} == {"expanded_search"}
+
+
+def test_relationship_candidates_score_pairs_of_hybrid_topn(spark):
+    """agent_decision.py:43-105: every proposal pairs two hybrid top-N
+    hits with the higher-ranked doc first; scores recompute from the
+    reference formula (rrf proximity + capped shared-tag bonus)."""
+    import math
+
+    from pdf_extractor_spark.analytics.hybrid import hybrid_search_rrf
+    from pdf_extractor_spark.analytics.solve import relationship_candidates
+
+    hyb = hybrid_search_rrf(spark, SF).collect()
+    rrf = {r["doc_id"]: r["rrf_score"] for r in hyb}
+    rank = {
+        r["doc_id"]: i
+        for i, r in enumerate(
+            sorted(hyb, key=lambda r: (-r["rrf_score"], r["doc_id"]))
+        )
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents")
+        .filter(F.col("doc_id").isin(list(rrf)))
+        .collect()
+    }
+
+    got = relationship_candidates(spark, SF).collect()
+    assert got
+    for r in got:
+        assert rank[r["from_doc_id"]] < rank[r["to_doc_id"]]
+        assert r["suggested_type"] in {
+            "SIMILAR", "SHARED_TOPIC", "REFERENCES", "PREREQUISITE", "CAUSAL"
+        }
+        shared = len(
+            set(texts[r["from_doc_id"]].split())
+            & set(texts[r["to_doc_id"]].split())
+        )
+        c1 = texts[r["from_doc_id"]].lower()
+        c2 = texts[r["to_doc_id"]].lower()
+        cite = "cite" in c1 and str(r["to_doc_id"]) in c1
+        prereq = "basic" in c1 and "advanced" in c2
+        causal = "cause" in c1 and "effect" in c2
+        bonus = 0.3 if cite else 0.2 if prereq else 0.2 if causal else 0.0
+        want = (
+            max(0.0, 1.0 - abs(rrf[r["from_doc_id"]] - rrf[r["to_doc_id"]]))
+            + (min(shared * 0.1, 0.5) if shared else 0.0)
+            + bonus
+        )
+        assert r["score"] == math.floor(want * 10000) / 10000
+        if r["suggested_type"] == "SHARED_TOPIC":
+            assert r["explanation"] == f"Shared {shared} tags."
+    keys = [(-r["score"], r["from_doc_id"], r["to_doc_id"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_relationship_need_score_decomposes(spark):
+    """agent_decision.py:27-41: the one-row heuristic equals the
+    hand-computed sum of its four signals for the fixture query."""
+    import math
+
+    from pdf_extractor_spark.analytics.hybrid import hybrid_search_rrf
+    from pdf_extractor_spark.analytics.solve import (
+        SOLVE_QUERY_TEXT,
+        _static_need,
+        relationship_need_score,
+    )
+
+    hyb = hybrid_search_rrf(spark, SF).collect()
+    row, = relationship_need_score(spark, SF).collect()
+    assert row["n_results"] == len(hyb)
+    top = max(r["rrf_score"] for r in hyb)
+    assert row["top_score"] == top
+    want = _static_need(SOLVE_QUERY_TEXT)
+    if len(hyb) < 3:
+        want += 0.3
+    if top < 0.5:
+        want += 0.2
+    want = min(want, 1.0)
+    assert row["need_score"] == math.floor(want * 10000) / 10000
 
 
 def test_solve_query_use_relationships_false_returns_direct_only(spark):
