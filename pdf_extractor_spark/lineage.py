@@ -351,6 +351,67 @@ def read_output(
 MERGE_KEYS = ("doc_id", "offset")
 
 
+def init_store(
+    spark: SparkSession,
+    output_dir: str,
+    rows: DataFrame,
+    n_buckets: int = 16,
+    run_id: str = "init",
+) -> dict[str, dict]:
+    """CREATE TABLE AS SELECT analog: materialize an arbitrary keyed
+    DataFrame (must carry the MERGE_KEYS columns) as a new keyed store
+    — bucketed, clustered, manifest-committed — so the generic store
+    machinery (merge_elements, point_lookup, compact_store, vacuum,
+    time travel) works over collections other than extracted elements
+    (e.g. the relationship edge collection,
+    reference arangodb/config.py:11 ``relationships``).
+
+    Refuses to overwrite an existing store: mutations go through
+    merge_elements, exactly as ArangoDB creation vs CRUD are distinct.
+    One Spark wave (the ``batch`` shape of run_with_lineage): dynamic
+    partition overwrite + one groupBy(bucket).count() for the manifest.
+    """
+    for k in MERGE_KEYS:
+        if k not in rows.columns:
+            raise ValueError(f"init_store rows need column {k!r}")
+    os.makedirs(output_dir, exist_ok=True)
+    if read_lineage(output_dir).get(META_KEY):
+        raise FileExistsError(
+            f"{output_dir} already holds a committed store — use "
+            "merge_elements to mutate it"
+        )
+    bucketed = rows.withColumn(
+        "bucket", bucket_of(F.col("doc_id"), n_buckets)
+    ).persist()
+    try:
+        t0 = time.time()
+        (
+            _clustered(bucketed).write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(output_dir)
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        counts = {
+            r["bucket"]: r["count"]
+            for r in bucketed.groupBy("bucket").count().collect()
+        }
+    finally:
+        bucketed.unpersist()
+    delta: dict[str, dict] = {META_KEY: {"n_buckets": n_buckets}}
+    for b in range(n_buckets):
+        part_dir = os.path.join(output_dir, f"bucket={b}")
+        delta[str(b)] = {
+            "status": "done",
+            "row_count": int(counts.get(b, 0)),
+            "bytes": _dir_bytes(part_dir) if b in counts else 0,
+            "wall_ms": wall_ms,
+            "run_id": run_id,
+        }
+    _commit_lineage(output_dir, delta)
+    return read_lineage(output_dir)
+
+
 def _clustered(df: DataFrame) -> DataFrame:
     """Cluster rows by the merge key before a partitionBy('bucket')
     write (Iceberg write sort-order analog). The leading 'bucket' key

@@ -1,0 +1,128 @@
+"""Relationship edge collection lifecycle on the keyed store.
+
+Reference flows under test: add_relationship / delete_relationship
+(arangodb/relationships.py:86-205) and the strategic-creation rules
+(agent_decision.py:125-168: forced validation of rationale length and
+confidence range) — persisted through the repo's copy-on-write MERGE
+instead of ArangoDB document CRUD.
+"""
+
+import pytest
+
+from pdf_extractor_spark.analytics.solve import relationship_candidates
+from pdf_extractor_spark.operators.relationships import (
+    RATIONALE_MIN_LENGTH,
+    add_relationships,
+    delete_relationships,
+    get_relationships,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "from_id string, to_id string, rel_type string, rationale string,"
+        " confidence_score int",
+    )
+
+
+def test_edge_store_full_lifecycle(spark, tmp_path):
+    store = str(tmp_path / "edges")
+
+    # proposals from the decision layer become strategic edges
+    cands = relationship_candidates(spark, SF).collect()
+    assert len(cands) >= 3
+    rationale = ("assessed: " + "x" * RATIONALE_MIN_LENGTH)
+    edges = _edges_df(
+        spark,
+        [
+            (str(c["from_doc_id"]), str(c["to_doc_id"]),
+             c["suggested_type"], rationale + " " + c["explanation"], 2)
+            for c in cands
+        ],
+    )
+    add_relationships(spark, store, edges, strategic=True)
+    got = {
+        (r["from_id"], r["to_id"]): r
+        for r in get_relationships(spark, store).collect()
+    }
+    assert len(got) == len(cands)
+    for c in cands:
+        r = got[(str(c["from_doc_id"]), str(c["to_doc_id"]))]
+        assert r["rel_type"] == c["suggested_type"]
+        assert r["confidence_score"] == 2
+        assert r["doc_id"] == f"{c['from_doc_id']}->{c['to_doc_id']}"
+
+    # re-adding an existing pair REPLACES the edge (upsert-by-key)
+    first = cands[0]
+    pair = (str(first["from_doc_id"]), str(first["to_doc_id"]))
+    add_relationships(
+        spark, store,
+        _edges_df(spark, [(pair[0], pair[1], "REFERENCES",
+                           "r" * RATIONALE_MIN_LENGTH, 1)]),
+        strategic=True,
+    )
+    fetched = get_relationships(spark, store, pairs=[pair]).collect()
+    assert len(fetched) == 1
+    assert fetched[0]["rel_type"] == "REFERENCES"
+    assert fetched[0]["confidence_score"] == 1
+    assert get_relationships(spark, store).count() == len(cands)
+
+    # point fetch prunes: scan touches fewer files than the full read
+    full_files = set(get_relationships(spark, store).inputFiles())
+    point_files = set(
+        get_relationships(spark, store, pairs=[pair]).inputFiles()
+    )
+    assert point_files and point_files < full_files
+
+    # keyed delete; deleting again is an idempotent no-op
+    delete_relationships(
+        spark, store, _edges_df(
+            spark, [(pair[0], pair[1], "x", "x", None)]
+        ).select("from_id", "to_id"),
+    )
+    assert get_relationships(spark, store, pairs=[pair]).count() == 0
+    assert get_relationships(spark, store).count() == len(cands) - 1
+    delete_relationships(
+        spark, store, _edges_df(
+            spark, [(pair[0], pair[1], "x", "x", None)]
+        ).select("from_id", "to_id"),
+    )
+    assert get_relationships(spark, store).count() == len(cands) - 1
+
+
+def test_edge_validation_rejects_bad_batches(spark, tmp_path):
+    store = str(tmp_path / "edges")
+    ok = ("a", "b", "SIMILAR", "r" * RATIONALE_MIN_LENGTH, 3)
+
+    with pytest.raises(ValueError, match="bad_rationale"):
+        add_relationships(
+            spark, store,
+            _edges_df(spark, [ok, ("c", "d", "SIMILAR", "too short", 3)]),
+            strategic=True,
+        )
+    with pytest.raises(ValueError, match="bad_type"):
+        add_relationships(
+            spark, store,
+            _edges_df(spark, [("c", "d", "", "r" * RATIONALE_MIN_LENGTH, 3)]),
+        )
+    with pytest.raises(ValueError, match="bad_confidence"):
+        add_relationships(
+            spark, store,
+            _edges_df(spark, [("c", "d", "SIMILAR",
+                               "r" * RATIONALE_MIN_LENGTH, 9)]),
+        )
+    # nothing committed by the failed batches — not even the store
+    from pdf_extractor_spark.lineage import read_lineage
+
+    assert read_lineage(store) == {}
+
+    # non-strategic path accepts any non-empty rationale
+    add_relationships(spark, store, _edges_df(spark, [
+        ("c", "d", "SIMILAR", "short is fine here", None)
+    ]))
+    row, = get_relationships(spark, store).collect()
+    assert row["confidence_score"] is None
+    assert row["from_id"] == "c" and row["to_id"] == "d"
