@@ -20,7 +20,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import floor_round, load
@@ -322,4 +322,88 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training:seq-pack) — concatenate-and-chop packing
+# of tokenized documents into fixed-length training sequences (the
+# GPT-style pretraining layout: documents are streamed in a
+# deterministic order, concatenated, and cut every SEQ_PACK_LEN
+# tokens; a document belongs to the sequence where its first token
+# lands).
+#
+# The stream order must be reproducible without any global sort, so
+# packing runs per *pack group* = a hex prefix of md5(doc_id): a pure
+# function of the row (same trick as stratified_sample), uniform by
+# construction, and identical across engines, re-runs, and cluster
+# sizes. Within a group the window orders by doc_id.
+#
+# Scale shape: ONE shuffle (hash-partition on pack_group), a window
+# sort within each group, then a map-side-combinable count/sum
+# aggregate. The group count is the parallelism knob — 16 (one hex
+# char) exercises the shape at test scale; at 10^12 docs use 3-4 hex
+# chars (4096-65536 groups) so every group is a modest, independent
+# stream and no task owns more than corpus/n_groups tokens. Packing
+# quality is unaffected by the group count: every group produces
+# back-to-back full sequences with only its final sequence ragged
+# (≤ n_groups partial sequences total, amortized to nothing).
+# ---------------------------------------------------------------------------
+
+SEQ_PACK_LEN = 512
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+            "pack_group"
+        ),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(float(SEQ_PACK_LEN))
+        ),
+    )
+    return (
+        packed.groupBy("pack_group", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("pack_group", "seq_id")
+    )
+
+
+SEQUENCE_PACK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pack_group,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT pack_group, n_tokens,
+         CAST(floor(
+           (SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens) / {SEQ_PACK_LEN}.0
+         ) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT pack_group, seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM packed
+GROUP BY pack_group, seq_id
+ORDER BY pack_group, seq_id
 """

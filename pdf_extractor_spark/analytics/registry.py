@@ -172,6 +172,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.corpus_profile, curation.CORPUS_PROFILE_SQL,
         "training:profile",
     ),
+    "sequence_pack": QuerySpec(
+        curation.sequence_pack, curation.SEQUENCE_PACK_SQL,
+        "training:seq-pack",
+    ),
     # --- similarity search ---------------------------------------------------
     "cosine_topk_bruteforce": QuerySpec(
         similarity.cosine_topk_bruteforce, similarity.COSINE_TOPK_SQL,

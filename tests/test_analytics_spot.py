@@ -237,3 +237,37 @@ def test_corpus_profile_shape(spark):
         assert r["n_docs"] > 0
         assert r["min_chars"] <= r["median_chars"] <= r["max_chars"]
         assert r["total_tokens"] > r["n_docs"]
+
+
+def test_sequence_pack_invariants(spark):
+    """Concatenate-and-chop packing: token totals are conserved, and
+    within every pack group each non-final sequence is full — the
+    cumulative token count through sequence k reaches (k+1)*SEQ_LEN
+    (gaps in seq_id are legal: a mega-doc can span several sequence
+    lengths)."""
+    from collections import defaultdict
+
+    from pdf_extractor_spark.analytics.base import load, tokens
+    from pdf_extractor_spark.analytics.curation import (
+        SEQ_PACK_LEN,
+        sequence_pack,
+    )
+    from pyspark.sql import functions as F
+
+    rows = sequence_pack(spark, SF).collect()
+    docs = load(spark, SF, "documents")
+    total = docs.select(F.sum(F.size(tokens())).alias("t")).collect()[0]["t"]
+    assert sum(r["seq_tokens"] for r in rows) == total
+
+    by_group = defaultdict(list)
+    for r in rows:
+        by_group[r["pack_group"]].append(r)
+    assert len(by_group) == 16  # one hex char → 16 groups at test scale
+    for grp, seqs in by_group.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        assert seqs[0]["seq_id"] == 0
+        cum = 0
+        for r in seqs[:-1]:
+            cum += r["seq_tokens"]
+            assert cum >= (r["seq_id"] + 1) * SEQ_PACK_LEN, grp
+        assert all(r["n_docs"] > 0 for r in seqs)
