@@ -407,3 +407,80 @@ FROM packed
 GROUP BY pack_group, seq_id
 ORDER BY pack_group, seq_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training:chunk) — fixed-size token windows with
+# overlap, the RAG/embedding-prep pass. The reference *intends* a
+# text_chunker module (markdown_extractor.py:69,107 imports
+# `..text_chunker.SectionHierarchy/hash_string`; the module is absent
+# from the checkout — SURVEY.md §7.4 dangling import), so the chunk
+# rule here is the standard sliding window: starts every
+# CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP tokens, window of
+# CHUNK_SIZE, final ragged window kept; chunk id = window ordinal;
+# chunk fingerprint = md5 (the reference's hash_string fallback,
+# markdown_extractor.py:80-82, is exactly md5-hexdigest).
+#
+# Scale shape: map-only — tokens, window starts (F.sequence), slices
+# (F.transform + F.slice) and the posexplode all happen inside one
+# projection over the scan; no shuffle anywhere, so it parallelizes
+# with the split count. ~len/stride output rows per doc.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def _slice(start):
+        # factory-free HOF use is safe here: `start` is the lambda arg
+        return F.slice(F.col("toks"), start + 1, CHUNK_SIZE)
+
+    with_chunks = docs.select(
+        "doc_id",
+        F.col("text"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("toks") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            ),
+            _slice,
+        ).alias("chunks"),
+    )
+    exploded = with_chunks.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_id", "chunk")
+    )
+    chunk_text = F.concat_ws(" ", F.col("chunk"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("chunk").alias("chunk_tokens"),
+        F.md5(chunk_text).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_DOCUMENTS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((i - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+         t[i:i+{CHUNK_SIZE - 1}] AS chunk
+  FROM toks,
+       unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE})) AS u(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS INT) AS chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""

@@ -176,6 +176,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.sequence_pack, curation.SEQUENCE_PACK_SQL,
         "training:seq-pack",
     ),
+    "chunk_documents": QuerySpec(
+        curation.chunk_documents, curation.CHUNK_DOCUMENTS_SQL,
+        "training:chunk (reference text_chunker, dangling import)",
+    ),
     # --- similarity search ---------------------------------------------------
     "cosine_topk_bruteforce": QuerySpec(
         similarity.cosine_topk_bruteforce, similarity.COSINE_TOPK_SQL,
@@ -277,7 +281,7 @@ QUERIES: Dict[str, QuerySpec] = {
 # rows-only smoke entry (independently exercised by the unit suite and
 # entry()), never an exact-parity gate.
 #
-# Round 3 note: there are now MORE oracle-backed entries (60) than a
+# Round 3 note: there are now MORE oracle-backed entries (62) than a
 # 50-entry cap would record, so a capped snapshot drops the tail of the
 # oracle set too. The authoritative full gate is
 # `scripts/check_oracle.py <sf_dir>` — run per-round at BOTH sf0.01 and

@@ -71,12 +71,12 @@ SOLVE_EXPANDED_TOP = 10  # top_n=10 final attempt (line 137)
 
 def _docs_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ injected exact duplicates (dedup fixture pool) —
-    the corpus over which relationship edges are derived."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") < N_INJECTED_DUPS).select(
-        (F.col("doc_id") + DUP_ID_OFFSET).alias("doc_id"), "text"
-    )
-    return docs.unionByName(dups)
+    the corpus over which relationship edges are derived. Delegates to
+    the dedup suite's one shared builder so the pools (and their cached
+    logical plans) can never diverge."""
+    from .dedup import _docs_with_injected_dups
+
+    return _docs_with_injected_dups(spark, sf_dir)
 
 
 def _per_doc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:

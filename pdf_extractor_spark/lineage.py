@@ -29,6 +29,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.extract import extract_elements
 
@@ -440,10 +441,39 @@ def point_lookup(
     pushed into the parquet scan, where the clustered layout
     (:func:`_clustered`) makes row-group min/max stats selective — a
     lookup reads a handful of row groups, not the bucket.
+
+    The pruning hash MUST run on the store's native key type:
+    ``xxhash64("5") != xxhash64(5L)``, so string-coercing the probe
+    keys against a store bootstrapped with numeric doc_ids
+    (:func:`init_store` accepts any keyed DataFrame) would prune to
+    buckets that cannot contain them and silently return nothing. The
+    key type is read from one committed bucket's parquet footer (a
+    metadata-only touch) and the probe values are cast to it.
     """
-    ids_df = spark.createDataFrame([(str(d),) for d in doc_ids], "doc_id string")
+    lineage = read_lineage(output_dir, as_of=as_of)
+    sample = next(
+        (
+            _bucket_dir(output_dir, b, e)
+            for b, e in sorted(_bucket_items(lineage), key=lambda kv: int(kv[0]))
+            if e["status"] == "done" and e.get("row_count", 0) > 0
+        ),
+        None,
+    )
+    if sample is None:
+        raise FileNotFoundError(f"no committed buckets under {output_dir}")
+    key_type = spark.read.parquet(sample).schema["doc_id"].dataType
+    if isinstance(key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        vals = [int(d) for d in doc_ids]
+    elif isinstance(key_type, T.StringType):
+        vals = [str(d) for d in doc_ids]
+    else:
+        vals = list(doc_ids)
+    ids_df = spark.createDataFrame(
+        [(v,) for v in vals],
+        T.StructType([T.StructField("doc_id", key_type)]),
+    )
     scan = read_output(spark, output_dir, for_doc_ids=ids_df, as_of=as_of)
-    return scan.where(F.col("doc_id").isin([str(d) for d in doc_ids]))
+    return scan.where(F.col("doc_id").isin(vals))
 
 _BUCKET_DIR_RE = re.compile(r"^bucket=\d+(__v\d+)?$")
 _MERGE_ROOT_RE = re.compile(r"^merge_v\d+$")

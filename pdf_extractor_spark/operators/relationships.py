@@ -48,7 +48,20 @@ EDGE_COLS = ("from_id", "to_id", "rel_type", "rationale", "confidence_score")
 
 
 def _edge_key(from_col, to_col):
-    return F.concat(from_col.cast("string"), F.lit("->"), to_col.cast("string"))
+    # length-prefixed so the key is injective: a bare "<from>-><to>"
+    # would collide ("a->b", "c") with ("a", "b->c") and a later upsert
+    # would silently replace the wrong edge. The prefix pins where
+    # from_id ends regardless of "->" inside either id. Twin of
+    # _edge_key_py — change both together.
+    f = from_col.cast("string")
+    t = to_col.cast("string")
+    return F.concat(F.length(f).cast("string"), F.lit(":"), f, F.lit("->"), t)
+
+
+def _edge_key_py(from_id, to_id) -> str:
+    # Python twin of _edge_key for driver-side probe keys.
+    f, t = str(from_id), str(to_id)
+    return f"{len(f)}:{f}->{t}"
 
 
 def _validated(edges: DataFrame, strategic: bool) -> DataFrame:
@@ -73,8 +86,17 @@ def _validated(edges: DataFrame, strategic: bool) -> DataFrame:
         ).alias("bad_type"),
         F.sum(
             (
-                F.col("confidence_score").isNotNull()
-                & ~F.col("confidence_score").between(lo, hi)
+                # strategic edges REQUIRE a confidence (the reference's
+                # agent loop re-prompts until a 1-5 integer is given,
+                # agent_decision.py:154-165); non-strategic edges may
+                # omit it but a present value must be in range
+                (
+                    F.lit(strategic) & F.col("confidence_score").isNull()
+                )
+                | (
+                    F.col("confidence_score").isNotNull()
+                    & ~F.col("confidence_score").between(lo, hi)
+                )
             ).cast("long")
         ).alias("bad_confidence"),
     ).first()
@@ -136,5 +158,5 @@ def get_relationships(
         from ..lineage import read_output
 
         return read_output(spark, store_dir)
-    keys = [f"{f}->{t}" for f, t in pairs]
+    keys = [_edge_key_py(f, t) for f, t in pairs]
     return point_lookup(spark, store_dir, keys)

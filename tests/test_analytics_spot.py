@@ -271,3 +271,38 @@ def test_sequence_pack_invariants(spark):
             cum += r["seq_tokens"]
             assert cum >= (r["seq_id"] + 1) * SEQ_PACK_LEN, grp
         assert all(r["n_docs"] > 0 for r in seqs)
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Sliding-window chunking: stride = SIZE - OVERLAP, final ragged
+    window kept; recompute every chunk md5 in pure Python."""
+    import hashlib
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.analytics.curation import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    got = {}
+    for r in chunk_documents(spark, SF).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (r["chunk_tokens"], r["chunk_md5"])
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = _re.split(r"\s+", text)
+        for k, start in enumerate(range(0, max(len(toks), 1), CHUNK_STRIDE)):
+            chunk = toks[start : start + CHUNK_SIZE]
+            want[(doc_id, k)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == want
+    # overlap: consecutive chunks of a long doc share OVERLAP tokens
+    assert any(k[1] >= 1 for k in got), "corpus must produce multi-chunk docs"

@@ -679,3 +679,30 @@ def test_point_lookup_prunes_buckets_and_files_are_clustered(
         t = pq.read_table(f, columns=["doc_id", "offset"])
         pairs = list(zip(t.column("doc_id").to_pylist(), t.column("offset").to_pylist()))
         assert pairs == sorted(pairs)
+
+
+def test_point_lookup_on_numeric_keyed_store(spark, tmp_path):
+    """init_store accepts any keyed DataFrame; point_lookup must hash
+    the probe keys with the store's native key type — xxhash64("5")
+    lands in a different bucket than xxhash64(5L), so string-coerced
+    probes would prune to the wrong buckets and silently return 0 rows."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import init_store, point_lookup, read_output
+
+    out = str(tmp_path / "numstore")
+    rows = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("int").alias("offset"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    init_store(spark, out, rows, n_buckets=8)
+
+    for wanted in ([5], [5, 17, 130]):
+        got = point_lookup(spark, out, wanted).collect()
+        assert sorted(r["doc_id"] for r in got) == sorted(wanted)
+        assert all(r["payload"] == r["doc_id"] * 2 for r in got)
+    # pruned scan touches fewer files than the full store
+    assert len(set(point_lookup(spark, out, [5]).inputFiles())) < len(
+        set(read_output(spark, out).inputFiles())
+    )

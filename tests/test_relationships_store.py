@@ -53,7 +53,8 @@ def test_edge_store_full_lifecycle(spark, tmp_path):
         r = got[(str(c["from_doc_id"]), str(c["to_doc_id"]))]
         assert r["rel_type"] == c["suggested_type"]
         assert r["confidence_score"] == 2
-        assert r["doc_id"] == f"{c['from_doc_id']}->{c['to_doc_id']}"
+        f = str(c["from_doc_id"])
+        assert r["doc_id"] == f"{len(f)}:{f}->{c['to_doc_id']}"
 
     # re-adding an existing pair REPLACES the edge (upsert-by-key)
     first = cands[0]
@@ -126,3 +127,45 @@ def test_edge_validation_rejects_bad_batches(spark, tmp_path):
     row, = get_relationships(spark, store).collect()
     assert row["confidence_score"] is None
     assert row["from_id"] == "c" and row["to_id"] == "d"
+
+
+def test_edge_key_injective_on_arrow_in_ids(spark, tmp_path):
+    """Ids containing '->' must not collide: ('a->b','c') and
+    ('a','b->c') are distinct edges (the length-prefixed key pins
+    where from_id ends)."""
+    store = str(tmp_path / "edges")
+    r = "r" * RATIONALE_MIN_LENGTH
+    add_relationships(spark, store, _edges_df(spark, [
+        ("a->b", "c", "SIMILAR", r, 3),
+        ("a", "b->c", "REFERENCES", r, 4),
+    ]))
+    rows = get_relationships(spark, store).collect()
+    assert len(rows) == 2
+    by_pair = {(x["from_id"], x["to_id"]): x for x in rows}
+    assert by_pair[("a->b", "c")]["rel_type"] == "SIMILAR"
+    assert by_pair[("a", "b->c")]["rel_type"] == "REFERENCES"
+    # deleting one pair leaves the other intact
+    delete_relationships(
+        spark, store,
+        _edges_df(spark, [("a->b", "c", "x", "x", None)])
+        .select("from_id", "to_id"),
+    )
+    row, = get_relationships(spark, store).collect()
+    assert (row["from_id"], row["to_id"]) == ("a", "b->c")
+
+
+def test_strategic_edge_requires_confidence(spark, tmp_path):
+    """The agent path re-prompts until a 1-5 confidence is supplied
+    (agent_decision.py:154-165) — a NULL confidence on strategic=True
+    must fail the batch; the casual path still accepts NULL."""
+    store = str(tmp_path / "edges")
+    r = "r" * RATIONALE_MIN_LENGTH
+    with pytest.raises(ValueError, match="bad_confidence"):
+        add_relationships(
+            spark, store,
+            _edges_df(spark, [("a", "b", "SIMILAR", r, None)]),
+            strategic=True,
+        )
+    from pdf_extractor_spark.lineage import read_lineage
+
+    assert read_lineage(store) == {}
