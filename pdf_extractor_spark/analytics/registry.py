@@ -104,6 +104,11 @@ QUERIES: Dict[str, QuerySpec] = {
         search_api.SEARCH_MESSAGES_FILTERED_SQL,
         "message_search.py:32-100 filtered search",
     ),
+    "conversation_context": QuerySpec(
+        search_api.conversation_context,
+        search_api.CONVERSATION_CONTEXT_SQL,
+        "conversation_context.py:32-203 context assembly",
+    ),
     "solve_query_escalation": QuerySpec(
         solve.solve_query_escalation, solve.SOLVE_QUERY_SQL,
         "advanced_query_solution.py:39-152 staged escalation",
@@ -281,7 +286,7 @@ QUERIES: Dict[str, QuerySpec] = {
 # rows-only smoke entry (independently exercised by the unit suite and
 # entry()), never an exact-parity gate.
 #
-# Round 3 note: there are now MORE oracle-backed entries (62) than a
+# Round 3 note: there are now MORE oracle-backed entries (63) than a
 # 50-entry cap would record, so a capped snapshot drops the tail of the
 # oracle set too. The authoritative full gate is
 # `scripts/check_oracle.py <sf_dir>` — run per-round at BOTH sf0.01 and

@@ -188,3 +188,107 @@ LIMIT {MULTI_TOP_N}
 
 
 UNIFIED_SEARCH_COLLECTIONS_SQL = _collections_sql()
+
+
+# ---------------------------------------------------------------------------
+# Conversation context (conversation_context.py:32-203):
+# get_conversation_context = previous messages (1..max_depth INBOUND
+# along NEXT edges, :98-100) + next messages (OUTBOUND, :139-141) +
+# related documents (1-hop REFERS_TO from every context message,
+# DISTINCT, :184-188). The reference's NEXT edge collection is a linear
+# reply chain per conversation, so the Spark-first traversal is rank
+# arithmetic over ONE window (row_number per conversation, |Δrank| <=
+# max_depth) instead of an iterated self-join — same result set, no
+# join at all; the general 1..n-hop machinery stays in operators/
+# graph.py for non-chain graphs. Synthetic stand-ins: conversation =
+# events.user_id, message = event (ordered by ts, event_id), NEXT =
+# consecutive events, REFERS_TO doc = event_id % 500 (doc_ids 0..499
+# exist at every SF). The reference's SORT p.vertices[0].timestamp
+# (:100) orders by the traversal START vertex — constant across rows,
+# a no-op quirk we replace with deterministic (role, depth) order.
+#
+# Scale shape: one pushed user_id predicate into the scan, one window
+# over the (small) conversation, one broadcast join to documents for
+# the related-doc fetch. No shuffle beyond the single conversation's
+# window.
+# ---------------------------------------------------------------------------
+
+CONV_USER = 3  # conversation_id stand-in
+CTX_TARGET_RANK = 5  # the message whose context is assembled
+CTX_DEPTH = 3  # reference default max_depth=3 (conversation_context.py:36)
+CTX_DOC_MOD = 500  # REFERS_TO stand-in: doc_id = event_id % 500
+
+
+def conversation_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .base import load
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") == CONV_USER)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_id", (F.row_number().over(w) - CTX_TARGET_RANK).alias("delta")
+    ).filter(F.abs("delta") <= CTX_DEPTH)
+    msgs = ranked.select(
+        F.when(F.col("delta") == 0, "target")
+        .when(F.col("delta") < 0, "previous")
+        .otherwise("next")
+        .alias("role"),
+        F.abs("delta").cast("int").alias("depth"),
+        "event_id",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("doc_lang"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    related = (
+        ranked.select((F.col("event_id") % CTX_DOC_MOD).alias("doc_id"))
+        .distinct()
+        .join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .select(
+            F.lit("document").alias("role"),
+            F.lit(None).cast("int").alias("depth"),
+            F.lit(None).cast("long").alias("event_id"),
+            "doc_id",
+            F.col("lang").alias("doc_lang"),
+        )
+    )
+    return msgs.unionByName(related).orderBy(
+        "role",
+        F.col("depth").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("doc_id").asc_nulls_last(),
+    )
+
+
+CONVERSATION_CONTEXT_SQL = f"""
+WITH ranked AS (
+  SELECT event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - {CTX_TARGET_RANK} AS delta
+  FROM events
+  WHERE user_id = {CONV_USER}
+),
+ctx AS (SELECT * FROM ranked WHERE abs(delta) <= {CTX_DEPTH}),
+msgs AS (
+  SELECT CASE WHEN delta = 0 THEN 'target'
+              WHEN delta < 0 THEN 'previous'
+              ELSE 'next' END AS role,
+         CAST(abs(delta) AS INT) AS depth,
+         event_id,
+         CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS VARCHAR) AS doc_lang
+  FROM ctx
+),
+related AS (
+  SELECT DISTINCT 'document' AS role,
+         CAST(NULL AS INT) AS depth,
+         CAST(NULL AS BIGINT) AS event_id,
+         d.doc_id,
+         d.lang AS doc_lang
+  FROM (SELECT DISTINCT event_id % {CTX_DOC_MOD} AS ref FROM ctx) r
+  JOIN documents d ON d.doc_id = r.ref
+)
+SELECT * FROM (SELECT * FROM msgs UNION ALL SELECT * FROM related)
+ORDER BY role, depth NULLS LAST, event_id NULLS LAST, doc_id NULLS LAST
+"""

@@ -199,3 +199,53 @@ def test_solve_query_use_relationships_false_returns_direct_only(spark):
     assert rows
     assert {r["strategy"] for r in rows} == {"direct_search"}
     assert len(rows) < SOLVE_MIN_RESULTS
+
+
+def test_conversation_context_chain_semantics(spark):
+    """Context = the 3 messages on each side of the target along the
+    per-conversation NEXT chain (reference conversation_context.py:
+    get_previous/get_next via 1..3 traversal) + DISTINCT referred
+    docs; recomputed independently from the raw events parquet."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.analytics.search_api import (
+        CONV_USER,
+        CTX_DEPTH,
+        CTX_DOC_MOD,
+        CTX_TARGET_RANK,
+        conversation_context,
+    )
+
+    rows = conversation_context(spark, SF).collect()
+
+    t = pq.read_table(
+        SF + "/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    conv = sorted(
+        (ts, e)
+        for e, ts, u in zip(
+            t.column("event_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("user_id").to_pylist(),
+        )
+        if u == CONV_USER
+    )
+    chain = [e for _, e in conv]
+    r0 = CTX_TARGET_RANK - 1  # rank is 1-based
+    want_prev = chain[max(r0 - CTX_DEPTH, 0) : r0]
+    want_next = chain[r0 + 1 : r0 + 1 + CTX_DEPTH]
+
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append(r)
+    assert [r["event_id"] for r in by_role["target"]] == [chain[r0]]
+    assert sorted(r["event_id"] for r in by_role["previous"]) == sorted(want_prev)
+    assert sorted(r["event_id"] for r in by_role["next"]) == sorted(want_next)
+    # depth = chain distance from the target
+    for r in by_role["previous"] + by_role["next"]:
+        assert abs(chain.index(r["event_id"]) - r0) == r["depth"]
+    # related docs = DISTINCT refs of the whole context window
+    ctx_ids = [chain[r0]] + want_prev + want_next
+    want_docs = sorted({e % CTX_DOC_MOD for e in ctx_ids})
+    assert sorted(r["doc_id"] for r in by_role["document"]) == want_docs
+    assert all(r["doc_lang"] is not None for r in by_role["document"])
