@@ -812,6 +812,72 @@ def delete_elements(
     )
 
 
+def patch_elements(
+    spark: SparkSession,
+    output_dir: str,
+    patches: DataFrame,
+    keep_null: bool = False,
+    commit_mode: str = "batch",
+    retain_snapshots: int = 0,
+) -> dict[str, dict]:
+    """Partial-field UPDATE by key — the reference's
+    ``crud.py:130-184 update_document`` (ArangoDB ``collection.update``
+    with ``merge=True``), as opposed to :func:`upsert_elements`'s
+    whole-row REPLACE semantics.
+
+    ``patches`` carries the MERGE_KEYS plus any subset of the store's
+    columns; columns absent from ``patches`` keep their stored values.
+    For columns present: with ``keep_null=False`` (default) a NULL
+    patch value means "keep the stored value" (per-row sparse patches);
+    with ``keep_null=True`` the patch value is written as-is, NULLs
+    included (ArangoDB ``keepNull=True`` parity — explicitly nulling a
+    field).
+
+    ArangoDB ``update`` does NOT insert missing keys (it raises
+    DocumentUpdateError); a batch engine fails the whole batch
+    atomically, so keys absent from the store raise ValueError before
+    anything commits.
+
+    Shape: ONE bucket-pruned read of the affected keys (the same
+    pruning as :func:`point_lookup`), one join to materialize the
+    patched rows, then the ordinary single-commit MERGE — patch cost
+    scales with the touched buckets, never the store.
+    """
+    for k in MERGE_KEYS:
+        if k not in patches.columns:
+            raise ValueError(f"patch rows need column {k!r}")
+    key_df = patches.select(*MERGE_KEYS)
+    current = read_output(spark, output_dir, for_doc_ids=key_df).join(
+        key_df, on=list(MERGE_KEYS), how="left_semi"
+    )
+    missing = key_df.join(current, on=list(MERGE_KEYS), how="left_anti").count()
+    if missing:
+        raise ValueError(
+            f"{missing} patch key(s) not present in the store "
+            "(ArangoDB update does not insert; use upsert_elements)"
+        )
+    extra = set(patches.columns) - set(current.columns)
+    if extra:
+        raise ValueError(f"patch columns not in store schema: {sorted(extra)}")
+    p = patches.alias("p")
+    c = current.alias("c")
+    patched_cols = []
+    for col in current.columns:
+        if col in MERGE_KEYS or col not in patches.columns:
+            patched_cols.append(F.col(f"c.{col}").alias(col))
+        elif keep_null:
+            patched_cols.append(F.col(f"p.{col}").alias(col))
+        else:
+            patched_cols.append(
+                F.coalesce(F.col(f"p.{col}"), F.col(f"c.{col}")).alias(col)
+            )
+    merged = c.join(p, on=list(MERGE_KEYS), how="inner").select(*patched_cols)
+    return merge_elements(
+        spark, output_dir, updates=merged, commit_mode=commit_mode,
+        retain_snapshots=retain_snapshots,
+    )
+
+
 def compact_store(
     spark: SparkSession,
     output_dir: str,

@@ -706,3 +706,71 @@ def test_point_lookup_on_numeric_keyed_store(spark, tmp_path):
     assert len(set(point_lookup(spark, out, [5]).inputFiles())) < len(
         set(read_output(spark, out).inputFiles())
     )
+
+
+def test_patch_elements_partial_update_semantics(spark, tmp_path):
+    r"""patch = the reference's update_document (crud.py:130-184,
+    ArangoDB collection.update merge=True): touched columns change,
+    untouched columns keep stored values, missing keys refuse the
+    whole batch (update never inserts), keep_null=True writes explicit
+    NULLs (keepNull parity)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import (
+        init_store,
+        patch_elements,
+        point_lookup,
+    )
+
+    out = str(tmp_path / "store")
+    rows = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("int").alias("offset"),
+        F.concat(F.lit("body-"), F.col("id")).alias("body"),
+        (F.col("id") % 7).cast("int").alias("score"),
+    )
+    init_store(spark, out, rows, n_buckets=8)
+
+    # sparse per-row patch: NULL means keep (keep_null=False default)
+    patches = spark.createDataFrame(
+        [(3, 0, "patched-3", None), (14, 0, None, 99)],
+        "doc_id long, offset int, body string, score int",
+    )
+    patch_elements(spark, out, patches)
+    got = {r["doc_id"]: r for r in point_lookup(spark, out, [3, 14, 20]).collect()}
+    assert got[3]["body"] == "patched-3" and got[3]["score"] == 3 % 7
+    assert got[14]["body"] == "body-14" and got[14]["score"] == 99
+    assert got[20]["body"] == "body-20" and got[20]["score"] == 20 % 7
+
+    # column absent from the patch frame -> untouched for all rows
+    only_score = spark.createDataFrame(
+        [(3, 0, 11)], "doc_id long, offset int, score int"
+    )
+    patch_elements(spark, out, only_score)
+    r3, = point_lookup(spark, out, [3]).collect()
+    assert r3["body"] == "patched-3" and r3["score"] == 11
+
+    # keep_null=True: explicit NULL is WRITTEN (ArangoDB keepNull)
+    null_body = spark.createDataFrame(
+        [(14, 0, None)], "doc_id long, offset int, body string"
+    )
+    patch_elements(spark, out, null_body, keep_null=True)
+    r14, = point_lookup(spark, out, [14]).collect()
+    assert r14["body"] is None and r14["score"] == 99
+
+    # missing key -> whole batch refused, store unchanged
+    bad = spark.createDataFrame(
+        [(3, 0, "x"), (9999, 0, "y")], "doc_id long, offset int, body string"
+    )
+    with _pytest.raises(ValueError, match="not present"):
+        patch_elements(spark, out, bad)
+    r3b, = point_lookup(spark, out, [3]).collect()
+    assert r3b["body"] == "patched-3"
+
+    # unknown column -> refused
+    with _pytest.raises(ValueError, match="not in store schema"):
+        patch_elements(
+            spark, out,
+            spark.createDataFrame([(3, 0, 1)], "doc_id long, offset int, nope int"),
+        )
