@@ -442,7 +442,6 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_chunks = docs.select(
         "doc_id",
-        F.col("text"),
         toks.alias("toks"),
     ).select(
         "doc_id",

@@ -47,6 +47,37 @@ def bucket_of(doc_id_col, n_buckets: int):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
 
 
+def _key_type_meta(df: DataFrame) -> str:
+    """The store key's DDL type string, recorded in the manifest META at
+    creation so keyed reads can hash probe keys with the store's native
+    type (``xxhash64("5") != xxhash64(5L)`` — a mistyped probe prunes to
+    buckets that cannot contain the key)."""
+    return df.schema["doc_id"].dataType.simpleString()
+
+
+def _store_key_type(spark: SparkSession, output_dir: str, lineage: dict):
+    """The store's native doc_id type: manifest META fast path; parquet
+    footer probe of one committed bucket for stores written before
+    key_type was recorded."""
+    kt = (lineage.get(META_KEY) or {}).get("key_type")
+    if kt:
+        try:
+            return T._parse_datatype_string(kt)
+        except Exception:
+            pass  # unparseable legacy value → footer probe below
+    sample = next(
+        (
+            _bucket_dir(output_dir, b, e)
+            for b, e in sorted(_bucket_items(lineage), key=lambda kv: int(kv[0]))
+            if e["status"] == "done" and e.get("row_count", 0) > 0
+        ),
+        None,
+    )
+    if sample is None:
+        raise FileNotFoundError(f"no committed buckets under {output_dir}")
+    return spark.read.parquet(sample).schema["doc_id"].dataType
+
+
 def _lineage_path(output_dir: str) -> str:
     return os.path.join(output_dir, LINEAGE_FILE)
 
@@ -195,7 +226,8 @@ def run_with_lineage(
             f"bucketed with n_buckets={meta.get('n_buckets')} — mixing "
             "bucketings would silently drop documents"
         )
-    lineage[META_KEY] = {"n_buckets": n_buckets}
+    meta_entry = {"n_buckets": n_buckets, "key_type": _key_type_meta(docs)}
+    lineage[META_KEY] = meta_entry
     done = {int(b) for b, e in _bucket_items(lineage) if e["status"] == "done"}
 
     bucketed = docs.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
@@ -228,7 +260,7 @@ def run_with_lineage(
                 }
             finally:
                 extracted.unpersist()
-            delta: dict[str, dict] = {META_KEY: {"n_buckets": n_buckets}}
+            delta: dict[str, dict] = {META_KEY: dict(meta_entry)}
             for b in todo:
                 part_dir = os.path.join(output_dir, f"bucket={b}")
                 # empty buckets produce no partition dir under dynamic
@@ -267,7 +299,7 @@ def run_with_lineage(
                 lineage[str(b)] = entry
                 _commit_lineage(
                     output_dir,
-                    {META_KEY: {"n_buckets": n_buckets}, str(b): entry},
+                    {META_KEY: dict(meta_entry), str(b): entry},
                 )
         finally:
             extracted.unpersist()
@@ -305,9 +337,18 @@ def read_output(
         meta = lineage.get(META_KEY) or {}
         n_buckets = meta.get("n_buckets")
         if n_buckets:
+            # hash probe keys with the store's NATIVE key type:
+            # xxhash64 is type-sensitive (xxhash64("5") != xxhash64(5L)),
+            # so an int-typed probe against a long-keyed store — or any
+            # dtype drift in the caller — would prune to buckets that
+            # cannot contain the keys and silently return nothing
+            key_t = _store_key_type(spark, output_dir, lineage)
+            probe = for_doc_ids.select(
+                F.col("doc_id").cast(key_t).alias("doc_id")
+            )
             wanted = {
                 r["bucket"]
-                for r in for_doc_ids.select(
+                for r in probe.select(
                     bucket_of(F.col("doc_id"), n_buckets).alias("bucket")
                 )
                 .distinct()
@@ -399,7 +440,9 @@ def init_store(
         }
     finally:
         bucketed.unpersist()
-    delta: dict[str, dict] = {META_KEY: {"n_buckets": n_buckets}}
+    delta: dict[str, dict] = {
+        META_KEY: {"n_buckets": n_buckets, "key_type": _key_type_meta(rows)}
+    }
     for b in range(n_buckets):
         part_dir = os.path.join(output_dir, f"bucket={b}")
         delta[str(b)] = {
@@ -447,21 +490,13 @@ def point_lookup(
     keys against a store bootstrapped with numeric doc_ids
     (:func:`init_store` accepts any keyed DataFrame) would prune to
     buckets that cannot contain them and silently return nothing. The
-    key type is read from one committed bucket's parquet footer (a
-    metadata-only touch) and the probe values are cast to it.
+    key type comes from the manifest META (recorded at store creation;
+    parquet-footer fallback for older stores) and both the pruning
+    probe (inside :func:`read_output`) and the ``IN`` predicate here
+    use values coerced to it.
     """
     lineage = read_lineage(output_dir, as_of=as_of)
-    sample = next(
-        (
-            _bucket_dir(output_dir, b, e)
-            for b, e in sorted(_bucket_items(lineage), key=lambda kv: int(kv[0]))
-            if e["status"] == "done" and e.get("row_count", 0) > 0
-        ),
-        None,
-    )
-    if sample is None:
-        raise FileNotFoundError(f"no committed buckets under {output_dir}")
-    key_type = spark.read.parquet(sample).schema["doc_id"].dataType
+    key_type = _store_key_type(spark, output_dir, lineage)
     if isinstance(key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         vals = [int(d) for d in doc_ids]
     elif isinstance(key_type, T.StringType):
@@ -846,36 +881,67 @@ def patch_elements(
     for k in MERGE_KEYS:
         if k not in patches.columns:
             raise ValueError(f"patch rows need column {k!r}")
-    key_df = patches.select(*MERGE_KEYS)
-    current = read_output(spark, output_dir, for_doc_ids=key_df).join(
-        key_df, on=list(MERGE_KEYS), how="left_semi"
+    # duplicate keys would each survive the inner join and ALL be
+    # written, breaking the store's key-uniqueness invariant — refuse
+    # the batch (same atomic-refusal convention as missing keys)
+    dup = (
+        patches.groupBy(*MERGE_KEYS)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
     )
-    missing = key_df.join(current, on=list(MERGE_KEYS), how="left_anti").count()
-    if missing:
+    if dup:
         raise ValueError(
-            f"{missing} patch key(s) not present in the store "
-            "(ArangoDB update does not insert; use upsert_elements)"
+            f"duplicate MERGE key in patch batch (e.g. "
+            f"{tuple(dup[0][k] for k in MERGE_KEYS)}) — one patch row "
+            "per key"
         )
-    extra = set(patches.columns) - set(current.columns)
-    if extra:
-        raise ValueError(f"patch columns not in store schema: {sorted(extra)}")
-    p = patches.alias("p")
-    c = current.alias("c")
-    patched_cols = []
-    for col in current.columns:
-        if col in MERGE_KEYS or col not in patches.columns:
-            patched_cols.append(F.col(f"c.{col}").alias(col))
-        elif keep_null:
-            patched_cols.append(F.col(f"p.{col}").alias(col))
-        else:
-            patched_cols.append(
-                F.coalesce(F.col(f"p.{col}"), F.col(f"c.{col}")).alias(col)
-            )
-    merged = c.join(p, on=list(MERGE_KEYS), how="inner").select(*patched_cols)
-    return merge_elements(
-        spark, output_dir, updates=merged, commit_mode=commit_mode,
-        retain_snapshots=retain_snapshots,
+    # align the patch key dtype with the store's native key type (the
+    # bucket pruning inside read_output hashes with it; the joins below
+    # then compare like against like instead of relying on implicit
+    # widening, which cannot bridge e.g. string vs long)
+    key_t = _store_key_type(spark, output_dir, read_lineage(output_dir))
+    patches = patches.withColumn("doc_id", F.col("doc_id").cast(key_t))
+    key_df = patches.select(*MERGE_KEYS)
+    current = (
+        read_output(spark, output_dir, for_doc_ids=key_df)
+        .join(key_df, on=list(MERGE_KEYS), how="left_semi")
+        .persist()  # validated once, then fed to the MERGE write
     )
+    try:
+        missing = key_df.join(
+            current, on=list(MERGE_KEYS), how="left_anti"
+        ).count()
+        if missing:
+            raise ValueError(
+                f"{missing} patch key(s) not present in the store "
+                "(ArangoDB update does not insert; use upsert_elements)"
+            )
+        extra = set(patches.columns) - set(current.columns)
+        if extra:
+            raise ValueError(
+                f"patch columns not in store schema: {sorted(extra)}"
+            )
+        p = patches.alias("p")
+        c = current.alias("c")
+        patched_cols = []
+        for col in current.columns:
+            if col in MERGE_KEYS or col not in patches.columns:
+                patched_cols.append(F.col(f"c.{col}").alias(col))
+            elif keep_null:
+                patched_cols.append(F.col(f"p.{col}").alias(col))
+            else:
+                patched_cols.append(
+                    F.coalesce(F.col(f"p.{col}"), F.col(f"c.{col}")).alias(col)
+                )
+        merged = c.join(p, on=list(MERGE_KEYS), how="inner").select(*patched_cols)
+        return merge_elements(
+            spark, output_dir, updates=merged, commit_mode=commit_mode,
+            retain_snapshots=retain_snapshots,
+        )
+    finally:
+        current.unpersist()
 
 
 def compact_store(

@@ -9,8 +9,11 @@ Re-expresses the reference's edge CRUD
 
 ArangoDB stores edges in a dedicated edge collection keyed by ``_key``;
 here the edge collection is an ordinary keyed store (``lineage.py``):
-``doc_id = "<from_id>-><to_id>"`` and ``offset = 0`` are the MERGE
-keys, so an edge insert/replace is one copy-on-write MERGE commit, a
+``doc_id = "<len(from_id)>:<from_id>-><to_id>"`` (length-prefixed so
+the key stays injective when an id itself contains ``->`` — build keys
+with ``_edge_key``/``_edge_key_py``, never by hand) and ``offset = 0``
+are the MERGE keys, so an edge insert/replace is one copy-on-write
+MERGE commit, a
 delete is a keyed delete, and reads get bucket pruning + clustered
 row-group skipping via ``point_lookup`` for free. Re-adding an existing
 pair replaces the edge (ArangoDB upsert-by-key semantics); deleting a

@@ -774,3 +774,55 @@ def test_patch_elements_partial_update_semantics(spark, tmp_path):
             spark, out,
             spark.createDataFrame([(3, 0, 1)], "doc_id long, offset int, nope int"),
         )
+
+
+def test_patch_elements_duplicate_and_mistyped_keys(spark, tmp_path):
+    """(1) Duplicate MERGE keys in one patch batch are refused — each
+    duplicate would survive the inner join and be written, breaking
+    key uniqueness. (2) A dtype-mismatched patch batch (int keys on a
+    long-keyed store) must still find its keys: the probe is cast to
+    the store's manifest-recorded key type before bucket pruning."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import (
+        init_store,
+        patch_elements,
+        point_lookup,
+        read_output,
+    )
+
+    out = str(tmp_path / "store")
+    init_store(
+        spark, out,
+        spark.range(0, 40).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).cast("int").alias("offset"),
+            F.concat(F.lit("b"), F.col("id")).alias("body"),
+        ),
+        n_buckets=8,
+    )
+
+    with _pytest.raises(ValueError, match="duplicate MERGE key"):
+        patch_elements(
+            spark, out,
+            spark.createDataFrame(
+                [(3, 0, "first"), (3, 0, "second")],
+                "doc_id long, offset int, body string",
+            ),
+        )
+    # store untouched, still one row per key
+    assert point_lookup(spark, out, [3]).count() == 1
+
+    # int-typed keys against the long-keyed store: prune + join both
+    # coerce to the store type, so the patch lands instead of being
+    # falsely refused as 'not present'
+    patch_elements(
+        spark, out,
+        spark.createDataFrame(
+            [(5, 0, "typed")], "doc_id int, offset int, body string"
+        ),
+    )
+    r5, = point_lookup(spark, out, [5]).collect()
+    assert r5["body"] == "typed"
+    assert read_output(spark, out).count() == 40  # no duplicate rows
