@@ -847,6 +847,31 @@ def delete_elements(
     )
 
 
+def delete_where(
+    spark: SparkSession,
+    output_dir: str,
+    condition,
+    commit_mode: str = "batch",
+    retain_snapshots: int = 0,
+) -> dict[str, dict]:
+    """Predicate-driven delete — the Iceberg ``DELETE WHERE`` analog
+    and the reference's bulk-delete flows (``crud.py:474-515``
+    ``delete_conversation`` removes every message matching a
+    conversation_id). One scan resolves the matching keys (predicates
+    push into the parquet scan; ``merge_elements`` persists the key
+    frame so the resolve runs once), then the ordinary single-commit
+    keyed-delete MERGE rewrites only the affected buckets.
+
+    ``condition`` is a Column predicate or SQL string over the store's
+    columns, e.g. ``F.col("kind") == "code"`` or ``"page > 40"``.
+    """
+    keys = read_output(spark, output_dir).filter(condition).select(*MERGE_KEYS)
+    return merge_elements(
+        spark, output_dir, delete_keys=keys, commit_mode=commit_mode,
+        retain_snapshots=retain_snapshots,
+    )
+
+
 def patch_elements(
     spark: SparkSession,
     output_dir: str,

@@ -826,3 +826,34 @@ def test_patch_elements_duplicate_and_mistyped_keys(spark, tmp_path):
     r5, = point_lookup(spark, out, [5]).collect()
     assert r5["body"] == "typed"
     assert read_output(spark, out).count() == 40  # no duplicate rows
+
+
+def test_delete_where_predicate_delete(spark, tmp_path):
+    """DELETE WHERE (reference crud.py:474-515 delete_conversation =
+    bulk delete by attribute): matching rows vanish, everything else
+    survives, re-running the same predicate is an idempotent no-op."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import (
+        delete_where,
+        init_store,
+        read_output,
+    )
+
+    out = str(tmp_path / "store")
+    init_store(
+        spark, out,
+        spark.range(0, 50).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).cast("int").alias("offset"),
+            (F.col("id") % 5).cast("int").alias("conversation_id"),
+        ),
+        n_buckets=8,
+    )
+    delete_where(spark, out, F.col("conversation_id") == 2)
+    left = read_output(spark, out)
+    assert left.count() == 40
+    assert left.filter("conversation_id = 2").count() == 0
+    # SQL-string predicate + idempotent re-run
+    delete_where(spark, out, "conversation_id = 2")
+    assert read_output(spark, out).count() == 40
