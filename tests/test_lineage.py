@@ -857,3 +857,70 @@ def test_delete_where_predicate_delete(spark, tmp_path):
     # SQL-string predicate + idempotent re-run
     delete_where(spark, out, "conversation_id = 2")
     assert read_output(spark, out).count() == 40
+
+
+def test_patch_algebra_randomized(spark, tmp_path):
+    """Randomized sparse patches vs a pure-Python dict oracle: after
+    any sequence of patch batches (random columns patched, random NULL
+    sparsity, both keep_null modes), the store equals the oracle
+    exactly and key uniqueness holds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import (
+        init_store,
+        patch_elements,
+        read_output,
+    )
+
+    rng = random.Random(20260817)
+    out = str(tmp_path / "store")
+    n = 80
+    oracle = {
+        (i, 0): {"body": f"b{i}", "score": i % 9, "tag": f"t{i % 4}"}
+        for i in range(n)
+    }
+    init_store(
+        spark, out,
+        spark.createDataFrame(
+            [(i, 0, v["body"], v["score"], v["tag"]) for (i, _), v in oracle.items()],
+            "doc_id long, offset int, body string, score int, tag string",
+        ),
+        n_buckets=8,
+    )
+
+    for round_no in range(4):
+        keys = rng.sample(range(n), rng.randint(1, 12))
+        cols = rng.sample(["body", "score", "tag"], rng.randint(1, 3))
+        keep_null = rng.random() < 0.5
+        rows, schema_cols = [], ["doc_id long", "offset int"]
+        schema_cols += [
+            {"body": "body string", "score": "score int", "tag": "tag string"}[c]
+            for c in cols
+        ]
+        for k in keys:
+            row = [k, 0]
+            for c in cols:
+                val = None if rng.random() < 0.3 else (
+                    f"p{round_no}-{k}" if c != "score" else round_no * 100 + k
+                )
+                row.append(val)
+                # oracle applies the same rule
+                if val is not None or keep_null:
+                    oracle[(k, 0)][c] = val
+            rows.append(tuple(row))
+        patch_elements(
+            spark, out,
+            spark.createDataFrame(rows, ", ".join(schema_cols)),
+            keep_null=keep_null,
+        )
+
+    got = {
+        (r["doc_id"], r["offset"]): {
+            "body": r["body"], "score": r["score"], "tag": r["tag"]
+        }
+        for r in read_output(spark, out).collect()
+    }
+    assert len(got) == n  # key uniqueness survived every batch
+    assert got == oracle
