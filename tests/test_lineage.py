@@ -924,3 +924,114 @@ def test_patch_algebra_randomized(spark, tmp_path):
     }
     assert len(got) == n  # key uniqueness survived every batch
     assert got == oracle
+
+
+def test_store_fuzz_interleaved_operations(spark, tmp_path):
+    """Store fuzz: a randomized interleaving of upsert / patch /
+    keyed-delete / predicate-delete / compact / vacuum, checked after
+    EVERY commit against a pure-Python dict oracle, plus time-travel
+    reads against recorded history for every still-retained snapshot.
+    One test, the whole keyed-store surface under composition."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import (
+        compact_store,
+        delete_elements,
+        delete_where,
+        init_store,
+        list_snapshots,
+        patch_elements,
+        read_lineage,
+        read_output,
+        upsert_elements,
+        vacuum_store,
+    )
+
+    rng = random.Random(424242)
+    out = str(tmp_path / "store")
+    SCHEMA = "doc_id long, offset int, body string, grp int"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    oracle = {(i, 0): (f"b{i}", i % 6) for i in range(70)}
+    init_store(
+        spark, out,
+        df_of([(k[0], k[1], v[0], v[1]) for k, v in oracle.items()]),
+        n_buckets=8,
+    )
+
+    def store_version():
+        return read_lineage(out).get("__meta__", {}).get("manifest_version")
+
+    def snapshot():
+        return {
+            (r["doc_id"], r["offset"]): (r["body"], r["grp"])
+            for r in read_output(spark, out).collect()
+        }
+
+    history = {store_version(): dict(oracle)}
+    next_id = 1000
+
+    for step in range(10):
+        op = rng.choice(["upsert", "patch", "delete", "delete_where",
+                         "compact", "vacuum"])
+        if op == "upsert":
+            # mix of replacements and brand-new keys
+            keys = rng.sample(sorted(oracle), min(5, len(oracle)))
+            rows = []
+            for k in keys:
+                rows.append((k[0], k[1], f"u{step}-{k[0]}", rng.randint(0, 5)))
+            for _ in range(rng.randint(1, 3)):
+                rows.append((next_id, 0, f"new{step}-{next_id}", rng.randint(0, 5)))
+                next_id += 1
+            upsert_elements(spark, out, df_of(rows), retain_snapshots=2)
+            for d, o, b, g in rows:
+                oracle[(d, o)] = (b, g)
+        elif op == "patch":
+            keys = rng.sample(sorted(oracle), min(4, len(oracle)))
+            rows = [(k[0], k[1], f"p{step}-{k[0]}") for k in keys]
+            patch_elements(
+                spark, out,
+                spark.createDataFrame(rows, "doc_id long, offset int, body string"),
+                retain_snapshots=2,
+            )
+            for d, o, b in rows:
+                oracle[(d, o)] = (b, oracle[(d, o)][1])
+        elif op == "delete":
+            keys = rng.sample(sorted(oracle), min(3, len(oracle)))
+            delete_elements(
+                spark, out,
+                spark.createDataFrame(list(keys), "doc_id long, offset int"),
+                retain_snapshots=2,
+            )
+            for k in keys:
+                oracle.pop(k)
+        elif op == "delete_where":
+            g = rng.randint(0, 5)
+            delete_where(spark, out, F.col("grp") == g, retain_snapshots=2)
+            oracle = {k: v for k, v in oracle.items() if v[1] != g}
+        elif op == "compact":
+            compact_store(spark, out, files_per_bucket=1, retain_snapshots=2)
+        else:
+            vacuum_store(out, retain_snapshots=2)
+            # vacuum expires history beyond the retention window
+            keep = set(list_snapshots(out))
+            history = {v: s for v, s in history.items() if v in keep}
+        assert snapshot() == oracle, f"divergence after step {step} ({op})"
+        history[store_version()] = dict(oracle)
+
+    # time travel: every still-listed snapshot version we recorded must
+    # read back exactly as the oracle looked at that commit
+    checked = 0
+    for v in list_snapshots(out):
+        if v in history:
+            got = {
+                (r["doc_id"], r["offset"]): (r["body"], r["grp"])
+                for r in read_output(spark, out, as_of=v).collect()
+            }
+            assert got == history[v], f"time travel divergence at v{v}"
+            checked += 1
+    assert checked >= 2  # the walk really exercised time travel
