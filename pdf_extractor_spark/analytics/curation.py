@@ -210,10 +210,12 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
 #
 # Scale shape: corpus side explodes to (doc_id, gram) and semi-joins
 # the DISTINCT benchmark gram set. Benchmark sets are small (test
-# suites, not corpora), so the gram set broadcasts — the corpus side
-# never shuffles; flagging is then one broadcast left join back onto
-# the documents. At 10^12 docs this is a map-only scan + broadcast
-# hash probes, the cheapest possible shape.
+# suites, not corpora), so the GRAM SET broadcasts — the corpus side
+# never shuffles to find hits. The flag-back join onto documents is a
+# doc_id shuffle join: the hit set's size is data-dependent (a
+# benchmark gram appearing in boilerplate can flag millions of docs),
+# so it must NOT be forced through the driver as a broadcast; AQE
+# downgrades to broadcast by itself whenever the hit set is small.
 # ---------------------------------------------------------------------------
 
 DECON_N = 5
@@ -249,9 +251,16 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contaminated", F.lit(True))
     )
+    # NO broadcast hint on hits: its cardinality is O(contaminated
+    # corpus docs) — unbounded when a benchmark gram is boilerplate
+    # shared by millions of documents — so forcing it through the
+    # driver is exactly the OOM the scale note above designs against.
+    # Only the (small) benchmark gram set broadcasts; the flag join
+    # shuffles on doc_id (AQE still broadcasts it when it happens to
+    # be small).
     return (
         docs.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),

@@ -778,13 +778,23 @@ WITH bpe_counts(tok, n) AS (SELECT * FROM (VALUES {values})),
 tok_rows AS (
   SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
   FROM documents
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(CASE WHEN count(*) = count(m.n) THEN sum(m.n) END AS INT)
+           AS n_bpe_tokens
+  FROM tok_rows t LEFT JOIN bpe_counts m ON t.tok = m.tok
+  WHERE t.tok <> ''
+  GROUP BY t.doc_id
 )
-SELECT t.doc_id,
-       CAST(CASE WHEN count(*) = count(m.n) THEN sum(m.n) END AS INT)
-         AS n_bpe_tokens
-FROM tok_rows t LEFT JOIN bpe_counts m ON t.tok = m.tok
-WHERE t.tok <> ''
-GROUP BY t.doc_id
+-- re-anchor on documents: an empty/whitespace-only doc has no surviving
+-- tok_rows and would otherwise VANISH from the oracle while the Spark
+-- kernel correctly emits n_bpe_tokens=0 for it (rows-mismatch at the
+-- gate). OOV docs keep NULL (the loud-fail contract) via the CASE.
+SELECT d.doc_id,
+       CAST(CASE WHEN p.doc_id IS NULL THEN 0
+                 ELSE p.n_bpe_tokens END AS INT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 

@@ -398,7 +398,13 @@ def extract_document_cols(
             # S11: OCR spans are normalized (de-hyphenation, ligature
             # fold, line-break join — textproc.ocr_normalize) and then
             # take the ordinary text path, so consecutive ocr/text
-            # spans paragraph-merge identically
+            # spans paragraph-merge identically. ONE deliberate
+            # divergence from the text path: an OCR span that
+            # normalizes to EMPTY is dropped without flushing the
+            # paragraph buffer — a blank OCR region is scanner noise,
+            # not an author's blank line, so it must not split a
+            # paragraph the way a blank text span does
+            # (tests/test_text_analyzer.py pins this).
             flush_table()
             cleaned = ocr_normalize(text)
             if cleaned:

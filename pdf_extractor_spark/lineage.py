@@ -20,11 +20,13 @@ two leaves a re-doable bucket, never a half-counted one
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
 import shutil
 import time
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,8 +37,8 @@ from .operators.extract import extract_elements
 
 LINEAGE_FILE = "lineage.json"  # tiny driver-side manifest (Iceberg stand-in)
 META_KEY = "__meta__"          # manifest metadata (n_buckets guard)
-LOCK_STALE_S = 30.0            # a lock older than this is a crashed holder
-LOCK_WAIT_S = 60.0
+LOCK_WAIT_S = 60.0             # manifest-swap acquisition timeout
+MERGE_LOCK_WAIT_S = 600.0      # whole-merge lock: writers serialize on it
 
 
 def _bucket_items(lineage: dict):
@@ -113,69 +115,87 @@ def read_lineage(
         return json.load(f)
 
 
-def _commit_lineage(output_dir: str, delta: dict[str, dict]) -> dict[str, dict]:
+@contextmanager
+def _manifest_lock(output_dir: str, wait_s: float = LOCK_WAIT_S):
+    """Exclusive store lock via ``fcntl.flock`` on a permanent lock
+    file. Advisory fd locks release automatically when the holder dies,
+    so there is no staleness heuristic to mis-judge and no
+    check-then-steal window (the previous O_EXCL + mtime-steal protocol
+    had both: a TOCTOU between the staleness check and the steal, and a
+    stalled-but-alive holder that, once stolen from, would overwrite
+    the stealer's commit). The lock file itself is never unlinked —
+    unlinking would let a late holder delete the CURRENT holder's lock
+    by name. Works across processes and across threads (each ``open``
+    is its own file description).
+    """
+    lock = _lineage_path(output_dir) + ".lock"
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    try:
+        deadline = time.time() + wait_s
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire manifest lock {lock} within "
+                        f"{wait_s}s (another writer holds the store)"
+                    )
+                time.sleep(0.005)
+        yield
+    finally:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        except OSError:
+            pass
+        os.close(fd)
+
+
+def _commit_lineage(
+    output_dir: str, delta: dict[str, dict], locked: bool = False
+) -> dict[str, dict]:
     """Concurrency-safe manifest commit: merge ``delta`` into the
-    CURRENT manifest under an exclusive lock, then atomic-rename.
+    CURRENT manifest under the exclusive store lock, then
+    atomic-rename.
 
     Two concurrent committers (e.g. streaming CDC + a batch backfill)
     previously raced read→write and the loser's rows were silently
     dropped; the lock serializes read-merge-write so both deltas land
     (the file-system stand-in for Iceberg's optimistic manifest swap —
-    ``manifest_version`` in the META row is the swap counter). A lock
-    left by a crashed process is stolen after ``LOCK_STALE_S``.
+    ``manifest_version`` in the META row is the swap counter).
+    ``locked=True`` means the caller already holds the store lock
+    (e.g. ``merge_elements`` holds it across data write + commit).
     """
+    if not locked:
+        with _manifest_lock(output_dir):
+            return _commit_lineage(output_dir, delta, locked=True)
     path = _lineage_path(output_dir)
-    lock = path + ".lock"
-    deadline = time.time() + LOCK_WAIT_S
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
-                    # crashed holder — steal via rename, which exactly
-                    # ONE contender wins (a bare unlink would let a
-                    # second stealer delete the first stealer's
-                    # freshly-created lock and put two committers in
-                    # the critical section at once)
-                    grave = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
-                    os.rename(lock, grave)
-                    os.unlink(grave)
-                    continue
-            except OSError:
-                continue  # holder released / another stealer won
-            if time.time() > deadline:
-                raise TimeoutError(f"could not acquire manifest lock {lock}")
-            time.sleep(0.005)
-    try:
-        current = read_lineage(output_dir)
-        merged = {**current, **{k: v for k, v in delta.items() if k != META_KEY}}
-        meta = {**current.get(META_KEY, {}), **delta.get(META_KEY, {})}
-        meta["manifest_version"] = current.get(META_KEY, {}).get(
-            "manifest_version", 0
-        ) + 1
-        merged[META_KEY] = meta
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(merged, f, indent=1, sort_keys=True)
-        # snapshot BEFORE the swap: the superseded manifest becomes the
-        # numbered snapshot (Iceberg metadata-file analog) that
-        # read_output(as_of=...) resolves; expired by vacuum_store per
-        # its retain_snapshots policy
-        if current:
-            prev_v = current.get(META_KEY, {}).get("manifest_version", 0)
-            snap = _snapshot_path(output_dir, prev_v)
-            if not os.path.exists(snap):
-                with open(snap, "w") as f:
-                    json.dump(current, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)  # atomic rename = commit point
-    finally:
-        os.close(fd)
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+    current = read_lineage(output_dir)
+    merged = {**current, **{k: v for k, v in delta.items() if k != META_KEY}}
+    meta = {**current.get(META_KEY, {}), **delta.get(META_KEY, {})}
+    meta["manifest_version"] = current.get(META_KEY, {}).get(
+        "manifest_version", 0
+    ) + 1
+    merged[META_KEY] = meta
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    # snapshot BEFORE the swap: the superseded manifest becomes the
+    # numbered snapshot (Iceberg metadata-file analog) that
+    # read_output(as_of=...) resolves; expired by vacuum_store per
+    # its retain_snapshots policy. Written with the same tmp+rename
+    # protocol as the manifest — a crash mid-write must not leave a
+    # truncated snapshot that wedges every later vacuum/as_of read.
+    if current:
+        prev_v = current.get(META_KEY, {}).get("manifest_version", 0)
+        snap = _snapshot_path(output_dir, prev_v)
+        if not os.path.exists(snap):
+            snap_tmp = snap + ".tmp"
+            with open(snap_tmp, "w") as f:
+                json.dump(current, f, indent=1, sort_keys=True)
+            os.replace(snap_tmp, snap)
+    os.replace(tmp, path)  # atomic rename = commit point
     return merged
 
 
@@ -551,11 +571,45 @@ def merge_elements(
     """
     if updates is None and delete_keys is None:
         raise ValueError("merge_elements needs updates and/or delete_keys")
+    # The ENTIRE merge — generation allocation, staging write, manifest
+    # swap, vacuum — runs under the store lock, so concurrent writers
+    # (streaming CDC + a batch backfill) serialize instead of picking
+    # the same merge_v{gen} staging root and destroying each other's
+    # in-flight data (the manifest-swap lock alone protected only the
+    # final rename, not the directories it points at). Iceberg writers
+    # retry on optimistic-commit conflict; the local stand-in
+    # serializes, which is the same end state.
+    with _manifest_lock(output_dir, wait_s=MERGE_LOCK_WAIT_S):
+        return _merge_elements_locked(
+            spark, output_dir, updates, delete_keys, commit_mode,
+            retain_snapshots,
+        )
+
+
+def _merge_elements_locked(
+    spark: SparkSession,
+    output_dir: str,
+    updates: Optional[DataFrame],
+    delete_keys: Optional[DataFrame],
+    commit_mode: str,
+    retain_snapshots: int,
+) -> dict[str, dict]:
     lineage = read_lineage(output_dir)
     meta = lineage.get(META_KEY)
     if meta is None:
         raise FileNotFoundError(f"no lineage manifest under {output_dir}")
     n_buckets = meta["n_buckets"]
+    # bucket-route with the store's NATIVE key type (same hazard the
+    # read side guards: xxhash64 is dtype-sensitive, so a mistyped
+    # update/delete frame would rewrite the wrong buckets — deletes
+    # silently no-op, upserts land in buckets keyed reads never visit)
+    key_t = _store_key_type(spark, output_dir, lineage)
+    if updates is not None:
+        updates = updates.withColumn("doc_id", F.col("doc_id").cast(key_t))
+    if delete_keys is not None:
+        delete_keys = delete_keys.withColumn(
+            "doc_id", F.col("doc_id").cast(key_t)
+        )
 
     def keyed_of(df: Optional[DataFrame]) -> Optional[DataFrame]:
         if df is None:
@@ -601,7 +655,7 @@ def merge_elements(
         for df in (ups, dels):
             if df is not None:
                 df.unpersist()
-    vacuum_store(output_dir, retain_snapshots=retain_snapshots)
+    vacuum_store(output_dir, retain_snapshots=retain_snapshots, locked=True)
     return lineage
 
 
@@ -682,7 +736,7 @@ def _merge_batch(
         }
         delta[str(b)] = entry
         lineage[str(b)] = entry
-    _commit_lineage(output_dir, delta)
+    _commit_lineage(output_dir, delta, locked=True)
     return lineage
 
 
@@ -731,7 +785,7 @@ def _merge_per_bucket(
             "path": rel_path if row_count > 0 else None,
         }
         lineage[str(b)] = new_entry
-        _commit_lineage(output_dir, {str(b): new_entry})
+        _commit_lineage(output_dir, {str(b): new_entry}, locked=True)
     return lineage
 
 
@@ -749,7 +803,9 @@ def list_snapshots(output_dir: str) -> list[int]:
     return sorted(set(versions))
 
 
-def vacuum_store(output_dir: str, retain_snapshots: int = 0) -> list[str]:
+def vacuum_store(
+    output_dir: str, retain_snapshots: int = 0, locked: bool = False
+) -> list[str]:
     """Reclaim version directories superseded by the committed manifest.
 
     Copy-on-write MERGE leaves the previous version of every rewritten
@@ -762,9 +818,15 @@ def vacuum_store(output_dir: str, retain_snapshots: int = 0) -> list[str]:
     ``read_output(as_of=...)``) — is superseded or orphaned — delete
     it. Snapshot files older than the window are expired with their
     data. Called automatically post-commit by :func:`merge_elements`;
-    safe to invoke any time (single-writer store; readers re-resolve
-    paths from the manifest per query).
+    safe to invoke any time — a standalone call takes the store lock
+    so it can never reclaim a concurrent writer's in-flight staging
+    (readers re-resolve paths from the manifest per query).
     """
+    if not locked:
+        if not read_lineage(output_dir):
+            return []
+        with _manifest_lock(output_dir):
+            return vacuum_store(output_dir, retain_snapshots, locked=True)
     lineage = read_lineage(output_dir)
     if not lineage:
         return []
@@ -992,6 +1054,18 @@ def compact_store(
 
     Returns the committed manifest.
     """
+    with _manifest_lock(output_dir, wait_s=MERGE_LOCK_WAIT_S):
+        return _compact_store_locked(
+            spark, output_dir, files_per_bucket, retain_snapshots
+        )
+
+
+def _compact_store_locked(
+    spark: SparkSession,
+    output_dir: str,
+    files_per_bucket: int,
+    retain_snapshots: int,
+) -> dict[str, dict]:
     lineage = read_lineage(output_dir)
     meta = lineage.get(META_KEY)
     if meta is None:
@@ -1048,6 +1122,6 @@ def compact_store(
         }
         delta[str(b)] = entry
         lineage[str(b)] = entry
-    _commit_lineage(output_dir, delta)
-    vacuum_store(output_dir, retain_snapshots=retain_snapshots)
+    _commit_lineage(output_dir, delta, locked=True)
+    vacuum_store(output_dir, retain_snapshots=retain_snapshots, locked=True)
     return lineage

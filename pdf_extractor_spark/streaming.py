@@ -419,28 +419,35 @@ def stream_extract_merge(
         w = Window.partitionBy("doc_id").orderBy(
             F.desc("_mtime"), F.desc("_fpath")
         )
+        # persist the deduped batch: the mega split probes it twice and
+        # _merge_flat_into_store pulls it again — without the cache the
+        # row_number shuffle re-runs up to ~5× per micro-batch
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("doc_id", "spans", "_mtime", "_fpath")
-        )
-        if mega_span_threshold is not None:
-            if backfill_dir is None:
-                raise ValueError("mega_span_threshold requires backfill_dir")
-            n_spans = F.size("spans")
-            mega = latest.filter(n_spans >= mega_span_threshold)
-            if not mega.isEmpty():
-                mega.write.mode("append").parquet(backfill_dir)
-            latest = latest.filter(n_spans < mega_span_threshold)
-            if latest.isEmpty():
-                return
-        flat = latest.select("doc_id", "spans").mapInPandas(
-            _flat_batches(merge_strategy), schema=FLAT_SCHEMA
         ).persist()
+        cached = latest  # the persisted frame (latest is re-bound below)
         try:
-            _merge_flat_into_store(sess, store_dir, latest, flat)
+            if mega_span_threshold is not None:
+                if backfill_dir is None:
+                    raise ValueError("mega_span_threshold requires backfill_dir")
+                n_spans = F.size("spans")
+                mega = latest.filter(n_spans >= mega_span_threshold)
+                if not mega.isEmpty():
+                    mega.write.mode("append").parquet(backfill_dir)
+                latest = latest.filter(n_spans < mega_span_threshold)
+                if latest.isEmpty():
+                    return
+            flat = latest.select("doc_id", "spans").mapInPandas(
+                _flat_batches(merge_strategy), schema=FLAT_SCHEMA
+            ).persist()
+            try:
+                _merge_flat_into_store(sess, store_dir, latest, flat)
+            finally:
+                flat.unpersist()
         finally:
-            flat.unpersist()
+            cached.unpersist()
 
     query = (
         docs.writeStream.foreachBatch(merge_batch)

@@ -307,7 +307,7 @@ def test_merge_crash_between_write_and_commit_is_idempotent(
     real_commit = L._commit_lineage
     calls = {"n": 0}
 
-    def exploding_commit(output_dir, entries):
+    def exploding_commit(output_dir, entries, locked=False):
         calls["n"] += 1
         raise RuntimeError("injected crash before manifest commit")
 
@@ -401,9 +401,9 @@ def test_merge_elements_combined_upsert_delete_single_commit(
     commits = {"n": 0}
     real = L._commit_lineage
 
-    def counting_commit(output_dir, delta):
+    def counting_commit(output_dir, delta, locked=False):
         commits["n"] += 1
-        return real(output_dir, delta)
+        return real(output_dir, delta, locked=locked)
 
     import unittest.mock as mock
 
@@ -1035,3 +1035,114 @@ def test_store_fuzz_interleaved_operations(spark, tmp_path):
             assert got == history[v], f"time travel divergence at v{v}"
             checked += 1
     assert checked >= 2  # the walk really exercised time travel
+
+
+def test_merge_write_path_key_typing(spark, tmp_path):
+    """Write-side twin of the read-side key-type guard: a string-typed
+    delete frame against a long-keyed store must route to the store's
+    buckets (xxhash64 is dtype-sensitive) — previously the delete
+    silently no-opped and upserts landed in buckets keyed reads never
+    visit."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import (
+        delete_elements,
+        init_store,
+        point_lookup,
+        read_output,
+        upsert_elements,
+    )
+
+    out = str(tmp_path / "store")
+    init_store(
+        spark, out,
+        spark.range(0, 40).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).cast("int").alias("offset"),
+            F.concat(F.lit("b"), F.col("id")).alias("body"),
+        ),
+        n_buckets=8,
+    )
+    # string-typed delete keys: must actually delete
+    delete_elements(
+        spark, out,
+        spark.createDataFrame([("7", 0)], "doc_id string, offset int"),
+    )
+    assert read_output(spark, out).count() == 39
+    assert point_lookup(spark, out, [7]).count() == 0
+    # string-typed upsert: must be visible to typed point lookups
+    upsert_elements(
+        spark, out,
+        spark.createDataFrame(
+            [("99", 0, "typed-upsert")], "doc_id string, offset int, body string"
+        ),
+    )
+    row, = point_lookup(spark, out, [99]).collect()
+    assert row["body"] == "typed-upsert" and row["doc_id"] == 99
+
+
+def test_concurrent_merges_serialize_without_data_loss(spark, docs_df, tmp_path):
+    """Two writers merging CONCURRENTLY (the streaming-CDC + batch-
+    backfill shape): the whole-merge store lock serializes generation
+    allocation, staging writes, and commits, so both merges land and
+    no committed row is lost — previously both could pick the same
+    merge_v{gen} staging root and destroy each other's data."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.lineage import read_output
+
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    before = read_output(spark, out)
+    n_before = before.count()
+    keys = [
+        (r["doc_id"], r["offset"])
+        for r in before.select("doc_id", "offset").orderBy("doc_id", "offset")
+        .limit(4).collect()
+    ]
+    schema = before.schema
+    base = {
+        r["doc_id"] + "|" + str(r["offset"]): r
+        for r in before.filter(
+            F.struct("doc_id", "offset").isin(
+                [F.struct(F.lit(d), F.lit(o)) for d, o in keys]
+            )
+        ).collect()
+    }
+
+    def make_updates(tag, pair_slice):
+        rows = []
+        for d, o in pair_slice:
+            r = base[d + "|" + str(o)].asDict()
+            r["text"] = f"edit-{tag}"
+            rows.append(tuple(r[f.name] for f in schema.fields))
+        return spark.createDataFrame(rows, schema)
+
+    errors = []
+
+    from pdf_extractor_spark.lineage import upsert_elements
+
+    def writer(tag, pair_slice):
+        try:
+            upsert_elements(spark, out, make_updates(tag, pair_slice))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("A", keys[:2]))
+    t2 = threading.Thread(target=writer, args=("B", keys[2:]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    after = read_output(spark, out)
+    assert after.count() == n_before  # nothing lost, nothing duplicated
+    got = {
+        r["doc_id"] + "|" + str(r["offset"]): r["text"]
+        for r in after.filter(
+            F.struct("doc_id", "offset").isin(
+                [F.struct(F.lit(d), F.lit(o)) for d, o in keys]
+            )
+        ).collect()
+    }
+    assert [got[d + "|" + str(o)] for d, o in keys[:2]] == ["edit-A", "edit-A"]
+    assert [got[d + "|" + str(o)] for d, o in keys[2:]] == ["edit-B", "edit-B"]

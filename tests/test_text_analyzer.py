@@ -278,3 +278,27 @@ def test_unified_search_adhoc_query_matches_independent_bm25(spark):
     # the stemmed engine accepts inflected ad-hoc queries
     got2 = unified_search(spark, SF, "bm25_stemmed", query="hashes valuing", top_n=3).collect()
     assert len(got2) == 3 and got2[0]["bm25"] > 0.0
+
+
+def test_blank_ocr_span_is_noise_not_paragraph_break():
+    """Deliberate semantics (docmodel ocr branch): an OCR span that
+    normalizes to empty is dropped WITHOUT flushing the paragraph
+    buffer — scanner noise must not split a paragraph — while a blank
+    text span IS a paragraph break."""
+    from pdf_extractor_spark.docmodel import extract_document
+
+    def spans(mid_kind, mid_text):
+        return [
+            {"kind": "text", "text": "para one", "media_ref": "", "offset": 0},
+            {"kind": mid_kind, "text": mid_text, "media_ref": "", "offset": 1},
+            {"kind": "text", "text": "para two", "media_ref": "", "offset": 2},
+        ]
+
+    merged = extract_document(spans("ocr", "  \n "))
+    assert [e["text"] for e in merged if e["kind"] == "text"] == [
+        "para one\npara two"
+    ]
+    split = extract_document(spans("text", ""))
+    assert [e["text"] for e in split if e["kind"] == "text"] == [
+        "para one", "para two"
+    ]
