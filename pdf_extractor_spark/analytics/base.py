@@ -45,10 +45,16 @@ def tokens(col: str = "text") -> Column:
 
 
 def floor_round(col: Column, k: int) -> Column:
-    """floor(x*10^k)/10^k — engine-portable rounding (no half-up vs
-    half-even divergence)."""
+    """floor(x*10^k + 1e-6)/10^k — engine-portable rounding (no half-up
+    vs half-even divergence). The 1e-6 slack on the SCALED value makes
+    a score that lands mathematically ON a floor boundary round the
+    same way in both engines: without it, 1-ulp cross-engine noise
+    around an exact boundary flips the digit (observed: a stemmed-BM25
+    score flooring to 1.5529 in Spark vs 1.5530 in DuckDB on the
+    adversarial corpus). Every oracle SQL floor carries the same
+    +1e-6."""
     scale = 10**k
-    return (F.floor(col * scale) / scale).cast("double")
+    return (F.floor(col * scale + 1e-6) / scale).cast("double")
 
 
 # shared constants for the injected-duplicate queries (dedup + similarity)

@@ -36,7 +36,14 @@ from .base import tokens as _tokens
 # real surface.
 # ---------------------------------------------------------------------------
 
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Quantifiers are BOUNDED (RFC 5321: local part <= 64, domain <= 255,
+# TLD label <= 63) — not just for fidelity: an unbounded `[...]+@` is
+# O(len²) on a pathological megatoken (every start position consumes
+# the rest of a 50k-char run before failing at `@`; measured 43 s for
+# one adversarial doc batch, adversarial-sweep find). Bounds cap the
+# per-position work at 64 chars → linear scan. Same pattern semantics
+# in Spark's Java regex and DuckDB's RE2.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}"
 _PHONE_RE = r"\+1-555-[0-9]{4}"
 
 
@@ -98,9 +105,11 @@ DUP_2GRAM_MAX_FRAC = 0.60
 
 def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens()
+    # materialize the token array once: HOF-captured expressions are
+    # re-evaluated per element (O(len²) on mega-docs otherwise)
+    tok_docs = docs.select("doc_id", _tokens().alias("toks"))
     # top-token fraction: explode → (doc, token) counts → max/sum
-    per_tok = docs.select("doc_id", F.explode(toks).alias("t"))
+    per_tok = tok_docs.select("doc_id", F.explode("toks").alias("t"))
     tok_counts = per_tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
     top_frac = tok_counts.groupBy("doc_id").agg(
         floor_round(
@@ -108,9 +117,10 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_tok_frac")
     )
     # duplicate-2-gram fraction: single-pass HOF on the token array
+    toks = F.col("toks")
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
     dup_frac = F.when(
         F.size(toks) >= 2,
@@ -118,7 +128,7 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 4
         ),
     ).otherwise(0.0)
-    metrics = docs.select("doc_id", dup_frac.alias("dup_2gram_frac")).join(
+    metrics = tok_docs.select("doc_id", dup_frac.alias("dup_2gram_frac")).join(
         top_frac, "doc_id"
     )
     keep = (F.col("top_tok_frac") <= TOP_TOKEN_MAX_FRAC) & (
@@ -135,7 +145,7 @@ WITH toksrc AS (
 ),
 top AS (
   SELECT doc_id,
-         CAST(floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000) / 10000 AS DOUBLE) AS top_tok_frac
+         CAST(floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 1e-6) / 10000 AS DOUBLE) AS top_tok_frac
   FROM (
     SELECT doc_id, t, count(*) AS c
     FROM (SELECT doc_id, unnest(toks) AS t FROM toksrc)
@@ -146,7 +156,7 @@ top AS (
 dup AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 2 THEN
-           CAST(floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 10000) / 10000 AS DOUBLE)
+           CAST(floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 10000 + 1e-6) / 10000 AS DOUBLE)
          ELSE 0.0 END AS dup_2gram_frac
   FROM (
     SELECT doc_id, toks,
@@ -223,11 +233,11 @@ DECON_BENCH_MAX_ID = 20  # docs 0..19 stand in for the held-out benchmark
 
 
 def _grams(toks, n: int):
+    # toks must be a materialized column ref, not a split() expression
+    # (HOF captures re-evaluate per element — see dedup._shingles)
     windows = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.when(F.size(toks) >= n, windows).otherwise(
         F.array().cast("array<string>")
@@ -236,8 +246,8 @@ def _grams(toks, n: int):
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_grams(_tokens(), DECON_N)).alias("g")
+    grams = docs.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id", F.explode(_grams(F.col("toks"), DECON_N)).alias("g")
     )
     bench = (
         grams.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
@@ -324,10 +334,10 @@ SELECT lang,
        count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
-       CAST(floor(avg(n_chars) * 100) / 100 AS DOUBLE) AS avg_chars,
+       CAST(floor(avg(n_chars) * 100 + 1e-6) / 100 AS DOUBLE) AS avg_chars,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars,
-       CAST(floor(quantile_cont(n_chars, 0.5) * 100) / 100 AS DOUBLE) AS median_chars
+       CAST(floor(quantile_cont(n_chars, 0.5) * 100 + 1e-6) / 100 AS DOUBLE) AS median_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang

@@ -93,9 +93,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: consumed twice (a and b sides of the candidate join)
     sh = pool.select(
+        "doc_id", "lang", "text", _tokens().alias("toks")
+    ).select(
         "doc_id",
         "lang",
-        F.array_distinct(_shingles(_tokens(), F.col("text"))).alias("shset"),
+        F.array_distinct(_shingles(F.col("toks"), F.col("text"))).alias("shset"),
     ).persist()
     sa = sh.select(
         F.col("doc_id").alias("a_id"),
@@ -109,7 +111,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
-    jac = (F.floor(inter.cast("double") / union * 10000) / 10000).cast("double")
+    jac = (F.floor(inter.cast("double") / union * 10000 + 1e-6) / 10000).cast("double")
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
@@ -128,12 +130,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(toks: Column, text_col: Column) -> Column:
-    """Word 3-gram shingles; short docs fall back to the whole text."""
+    """Word 3-gram shingles; short docs fall back to the whole text.
+
+    ``toks`` MUST be a materialized column reference (``F.col``), never
+    the raw ``split()`` expression: expressions CAPTURED inside a HOF
+    lambda body are re-evaluated once per element, so an inlined split
+    makes shingling O(len²) per doc — a 20k-token doc took >280 s vs
+    2 s materialized (adversarial-sweep find). ``slice`` instead of a
+    per-position ``element_at`` fan-out is another ~3×."""
     windows = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - SHINGLE),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(SHINGLE)]
-        ),
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
     )
     return F.when(F.size(toks) >= SHINGLE, windows).otherwise(F.array(text_col))
 
@@ -149,9 +156,10 @@ def _with_bands(docs: DataFrame) -> DataFrame:
     map-side partial aggregation — the shuffle carries k mins per doc
     per task, not the shingles. Values are identical either way (same
     min-over-salted-md5), so the DuckDB oracle is unchanged."""
-    toks = _tokens()
     per_sh = docs.select(
-        "doc_id", F.explode(_shingles(toks, F.col("text"))).alias("s")
+        "doc_id", "text", _tokens().alias("toks")
+    ).select(
+        "doc_id", F.explode(_shingles(F.col("toks"), F.col("text"))).alias("s")
     )
     sigs = per_sh.groupBy("doc_id").agg(
         *[
@@ -300,7 +308,8 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     overhead."""
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select(_simhash(_tokens()).alias("simhash"))
+        docs.select(_tokens().alias("toks"))
+        .select(_simhash(F.col("toks")).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -562,8 +571,8 @@ sh AS (
 SELECT a_id, b_id, jaccard FROM (
   SELECT c.a_id, c.b_id,
          CAST(floor(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.shset, b.shset))) * 10000)
-              / 10000 AS DOUBLE) AS jaccard
+               / len(list_distinct(list_concat(a.shset, b.shset))) * 10000
+               + 1e-6) / 10000 AS DOUBLE) AS jaccard
   FROM cand c
   JOIN sh a ON c.a_id = a.doc_id
   JOIN sh b ON c.b_id = b.doc_id AND a.lang = b.lang

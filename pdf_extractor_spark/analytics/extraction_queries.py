@@ -98,7 +98,13 @@ def table_region_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w0 = F2.split(F2.col("text"), r"\s+")
-    cell = lambda i: F2.coalesce(F2.element_at(w0, i), F2.lit("x"))  # noqa: E731
+    # try_element_at, not element_at: ANSI mode (Spark 4 default) makes
+    # out-of-bounds element_at THROW, so the coalesce fallback never
+    # engaged on docs with fewer tokens than the grid needs (empty /
+    # single-token docs crash the whole job — adversarial-sweep find)
+    cell = lambda i: F2.coalesce(  # noqa: E731
+        F2.try_element_at(w0, F2.lit(i)), F2.lit("x")
+    )
     lattice = F2.concat_ws(
         "\n",
         F2.lit("| A | B |"),

@@ -76,7 +76,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused.select(
             "doc_id",
-            (F.floor(rrf * 1000000) / 1000000).cast("double").alias("rrf_score"),
+            (F.floor(rrf * 1000000 + 1e-6) / 1000000).cast("double").alias("rrf_score"),
         )
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(TOP_N)
@@ -96,7 +96,7 @@ bm25_top AS (
 ),
 sem_scored AS (
   SELECT e.vec_id AS doc_id,
-         CAST(floor(({similarity._cosine_sql('e.embedding', 'q.q_embedding')}) * 10000) / 10000 AS DOUBLE) AS cos
+         CAST(floor(({similarity._cosine_sql('e.embedding', 'q.q_embedding')}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS cos
   FROM embeddings e
   CROSS JOIN (SELECT embedding AS q_embedding FROM embeddings
               WHERE vec_id = {QUERY_VEC_ID}) q
@@ -110,7 +110,7 @@ sem_top AS (
 ),
 hybrid_result AS (
   SELECT doc_id,
-         CAST(floor((1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2)) * 1000000) / 1000000 AS DOUBLE) AS rrf_score
+         CAST(floor((1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2)) * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS rrf_score
   FROM (
     SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
            coalesce(b.r_bm25, {INITIAL_K + 1}) AS r1,

@@ -52,10 +52,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(floor(sum(l_quantity) * 100) / 100 AS DOUBLE) AS sum_qty,
-       CAST(floor(sum(l_extendedprice) * 100) / 100 AS DOUBLE) AS sum_base_price,
-       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS DOUBLE) AS sum_disc_price,
-       CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) / 100 AS DOUBLE) AS sum_charge,
+       CAST(floor(sum(l_quantity) * 100 + 1e-6) / 100 AS DOUBLE) AS sum_qty,
+       CAST(floor(sum(l_extendedprice) * 100 + 1e-6) / 100 AS DOUBLE) AS sum_base_price,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 1e-6) / 100 AS DOUBLE) AS sum_disc_price,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 1e-6) / 100 AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -97,7 +97,7 @@ TOP_REVENUE_SQL = """
 SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name, r.revenue
 FROM (
   SELECT l_orderkey,
-         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS DOUBLE) AS revenue
+         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 1e-6) / 100 AS DOUBLE) AS revenue
   FROM lineitem GROUP BY 1
 ) r
 JOIN orders o ON r.l_orderkey = o.o_orderkey
@@ -277,7 +277,7 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = 1.0 / (RRF_K + F.col("r1")) + 1.0 / (RRF_K + F.col("r2"))
     return (
         ranked.select(
-            "doc_id", ((F.floor(rrf * 1000000) / 1000000).cast("double")).alias("rrf_score")
+            "doc_id", ((F.floor(rrf * 1000000 + 1e-6) / 1000000).cast("double")).alias("rrf_score")
         )
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
@@ -286,7 +286,7 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RRF_SQL = f"""
 SELECT doc_id,
-       CAST(floor((1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2)) * 1000000) / 1000000 AS DOUBLE) AS rrf_score
+       CAST(floor((1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2)) * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS rrf_score
 FROM (
   SELECT doc_id,
          row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r1,
@@ -361,7 +361,7 @@ def iou_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(
             F.col("a_key").alias("a_key"),
             F.col("b_key").alias("b_key"),
-            (F.floor(iou * 10000) / 10000).cast("double").alias("iou"),
+            (F.floor(iou * 10000 + 1e-6) / 10000).cast("double").alias("iou"),
         )
         .filter(F.col("iou") >= 0.1)
     )
@@ -386,7 +386,7 @@ SELECT a_key, b_key, iou FROM (
            / ((a.x2 - a.x1) * (a.y2 - a.y1) + (b.x2 - b.x1) * (b.y2 - b.y1)
               - greatest(0.0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
                 * greatest(0.0, least(a.y2, b.y2) - greatest(a.y1, b.y1)))
-           * 10000) / 10000 AS DOUBLE) AS iou
+           * 10000 + 1e-6) / 10000 AS DOUBLE) AS iou
   FROM boxes a JOIN boxes b ON a.page = b.page AND a.side = 0 AND b.side = 1
 )
 WHERE iou >= 0.1
@@ -568,7 +568,7 @@ def union_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UNION_DEDUP_SQL = """
-SELECT o_custkey, CAST(floor(max(o_totalprice) * 100) / 100 AS DOUBLE) AS best_price
+SELECT o_custkey, CAST(floor(max(o_totalprice) * 100 + 1e-6) / 100 AS DOUBLE) AS best_price
 FROM (
   SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
   UNION ALL

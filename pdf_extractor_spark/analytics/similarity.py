@@ -44,7 +44,15 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # try_divide, not /: a zero vector has norm 0 and ANSI mode (Spark 4
+    # default) turns x/0 into a job-killing error — on a web-scale
+    # corpus junk embeddings MUST degrade to NULL, which also matches
+    # the DuckDB oracle exactly (x/0 → NULL there). NULL cosine then
+    # drops at every threshold filter / sorts last in top-k, in both
+    # engines. (adversarial-sweep find)
+    return F.try_divide(
+        _dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    )
 
 
 def _floor4(col: Column) -> Column:
@@ -90,7 +98,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id,
-       CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000) / 10000 AS DOUBLE) AS cos
+       CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS cos
 FROM embeddings CROSS JOIN q
 WHERE vec_id != {QUERY_VEC_ID}
 ORDER BY cos DESC, vec_id ASC
@@ -212,7 +220,7 @@ cand AS (
 )
 SELECT a_id, b_id, cos FROM (
   SELECT c.a_id, c.b_id,
-         CAST(floor(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) / 10000 AS DOUBLE) AS cos
+         CAST(floor(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS cos
   FROM cand c
   JOIN pool a ON c.a_id = a.vec_id
   JOIN pool b ON c.b_id = b.vec_id
@@ -274,7 +282,7 @@ q AS (
   SELECT embedding AS q_embedding, bucket AS q_bucket FROM b WHERE vec_id = {QUERY_VEC_ID}
 )
 SELECT vec_id, bucket,
-       CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000) / 10000 AS DOUBLE) AS cos
+       CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS cos
 FROM b JOIN q ON b.bucket = q.q_bucket
 WHERE vec_id != {QUERY_VEC_ID}
 ORDER BY cos DESC, vec_id ASC
@@ -312,7 +320,7 @@ WITH q AS (
   FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
 )
 SELECT vec_id, label,
-       CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000) / 10000 AS DOUBLE) AS cos
+       CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS cos
 FROM embeddings JOIN q ON label = q_label
 WHERE vec_id != {QUERY_VEC_ID}
 ORDER BY cos DESC, vec_id ASC
@@ -430,7 +438,7 @@ WITH pool AS (
 q AS (SELECT embedding AS q_embedding FROM pool WHERE vec_id = {QUERY_VEC_ID}),
 topk AS (
   SELECT vec_id % {DUP_ID_OFFSET} AS doc_id, vec_id AS match_id,
-         CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000) / 10000 AS DOUBLE) AS score
+         CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS score
   FROM pool CROSS JOIN q
   WHERE vec_id != {QUERY_VEC_ID}
 )
@@ -540,8 +548,9 @@ def kmeans_fit(
 ) -> list:
     """Train the coarse quantizer; returns the k×dim centroid matrix.
 
-    Re-estimation sums FIXED-POINT components (floor(x·10⁶) as long),
-    not doubles: integer addition is exact and commutative, so the
+    Re-estimation sums FIXED-POINT components (floor(x·10⁶) carried as
+    decimal(38,0)), not doubles: integer addition is exact and
+    commutative, so the
     per-cluster mean is identical for ANY partitioning / aggregation
     order — a float ``avg`` could differ by an ulp between runs and
     flip a rounded centroid at a 10⁻⁶ grid boundary, silently breaking
@@ -564,8 +573,17 @@ def kmeans_fit(
             .agg(
                 F.count("*").alias("n"),
                 *[
+                    # decimal(38,0), not long: exact integer addition
+                    # in any order (the determinism requirement), but
+                    # without long's overflow cliff — a junk 1e18-
+                    # magnitude component scales to 1e24 and ANSI mode
+                    # kills the job on long (adversarial-sweep find),
+                    # and even clamped values overflow a long sum once
+                    # a cluster is big enough at 100 TB scale
                     F.sum(
-                        F.floor(vec[i].cast("double") * _KMEANS_SCALE).cast("long")
+                        F.floor(vec[i].cast("double") * _KMEANS_SCALE).cast(
+                            "decimal(38,0)"
+                        )
                     ).alias(f"s{i}")
                     for i in range(dim)
                 ],
@@ -575,7 +593,9 @@ def kmeans_fit(
         by_cluster = {r["cluster"]: r for r in agg}
         cents = [
             [
-                by_cluster[c][f"s{i}"] // by_cluster[c]["n"] / _KMEANS_SCALE
+                # int(): the decimal sum comes back as Decimal; floor-
+                # div in python ints keeps the 10⁻⁶-grid math exact
+                int(by_cluster[c][f"s{i}"]) // by_cluster[c]["n"] / _KMEANS_SCALE
                 for i in range(dim)
             ]
             if c in by_cluster

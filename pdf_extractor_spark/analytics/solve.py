@@ -245,7 +245,7 @@ WITH pool AS (
 q AS (SELECT embedding AS q_embedding FROM pool WHERE vec_id = {similarity.QUERY_VEC_ID}),
 matches AS (
   SELECT vec_id % {DUP_ID_OFFSET} AS doc_id,
-         max(floor(({cos}) * 10000) / 10000) AS score
+         max(floor(({cos}) * 10000 + 1e-6) / 10000) AS score
   FROM pool, q WHERE vec_id != {similarity.QUERY_VEC_ID}
   GROUP BY 1
 ),
@@ -383,7 +383,7 @@ def relationship_need_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.select(
         "n_results", "top_score",
-        (F.floor(need * 10000) / 10000).cast("double").alias("need_score"),
+        (F.floor(need * 10000 + 1e-6) / 10000).cast("double").alias("need_score"),
     )
 
 
@@ -394,7 +394,7 @@ s AS (SELECT count(*) AS n_results, max(rrf_score) AS top_score
 SELECT n_results, top_score,
        CAST(floor(least(1.0, {{static_need}}
          + CASE WHEN n_results < 3 THEN 0.3 ELSE 0.0 END
-         + CASE WHEN top_score < 0.5 THEN 0.2 ELSE 0.0 END) * 10000) / 10000
+         + CASE WHEN top_score < 0.5 THEN 0.2 ELSE 0.0 END) * 10000 + 1e-6) / 10000
        AS DOUBLE) AS need_score
 FROM s
 """
@@ -479,7 +479,7 @@ def relationship_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.select(
             F.col("a.doc_id").alias("from_doc_id"),
             F.col("b.doc_id").alias("to_doc_id"),
-            (F.floor(score * 10000) / 10000).cast("double").alias("score"),
+            (F.floor(score * 10000 + 1e-6) / 10000).cast("double").alias("score"),
             suggested.alias("suggested_type"),
             explanation.alias("explanation"),
         )
@@ -516,7 +516,7 @@ scored AS (
            + CASE WHEN shared > 0 THEN least(shared * 0.1, 0.5) ELSE 0.0 END
            + CASE WHEN cite THEN 0.3 WHEN prereq THEN 0.2
                   WHEN causal THEN 0.2 ELSE 0.0 END
-         ) * 10000) / 10000 AS DOUBLE) AS score,
+         ) * 10000 + 1e-6) / 10000 AS DOUBLE) AS score,
          CASE WHEN cite THEN 'REFERENCES' WHEN prereq THEN 'PREREQUISITE'
               WHEN causal THEN 'CAUSAL'
               WHEN shared > 0 THEN 'SHARED_TOPIC'

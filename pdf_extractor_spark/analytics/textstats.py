@@ -10,8 +10,10 @@ fingerprints.
 Parity rules used throughout (Spark side ↔ DuckDB oracle side):
 * tokenization = regex split on ``\\s+`` (identical both engines);
 * hashing = md5 hex (identical);
-* rounding = ``floor(x*10^k)/10^k`` — floor avoids the half-up vs
-  half-even divergence between engines;
+* rounding = ``floor(x*10^k + 1e-6)/10^k`` — floor avoids the half-up
+  vs half-even divergence between engines, and the 1e-6 slack on the
+  scaled value keeps a score that lands mathematically ON a boundary
+  from flipping on 1-ulp cross-engine noise (see base.floor_round);
 * every computed column is aliased identically in both.
 """
 
@@ -166,10 +168,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_SCORE_SQL = r"""
 SELECT doc_id,
        n_tokens,
-       CAST(floor(stop_ratio * 10000) / 10000 AS DOUBLE) AS stop_ratio,
+       CAST(floor(stop_ratio * 10000 + 1e-6) / 10000 AS DOUBLE) AS stop_ratio,
        CAST(floor((0.5 * least(CAST(n_tokens AS DOUBLE), 256.0) / 256.0
              + 0.3 * (1.0 - stop_ratio)
-             + 0.2 * least(avg_len, 8.0) / 8.0) * 10000) / 10000 AS DOUBLE) AS quality
+             + 0.2 * least(avg_len, 8.0) / 8.0) * 10000 + 1e-6) / 10000 AS DOUBLE) AS quality
 FROM (
   SELECT doc_id,
          len(toks) AS n_tokens,
@@ -233,17 +235,21 @@ _WINDOW = 8
 
 def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens()
+    # tokens MUST be materialized before the HOF: a split() expression
+    # captured in the lambda body is re-evaluated per window, turning
+    # the scan O(len²) per doc (>280 s on one 100k-char doc vs 2 s —
+    # adversarial-sweep find); slice beats an element_at fan-out ~3×
+    toks = F.col("toks")
     windows = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - _WINDOW),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(_WINDOW)])
-        ),
+        F.sequence(F.lit(1), F.size(toks) - (_WINDOW - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _WINDOW))),
     )
     fp = F.when(F.size(toks) >= _WINDOW, F.array_min(windows)).otherwise(
         F.md5("text")
     )
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return docs.select("doc_id", "text", _tokens().alias("toks")).select(
+        "doc_id", fp.alias("fingerprint")
+    )
 
 
 WINNOW_FINGERPRINT_SQL = rf"""
@@ -357,7 +363,7 @@ per_doc AS (
   FROM per_doc
 ), bm25_scored AS (
   SELECT doc_id,
-         CAST(floor(({_BM25_SCORE_SQL}) * 10000) / 10000 AS DOUBLE) AS bm25
+         CAST(floor(({_BM25_SCORE_SQL}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS bm25
   FROM per_doc d CROSS JOIN stats s
 )"""
 
@@ -578,7 +584,7 @@ _PR_TOTAL = " + ".join(
 FUZZY_PARTIAL_RATIO_SQL = f"""
 SELECT doc_id, total_score FROM (
   SELECT doc_id,
-         CAST(floor(({_PR_TOTAL}) * 10000) / 10000 AS DOUBLE) AS total_score
+         CAST(floor(({_PR_TOTAL}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS total_score
   FROM (
     SELECT doc_id, {_PR_SCORE_COLS}
     FROM (SELECT doc_id, lower(substr(text, 1, {PR_FIELD_CHARS})) AS fld FROM documents)
@@ -705,7 +711,8 @@ def _stemmed_sql() -> str:
     return f"""
 WITH stem_map(tok, stem_tok) AS (SELECT * FROM (VALUES {stem_values})),
 tok_rows AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  SELECT doc_id,
+         unnest(regexp_extract_all(strip_accents(lower(text)), '[a-z0-9]+')) AS tok
   FROM documents
 ),
 stemmed AS (
@@ -724,7 +731,7 @@ stats AS (
   FROM per_doc
 )
 SELECT doc_id,
-       CAST(floor(({score}) * 10000) / 10000 AS DOUBLE) AS bm25
+       CAST(floor(({score}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS bm25
 FROM per_doc d CROSS JOIN stats s
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 10
@@ -819,6 +826,6 @@ def bm25_collection_cte(prefix: str, where_sql: str) -> str:
   FROM {prefix}_per_doc
 ), {prefix}_scored AS (
   SELECT doc_id,
-         CAST(floor(({_BM25_SCORE_SQL}) * 10000) / 10000 AS DOUBLE) AS bm25
+         CAST(floor(({_BM25_SCORE_SQL}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS bm25
   FROM {prefix}_per_doc d CROSS JOIN {prefix}_stats s
 )"""

@@ -257,15 +257,26 @@ _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
 def text_en_tokens(text: str) -> list[str]:
-    """The ``text_en`` analyzer: lowercase → accent strip (NFKD → ascii)
-    → alnum segmentation → Porter stem per token. No stopword removal
-    (ArangoDB's built-in text_en ships an empty stopword list)."""
+    """The ``text_en`` analyzer: lowercase → accent strip (NFKD, drop
+    combining marks) → alnum segmentation → Porter stem per token. No
+    stopword removal (ArangoDB's built-in text_en ships an empty
+    stopword list).
+
+    Residual non-ascii after decomposition (ß, CJK, emoji) is left in
+    place so the ``[a-z0-9]+`` segmentation treats it as a SEPARATOR —
+    NOT deleted: ascii-encode-ignore would fuse "straße" into "strae"
+    while the DuckDB oracle (``strip_accents(lower(text))`` + the same
+    regex) yields ["stra","e"]. The two transforms are token-identical
+    on every adversarial-sweep case; the one known residual gap is
+    NFKD's extra compatibility decompositions (the ﬁ ligature → "fi"
+    here, kept intact by strip_accents' NFD-style map) — see
+    docs/PARITY.md."""
     lowered = text.lower()
     if not lowered.isascii():
-        lowered = (
-            unicodedata.normalize("NFKD", lowered)
-            .encode("ascii", "ignore")
-            .decode("ascii")
+        lowered = "".join(
+            c
+            for c in unicodedata.normalize("NFKD", lowered)
+            if not unicodedata.combining(c)
         )
     return [porter_stem(t) for t in _WORD_RE.findall(lowered)]
 

@@ -302,3 +302,35 @@ def test_blank_ocr_span_is_noise_not_paragraph_break():
     assert [e["text"] for e in split if e["kind"] == "text"] == [
         "para one", "para two"
     ]
+
+
+def test_bpe_adversarial_inputs_count_and_stay_linear():
+    """Adversarial-sweep companion (scripts/adversarial_sweep.py
+    EXCLUDED rationale): the kernel must count ARBITRARY junk — unknown
+    scripts fall back to per-character segments, never crash or NULL —
+    and a pathological megatoken must stay fast: the apply loop runs at
+    most len(MERGES)+1 linear passes (each pass either applies one
+    merge rank everywhere or terminates), so cost is O(48·n), not
+    O(n²)."""
+    import time
+
+    from pdf_extractor_spark.bpe_vocab import MERGES
+    from pdf_extractor_spark.textproc import bpe_segments, bpe_token_count
+
+    # unknown scripts: every char is its own (unmergeable) segment
+    assert bpe_token_count("漢字") == 2
+    assert bpe_token_count("\U0001f680\U0001f389") == 2
+    assert bpe_segments("café")  # accented latin doesn't crash
+    # megatokens: exact counts, bounded wall time (quadratic would take
+    # minutes on 50k chars; the linear bound is well under a second)
+    cases = {
+        "x" * 50_000: 50_000,          # no applicable merge: 1 pass
+        "er" * 25_000: 25_000,         # ('e','r') chains: halving passes
+    }
+    t0 = time.time()
+    for word, expected in cases.items():
+        assert bpe_token_count(word) == expected
+    big = bpe_token_count("window" * 8_000)
+    assert 0 < big <= 6 * 8_000
+    assert time.time() - t0 < 5.0, "BPE megatoken path is not linear"
+    assert len(MERGES) == 48  # the linearity bound above assumes this
