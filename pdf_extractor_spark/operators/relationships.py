@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..lineage import (
     delete_elements,
+    delete_where,
     init_store,
     point_lookup,
     read_lineage,
@@ -147,6 +148,43 @@ def delete_relationships(
         F.lit(0).cast("int").alias("offset"),
     )
     return delete_elements(spark, store_dir, keys)
+
+
+def delete_documents_cascade(
+    spark: SparkSession,
+    doc_store_dir: str,
+    edge_store_dir: str,
+    doc_ids: list,
+    delete_edges: bool = True,
+) -> dict:
+    """Cascade vertex delete: remove documents AND their incident
+    edges — the reference's ``lessons.py:189-226`` ``delete_lesson``
+    (``delete_edges=True`` runs ``FILTER edge._from == @vid OR
+    edge._to == @vid REMOVE edge`` before deleting the vertex),
+    generalized to a batch of ids.
+
+    Two idempotent single-commit MERGEs, edges first (the reference's
+    order): a crash between them leaves no dangling edge — the re-run
+    converges to the same state. Not one atomic commit across the two
+    stores (same disclosed protocol as streaming CDC); each commit is
+    exactly-once within its store. Missing vertices/edges are no-ops
+    (``ignore_missing=True`` parity). The edge cleanup's predicate
+    pushes ``from_id``/``to_id`` IN-filters into the edge scan; the
+    vertex delete resolves keys through a pushed ``doc_id`` filter and
+    rewrites only the affected buckets.
+    """
+    ids = [str(d) for d in doc_ids]
+    out: dict = {}
+    if delete_edges and read_lineage(edge_store_dir):
+        out["edges"] = delete_where(
+            spark,
+            edge_store_dir,
+            F.col("from_id").isin(ids) | F.col("to_id").isin(ids),
+        )
+    out["documents"] = delete_where(
+        spark, doc_store_dir, F.col("doc_id").isin(ids)
+    )
+    return out
 
 
 def get_relationships(

@@ -169,3 +169,51 @@ def test_strategic_edge_requires_confidence(spark, tmp_path):
     from pdf_extractor_spark.lineage import read_lineage
 
     assert read_lineage(store) == {}
+
+
+def test_delete_documents_cascade(spark, tmp_path):
+    """Vertex delete with incident-edge cleanup (lessons.py:189-226
+    delete_lesson): edges touching the deleted doc vanish from BOTH
+    directions, unrelated edges and docs survive, re-run is a no-op,
+    and delete_edges=False leaves the edge collection untouched."""
+    from pdf_extractor_spark.lineage import init_store, read_output
+    from pdf_extractor_spark.operators.relationships import (
+        delete_documents_cascade,
+    )
+
+    docs = str(tmp_path / "docs")
+    edges = str(tmp_path / "edges")
+    init_store(
+        spark, docs,
+        spark.createDataFrame(
+            [(d, o, f"{d}-{o}") for d in ("d1", "d2", "d3") for o in (0, 1)],
+            "doc_id string, offset int, text string",
+        ),
+        n_buckets=4,
+    )
+    r = "r" * RATIONALE_MIN_LENGTH
+    add_relationships(spark, edges, _edges_df(spark, [
+        ("d1", "d2", "SIMILAR", r, 3),      # outbound from d1
+        ("d3", "d1", "REFERENCES", r, 2),   # inbound to d1
+        ("d2", "d3", "SIMILAR", r, 4),      # untouched
+    ]))
+
+    out = delete_documents_cascade(spark, docs, edges, ["d1"])
+    assert set(out) == {"edges", "documents"}
+    assert sorted(
+        r["doc_id"] for r in read_output(spark, docs).select("doc_id")
+        .distinct().collect()
+    ) == ["d2", "d3"]
+    row, = get_relationships(spark, edges).collect()
+    assert (row["from_id"], row["to_id"]) == ("d2", "d3")
+
+    # idempotent re-run: same end state, no error
+    delete_documents_cascade(spark, docs, edges, ["d1"])
+    assert read_output(spark, docs).select("doc_id").distinct().count() == 2
+    assert get_relationships(spark, edges).count() == 1
+
+    # delete_edges=False = vertex-only removal (reference's flag)
+    delete_documents_cascade(spark, docs, edges, ["d2"], delete_edges=False)
+    assert [r["doc_id"] for r in read_output(spark, docs)
+            .select("doc_id").distinct().collect()] == ["d3"]
+    assert get_relationships(spark, edges).count() == 1
