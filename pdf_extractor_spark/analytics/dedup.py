@@ -579,3 +579,244 @@ SELECT a_id, b_id, jaccard FROM (
 )
 WHERE jaccard >= {JACCARD_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup ingest: new documents vs a persistent corpus band store
+# (the continuous-crawl shape: dedupe each incoming batch against everything
+# already ingested, then fold the survivors' signatures into the store)
+# ---------------------------------------------------------------------------
+
+INGEST_SPLIT = 300             # graded query: corpus = doc_id < SPLIT
+INGEST_CORPUS_DUPS = 10        # injected dups of corpus docs (status dup_of_corpus)
+INGEST_BATCH_DUPS = 5          # injected dups of earlier batch docs (dup_in_batch)
+INGEST_CORPUS_DUP_OFFSET = 10_000
+INGEST_BATCH_DUP_OFFSET = 20_000
+
+
+def _ingest_statuses(store_bands: DataFrame, batch: DataFrame) -> DataFrame:
+    """(doc_id, status) for every batch doc against an existing corpus.
+
+    status ∈ {'dup_of_corpus', 'dup_in_batch', 'kept'}: a doc is
+    dup_of_corpus iff it shares ≥1 LSH band with any store doc,
+    else dup_in_batch iff it shares a band with any smaller-id batch
+    doc (the single-pass policy of :func:`_survivors_from_pool`),
+    else kept.
+
+    Scale shape: the batch side exact-collapses by text BEFORE any
+    band work (the r3 degenerate-corpus fix — a million-copy spam doc
+    contributes ONE representative), the store join broadcasts the
+    collapsed batch bands (a micro-batch is always the small side —
+    the store scan streams through a BroadcastHashJoin, the 10^12-doc
+    band table never shuffles), and member statuses are recovered from
+    rep statuses by an md5(text) equi-join. Identical texts have
+    identical bands, so rep-level evaluation is value-identical to the
+    per-doc policy (members always collide with their own rep and are
+    never 'kept'); the SQL oracle states the plain per-doc form.
+    """
+    batch = batch.select("doc_id", "text", F.md5("text").alias("fp"))
+    groups = batch.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"), F.first("text").alias("text")
+    )
+    rep_bands = _with_bands(groups.select(F.col("rep").alias("doc_id"), "text"))
+    vs_store = (
+        store_bands.select("band_id", "band_hash")
+        .join(F.broadcast(rep_bands), ["band_id", "band_hash"])
+        .select(F.col("doc_id").alias("rep"))
+        .distinct()
+        .withColumn("store_hit", F.lit(True))
+    )
+    a, b = rep_bands.alias("a"), rep_bands.alias("b")
+    in_batch = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("rep"))
+        .distinct()
+        .withColumn("batch_hit", F.lit(True))
+    )
+    rep_status = (
+        groups.join(vs_store, "rep", "left")
+        .join(in_batch, "rep", "left")
+        .select(
+            "fp",
+            "rep",
+            F.when(F.col("store_hit"), F.lit("dup_of_corpus"))
+            .when(F.col("batch_hit"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("rep_status"),
+        )
+    )
+    return batch.join(rep_status, "fp").select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("rep"), F.col("rep_status"))
+        .when(F.col("rep_status") == "dup_of_corpus", F.lit("dup_of_corpus"))
+        .otherwise(F.lit("dup_in_batch"))
+        .alias("status"),
+    )
+
+
+def neardup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: corpus = documents with doc_id < INGEST_SPLIT; the
+    incoming batch = the remaining documents plus injected near-dups of
+    corpus docs (must come out dup_of_corpus) and of earlier batch docs
+    (must come out dup_in_batch)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < INGEST_SPLIT)
+    fresh = docs.filter(F.col("doc_id") >= INGEST_SPLIT)
+    corpus_dups = docs.filter(F.col("doc_id") < INGEST_CORPUS_DUPS).select(
+        (F.col("doc_id") + INGEST_CORPUS_DUP_OFFSET).alias("doc_id"), "text"
+    )
+    batch_dups = docs.filter(
+        (F.col("doc_id") >= INGEST_SPLIT)
+        & (F.col("doc_id") < INGEST_SPLIT + INGEST_BATCH_DUPS)
+    ).select((F.col("doc_id") + INGEST_BATCH_DUP_OFFSET).alias("doc_id"), "text")
+    batch = fresh.unionByName(corpus_dups).unionByName(batch_dups)
+    return _ingest_statuses(_with_bands(corpus), batch).orderBy("doc_id")
+
+
+_INGEST_CORPUS_SQL = (
+    f"SELECT doc_id, text FROM documents WHERE doc_id < {INGEST_SPLIT}"
+)
+_INGEST_BATCH_SQL = f"""
+SELECT doc_id, text FROM documents WHERE doc_id >= {INGEST_SPLIT}
+UNION ALL
+SELECT doc_id + {INGEST_CORPUS_DUP_OFFSET} AS doc_id, text
+FROM documents WHERE doc_id < {INGEST_CORPUS_DUPS}
+UNION ALL
+SELECT doc_id + {INGEST_BATCH_DUP_OFFSET} AS doc_id, text
+FROM documents
+WHERE doc_id >= {INGEST_SPLIT} AND doc_id < {INGEST_SPLIT + INGEST_BATCH_DUPS}
+"""
+
+NEARDUP_INGEST_SQL = f"""
+WITH store_bands AS ({_minhash_sql(_INGEST_CORPUS_SQL)}),
+batch_bands AS ({_minhash_sql(_INGEST_BATCH_SQL)}),
+vs_store AS (
+  SELECT DISTINCT b.doc_id FROM batch_bands b
+  JOIN store_bands s
+    ON b.band_id = s.band_id AND b.band_hash = s.band_hash
+),
+in_batch AS (
+  SELECT DISTINCT a.doc_id FROM batch_bands a
+  JOIN batch_bands e
+    ON a.band_id = e.band_id AND a.band_hash = e.band_hash
+   AND e.doc_id < a.doc_id
+)
+SELECT p.doc_id,
+       CASE WHEN p.doc_id IN (SELECT doc_id FROM vs_store) THEN 'dup_of_corpus'
+            WHEN p.doc_id IN (SELECT doc_id FROM in_batch) THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM ({_INGEST_BATCH_SQL}) p
+ORDER BY doc_id
+"""
+
+
+# --- persistent band store (the on-disk side of incremental ingest) --------
+#
+# Layout: <store>/batch=b<id>/pfx=x<2 hex chars of band_hash>/part-*.parquet
+# * pfx    — hash-prefix partition (256 dirs at scale): an ingest reads
+#   ONLY the prefixes present in the incoming batch (partition pruning),
+#   and files are sorted by band_hash within partitions so selective
+#   probes also skip row groups on min/max stats. The 'x' sentinel pins
+#   partition-column inference to string (an all-digit prefix set would
+#   otherwise flip the column to int between stores).
+# * batch  — one dir per ingest commit, 'b<batch_id>'. Re-delivering a
+#   batch id OVERWRITES its own dir and nothing else, so a crashed or
+#   replayed micro-batch converges (foreachBatch epoch ids give this
+#   exactly-once store state); statuses are computed with the current
+#   batch's dir EXCLUDED, so a half-written previous attempt can never
+#   influence its own retry. At-least-once re-delivery under a NEW
+#   batch id is also safe: a doc never collides with its own stored
+#   bands (store side anti-joins the incoming doc_ids) — it costs only
+#   duplicate band rows, which collision detection (DISTINCT) ignores
+#   and compaction can fold.
+# At 10^12 docs the store is ~4 rows × ~50 B per doc; per-batch dirs
+# are small-file pressure under frequent micro-batches — fold them
+# periodically (read all, rewrite as batch=b<compact-id>, drop olds),
+# the compact_store pattern from lineage.py.
+
+
+def _write_band_batch(bands: DataFrame, store_dir: str, batch_id) -> None:
+    (
+        bands.select(
+            "doc_id",
+            "band_id",
+            "band_hash",
+            F.concat(F.lit("x"), F.substring("band_hash", 1, 2)).alias("pfx"),
+        )
+        .repartition("pfx")
+        .sortWithinPartitions("band_hash")
+        .write.partitionBy("pfx")
+        .mode("overwrite")
+        .parquet(f"{store_dir}/batch=b{batch_id}")
+    )
+
+
+def band_store_init(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> None:
+    """Bootstrap the band store from an existing corpus (doc_id, text)."""
+    _write_band_batch(_with_bands(docs.select("doc_id", "text")), store_dir, "init")
+
+
+def _store_bands(
+    spark: SparkSession, store_dir: str, exclude_batch: str, pfxs: list
+) -> DataFrame:
+    import os
+
+    if not os.path.isdir(store_dir):
+        return spark.createDataFrame(
+            [], "band_id int, band_hash string, doc_id long"
+        )
+    return (
+        spark.read.parquet(store_dir)
+        .filter(
+            (F.col("batch") != F.lit(exclude_batch)) & F.col("pfx").isin(pfxs)
+        )
+        .select("band_id", "band_hash", "doc_id")
+    )
+
+
+def neardup_ingest(
+    spark: SparkSession, store_dir: str, docs: DataFrame, batch_id
+) -> DataFrame:
+    """Dedupe one incoming batch against the persistent band store,
+    then fold the survivors' bands in. Returns (doc_id, status).
+
+    One pass of :func:`_ingest_statuses` with the store side (a) pruned
+    to the batch's hash prefixes (partition pruning — the bounded
+    ≤256-value prefix list is the only driver-side collect), (b) the
+    current batch's own dir excluded (replay hygiene, see layout note),
+    and (c) incoming doc_ids anti-joined away (a doc never dups against
+    itself). The store scan flows through broadcast joins of the
+    collapsed batch bands — the historical band table never shuffles.
+    """
+    batch = docs.select("doc_id", "text")
+    groups = batch.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("rep"), F.first("text").alias("text")
+    )
+    rep_bands = _with_bands(groups.select(F.col("rep").alias("doc_id"), "text"))
+    pfxs = [
+        r["p"]
+        for r in rep_bands.select(
+            F.concat(F.lit("x"), F.substring("band_hash", 1, 2)).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    store = _store_bands(spark, store_dir, f"b{batch_id}", pfxs).join(
+        F.broadcast(batch.select("doc_id")), "doc_id", "left_anti"
+    )
+    statuses = _ingest_statuses(store, batch)
+    kept = statuses.filter(F.col("status") == "kept").select(
+        F.col("doc_id").alias("rep")
+    )
+    kept_bands = rep_bands.join(
+        F.broadcast(kept), rep_bands["doc_id"] == kept["rep"], "left_semi"
+    )
+    _write_band_batch(kept_bands, store_dir, batch_id)
+    return statuses

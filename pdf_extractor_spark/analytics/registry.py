@@ -153,6 +153,10 @@ QUERIES: Dict[str, QuerySpec] = {
         dedup.dedup_connected_components, dedup.DEDUP_CC_SQL,
         "training:dedup-cc",
     ),
+    "neardup_incremental_ingest": QuerySpec(
+        dedup.neardup_incremental_ingest, dedup.NEARDUP_INGEST_SQL,
+        "training:dedup-incremental",
+    ),
     "training_corpus_filter": QuerySpec(
         dedup.training_corpus_filter, dedup.TRAINING_FILTER_SQL,
         "training:compose",

@@ -565,3 +565,49 @@ def stream_dedup_exact(
     )
     query.awaitTermination()
     return query
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    statuses_dir: str | None = None,
+):
+    """Streaming incremental near-dup ingest: each micro-batch of
+    (doc_id, text) documents is deduped against the persistent band
+    store (everything ingested by ANY earlier batch — the streaming
+    face of ``analytics.dedup.neardup_ingest``), survivors' bands fold
+    into the store, and per-doc statuses optionally land in an audit
+    table.
+
+    Exactly-once store state under replay: ``foreachBatch`` hands us a
+    stable epoch id, ``neardup_ingest`` keys its store commit on it
+    (per-batch dir overwrite, own dir excluded from the decision), and
+    the status audit writes to a per-batch dir the same way — a
+    re-delivered epoch rewrites exactly its own output. State is the
+    store itself (disk), not executor memory: unlike the watermarked
+    exact-dedup operator this matches against the WHOLE corpus history
+    at bounded memory, because the comparison is a band-store scan
+    (prefix-pruned, broadcast-probed), not a streaming state lookup.
+    """
+    from .analytics.dedup import neardup_ingest
+
+    docs = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        statuses = neardup_ingest(spark, store_dir, batch_df, epoch_id)
+        if statuses_dir is not None:
+            statuses.write.mode("overwrite").parquet(
+                f"{statuses_dir}/batch=b{epoch_id}"
+            )
+        # else: the store commit inside neardup_ingest already executed
+
+    query = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
