@@ -768,7 +768,12 @@ def _store_bands(
 ) -> DataFrame:
     import os
 
-    if not os.path.isdir(store_dir):
+    # "exists" means has committed batch dirs: the store lock may have
+    # created the directory (and its hidden .lock) before any write,
+    # and Spark cannot infer a schema from a dir of hidden files
+    if not os.path.isdir(store_dir) or not any(
+        d.startswith("batch=") for d in os.listdir(store_dir)
+    ):
         return spark.createDataFrame(
             [], "band_id int, band_hash string, doc_id long"
         )
@@ -794,6 +799,12 @@ def neardup_ingest(
     and (c) incoming doc_ids anti-joined away (a doc never dups against
     itself). The store scan flows through broadcast joins of the
     collapsed batch bands — the historical band table never shuffles.
+
+    Concurrent writers (two ingests, or ingest vs compact) serialize
+    on an exclusive flock over the store (the R3-3 protocol from
+    lineage.py); the returned statuses are localCheckpoint-ed (micro-
+    batch-sized), so the handle stays valid even if a later compaction
+    deletes the batch dirs the decision read.
     """
     batch = docs.select("doc_id", "text")
     groups = batch.groupBy(F.md5("text").alias("fp")).agg(
@@ -808,15 +819,94 @@ def neardup_ingest(
         .distinct()
         .collect()
     ]
-    store = _store_bands(spark, store_dir, f"b{batch_id}", pfxs).join(
-        F.broadcast(batch.select("doc_id")), "doc_id", "left_anti"
-    )
-    statuses = _ingest_statuses(store, batch)
-    kept = statuses.filter(F.col("status") == "kept").select(
-        F.col("doc_id").alias("rep")
-    )
-    kept_bands = rep_bands.join(
-        F.broadcast(kept), rep_bands["doc_id"] == kept["rep"], "left_semi"
-    )
-    _write_band_batch(kept_bands, store_dir, batch_id)
+    with _band_store_lock(store_dir):
+        store = _store_bands(spark, store_dir, f"b{batch_id}", pfxs).join(
+            F.broadcast(batch.select("doc_id")), "doc_id", "left_anti"
+        )
+        statuses = _ingest_statuses(store, batch).localCheckpoint(eager=True)
+        kept = statuses.filter(F.col("status") == "kept").select(
+            F.col("doc_id").alias("rep")
+        )
+        kept_bands = rep_bands.join(
+            F.broadcast(kept), rep_bands["doc_id"] == kept["rep"], "left_semi"
+        )
+        _write_band_batch(kept_bands, store_dir, batch_id)
     return statuses
+
+
+def _band_store_lock(store_dir: str):
+    """Exclusive store lock, auto-released on holder death — the same
+    flock protocol the keyed store uses (lineage.py R3-3)."""
+    import fcntl
+    import os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _lock():
+        os.makedirs(store_dir, exist_ok=True)
+        fd = os.open(os.path.join(store_dir, ".lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    return _lock()
+
+
+def band_store_compact(spark: SparkSession, store_dir: str, compact_id) -> int:
+    """Fold all per-batch dirs into ONE (the small-file fold the layout
+    note promises — `rewrite_data_files` for the band store), also
+    deduplicating the harmless duplicate band rows at-least-once
+    re-delivery can leave. Returns the compacted row count.
+
+    The compacted dir lives in its own ``batch=bc<compact_id>``
+    namespace: an ingest excludes ``b<epoch>`` when deciding, and a
+    compact dir named like a future epoch would be invisibly excluded
+    — hiding the whole corpus from that batch's dedup decision.
+
+    Protocol: under the store lock, snapshot the current batch dirs,
+    write their DISTINCT union to a hidden staging dir (dot-prefixed —
+    invisible to Spark's file listing, so a crash mid-write can never
+    corrupt readers), rename it into place as ``batch=b<compact_id>``
+    (the commit point), then remove the superseded dirs. A crash after
+    the rename but before the removals leaves duplicate rows that the
+    next compaction folds — never data loss.
+    """
+    import os
+    import shutil
+
+    with _band_store_lock(store_dir):
+        target = os.path.join(store_dir, f"batch=bc{compact_id}")
+        if os.path.exists(target):
+            raise FileExistsError(f"compact id already used: {target}")
+        olds = [
+            os.path.join(store_dir, d)
+            for d in os.listdir(store_dir)
+            if d.startswith("batch=")
+        ]
+        if not olds:
+            return 0
+        folded = (
+            spark.read.parquet(store_dir)
+            .select("doc_id", "band_id", "band_hash")
+            .distinct()
+        )
+        staging = os.path.join(store_dir, f".compact_bc{compact_id}")
+        (
+            folded.select(
+                "*",
+                F.concat(F.lit("x"), F.substring("band_hash", 1, 2)).alias("pfx"),
+            )
+            .repartition("pfx")
+            .sortWithinPartitions("band_hash")
+            .write.partitionBy("pfx")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        n = spark.read.parquet(staging).count()
+        os.rename(staging, target)  # commit point
+        for d in olds:
+            shutil.rmtree(d)
+    return n

@@ -198,6 +198,10 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.embedding_neardup_pairs, similarity.EMBEDDING_NEARDUP_SQL,
         "training:dedup-cosine",
     ),
+    "embedding_incremental_ingest": QuerySpec(
+        similarity.embedding_incremental_ingest, similarity.EMBEDDING_INGEST_SQL,
+        "training:dedup-cosine-incremental",
+    ),
     "lsh_ann_topk": QuerySpec(
         similarity.lsh_ann_topk, similarity.LSH_ANN_TOPK_SQL, "training:ann-lsh"
     ),

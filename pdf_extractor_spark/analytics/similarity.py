@@ -641,3 +641,299 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding near-dup ingest: new vectors vs a persistent
+# hyperplane-LSH vector store (the embedding twin of dedup.neardup_ingest —
+# dedupe each incoming batch of embeddings against everything already
+# ingested, fold the survivors into the store)
+# ---------------------------------------------------------------------------
+
+EMB_INGEST_SPLIT = 300
+EMB_INGEST_CORPUS_DUPS = 10
+EMB_INGEST_BATCH_DUPS = 5
+EMB_INGEST_CORPUS_DUP_OFFSET = 10_000
+EMB_INGEST_BATCH_DUP_OFFSET = 20_000
+
+
+def _vec_bands(vecs: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → one row per LSH band, embedding riding
+    along so candidate collisions carry both vectors straight into the
+    exact-cosine verify (no second fetch join against the store)."""
+    return vecs.select(
+        "vec_id",
+        "embedding",
+        F.explode(_hp_band_structs(F.col("embedding"))).alias("bb"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+
+
+def _vec_ingest_statuses(store_bands: DataFrame, batch: DataFrame) -> DataFrame:
+    """(vec_id, status) for a batch of embeddings against a store of
+    band rows: dup iff ≥1 shared (band_id, band_key) AND exact cosine
+    ≥ NEARDUP_THRESHOLD (the two-stage embedding_neardup_pairs policy);
+    dup_of_corpus beats dup_in_batch (smaller-id batch vector), else
+    kept.
+
+    Same scale shape as the text kernel: exact-collapse the batch by an
+    embedding fingerprint first, broadcast the collapsed bands into the
+    store scan (the historical vector table never shuffles), recover
+    member statuses from representatives. Identical embeddings share
+    every band and cosine(v, v) = 1 ≥ threshold, so members always dup
+    via their own rep — EXCEPT a zero-norm vector, whose self-cosine is
+    NULL (try_divide): copies of a junk zero vector are all kept, which
+    is exactly the per-vector policy the SQL oracle states (NULL fails
+    every threshold in both engines).
+    """
+    batch = batch.select(
+        "vec_id", "embedding", F.md5(F.to_json(F.struct("embedding"))).alias("fp")
+    )
+    groups = batch.groupBy("fp").agg(
+        F.min("vec_id").alias("rep"), F.first("embedding").alias("embedding")
+    )
+    rep_bands = _vec_bands(
+        groups.select(F.col("rep").alias("vec_id"), "embedding")
+    ).persist()
+    cos_rs = _floor4(
+        _cosine(_as_double(F.col("r_emb")), _as_double(F.col("s_emb")))
+    )
+    vs_store = (
+        store_bands.select(
+            "band_id", "band_key", F.col("embedding").alias("s_emb")
+        )
+        .join(
+            F.broadcast(
+                rep_bands.select(
+                    "band_id",
+                    "band_key",
+                    F.col("vec_id").alias("rep"),
+                    F.col("embedding").alias("r_emb"),
+                )
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(cos_rs >= NEARDUP_THRESHOLD)
+        .select("rep")
+        .distinct()
+        .withColumn("store_hit", F.lit(True))
+    )
+    a = rep_bands.select(
+        F.col("vec_id").alias("a_id"), "band_id", "band_key",
+        F.col("embedding").alias("a_emb"),
+    )
+    b = rep_bands.select(
+        F.col("vec_id").alias("b_id"), "band_id", "band_key",
+        F.col("embedding").alias("b_emb"),
+    )
+    cos_ab = _floor4(_cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb"))))
+    in_batch = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(cos_ab >= NEARDUP_THRESHOLD)
+        .select(F.col("a_id").alias("rep"))
+        .distinct()
+        .withColumn("batch_hit", F.lit(True))
+    )
+    rep_status = (
+        groups.join(vs_store, "rep", "left")
+        .join(in_batch, "rep", "left")
+        .select(
+            "fp",
+            "rep",
+            F.when(F.col("store_hit"), F.lit("dup_of_corpus"))
+            .when(F.col("batch_hit"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("rep_status"),
+        )
+    )
+    # members inherit through their rep; a zero-norm member cannot dup
+    # against its own (identical) rep — cosine NULL — so it stays kept
+    self_sim = (
+        _dot(_as_double(F.col("embedding")), _as_double(F.col("embedding"))) > 0
+    )
+    return batch.join(rep_status, "fp").select(
+        "vec_id",
+        F.when(F.col("vec_id") == F.col("rep"), F.col("rep_status"))
+        .when((F.col("rep_status") == "kept") & self_sim, F.lit("dup_in_batch"))
+        .when(F.col("rep_status") == "kept", F.lit("kept"))
+        .otherwise(F.col("rep_status"))
+        .alias("status"),
+    )
+
+
+def embedding_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: corpus = embeddings with vec_id < EMB_INGEST_SPLIT;
+    the incoming batch = the rest plus injected copies of corpus
+    vectors (dup_of_corpus) and of earlier batch vectors
+    (dup_in_batch)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < EMB_INGEST_SPLIT)
+    fresh = emb.filter(F.col("vec_id") >= EMB_INGEST_SPLIT)
+    corpus_dups = emb.filter(F.col("vec_id") < EMB_INGEST_CORPUS_DUPS).select(
+        (F.col("vec_id") + EMB_INGEST_CORPUS_DUP_OFFSET).alias("vec_id"),
+        "embedding",
+    )
+    batch_dups = emb.filter(
+        (F.col("vec_id") >= EMB_INGEST_SPLIT)
+        & (F.col("vec_id") < EMB_INGEST_SPLIT + EMB_INGEST_BATCH_DUPS)
+    ).select(
+        (F.col("vec_id") + EMB_INGEST_BATCH_DUP_OFFSET).alias("vec_id"),
+        "embedding",
+    )
+    batch = fresh.unionByName(corpus_dups).unionByName(batch_dups)
+    return _vec_ingest_statuses(_vec_bands(corpus), batch).orderBy("vec_id")
+
+
+_EMB_INGEST_CORPUS_SQL = (
+    f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {EMB_INGEST_SPLIT}"
+)
+_EMB_INGEST_BATCH_SQL = f"""
+SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {EMB_INGEST_SPLIT}
+UNION ALL
+SELECT vec_id + {EMB_INGEST_CORPUS_DUP_OFFSET} AS vec_id, embedding
+FROM embeddings WHERE vec_id < {EMB_INGEST_CORPUS_DUPS}
+UNION ALL
+SELECT vec_id + {EMB_INGEST_BATCH_DUP_OFFSET} AS vec_id, embedding
+FROM embeddings
+WHERE vec_id >= {EMB_INGEST_SPLIT}
+  AND vec_id < {EMB_INGEST_SPLIT + EMB_INGEST_BATCH_DUPS}
+"""
+
+
+def _vec_bands_sql(source: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {band} AS band_id, "
+        f"{_hp_band_key_sql('embedding', band)} AS band_key FROM ({source})"
+        for band in range(HP_BANDS)
+    )
+
+
+EMBEDDING_INGEST_SQL = f"""
+WITH store_bands AS ({_vec_bands_sql(_EMB_INGEST_CORPUS_SQL)}),
+batch_bands AS ({_vec_bands_sql(_EMB_INGEST_BATCH_SQL)}),
+vs_store AS (
+  SELECT DISTINCT b.vec_id FROM batch_bands b
+  JOIN store_bands s
+    ON b.band_id = s.band_id AND b.band_key = s.band_key
+  WHERE CAST(floor(({_cosine_sql('b.embedding', 's.embedding')}) * 10000 + 1e-6) / 10000 AS DOUBLE)
+        >= {NEARDUP_THRESHOLD}
+),
+in_batch AS (
+  SELECT DISTINCT a.vec_id FROM batch_bands a
+  JOIN batch_bands e
+    ON a.band_id = e.band_id AND a.band_key = e.band_key
+   AND e.vec_id < a.vec_id
+  WHERE CAST(floor(({_cosine_sql('a.embedding', 'e.embedding')}) * 10000 + 1e-6) / 10000 AS DOUBLE)
+        >= {NEARDUP_THRESHOLD}
+)
+SELECT p.vec_id,
+       CASE WHEN p.vec_id IN (SELECT vec_id FROM vs_store) THEN 'dup_of_corpus'
+            WHEN p.vec_id IN (SELECT vec_id FROM in_batch) THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM ({_EMB_INGEST_BATCH_SQL}) p
+ORDER BY vec_id
+"""
+
+
+# --- persistent vector store (on-disk side of embedding ingest) -------------
+#
+# Layout mirrors the text band store (dedup.py): one dir per ingest
+# commit (`batch=b<id>`, replay = own-dir overwrite) partitioned by
+# bucket `bk=x<band_id>_<band_key>` — 512 dirs at HP_BANDS=2 ×
+# HP_BITS=8, i.e. partition-per-LSH-bucket, so a probe prunes to
+# exactly the incoming batch's buckets. The embedding rides in the
+# band rows (×HP_BANDS duplication — the store IS the index, no second
+# vector fetch at probe time; the trade is disclosed here). Writers
+# serialize on the same flock protocol (`dedup._band_store_lock`).
+
+
+def _write_vec_batch(bands: DataFrame, store_dir: str, batch_id) -> None:
+    (
+        bands.select(
+            "vec_id",
+            "embedding",
+            "band_id",
+            "band_key",
+            F.concat_ws("_", F.lit("x"), "band_id", "band_key").alias("bk"),
+        )
+        .repartition("bk")
+        .write.partitionBy("bk")
+        .mode("overwrite")
+        .parquet(f"{store_dir}/batch=b{batch_id}")
+    )
+
+
+def vector_store_init(
+    spark: SparkSession, store_dir: str, vecs: DataFrame
+) -> None:
+    """Bootstrap the vector store from an existing corpus
+    (vec_id, embedding)."""
+    _write_vec_batch(_vec_bands(vecs.select("vec_id", "embedding")), store_dir, "init")
+
+
+def vector_neardup_ingest(
+    spark: SparkSession, store_dir: str, vecs: DataFrame, batch_id
+) -> DataFrame:
+    """Dedupe one incoming batch of embeddings against the persistent
+    vector store, then fold the survivors in. Returns (vec_id, status).
+
+    The protocol is the text store's (dedup.neardup_ingest): bucket
+    pruning from the collapsed batch's keys (bounded ≤512-value
+    collect), current batch dir excluded from the decision, incoming
+    vec_ids anti-joined away, statuses localCheckpoint-ed, all under
+    the store flock. The probe broadcasts the collapsed batch bands —
+    the historical vector table streams through a hash join, never
+    shuffles.
+    """
+    import os
+
+    from .dedup import _band_store_lock
+
+    batch = vecs.select("vec_id", "embedding")
+    groups = batch.groupBy(
+        F.md5(F.to_json(F.struct("embedding"))).alias("fp")
+    ).agg(F.min("vec_id").alias("rep"), F.first("embedding").alias("embedding"))
+    rep_bands = _vec_bands(
+        groups.select(F.col("rep").alias("vec_id"), "embedding")
+    ).persist()
+    bks = [
+        r["bk"]
+        for r in rep_bands.select(
+            F.concat_ws("_", F.lit("x"), "band_id", "band_key").alias("bk")
+        )
+        .distinct()
+        .collect()
+    ]
+    with _band_store_lock(store_dir):
+        if os.path.isdir(store_dir) and any(
+            d.startswith("batch=") for d in os.listdir(store_dir)
+        ):
+            store = (
+                spark.read.parquet(store_dir)
+                .filter(
+                    (F.col("batch") != F.lit(f"b{batch_id}"))
+                    & F.col("bk").isin(bks)
+                )
+                .select("vec_id", "embedding", "band_id", "band_key")
+            )
+        else:
+            store = spark.createDataFrame(
+                [], rep_bands.schema
+            )
+        store = store.join(
+            F.broadcast(batch.select("vec_id")), "vec_id", "left_anti"
+        )
+        statuses = _vec_ingest_statuses(store, batch).localCheckpoint(eager=True)
+        kept = statuses.filter(F.col("status") == "kept").select(
+            F.col("vec_id").alias("rep")
+        )
+        kept_bands = rep_bands.join(
+            F.broadcast(kept), rep_bands["vec_id"] == kept["rep"], "left_semi"
+        )
+        _write_vec_batch(kept_bands, store_dir, batch_id)
+    return statuses

@@ -146,3 +146,111 @@ def test_stream_neardup_ingest_two_waves(spark, tmp_path):
     stream_neardup_ingest(spark, inbox, store, ckpt, statuses_dir=audit)
     assert spark.read.parquet(store).count() == 4 * 3
     assert spark.read.parquet(audit).count() == 4
+
+
+def test_band_store_compact_folds_dirs_and_keeps_semantics(spark, tmp_path):
+    """Compaction folds all batch dirs into one, dedupes replay-
+    duplicated band rows, and the store keeps giving the same answers."""
+    import os
+
+    from pdf_extractor_spark.analytics.dedup import band_store_compact
+
+    store = str(tmp_path / "bands")
+    band_store_init(spark, store, _docs(spark, [(i, _text(i)) for i in range(5)]))
+    neardup_ingest(spark, store, _docs(spark, [(10, _text(10))]), 1)
+    # new-id replay leaves duplicate band rows for doc 10
+    neardup_ingest(spark, store, _docs(spark, [(10, _text(10))]), 2)
+    assert spark.read.parquet(store).count() == 4 * 7  # 5 + 10 twice
+
+    def batch_dirs():
+        return sorted(
+            d for d in os.listdir(store) if d.startswith("batch=")
+        )
+
+    assert len(batch_dirs()) == 3
+    n = band_store_compact(spark, store, 100)
+    assert n == 4 * 6  # duplicates folded
+    assert batch_dirs() == ["batch=bc100"]
+    assert spark.read.parquet(store).count() == 4 * 6
+
+    # semantics survive the fold: dup of an ingested doc still caught,
+    # and a fresh epoch id numerically equal to the compact id is NOT
+    # confused with the compact dir (bc vs b namespace)
+    st = {r["doc_id"]: r["status"]
+          for r in neardup_ingest(
+              spark, store,
+              _docs(spark, [(20, _text(10)), (21, _text(21))]), 100,
+          ).collect()}
+    assert st == {20: "dup_of_corpus", 21: "kept"}
+
+    # reusing a compact id refuses
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        band_store_compact(spark, store, 100)
+
+
+# --- embedding twin: persistent vector store -------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _vec(i: int):
+    # orthogonal one-hot vectors: cosine between distinct ids is 0,
+    # so dups happen ONLY between injected copies
+    v = [0.0] * 64
+    v[i % 64] = 1.0
+    v[(i * 7 + 13) % 64] = 0.5 if (i * 7 + 13) % 64 != i % 64 else 1.0
+    return v
+
+
+def test_vector_ingest_lifecycle_and_replay(spark, tmp_path):
+    from pdf_extractor_spark.analytics.similarity import (
+        vector_neardup_ingest,
+        vector_store_init,
+    )
+
+    store = str(tmp_path / "vecs")
+    vector_store_init(
+        spark, store, _vecs(spark, [(i, _vec(i)) for i in range(10)])
+    )
+    batch1 = _vecs(spark, [
+        (100, _vec(100)),
+        (9003, _vec(3)),      # copy of corpus vector
+        (9100, _vec(100)),    # copy of in-batch vector 100
+    ])
+    st1 = {r["vec_id"]: r["status"]
+           for r in vector_neardup_ingest(spark, store, batch1, 1).collect()}
+    assert st1 == {
+        100: "kept", 9003: "dup_of_corpus", 9100: "dup_in_batch",
+    }
+    # accumulation: a copy of survivor 100 now dups against the store
+    st2 = {r["vec_id"]: r["status"]
+           for r in vector_neardup_ingest(
+               spark, store, _vecs(spark, [(9200, _vec(100))]), 2,
+           ).collect()}
+    assert st2 == {9200: "dup_of_corpus"}
+    # replay under the same batch id converges
+    st1r = {r["vec_id"]: r["status"]
+            for r in vector_neardup_ingest(spark, store, batch1, 1).collect()}
+    assert st1r == st1
+    # store rows: (10 corpus + doc 100) × HP_BANDS
+    assert spark.read.parquet(store).count() == 2 * 11
+
+
+def test_vector_ingest_zero_vectors_all_kept(spark, tmp_path):
+    """Junk zero embeddings have NULL cosine against everything —
+    including their own copies — so none of them dedupe anything
+    (matches the SQL-oracle per-vector policy exactly)."""
+    from pdf_extractor_spark.analytics.similarity import vector_neardup_ingest
+
+    store = str(tmp_path / "vecs")
+    z = [0.0] * 64
+    st = {r["vec_id"]: r["status"]
+          for r in vector_neardup_ingest(
+              spark, store,
+              _vecs(spark, [(1, z), (2, z), (3, _vec(3))]), 0,
+          ).collect()}
+    assert st == {1: "kept", 2: "kept", 3: "kept"}

@@ -67,7 +67,8 @@ def test_neardup_candidate_joins_are_equi_not_nested_loop(spark):
     an all-pairs theta join (NestedLoop / CartesianProduct) is the
     100 TB anti-pattern these operators exist to avoid."""
     for name in ("embedding_neardup_pairs", "ngram_jaccard_pairs",
-                 "dedup_connected_components", "neardup_incremental_ingest"):
+                 "dedup_connected_components", "neardup_incremental_ingest",
+                 "embedding_incremental_ingest"):
         plan = _plan(spark, name)
         assert "NestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
