@@ -502,3 +502,86 @@ SELECT doc_id, chunk_id,
 FROM chunks
 ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity scoring (Wenzek et al. 2020): per-doc mean
+# negative log10-prob under the vendored unigram LM (unigram_lm.py,
+# trained deterministically by scripts/train_unigram_lm.py — the
+# offline stand-in for CCNet's KenLM, same operator shape). Low NLL =
+# generator-voiced text; junk/OOV-heavy docs score toward the OOV
+# ceiling and a threshold drops the tail.
+#
+# Scale shape: explode tokens → broadcast-join the (tiny, pinned) LM
+# table → one map-side-combinable hash aggregate per doc. Log-probs
+# are exact 4-decimal DECIMALS, so the per-doc sum is exact integer
+# arithmetic in both engines — no float-summation-order divergence —
+# and only the final mean is floating (one division, then the house
+# floor-round). OOV tokens take a half-count log-prob instead of
+# leaving the vocabulary contract, so this kernel needs no
+# adversarial-sweep exclusion (unlike the BPE VALUES-lookup oracle).
+# ---------------------------------------------------------------------------
+
+
+def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..unigram_lm import OOV_LOGP, VOCAB_LOGP
+
+    lm = F.broadcast(
+        spark.createDataFrame(VOCAB_LOGP, "tok string, logp_s string").select(
+            "tok", F.col("logp_s").cast("decimal(9,4)").alias("logp")
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    per_tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    scored = per_tok.join(lm, "tok", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.col("logp"), F.lit(OOV_LOGP).cast("decimal(9,4)")
+        ).alias("logp"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("logp").alias("s"), F.count("*").alias("n"))
+        .select(
+            "doc_id",
+            floor_round(
+                -F.col("s").cast("double") / F.col("n"), 4
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lm_values_sql() -> str:
+    from ..unigram_lm import VOCAB_LOGP
+
+    return ", ".join(
+        "('{}', CAST({} AS DECIMAL(9,4)))".format(tok.replace("'", "''"), lp)
+        for tok, lp in VOCAB_LOGP
+    )
+
+
+def _perplexity_sql() -> str:
+    from ..unigram_lm import OOV_LOGP
+
+    return rf"""
+WITH lm(tok, logp) AS (VALUES {_lm_values_sql()}),
+per_tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+),
+scored AS (
+  SELECT p.doc_id,
+         coalesce(l.logp, CAST({OOV_LOGP} AS DECIMAL(9,4))) AS logp
+  FROM per_tok p LEFT JOIN lm l ON p.tok = l.tok
+)
+SELECT doc_id,
+       CAST(floor((-CAST(sum(logp) AS DOUBLE) / count(*)) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+PERPLEXITY_SCORE_SQL = _perplexity_sql()

@@ -177,6 +177,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.decontaminate, curation.DECONTAMINATE_SQL,
         "training:decontaminate",
     ),
+    "perplexity_score": QuerySpec(
+        curation.perplexity_score, curation.PERPLEXITY_SCORE_SQL,
+        "training:ccnet-perplexity",
+    ),
     "corpus_profile": QuerySpec(
         curation.corpus_profile, curation.CORPUS_PROFILE_SQL,
         "training:profile",

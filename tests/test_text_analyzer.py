@@ -334,3 +334,53 @@ def test_bpe_adversarial_inputs_count_and_stay_linear():
     assert 0 < big <= 6 * 8_000
     assert time.time() - t0 < 5.0, "BPE megatoken path is not linear"
     assert len(MERGES) == 48  # the linearity bound above assumes this
+
+
+def test_unigram_lm_artifact_pinned():
+    """unigram_lm.py is generated (scripts/train_unigram_lm.py);
+    retraining must be a deliberate commit, not drift."""
+    import hashlib
+    import os
+
+    import pdf_extractor_spark.unigram_lm as lm
+
+    src = open(os.path.abspath(lm.__file__), "rb").read()
+    assert hashlib.md5(src).hexdigest() == "6ea5d74346362ce41703dfa53f32b83b"
+    assert len(lm.VOCAB_LOGP) == 31  # the generator's full vocabulary
+    # exact-decimal contract: every log-prob parses as a 4-decimal string
+    assert all(
+        lp.startswith("-") and len(lp.split(".")[1]) == 4
+        for _, lp in lm.VOCAB_LOGP
+    )
+
+
+def test_perplexity_score_matches_hand_recompute(spark):
+    """One doc's NLL recomputed in pure Python (decimal-exact sum, then
+    the house floor-round) equals the Spark pipeline's score; a doc of
+    pure OOV junk scores exactly the OOV ceiling."""
+    from decimal import Decimal
+    from math import floor
+
+    from pdf_extractor_spark.analytics.curation import perplexity_score
+    from pdf_extractor_spark.unigram_lm import OOV_LOGP, VOCAB_LOGP
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    import re
+
+    toks = re.split(r"\s+", row["text"])
+    table = dict(VOCAB_LOGP)
+    s = sum(Decimal(table.get(t, OOV_LOGP)) for t in toks)
+    want = floor(float(-s) / len(toks) * 10000 + 1e-6) / 10000
+    got = {
+        r["doc_id"]: r["nll"]
+        for r in perplexity_score(spark, sf).filter(
+            f"doc_id = {row['doc_id']}"
+        ).collect()
+    }
+    assert got == {row["doc_id"]: want}
