@@ -254,3 +254,38 @@ def test_vector_ingest_zero_vectors_all_kept(spark, tmp_path):
               _vecs(spark, [(1, z), (2, z), (3, _vec(3))]), 0,
           ).collect()}
     assert st == {1: "kept", 2: "kept", 3: "kept"}
+
+
+def test_concurrent_ingests_serialize_on_store_lock(spark, tmp_path):
+    """Two ingests racing on one store must serialize (exclusive
+    flock): both commits land, no staging collision, and the second
+    writer's decision sees a consistent store. Mirrors the keyed
+    store's concurrency contract (lineage.py R3-3)."""
+    import threading
+
+    store = str(tmp_path / "bands")
+    band_store_init(
+        spark, store, _docs(spark, [(i, _text(i)) for i in range(8)])
+    )
+    results: dict = {}
+
+    def run(batch_id, rows):
+        results[batch_id] = {
+            r["doc_id"]: r["status"]
+            for r in neardup_ingest(
+                spark, store, _docs(spark, rows), batch_id
+            ).collect()
+        }
+
+    t1 = threading.Thread(target=run, args=(1, [(100, _text(100)), (9003, _text(3))]))
+    t2 = threading.Thread(target=run, args=(2, [(200, _text(200)), (9005, _text(5))]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert results[1] == {100: "kept", 9003: "dup_of_corpus"}
+    assert results[2] == {200: "kept", 9005: "dup_of_corpus"}
+    # both survivors' bands committed — nothing lost to the race
+    stored_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(store).select("doc_id").distinct().collect()
+    }
+    assert stored_ids == set(range(8)) | {100, 200}
