@@ -590,8 +590,13 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 INGEST_SPLIT = 300             # graded query: corpus = doc_id < SPLIT
 INGEST_CORPUS_DUPS = 10        # injected dups of corpus docs (status dup_of_corpus)
 INGEST_BATCH_DUPS = 5          # injected dups of earlier batch docs (dup_in_batch)
-INGEST_CORPUS_DUP_OFFSET = 10_000
-INGEST_BATCH_DUP_OFFSET = 20_000
+# offsets rebase on the SHARED injected-dup offset (base.DUP_ID_OFFSET)
+# so injected ids can never alias real doc_ids at any scale factor —
+# 10_000/20_000 would collide with genuine docs at sf1 (~50k docs),
+# making the batch carry duplicate ids with different texts and the
+# ORDER BY doc_id tie order engine-dependent
+INGEST_CORPUS_DUP_OFFSET = DUP_ID_OFFSET
+INGEST_BATCH_DUP_OFFSET = 2 * DUP_ID_OFFSET
 
 
 def _ingest_statuses(store_bands: DataFrame, batch: DataFrame) -> DataFrame:
@@ -613,12 +618,43 @@ def _ingest_statuses(store_bands: DataFrame, batch: DataFrame) -> DataFrame:
     identical bands, so rep-level evaluation is value-identical to the
     per-doc policy (members always collide with their own rep and are
     never 'kept'); the SQL oracle states the plain per-doc form.
+
+    NULL-text docs take a side path: their bands are NULL (every hash
+    of NULL is NULL), so per-doc they collide with nothing — not even
+    each other — and come out 'kept', exactly as NULL propagation
+    gives the SQL oracle. Routing them around the md5(fp) join also
+    keeps them from being silently dropped by its NULL keys.
     """
-    batch = batch.select("doc_id", "text", F.md5("text").alias("fp"))
-    groups = batch.groupBy("fp").agg(
-        F.min("doc_id").alias("rep"), F.first("text").alias("text")
+    nulls = batch.filter(F.col("text").isNull()).select(
+        "doc_id", F.lit("kept").alias("status")
+    )
+    batch = batch.filter(F.col("text").isNotNull())
+    groups, rep_bands = _collapse_batch(batch)
+    return _statuses_from_reps(
+        store_bands, batch, groups, rep_bands
+    ).unionByName(nulls)
+
+
+def _collapse_batch(batch: DataFrame):
+    """Exact-collapse a (doc_id, text) batch by md5(text): returns
+    (groups, rep_bands); rep_bands is persisted (callers on the
+    per-epoch ingest path must unpersist after materializing)."""
+    groups = (
+        batch.select("doc_id", "text", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep"), F.first("text").alias("text"))
     )
     rep_bands = _with_bands(groups.select(F.col("rep").alias("doc_id"), "text"))
+    return groups, rep_bands
+
+
+def _statuses_from_reps(
+    store_bands: DataFrame,
+    batch: DataFrame,
+    groups: DataFrame,
+    rep_bands: DataFrame,
+) -> DataFrame:
+    batch = batch.select("doc_id", "text", F.md5("text").alias("fp"))
     vs_store = (
         store_bands.select("band_id", "band_hash")
         .join(F.broadcast(rep_bands), ["band_id", "band_hash"])
@@ -763,27 +799,74 @@ def band_store_init(
     _write_band_batch(_with_bands(docs.select("doc_id", "text")), store_dir, "init")
 
 
-def _store_bands(
-    spark: SparkSession, store_dir: str, exclude_batch: str, pfxs: list
+def _store_scan(
+    spark: SparkSession,
+    store_dir: str,
+    exclude_batch: str,
+    part_col: str,
+    part_vals: list,
+    data_schema,
 ) -> DataFrame:
+    """Partition-pruned scan of a per-batch store (shared by the text
+    band store and the vector store in similarity.py).
+
+    The schema is EXPLICIT, never inferred: a store whose only batch
+    dirs carry no data files (an empty first micro-batch commits just
+    _SUCCESS; a crashed write leaves nothing) must read as zero rows,
+    not poison every later ingest with an unable-to-infer-schema
+    error. "Exists" likewise means committed batch dirs — the store
+    lock may have created the directory (and its hidden .lock) before
+    any write."""
     import os
 
-    # "exists" means has committed batch dirs: the store lock may have
-    # created the directory (and its hidden .lock) before any write,
-    # and Spark cannot infer a schema from a dir of hidden files
+    from pyspark.sql.types import StringType, StructField, StructType
+
     if not os.path.isdir(store_dir) or not any(
         d.startswith("batch=") for d in os.listdir(store_dir)
     ):
-        return spark.createDataFrame(
-            [], "band_id int, band_hash string, doc_id long"
-        )
-    return (
-        spark.read.parquet(store_dir)
-        .filter(
-            (F.col("batch") != F.lit(exclude_batch)) & F.col("pfx").isin(pfxs)
-        )
-        .select("band_id", "band_hash", "doc_id")
+        return spark.createDataFrame([], data_schema)
+    full = StructType(
+        list(data_schema.fields)
+        + [StructField(part_col, StringType()), StructField("batch", StringType())]
     )
+    return (
+        spark.read.schema(full)
+        .parquet(store_dir)
+        .filter(
+            (F.col("batch") != F.lit(exclude_batch))
+            & F.col(part_col).isin(part_vals)
+        )
+        .select(*[f.name for f in data_schema.fields])
+    )
+
+
+def _band_schema(batch: DataFrame):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("doc_id", batch.schema["doc_id"].dataType),
+            StructField("band_id", IntegerType()),
+            StructField("band_hash", StringType()),
+        ]
+    )
+
+
+def _store_bands(
+    spark: SparkSession, store_dir: str, exclude_batch: str, pfxs: list
+) -> DataFrame:
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("band_id", IntegerType()),
+            StructField("band_hash", StringType()),
+        ]
+    )
+    return _store_scan(spark, store_dir, exclude_batch, "pfx", pfxs, schema)
 
 
 def neardup_ingest(
@@ -801,58 +884,63 @@ def neardup_ingest(
     collapsed batch bands — the historical band table never shuffles.
 
     Concurrent writers (two ingests, or ingest vs compact) serialize
-    on an exclusive flock over the store (the R3-3 protocol from
-    lineage.py); the returned statuses are localCheckpoint-ed (micro-
-    batch-sized), so the handle stays valid even if a later compaction
-    deletes the batch dirs the decision read.
+    on an exclusive flock over the store (lineage.flock_file — bounded
+    acquisition, so a wedged holder raises TimeoutError instead of
+    hanging every later ingest); the returned statuses are
+    localCheckpoint-ed (micro-batch-sized), so the handle stays valid
+    even if a later compaction deletes the batch dirs the decision
+    read. The batch's signatures are computed ONCE (_collapse_batch)
+    and shared by the prefix collect, the status kernel, and the
+    survivor write; the persisted frame is released before returning —
+    a long-running streaming ingest must not accumulate one cache
+    entry per epoch.
     """
     batch = docs.select("doc_id", "text")
-    groups = batch.groupBy(F.md5("text").alias("fp")).agg(
-        F.min("doc_id").alias("rep"), F.first("text").alias("text")
+    nulls = batch.filter(F.col("text").isNull()).select(
+        "doc_id", F.lit("kept").alias("status")
     )
-    rep_bands = _with_bands(groups.select(F.col("rep").alias("doc_id"), "text"))
-    pfxs = [
-        r["p"]
-        for r in rep_bands.select(
-            F.concat(F.lit("x"), F.substring("band_hash", 1, 2)).alias("p")
-        )
-        .distinct()
-        .collect()
-    ]
-    with _band_store_lock(store_dir):
-        store = _store_bands(spark, store_dir, f"b{batch_id}", pfxs).join(
-            F.broadcast(batch.select("doc_id")), "doc_id", "left_anti"
-        )
-        statuses = _ingest_statuses(store, batch).localCheckpoint(eager=True)
-        kept = statuses.filter(F.col("status") == "kept").select(
-            F.col("doc_id").alias("rep")
-        )
-        kept_bands = rep_bands.join(
-            F.broadcast(kept), rep_bands["doc_id"] == kept["rep"], "left_semi"
-        )
-        _write_band_batch(kept_bands, store_dir, batch_id)
+    batch = batch.filter(F.col("text").isNotNull())
+    groups, rep_bands = _collapse_batch(batch)
+    try:
+        pfxs = [
+            r["p"]
+            for r in rep_bands.select(
+                F.concat(F.lit("x"), F.substring("band_hash", 1, 2)).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        with _band_store_lock(store_dir):
+            store = _store_scan(
+                spark, store_dir, f"b{batch_id}", "pfx", pfxs, _band_schema(batch)
+            ).join(F.broadcast(batch.select("doc_id")), "doc_id", "left_anti")
+            statuses = (
+                _statuses_from_reps(store, batch, groups, rep_bands)
+                .unionByName(nulls)
+                .localCheckpoint(eager=True)
+            )
+            kept = statuses.filter(F.col("status") == "kept").select(
+                F.col("doc_id").alias("rep")
+            )
+            kept_bands = rep_bands.join(
+                F.broadcast(kept), rep_bands["doc_id"] == kept["rep"], "left_semi"
+            )
+            _write_band_batch(kept_bands, store_dir, batch_id)
+    finally:
+        rep_bands.unpersist()
     return statuses
 
 
 def _band_store_lock(store_dir: str):
-    """Exclusive store lock, auto-released on holder death — the same
-    flock protocol the keyed store uses (lineage.py R3-3)."""
-    import fcntl
+    """Exclusive store lock — lineage.flock_file (auto-released on
+    holder death, bounded acquisition) on a hidden file inside the
+    store dir."""
     import os
-    from contextlib import contextmanager
 
-    @contextmanager
-    def _lock():
-        os.makedirs(store_dir, exist_ok=True)
-        fd = os.open(os.path.join(store_dir, ".lock"), os.O_CREAT | os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
-            yield
-        finally:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
+    from ..lineage import MERGE_LOCK_WAIT_S, flock_file
 
-    return _lock()
+    os.makedirs(store_dir, exist_ok=True)
+    return flock_file(os.path.join(store_dir, ".lock"), MERGE_LOCK_WAIT_S)
 
 
 def band_store_compact(spark: SparkSession, store_dir: str, compact_id) -> int:

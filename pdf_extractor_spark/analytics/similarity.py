@@ -653,8 +653,10 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_INGEST_SPLIT = 300
 EMB_INGEST_CORPUS_DUPS = 10
 EMB_INGEST_BATCH_DUPS = 5
-EMB_INGEST_CORPUS_DUP_OFFSET = 10_000
-EMB_INGEST_BATCH_DUP_OFFSET = 20_000
+# rebased on the SHARED injected-dup offset so injected ids can never
+# alias real vec_ids at any scale factor (see dedup.py INGEST offsets)
+EMB_INGEST_CORPUS_DUP_OFFSET = DUP_ID_OFFSET
+EMB_INGEST_BATCH_DUP_OFFSET = 2 * DUP_ID_OFFSET
 
 
 def _vec_bands(vecs: DataFrame) -> DataFrame:
@@ -688,17 +690,44 @@ def _vec_ingest_statuses(store_bands: DataFrame, batch: DataFrame) -> DataFrame:
     via their own rep — EXCEPT a zero-norm vector, whose self-cosine is
     NULL (try_divide): copies of a junk zero vector are all kept, which
     is exactly the per-vector policy the SQL oracle states (NULL fails
-    every threshold in both engines).
+    every threshold in both engines). A NULL embedding is equally safe
+    without a side path: its fingerprint is md5('{}') (to_json omits
+    null fields), its sign bits all take the ELSE-0 branch in BOTH
+    engines (NULL >= 0 is NULL), and every cosine against it is NULL —
+    so it lands in a real bucket but never dedupes anything.
     """
-    batch = batch.select(
-        "vec_id", "embedding", F.md5(F.to_json(F.struct("embedding"))).alias("fp")
-    )
-    groups = batch.groupBy("fp").agg(
-        F.min("vec_id").alias("rep"), F.first("embedding").alias("embedding")
+    groups, rep_bands = _vec_collapse(batch)
+    return _vec_statuses_from_reps(store_bands, batch, groups, rep_bands)
+
+
+def _vec_collapse(batch: DataFrame):
+    """Exact-collapse (vec_id, embedding) by an embedding fingerprint:
+    returns (groups, rep_bands); rep_bands is persisted (per-epoch
+    ingest callers must unpersist after materializing)."""
+    groups = (
+        batch.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.to_json(F.struct("embedding"))).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("vec_id").alias("rep"), F.first("embedding").alias("embedding"))
     )
     rep_bands = _vec_bands(
         groups.select(F.col("rep").alias("vec_id"), "embedding")
     ).persist()
+    return groups, rep_bands
+
+
+def _vec_statuses_from_reps(
+    store_bands: DataFrame,
+    batch: DataFrame,
+    groups: DataFrame,
+    rep_bands: DataFrame,
+) -> DataFrame:
+    batch = batch.select(
+        "vec_id", "embedding", F.md5(F.to_json(F.struct("embedding"))).alias("fp")
+    )
     cos_rs = _floor4(
         _cosine(_as_double(F.col("r_emb")), _as_double(F.col("s_emb")))
     )
@@ -886,54 +915,45 @@ def vector_neardup_ingest(
     pruning from the collapsed batch's keys (bounded ≤512-value
     collect), current batch dir excluded from the decision, incoming
     vec_ids anti-joined away, statuses localCheckpoint-ed, all under
-    the store flock. The probe broadcasts the collapsed batch bands —
-    the historical vector table streams through a hash join, never
-    shuffles.
+    the store flock (bounded acquisition — a wedged holder raises,
+    never hangs). The store scan is the shared explicit-schema
+    _store_scan (dedup.py), so dataless batch dirs read as empty; the
+    probe broadcasts the collapsed batch bands — the historical vector
+    table streams through a hash join, never shuffles. Signatures are
+    computed once and the persisted frame released before returning.
     """
-    import os
-
-    from .dedup import _band_store_lock
+    from .dedup import _band_store_lock, _store_scan
 
     batch = vecs.select("vec_id", "embedding")
-    groups = batch.groupBy(
-        F.md5(F.to_json(F.struct("embedding"))).alias("fp")
-    ).agg(F.min("vec_id").alias("rep"), F.first("embedding").alias("embedding"))
-    rep_bands = _vec_bands(
-        groups.select(F.col("rep").alias("vec_id"), "embedding")
-    ).persist()
-    bks = [
-        r["bk"]
-        for r in rep_bands.select(
-            F.concat_ws("_", F.lit("x"), "band_id", "band_key").alias("bk")
-        )
-        .distinct()
-        .collect()
-    ]
-    with _band_store_lock(store_dir):
-        if os.path.isdir(store_dir) and any(
-            d.startswith("batch=") for d in os.listdir(store_dir)
-        ):
-            store = (
-                spark.read.parquet(store_dir)
-                .filter(
-                    (F.col("batch") != F.lit(f"b{batch_id}"))
-                    & F.col("bk").isin(bks)
-                )
-                .select("vec_id", "embedding", "band_id", "band_key")
+    groups, rep_bands = _vec_collapse(batch)
+    try:
+        bks = [
+            r["bk"]
+            for r in rep_bands.select(
+                F.concat_ws("_", F.lit("x"), "band_id", "band_key").alias("bk")
             )
-        else:
-            store = spark.createDataFrame(
-                [], rep_bands.schema
+            .distinct()
+            .collect()
+        ]
+        with _band_store_lock(store_dir):
+            store = _store_scan(
+                spark,
+                store_dir,
+                f"b{batch_id}",
+                "bk",
+                bks,
+                rep_bands.schema,
+            ).join(F.broadcast(batch.select("vec_id")), "vec_id", "left_anti")
+            statuses = _vec_statuses_from_reps(
+                store, batch, groups, rep_bands
+            ).localCheckpoint(eager=True)
+            kept = statuses.filter(F.col("status") == "kept").select(
+                F.col("vec_id").alias("rep")
             )
-        store = store.join(
-            F.broadcast(batch.select("vec_id")), "vec_id", "left_anti"
-        )
-        statuses = _vec_ingest_statuses(store, batch).localCheckpoint(eager=True)
-        kept = statuses.filter(F.col("status") == "kept").select(
-            F.col("vec_id").alias("rep")
-        )
-        kept_bands = rep_bands.join(
-            F.broadcast(kept), rep_bands["vec_id"] == kept["rep"], "left_semi"
-        )
-        _write_vec_batch(kept_bands, store_dir, batch_id)
+            kept_bands = rep_bands.join(
+                F.broadcast(kept), rep_bands["vec_id"] == kept["rep"], "left_semi"
+            )
+            _write_vec_batch(kept_bands, store_dir, batch_id)
+    finally:
+        rep_bands.unpersist()
     return statuses

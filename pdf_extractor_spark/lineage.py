@@ -116,9 +116,9 @@ def read_lineage(
 
 
 @contextmanager
-def _manifest_lock(output_dir: str, wait_s: float = LOCK_WAIT_S):
-    """Exclusive store lock via ``fcntl.flock`` on a permanent lock
-    file. Advisory fd locks release automatically when the holder dies,
+def flock_file(lock: str, wait_s: float = LOCK_WAIT_S):
+    """Exclusive lock via ``fcntl.flock`` on a permanent lock file.
+    Advisory fd locks release automatically when the holder dies,
     so there is no staleness heuristic to mis-judge and no
     check-then-steal window (the previous O_EXCL + mtime-steal protocol
     had both: a TOCTOU between the staleness check and the steal, and a
@@ -126,9 +126,11 @@ def _manifest_lock(output_dir: str, wait_s: float = LOCK_WAIT_S):
     the stealer's commit). The lock file itself is never unlinked —
     unlinking would let a late holder delete the CURRENT holder's lock
     by name. Works across processes and across threads (each ``open``
-    is its own file description).
+    is its own file description). Acquisition is bounded: a wedged
+    holder surfaces as a TimeoutError, never an indefinite hang.
+    Shared by the lineage manifest lock and the band/vector store
+    locks (analytics/dedup.py).
     """
-    lock = _lineage_path(output_dir) + ".lock"
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
         deadline = time.time() + wait_s
@@ -139,7 +141,7 @@ def _manifest_lock(output_dir: str, wait_s: float = LOCK_WAIT_S):
             except OSError:
                 if time.time() > deadline:
                     raise TimeoutError(
-                        f"could not acquire manifest lock {lock} within "
+                        f"could not acquire lock {lock} within "
                         f"{wait_s}s (another writer holds the store)"
                     )
                 time.sleep(0.005)
@@ -150,6 +152,10 @@ def _manifest_lock(output_dir: str, wait_s: float = LOCK_WAIT_S):
         except OSError:
             pass
         os.close(fd)
+
+
+def _manifest_lock(output_dir: str, wait_s: float = LOCK_WAIT_S):
+    return flock_file(_lineage_path(output_dir) + ".lock", wait_s)
 
 
 def _commit_lineage(

@@ -289,3 +289,51 @@ def test_concurrent_ingests_serialize_on_store_lock(spark, tmp_path):
         for r in spark.read.parquet(store).select("doc_id").distinct().collect()
     }
     assert stored_ids == set(range(8)) | {100, 200}
+
+
+def test_null_text_docs_are_kept_not_dropped(spark, tmp_path):
+    """NULL-text docs must come out 'kept' (their bands are NULL —
+    they collide with nothing, exactly the oracle's NULL propagation),
+    and must NOT be silently dropped by the md5-fingerprint join's
+    NULL keys. Two NULL docs don't dedupe each other either."""
+    store = str(tmp_path / "bands")
+    band_store_init(spark, store, _docs(spark, [(0, _text(0))]))
+    st = {r["doc_id"]: r["status"]
+          for r in neardup_ingest(
+              spark, store,
+              _docs(spark, [(1, None), (2, None), (3, _text(0)), (4, _text(4))]),
+              1,
+          ).collect()}
+    assert st == {1: "kept", 2: "kept", 3: "dup_of_corpus", 4: "kept"}
+    # NULL docs contribute no bands; only doc 4's fold in
+    assert spark.read.parquet(store).count() == 4 * 2
+
+
+def test_empty_first_batch_does_not_poison_store(spark, tmp_path):
+    """A zero-row first micro-batch commits a dataless batch dir; the
+    explicit-schema store scan must read it as empty instead of dying
+    on schema inference, so the NEXT ingest works."""
+    store = str(tmp_path / "bands")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert neardup_ingest(spark, store, empty, 0).count() == 0
+    st = {r["doc_id"]: r["status"]
+          for r in neardup_ingest(
+              spark, store, _docs(spark, [(1, _text(1))]), 1
+          ).collect()}
+    assert st == {1: "kept"}
+    assert spark.read.parquet(store).count() == 4
+
+
+def test_vector_ingest_null_embedding_kept(spark, tmp_path):
+    """A NULL embedding lands in a real bucket (sign bits all take the
+    ELSE-0 branch) but every cosine against it is NULL — it dedupes
+    nothing and is kept, in both engines."""
+    from pdf_extractor_spark.analytics.similarity import vector_neardup_ingest
+
+    store = str(tmp_path / "vecs")
+    st = {r["vec_id"]: r["status"]
+          for r in vector_neardup_ingest(
+              spark, store,
+              _vecs(spark, [(1, None), (2, _vec(2)), (3, _vec(2))]), 0,
+          ).collect()}
+    assert st == {1: "kept", 2: "kept", 3: "dup_in_batch"}
