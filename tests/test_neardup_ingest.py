@@ -337,3 +337,93 @@ def test_vector_ingest_null_embedding_kept(spark, tmp_path):
               _vecs(spark, [(1, None), (2, _vec(2)), (3, _vec(2))]), 0,
           ).collect()}
     assert st == {1: "kept", 2: "kept", 3: "dup_in_batch"}
+
+
+def test_band_store_fuzz_interleaved(spark, tmp_path):
+    """Composition-level invariant for the ingest store: a randomized
+    interleaving of ingests (fresh/dup/NULL mixes), compactions, and
+    same-id replays must match a pure-Python first-winner oracle at
+    every step. Unique-word texts make LSH collision ≡ exact text
+    equality (disjoint shingle sets can never share a band hash short
+    of an md5 collision), so the oracle is a dict.
+
+    Exercises the interactions the unit tests cover only pairwise:
+    replay AFTER a compaction folded the original batch dir away (the
+    incoming-id anti-join must keep the survivor kept), duplicate band
+    rows left by replays being invisible to collision logic, and
+    compact's distinct-fold restoring the exact survivor band count.
+    """
+    import random
+
+    from pdf_extractor_spark.analytics.dedup import band_store_compact
+
+    rng = random.Random(7)
+    store = str(tmp_path / "bands")
+    kept_texts: dict = {}      # text -> winning doc_id (store contents)
+    history: dict = {}         # batch_id -> (rows, expected statuses)
+    next_id = 0
+    batch_id = 0
+
+    def expect(rows, kept):
+        out, seen = {}, {}
+        for doc_id, t in sorted(rows):
+            if t is None:
+                out[doc_id] = "kept"
+            elif t in kept:
+                out[doc_id] = "dup_of_corpus"
+            elif t in seen:
+                out[doc_id] = "dup_in_batch"
+            else:
+                seen[t] = doc_id
+                out[doc_id] = "kept"
+        return out, seen
+
+    def distinct_bands():
+        return (
+            spark.read.parquet(store)
+            .select("doc_id", "band_id", "band_hash")
+            .dropDuplicates()
+            .count()
+        )
+
+    for step in range(12):
+        op = rng.choice(["ingest", "ingest", "ingest", "compact", "replay"])
+        if op == "ingest" or not history:
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                r = rng.random()
+                if r < 0.15:
+                    t = None                      # junk NULL text
+                elif r < 0.55 and kept_texts and rng.random() < 0.7:
+                    t = rng.choice(list(kept_texts))   # dup of corpus
+                else:
+                    t = _text(rng.randint(0, 29))      # may repeat in batch
+                rows.append((next_id, t))
+                next_id += 1
+            want, new_kept = expect(rows, kept_texts)
+            got = {
+                r["doc_id"]: r["status"]
+                for r in neardup_ingest(
+                    spark, store, _docs(spark, rows), batch_id
+                ).collect()
+            }
+            assert got == want, (step, rows, got, want)
+            kept_texts.update(new_kept)
+            history[batch_id] = (rows, want)
+            batch_id += 1
+        elif op == "compact":
+            n = band_store_compact(spark, store, step)
+            assert n == 4 * len(kept_texts), (step, n, len(kept_texts))
+        else:  # replay a random past batch under its original id
+            bid = rng.choice(list(history))
+            rows, want = history[bid]
+            got = {
+                r["doc_id"]: r["status"]
+                for r in neardup_ingest(
+                    spark, store, _docs(spark, rows), bid
+                ).collect()
+            }
+            assert got == want, (step, bid, got, want)
+        assert distinct_bands() == 4 * len(kept_texts), step
+
+    assert len(kept_texts) > 3  # the walk actually ingested variety
