@@ -962,6 +962,29 @@ def band_store_compact(spark: SparkSession, store_dir: str, compact_id) -> int:
     the rename but before the removals leaves duplicate rows that the
     next compaction folds — never data loss.
     """
+    return _compact_commit(
+        spark,
+        store_dir,
+        compact_id,
+        lambda df: df.select("doc_id", "band_id", "band_hash").distinct(),
+        "pfx",
+        F.concat(F.lit("x"), F.substring("band_hash", 1, 2)),
+        "band_hash",
+    )
+
+
+def _compact_commit(
+    spark: SparkSession,
+    store_dir: str,
+    compact_id,
+    fold_fn,
+    part_col: str,
+    part_expr,
+    sort_col: str,
+) -> int:
+    """Shared compact protocol for the per-batch stores (text bands
+    here, vectors in similarity.py): see band_store_compact for the
+    staging/rename/remove commit discipline."""
     import os
     import shutil
 
@@ -974,22 +997,26 @@ def band_store_compact(spark: SparkSession, store_dir: str, compact_id) -> int:
             for d in os.listdir(store_dir)
             if d.startswith("batch=")
         ]
-        if not olds:
-            return 0
-        folded = (
-            spark.read.parquet(store_dir)
-            .select("doc_id", "band_id", "band_hash")
-            .distinct()
+        # dirs with no data files (empty micro-batch commits) hold
+        # nothing worth folding AND break schema inference — compact
+        # only when some real parquet exists, else just drop the husks
+        has_data = any(
+            f.endswith(".parquet")
+            for d in olds
+            for root, _, files in os.walk(d)
+            for f in files
         )
+        if not olds or not has_data:
+            for d in olds:
+                shutil.rmtree(d)
+            return 0
+        folded = fold_fn(spark.read.parquet(store_dir))
         staging = os.path.join(store_dir, f".compact_bc{compact_id}")
         (
-            folded.select(
-                "*",
-                F.concat(F.lit("x"), F.substring("band_hash", 1, 2)).alias("pfx"),
-            )
-            .repartition("pfx")
-            .sortWithinPartitions("band_hash")
-            .write.partitionBy("pfx")
+            folded.select("*", part_expr.alias(part_col))
+            .repartition(part_col)
+            .sortWithinPartitions(sort_col)
+            .write.partitionBy(part_col)
             .mode("overwrite")
             .parquet(staging)
         )

@@ -957,3 +957,28 @@ def vector_neardup_ingest(
     finally:
         rep_bands.unpersist()
     return statuses
+
+
+def vector_store_compact(
+    spark: SparkSession, store_dir: str, compact_id
+) -> int:
+    """Small-file fold for the vector store — the twin of
+    ``dedup.band_store_compact`` through the shared commit protocol
+    (staging dir + rename commit + superseded-dir removal under the
+    store lock). De-duplicates replay-left rows by the band key
+    triple; embeddings ride along via any-value (identical within a
+    (vec_id, band) group by construction)."""
+    from .dedup import _compact_commit
+
+    return _compact_commit(
+        spark,
+        store_dir,
+        compact_id,
+        lambda df: (
+            df.select("vec_id", "embedding", "band_id", "band_key")
+            .dropDuplicates(["vec_id", "band_id", "band_key"])
+        ),
+        "bk",
+        F.concat_ws("_", F.lit("x"), "band_id", "band_key"),
+        "band_key",
+    )

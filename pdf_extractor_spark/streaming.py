@@ -611,3 +611,39 @@ def stream_neardup_ingest(
     )
     query.awaitTermination()
     return query
+
+
+def stream_vector_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    statuses_dir: str | None = None,
+):
+    """Streaming incremental EMBEDDING near-dup ingest — the vector
+    twin of :func:`stream_neardup_ingest`: each micro-batch of
+    (vec_id, embedding) rows is deduped against the persistent
+    hyperplane-LSH vector store, survivors fold in, statuses
+    optionally land in a per-batch audit dir. Same exactly-once
+    replay contract (epoch-keyed per-batch dirs)."""
+    from .analytics.similarity import vector_neardup_ingest
+
+    vecs = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        statuses = vector_neardup_ingest(spark, store_dir, batch_df, epoch_id)
+        if statuses_dir is not None:
+            statuses.write.mode("overwrite").parquet(
+                f"{statuses_dir}/batch=b{epoch_id}"
+            )
+
+    query = (
+        vecs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

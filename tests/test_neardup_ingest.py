@@ -427,3 +427,171 @@ def test_band_store_fuzz_interleaved(spark, tmp_path):
         assert distinct_bands() == 4 * len(kept_texts), step
 
     assert len(kept_texts) > 3  # the walk actually ingested variety
+
+
+def test_vector_store_compact_and_stream(spark, tmp_path):
+    """Vector-store twin of the compact/stream protocol: two streamed
+    waves accumulate, replay is a no-op, compaction folds the batch
+    dirs without changing answers."""
+    from pdf_extractor_spark.analytics.similarity import (
+        vector_neardup_ingest,
+        vector_store_compact,
+    )
+    from pdf_extractor_spark.streaming import stream_vector_ingest
+
+    inbox = str(tmp_path / "inbox")
+    store = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    audit = str(tmp_path / "statuses")
+
+    _vecs(spark, [(1, _vec(1)), (2, _vec(2))]).coalesce(1) \
+        .write.mode("append").parquet(inbox)
+    stream_vector_ingest(spark, inbox, store, ckpt, statuses_dir=audit)
+    _vecs(spark, [(3, _vec(1)), (4, _vec(4))]).coalesce(1) \
+        .write.mode("append").parquet(inbox)
+    stream_vector_ingest(spark, inbox, store, ckpt, statuses_dir=audit)
+    st = {r["vec_id"]: r["status"] for r in spark.read.parquet(audit).collect()}
+    assert st == {1: "kept", 2: "kept", 3: "dup_of_corpus", 4: "kept"}
+    assert spark.read.parquet(store).count() == 2 * 3  # HP_BANDS rows each
+
+    # replay: checkpoint sees nothing new
+    stream_vector_ingest(spark, inbox, store, ckpt, statuses_dir=audit)
+    assert spark.read.parquet(store).count() == 2 * 3
+
+    import os
+
+    assert len([d for d in os.listdir(store) if d.startswith("batch=")]) == 2
+    n = vector_store_compact(spark, store, 100)
+    assert n == 2 * 3
+    assert [d for d in os.listdir(store) if d.startswith("batch=")] == [
+        "batch=bc100"
+    ]
+    # answers survive the fold
+    st2 = {r["vec_id"]: r["status"]
+           for r in vector_neardup_ingest(
+               spark, store, _vecs(spark, [(9, _vec(4)), (10, _vec(10))]), 100,
+           ).collect()}
+    assert st2 == {9: "dup_of_corpus", 10: "kept"}
+
+
+def test_compact_on_dataless_store_is_clean_noop(spark, tmp_path):
+    """A store holding only dataless batch dirs (empty micro-batch
+    commits) compacts to zero without schema-inference failure; the
+    husks are removed."""
+    import os
+
+    from pdf_extractor_spark.analytics.dedup import band_store_compact
+
+    store = str(tmp_path / "bands")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    neardup_ingest(spark, store, empty, 0)
+    assert band_store_compact(spark, store, 1) == 0
+    assert [d for d in os.listdir(store) if d.startswith("batch=")] == []
+    # and the store still ingests normally afterwards
+    st = {r["doc_id"]: r["status"]
+          for r in neardup_ingest(spark, store, _docs(spark, [(1, _text(1))]), 2).collect()}
+    assert st == {1: "kept"}
+
+
+def test_vector_store_fuzz_interleaved(spark, tmp_path):
+    """Vector twin of the band-store fuzz: randomized interleaving of
+    ingests (fresh / corpus-dup / in-batch-dup / zero / NULL
+    embeddings), compactions, and same-id replays against a pure-Python
+    first-winner oracle. One-hot `_vec` contents keep cross-content
+    cosine <= 0.4 < NEARDUP_THRESHOLD, so dup <=> identical embedding
+    and the oracle is a dict. Zero/NULL embeddings are the disclosed
+    degenerate class: every copy is kept (cosine NULL fails every
+    threshold), yet each batch's min-id zero/NULL rep still folds its
+    band rows into the store — the invariant tracks those husks too.
+    """
+    import random
+
+    from pdf_extractor_spark.analytics.similarity import (
+        vector_neardup_ingest,
+        vector_store_compact,
+    )
+
+    rng = random.Random(11)
+    store = str(tmp_path / "vecs")
+    kept: dict = {}            # content k -> winning vec_id
+    folded_reps: set = set()   # every rep vec_id whose bands are in the store
+    history: dict = {}         # batch_id -> (rows, expected statuses)
+    next_id = 0
+    batch_id = 0
+
+    def expect_and_fold(rows):
+        """Oracle statuses + the rep ids this (original) ingest folds."""
+        out, seen, folds = {}, {}, set()
+        junk_rep = {}  # kind ('zero'|'null') -> min vec_id
+        for vec_id, kind, k in sorted(rows):
+            if kind != "real":
+                out[vec_id] = "kept"
+                junk_rep.setdefault(kind, vec_id)
+            elif k in kept:
+                out[vec_id] = "dup_of_corpus"
+            elif k in seen:
+                out[vec_id] = "dup_in_batch"
+            else:
+                seen[k] = vec_id
+                out[vec_id] = "kept"
+                folds.add(vec_id)
+        folds |= set(junk_rep.values())
+        return out, seen, folds
+
+    def payload(rows):
+        return [
+            (vid, None if kind == "null" else ([0.0] * 64 if kind == "zero" else _vec(k)))
+            for vid, kind, k in rows
+        ]
+
+    def distinct_rows():
+        return (
+            spark.read.parquet(store)
+            .select("vec_id", "band_id", "band_key")
+            .dropDuplicates()
+            .count()
+        )
+
+    for step in range(12):
+        op = rng.choice(["ingest", "ingest", "ingest", "compact", "replay"])
+        if op == "ingest" or not history:
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                r = rng.random()
+                if r < 0.10:
+                    rows.append((next_id, "null", None))
+                elif r < 0.20:
+                    rows.append((next_id, "zero", None))
+                elif r < 0.60 and kept and rng.random() < 0.7:
+                    rows.append((next_id, "real", rng.choice(list(kept))))
+                else:
+                    rows.append((next_id, "real", rng.randint(0, 29)))
+                next_id += 1
+            want, new_kept, folds = expect_and_fold(rows)
+            got = {
+                r["vec_id"]: r["status"]
+                for r in vector_neardup_ingest(
+                    spark, store, _vecs(spark, payload(rows)), batch_id
+                ).collect()
+            }
+            assert got == want, (step, rows, got, want)
+            kept.update(new_kept)
+            folded_reps |= folds
+            history[batch_id] = (rows, want)
+            batch_id += 1
+        elif op == "compact":
+            n = vector_store_compact(spark, store, step)
+            assert n == 2 * len(folded_reps), (step, n, len(folded_reps))
+        else:  # replay a random past batch under its original id
+            bid = rng.choice(list(history))
+            rows, want = history[bid]
+            got = {
+                r["vec_id"]: r["status"]
+                for r in vector_neardup_ingest(
+                    spark, store, _vecs(spark, payload(rows)), bid
+                ).collect()
+            }
+            assert got == want, (step, bid, got, want)
+        assert distinct_rows() == 2 * len(folded_reps), step
+
+    assert len(kept) > 3  # the walk actually ingested variety
