@@ -585,3 +585,65 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 PERPLEXITY_SCORE_SQL = _perplexity_sql()
+
+
+# ---------------------------------------------------------------------------
+# Token-budget truncation (context-window fitting)
+# ---------------------------------------------------------------------------
+
+TRUNC_MAX_TOKENS = 50  # the reference's default budget
+
+
+def truncate_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-and-tail token-budget truncation — the reference's
+    ``truncate_text_by_tokens`` (llm_integration/utils/spacy_utils.py:
+    87-100): a doc over the budget keeps its first and last
+    ``max_tokens // 2`` tokens joined by ``"... "``; a doc within
+    budget passes through verbatim. Tokens here are ``\\S+`` runs (the
+    documented spaCy-tokenizer proxy, docs/PARITY.md) and the kept
+    halves re-join on single spaces — inner whitespace is normalized
+    in the TRUNCATED branch only, mirroring the reference's
+    ``.strip()`` at the seam.
+
+    Map-only: the token array is materialized once per row in its own
+    projection (never re-derived per slice — the HOF-capture lesson,
+    docs/PLANS.md §12), then three O(budget) slices; no shuffle. NULL
+    text propagates NULL (the reference would crash on None; disclosed
+    divergence)."""
+    half = TRUNC_MAX_TOKENS // 2
+    toked = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            "text",
+            F.expr(r"regexp_extract_all(text, '\\S+', 0)").alias("toks"),
+        )
+    )
+    n = F.size("toks")
+    head = F.array_join(F.slice("toks", 1, half), " ")
+    tail = F.array_join(F.slice(F.col("toks"), -half, half), " ")
+    return toked.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n <= TRUNC_MAX_TOKENS, F.col("text"))
+        .otherwise(F.concat(head, F.lit("... "), tail))
+        .alias("truncated"),
+    ).orderBy("doc_id")
+
+
+TRUNCATE_BY_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CASE WHEN len(toks) <= {TRUNC_MAX_TOKENS} THEN text
+       ELSE array_to_string(list_slice(toks, 1, {TRUNC_MAX_TOKENS // 2}), ' ')
+            || '... '
+            || array_to_string(list_slice(toks, -{TRUNC_MAX_TOKENS // 2}, -1), ' ')
+  END AS truncated
+FROM t
+ORDER BY doc_id
+"""

@@ -288,6 +288,15 @@ QUERIES: Dict[str, QuerySpec] = {
     "events_props_extract": QuerySpec(
         relational.events_props_extract, relational.EVENTS_PROPS_SQL, "S4/F12"
     ),
+    "edges_for_vertex": QuerySpec(
+        relational.edges_for_vertex, relational.EDGES_FOR_VERTEX_SQL, "R3-37"
+    ),
+    "embedding_stats": QuerySpec(
+        similarity.embedding_stats, similarity.EMBEDDING_STATS_SQL, "R3-38"
+    ),
+    "truncate_by_tokens": QuerySpec(
+        curation.truncate_by_tokens, curation.TRUNCATE_BY_TOKENS_SQL, "R3-39"
+    ),
 }
 
 

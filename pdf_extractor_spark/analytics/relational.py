@@ -661,3 +661,55 @@ SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod10,
 FROM events
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# J5 companion — incident-edge fetch with direction + type filter
+# (reference arangodb/relationship_api.py:75-103 get_relationships)
+# ---------------------------------------------------------------------------
+
+
+def edges_for_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges incident to one vertex over a typed TPC-H-derived graph:
+    suppliers and customers ``located_in`` their nation, nations
+    ``part_of`` their region. The graded fixture fetches ``n:1`` with
+    ``direction='any'`` and ``types=['located_in']`` — the type filter
+    excludes the nation's own ``part_of`` edge, so both the
+    either-endpoint match and the ``e.type IN`` clause of the
+    reference's AQL do real work. Direction variants are unit-covered
+    (tests/test_relationships_store.py)."""
+    from ..operators.relationships import relationships_of
+
+    sup = load(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("_from"),
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("_to"),
+        F.lit("located_in").alias("type"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("_from"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("_to"),
+        F.lit("located_in").alias("type"),
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("_from"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("_to"),
+        F.lit("part_of").alias("type"),
+    )
+    edges = sup.unionByName(cust).unionByName(nat)
+    return relationships_of(
+        edges, "n:1", direction="any", types=["located_in"]
+    ).orderBy("_from")
+
+
+EDGES_FOR_VERTEX_SQL = """
+SELECT * FROM (
+  SELECT 's:' || s_suppkey AS _from, 'n:' || s_nationkey AS _to,
+         'located_in' AS type FROM supplier
+  UNION ALL
+  SELECT 'c:' || c_custkey, 'n:' || c_nationkey, 'located_in' FROM customer
+  UNION ALL
+  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey, 'part_of' FROM nation
+) e
+WHERE (_from = 'n:1' OR _to = 'n:1') AND type IN ('located_in')
+ORDER BY _from
+"""

@@ -982,3 +982,64 @@ def vector_store_compact(
         F.concat_ws("_", F.lit("x"), "band_id", "band_key"),
         "band_key",
     )
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-embedding descriptive stats — min / max / mean / population
+    std (np.std default ddof=0) / L2 norm: the reference's vector
+    debug surface (llm_integration/utils/vector_utils.py:78-103
+    ``get_vector_stats``). Map-only: one projection over the scan, the
+    two sums are single in-order HOF folds of the materialized double
+    array (no captured expressions — see docs/PLANS.md §12), every
+    stat floor4-rounded for cross-engine hashing. Empty and NULL
+    embeddings yield NULL stats (the reference returns ``{}`` for
+    those; Spark's fold would return the 0.0 init on an empty array
+    while DuckDB's list_sum gives NULL, so every stat carries an
+    explicit ``n > 0`` guard in BOTH engines)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    )
+    n = F.size("e")
+    s1 = F.aggregate("e", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)
+    mean = F.try_divide(s1, n)
+    var_raw = F.try_divide(s2, n) - mean * mean
+    var = F.when(var_raw < 0, F.lit(0.0)).otherwise(var_raw)
+    guard = lambda c: F.when(n > 0, c)  # noqa: E731
+    return e.select(
+        "vec_id",
+        guard(_floor4(F.array_min("e"))).alias("emb_min"),
+        guard(_floor4(F.array_max("e"))).alias("emb_max"),
+        guard(_floor4(mean)).alias("emb_mean"),
+        guard(_floor4(F.sqrt(var))).alias("emb_std"),
+        guard(_floor4(F.sqrt(s2))).alias("emb_norm"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_STATS_SQL = """
+WITH t AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id,
+         len(e) AS n,
+         list_min(e) AS mn,
+         list_max(e) AS mx,
+         list_sum(e) AS s1,
+         list_sum(list_transform(e, x -> x * x)) AS s2
+  FROM t
+)
+SELECT vec_id,
+  CASE WHEN n > 0 THEN CAST(floor(mn * 10000 + 1e-6) / 10000 AS DOUBLE) END AS emb_min,
+  CASE WHEN n > 0 THEN CAST(floor(mx * 10000 + 1e-6) / 10000 AS DOUBLE) END AS emb_max,
+  CASE WHEN n > 0 THEN CAST(floor((s1 / n) * 10000 + 1e-6) / 10000 AS DOUBLE) END AS emb_mean,
+  CASE WHEN n > 0 THEN CAST(floor(
+    sqrt(CASE WHEN s2 / n - (s1 / n) * (s1 / n) < 0 THEN 0
+              ELSE s2 / n - (s1 / n) * (s1 / n) END) * 10000 + 1e-6) / 10000 AS DOUBLE)
+  END AS emb_std,
+  CASE WHEN n > 0 THEN CAST(floor(sqrt(s2) * 10000 + 1e-6) / 10000 AS DOUBLE) END AS emb_norm
+FROM s
+ORDER BY vec_id
+"""

@@ -201,3 +201,35 @@ def get_relationships(
         return read_output(spark, store_dir)
     keys = [_edge_key_py(f, t) for f, t in pairs]
     return point_lookup(spark, store_dir, keys)
+
+
+def relationships_of(
+    edges: DataFrame,
+    vertex: str,
+    direction: str = "any",
+    types: Optional[list] = None,
+) -> DataFrame:
+    """1-hop incident-edge fetch — the reference's
+    ``get_relationships`` (arangodb/relationship_api.py:75-103):
+    ``FOR v, e IN 1..1 {direction} @start GRAPH ... FILTER e.type IN
+    [...] RETURN e``, with the same direction validation. OUTBOUND
+    matches ``_from``, INBOUND matches ``_to``, ANY either.
+
+    Scale shape: a point predicate on ``_from``/``_to`` (plus the
+    optional ``type IN`` filter) pushed straight to the scan — on the
+    keyed edge store an OUTBOUND fetch can go through ``point_lookup``
+    bucket pruning instead; ANY needs both sides, i.e. one pruned read
+    per direction unioned."""
+    d = direction.lower()
+    if d not in ("outbound", "inbound", "any"):
+        raise ValueError(f"Invalid direction: {direction}")
+    if d == "outbound":
+        cond = F.col("_from") == vertex
+    elif d == "inbound":
+        cond = F.col("_to") == vertex
+    else:
+        cond = (F.col("_from") == vertex) | (F.col("_to") == vertex)
+    out = edges.filter(cond)
+    if types is not None:
+        out = out.filter(F.col("type").isin(list(types)))
+    return out

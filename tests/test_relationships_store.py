@@ -217,3 +217,39 @@ def test_delete_documents_cascade(spark, tmp_path):
     assert [r["doc_id"] for r in read_output(spark, docs)
             .select("doc_id").distinct().collect()] == ["d3"]
     assert get_relationships(spark, edges).count() == 1
+
+
+def test_relationships_of_directions_and_types(spark):
+    """Reference relationship_api.py:75-103 parity: OUTBOUND matches
+    _from, INBOUND matches _to, ANY either; `e.type IN types` filters;
+    an invalid direction raises like the reference's ValueError."""
+    import pytest
+
+    from pdf_extractor_spark.operators.relationships import relationships_of
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "cites"),
+            ("b", "a", "similar"),
+            ("a", "c", "similar"),
+            ("c", "d", "cites"),
+        ],
+        "_from string, _to string, type string",
+    )
+
+    def keys(df):
+        return sorted((r["_from"], r["_to"]) for r in df.collect())
+
+    assert keys(relationships_of(edges, "a", "outbound")) == [
+        ("a", "b"), ("a", "c"),
+    ]
+    assert keys(relationships_of(edges, "a", "inbound")) == [("b", "a")]
+    assert keys(relationships_of(edges, "a", "any")) == [
+        ("a", "b"), ("a", "c"), ("b", "a"),
+    ]
+    assert keys(relationships_of(edges, "a", "ANY", types=["cites"])) == [
+        ("a", "b"),
+    ]
+    assert relationships_of(edges, "zz", "any").count() == 0
+    with pytest.raises(ValueError, match="Invalid direction"):
+        relationships_of(edges, "a", "sideways")
