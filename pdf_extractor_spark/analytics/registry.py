@@ -17,6 +17,7 @@ from . import (
     similarity,
     solve,
     textstats,
+    validation,
 )
 from .base import QuerySpec
 
@@ -296,6 +297,12 @@ QUERIES: Dict[str, QuerySpec] = {
     ),
     "truncate_by_tokens": QuerySpec(
         curation.truncate_by_tokens, curation.TRUNCATE_BY_TOKENS_SQL, "R3-39"
+    ),
+    "corpus_match_validate": QuerySpec(
+        validation.corpus_match_validate, validation.CORPUS_MATCH_SQL, "R3-40"
+    ),
+    "highlight_matching_words": QuerySpec(
+        validation.highlight_matching_words, validation.HIGHLIGHT_SQL, "R3-41"
     ),
 }
 

@@ -1,0 +1,633 @@
+"""Response-validation queries — the reference's corpus/citation
+validation layer re-expressed as Catalyst plans.
+
+Reference surfaces covered here:
+
+* ``llm_client/validators/corpus_validator.py:14-110``
+  ``validate_corpus_match`` — score a response against every paragraph
+  of an approved corpus with FOUR fuzzy methods (token_set_ratio,
+  token_sort_ratio, partial_ratio, simple ratio), keep the best
+  (paragraph, method, score), threshold it, and report matching /
+  missing keywords + a highlighted response.
+* ``llm_integration/validation_utils/citation_validators.py:47-134``
+  ``citation_validator`` — the token_set_ratio-vs-corpus path is the
+  same kernel (short-content branch, :96-107).
+* ``llm_client/text_utils.py:8-41`` ``highlight_matching_words`` —
+  bracket-mark words shared by two texts, skipping stopwords.
+
+Fuzzy-kernel convention (docs/PARITY.md): rapidfuzz's InDel-based
+ratios are proxied by the normalized-Levenshtein similarity
+``100 * (1 - lev(a,b) / max(|a|,|b|,1))`` — the same documented proxy
+the partial_ratio search uses (textstats.py) — because Spark and DuckDB
+both evaluate ``levenshtein`` natively (JVM-side / vectorized, zero
+Python in the hot path). Token handling IS faithful to fuzzywuzzy:
+token_sort compares sorted-token joins (duplicates kept); token_set
+compares the sorted distinct intersection t0 against t0+diff(a) and
+t0+diff(b) and takes the max of the three pairwise similarities.
+
+Scale shape: the corpus is a handful of constant paragraphs (broadcast
+by constant-folding — they live inside the expressions, there is no
+join at all). Per-document work is map-only except ONE hash aggregate:
+partial_ratio's window maximum uses the proven explode→max pattern
+(HOF lambdas run interpreted; the explode is codegen'd and the max is
+map-side combinable), so the whole query is scan → explode → one
+partial-agg shuffle → map-only projection. Documents are capped at
+``CV_RESP_CHARS`` chars (bounds every levenshtein; a mega-doc costs
+the same as a normal one).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import QuerySpec, floor_round, load
+
+# ---------------------------------------------------------------------------
+# Fixture constants
+# ---------------------------------------------------------------------------
+
+# Approved-corpus paragraphs (the reference's quantum_corpus analog,
+# corpus_validator.py:119-125): lowercase by construction, mixing
+# corpus-vocabulary words (high overlap with documents) and words that
+# never occur (so token_set's t0-vs-t2 leg does real work and scores
+# straddle the threshold).
+CV_PARAS: list[str] = [
+    "spark merge join window batch stream data table",
+    "query filter sort order group agg quantum entanglement",
+    "customer value row column part vector superposition qubit physics",
+    "the quick brown fox jumps over the lazy dog",
+]
+CV_THRESHOLD = 75.0  # corpus_validator.py:14 default
+CV_RESP_CHARS = 160  # compute bound on the response side (documented cap)
+CV_NEEDLE_CHARS = 40  # partial_ratio needle cap (paragraph side)
+CV_METHODS = ["token_set", "token_sort", "partial", "simple"]  # tie order
+# corpus_validator.py:84 common_words (matching/missing keyword filter)
+CV_COMMON = "a an the and or but in on at to for is are".split()
+# text_utils.py:33 stopword set (highlighting) — has was/were on top
+HL_COMMON = CV_COMMON + ["was", "were"]
+
+# highlight_matching_words fixture: the constant "text2" side — echoes
+# the reference's quantum sample (text_utils.py:47-48) with corpus
+# vocabulary mixed in so real documents share words with it.
+HL_QUERY_TEXT = (
+    "a quick spark merge can exist in multiple windows due to "
+    "quantum batch principles"
+)
+
+_TOKEN_RE = re.compile(r"[0-9A-Za-z_]+")  # \w+ in Java/RE2 is ASCII
+
+
+def _py_tokens(s: str) -> list[str]:
+    return _TOKEN_RE.findall(s.lower())
+
+
+# ---------------------------------------------------------------------------
+# Spark-side kernels
+# ---------------------------------------------------------------------------
+
+
+def _sim(a: Column, b: Column) -> Column:
+    """Normalized-Levenshtein similarity, identical shape in DuckDB."""
+    return 100.0 * (
+        1.0
+        - F.levenshtein(a, b).cast("double")
+        / F.greatest(F.length(a), F.length(b), F.lit(1)).cast("double")
+    )
+
+
+def _prefix_sim(short: Column, long: Column) -> Column:
+    """_sim specialized to ``short`` being a prefix of ``long`` (always
+    true for t0 vs t1/t2 — t1 = trim(t0 || ' ' || diff)): the edit
+    distance is then EXACTLY len(long) - len(short) (pure insertions),
+    so two of token_set's three levenshteins reduce to length
+    arithmetic. Not an approximation — integer-identical to the lev
+    form in both engines."""
+    return 100.0 * (
+        1.0
+        - (F.length(long) - F.length(short)).cast("double")
+        / F.greatest(F.length(long), F.length(short), F.lit(1)).cast("double")
+    )
+
+
+def _lit_arr(words: list[str]) -> Column:
+    return F.array(*[F.lit(w) for w in words])
+
+
+def _highlight(orig: Column, words: Column) -> Column:
+    """Bracket-mark every word of ``words`` in ``orig``, case-insensitive,
+    replacement lowercased — text_utils.py:36-39 ``pattern.sub(f"[{word}]")``.
+    Words are \\w+ tokens, so no regex escaping is needed. The fold is
+    order-independent (a bracketed whole word can only re-match its own
+    pattern, which Python also applies exactly once), but both engines
+    fold the SAME sorted array anyway."""
+    return F.aggregate(
+        words,
+        orig,
+        lambda acc, w: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"(?i)\b"), w, F.lit(r"\b")),
+            F.concat(F.lit("["), w, F.lit("]")),
+        ),
+    )
+
+
+def _pair_token_scores() -> dict[str, Column]:
+    """token_set / token_sort / simple scores over a (response ×
+    paragraph) pair frame. Expects materialized response columns
+    ``resp`` / ``rtoks`` / ``d_r`` / ``sort_r`` and paragraph columns
+    ``para`` / ``p_dist`` / ``p_sort`` from the broadcast dimension.
+    The paragraph side is DATA, not inlined constants, on purpose:
+    with four per-paragraph constant copies the duplicated
+    levenshtein/array pipelines cost ~10 s of per-build Janino
+    expression compilation; as columns each kernel is generated once."""
+    d_r = F.col("d_r")
+    p_dist = F.col("p_dist")
+    inter = F.array_sort(F.array_intersect(d_r, p_dist))
+    diff_r = F.array_sort(F.array_except(d_r, p_dist))
+    diff_p = F.array_sort(F.array_except(p_dist, d_r))
+    t0 = F.array_join(inter, " ")
+    t1 = F.trim(F.concat_ws(" ", t0, F.array_join(diff_r, " ")))
+    t2 = F.trim(F.concat_ws(" ", t0, F.array_join(diff_p, " ")))
+    empty_tok = F.size("rtoks") == 0  # paragraph side never empty
+    empty_str = F.length("resp") == 0
+    # NULL text needs an explicit guard on token_set only: concat_ws
+    # skips NULLs so t1/t2 become '' and sim('','') = 100 — greatest()
+    # also skips NULLs, so without the guard a NULL doc would "match".
+    null_resp = F.col("resp").isNull()
+    return {
+        "token_set": F.when(null_resp, F.lit(None).cast("double"))
+        .when(empty_tok, 0.0)
+        .otherwise(
+            F.greatest(_prefix_sim(t0, t1), _prefix_sim(t0, t2), _sim(t1, t2))
+        ),
+        "token_sort": F.when(empty_tok, 0.0).otherwise(
+            _sim(F.col("sort_r"), F.col("p_sort"))
+        ),
+        "simple": F.when(empty_str, 0.0).otherwise(
+            _sim(F.col("resp"), F.col("para"))
+        ),
+    }
+
+
+def _pair_window_sim() -> Column:
+    """partial_ratio leg over the pair-window frame: the needle (capped
+    paragraph) slides over the response; windows are generated per pair
+    with the needle's own length, similarity normalized by it."""
+    k = F.length("needle")
+    return 100.0 * (
+        1.0
+        - F.levenshtein(
+            F.substr(F.col("resp"), F.col("i"), k), F.col("needle")
+        ).cast("double")
+        / k.cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graded query: corpus_match_validate
+# ---------------------------------------------------------------------------
+
+
+def corpus_match_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_corpus_match over the documents table: every document is
+    a "response" scored against the constant approved corpus; output is
+    the reference's results dict as columns — best paragraph (earliest
+    strictly-greater winner, corpus_validator.py:74-77), best method
+    (first max in token_set > token_sort > partial > simple order, the
+    Python ``max`` over the method dict, :66-68), floor4 best score,
+    the threshold verdict, matching/missing keyword lists vs the
+    winning paragraph (:80-89, common-word filtered), the word-overlap
+    percentage (:99-101) and the highlighted response
+    (text_utils.py:8-41 via the shared ``_highlight`` fold).
+
+    NULL-text documents yield NULL scores and ``valid=false`` (the
+    reference would crash on None — disclosed divergence); empty text
+    scores 0 on every method like rapidfuzz's empty-input rule."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            F.substring("text", 1, CV_RESP_CHARS).alias("orig"),
+        )
+        .select("doc_id", "orig", F.lower("orig").alias("resp"))
+    )
+    toked = base.select(
+        "doc_id",
+        "orig",
+        "resp",
+        F.expr(r"regexp_extract_all(resp, '\\w+', 0)").alias("rtoks"),
+    ).select(
+        "*",
+        F.array_sort(F.array_distinct("rtoks")).alias("d_r"),
+        F.array_join(F.array_sort("rtoks"), " ").alias("sort_r"),
+    )
+    # The paragraph corpus as a 4-row broadcast dimension. Structure,
+    # not style: inlining the paragraphs as constants quadruplicates
+    # every levenshtein/array kernel in the generated code (~10 s of
+    # Janino compilation per fresh plan), and per-output CASE chains
+    # re-inline them further under projection collapse. As a joined
+    # dimension each kernel is generated exactly once and the word-set
+    # outputs are plain array expressions over one matched row.
+    paras_dim = spark.createDataFrame(
+        [
+            (
+                i + 1,
+                p,
+                sorted(set(_py_tokens(p))),
+                " ".join(sorted(_py_tokens(p))),
+                p[:CV_NEEDLE_CHARS],
+                sorted(set(_py_tokens(p)) - set(CV_COMMON)),
+                len(set(_py_tokens(p)) - set(CV_COMMON)),
+                sorted(set(_py_tokens(p)) - set(HL_COMMON)),
+            )
+            for i, p in enumerate(CV_PARAS)
+        ],
+        "para_id int, para string, p_dist array<string>, p_sort string, "
+        "needle string, kw_p array<string>, n_kw int, hl_p array<string>",
+    )
+    pairs = toked.crossJoin(
+        F.broadcast(
+            paras_dim.select("para_id", "para", "p_dist", "p_sort", "needle")
+        )
+    )
+    s = _pair_token_scores()
+    # Token scores are computed ONCE per pair row (before the window
+    # explode — Generate evaluates its child projection per input row)
+    # and ride through the window aggregate as doubles: max() over the
+    # per-pair-constant value returns it unchanged, keeps every
+    # aggregate buffer primitive (HashAggregate with map-side combine;
+    # first() on strings/arrays would force a SortAggregate over every
+    # exploded window row) and saves a per-pair join.
+    winp = pairs.select(
+        "doc_id",
+        "para_id",
+        "resp",
+        "needle",
+        s["token_set"].alias("ts"),
+        s["token_sort"].alias("tso"),
+        s["simple"].alias("si"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.lit(1),
+                    F.length("resp") - F.length("needle") + F.lit(1),
+                ),
+            )
+        ).alias("i"),
+    )
+    pair_scores = winp.groupBy("doc_id", "para_id").agg(
+        F.max(_pair_window_sim()).alias("par"),
+        F.max("ts").alias("ts"),
+        F.max("tso").alias("tso"),
+        F.max("si").alias("si"),
+    )
+    # Per-pair best method (first max in CV_METHODS order — the Python
+    # ``max`` over the method dict), then per-doc best paragraph via
+    # max over (coalesce(score,-1), -para_id) structs — the exact
+    # equivalent of the reference's strictly-greater paragraph fold
+    # (earliest paragraph wins ties; NULL scores lose to everything).
+    mcols = {
+        "token_set": F.col("ts"),
+        "token_sort": F.col("tso"),
+        "partial": F.col("par"),
+        "simple": F.col("si"),
+    }
+    pscore = F.greatest(*[mcols[m] for m in CV_METHODS])
+    method = F.lit(None).cast("string")
+    for m in reversed(CV_METHODS):
+        method = F.when(mcols[m] == pscore, F.lit(m)).otherwise(method)
+    best = (
+        pair_scores.select(
+            "doc_id",
+            F.struct(
+                F.coalesce(pscore, F.lit(-1.0)).alias("s"),
+                (-F.col("para_id")).alias("np"),
+                pscore.alias("raw"),
+                F.col("para_id").alias("para_id"),
+                method.alias("method"),
+            ).alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("b").alias("b"))
+    )
+    picked = (
+        toked.select(
+            "doc_id",
+            "orig",
+            "d_r",
+            F.array_sort(
+                F.array_except("d_r", _lit_arr(sorted(CV_COMMON)))
+            ).alias("kw_r"),
+        )
+        .join(best, "doc_id")
+        .select(
+            "doc_id",
+            "orig",
+            "d_r",
+            "kw_r",
+            F.col("b.para_id").alias("best_para_id"),
+            F.col("b.method").alias("best_method"),
+            F.col("b.raw").alias("raw_score"),
+        )
+    )
+    joined = picked.join(
+        F.broadcast(
+            paras_dim.select(
+                F.col("para_id").alias("best_para_id"), "kw_p", "n_kw", "hl_p"
+            )
+        ),
+        "best_para_id",
+    )
+    matching = F.array_sort(F.array_intersect("kw_r", "kw_p"))
+    out = joined.select(
+        "doc_id",
+        "best_para_id",
+        "best_method",
+        floor_round(F.col("raw_score"), 4).alias("best_score"),
+        F.coalesce(F.col("raw_score") >= CV_THRESHOLD, F.lit(False)).alias(
+            "valid"
+        ),
+        matching.alias("matching_words"),
+        F.size(matching).alias("n_matching"),
+        F.size(F.array_sort(F.array_except("kw_p", "kw_r"))).alias(
+            "n_missing"
+        ),
+        floor_round(
+            F.size(matching) / F.col("n_kw").cast("double") * 100.0, 4
+        ).alias("overlap_pct"),
+        _highlight(
+            F.col("orig"), F.array_sort(F.array_intersect("d_r", "hl_p"))
+        ).alias("highlighted"),
+    )
+    return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Graded query: highlight_matching_words (text_utils parity, standalone)
+# ---------------------------------------------------------------------------
+
+
+def highlight_matching_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_utils.py:8-41 over the documents table vs the constant
+    HL_QUERY_TEXT: words shared by both sides (\\w+, lowercased, minus
+    the stopword set) get bracket-marked in the document text,
+    case-insensitively, replacement lowercased. Map-only — tokenize,
+    set-intersect against a folded constant array, one bounded
+    regexp_replace fold; no shuffle before the presentation sort."""
+    q_words = sorted(set(_py_tokens(HL_QUERY_TEXT)) - set(HL_COMMON))
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .select("doc_id", F.substring("text", 1, CV_RESP_CHARS).alias("orig"))
+        .select(
+            "doc_id",
+            "orig",
+            F.expr(r"regexp_extract_all(lower(orig), '\\w+', 0)").alias(
+                "toks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "orig",
+            F.array_sort(
+                F.array_except(
+                    F.array_intersect(
+                        F.array_distinct("toks"), _lit_arr(q_words)
+                    ),
+                    _lit_arr(sorted(HL_COMMON)),
+                )
+            ).alias("common"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("common").alias("n_common"),
+        _highlight(F.col("orig"), F.col("common")).alias("highlighted"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (generated from the same constants)
+# ---------------------------------------------------------------------------
+
+
+def _sql_sim(a: str, b: str) -> str:
+    return (
+        f"100.0 * (1.0 - CAST(levenshtein({a}, {b}) AS DOUBLE)"
+        f" / CAST(greatest(len({a}), len({b}), 1) AS DOUBLE))"
+    )
+
+
+def _sql_prefix_sim(short: str, long: str) -> str:
+    """_prefix_sim twin: short is a prefix of long ⇒ lev = len diff."""
+    return (
+        f"100.0 * (1.0 - CAST(len({long}) - len({short}) AS DOUBLE)"
+        f" / CAST(greatest(len({long}), len({short}), 1) AS DOUBLE))"
+    )
+
+
+def _sql_lit_list(words: list[str]) -> str:
+    inner = ", ".join("'" + w + "'" for w in words)
+    return f"[{inner}]"
+
+
+def _sql_floor4(x: str) -> str:
+    return f"CAST(floor(({x}) * 10000 + 1e-6) / 10000 AS DOUBLE)"
+
+
+def _sql_para_scores(i: int, para: str) -> str:
+    """Per-paragraph score columns for the oracle CTE."""
+    p_toks = _py_tokens(para)
+    p_dist = _sql_lit_list(sorted(set(p_toks)))
+    p_sort_join = " ".join(sorted(p_toks))
+    needle = para[:CV_NEEDLE_CHARS]
+    k = len(needle)
+    inter = f"list_sort(list_intersect(d_r, {p_dist}))"
+    diff_r = f"list_sort(list_filter(d_r, x -> NOT list_contains({p_dist}, x)))"
+    diff_p = f"list_sort(list_filter({p_dist}, x -> NOT list_contains(d_r, x)))"
+    t0 = f"array_to_string({inter}, ' ')"
+    t1 = f"trim(concat_ws(' ', {t0}, array_to_string({diff_r}, ' ')))"
+    t2 = f"trim(concat_ws(' ', {t0}, array_to_string({diff_p}, ' ')))"
+    token_set = (
+        f"CASE WHEN resp IS NULL THEN NULL "
+        f"WHEN len(rtoks) = 0 THEN 0.0 ELSE greatest("
+        f"{_sql_prefix_sim('t0_' + str(i), 't1_' + str(i))}, "
+        f"{_sql_prefix_sim('t0_' + str(i), 't2_' + str(i))}, "
+        f"{_sql_sim('t1_' + str(i), 't2_' + str(i))}) END"
+    )
+    token_sort = (
+        f"CASE WHEN len(rtoks) = 0 THEN 0.0 "
+        f"ELSE {_sql_sim('sort_r', repr(p_sort_join))} END"
+    )
+    simple = (
+        f"CASE WHEN len(resp) = 0 THEN 0.0 "
+        f"ELSE {_sql_sim('resp', repr(para))} END"
+    )
+    partial = (
+        f"list_max(list_transform("
+        f"generate_series(1, greatest(1, len(resp) - {k - 1})), "
+        f"i -> 100.0 * (1.0 - CAST(levenshtein(substr(resp, i, {k}), "
+        f"{needle!r}) AS DOUBLE) / {float(k)!r})))"
+    )
+    return {
+        "pre": f"{t0} AS t0_{i}, {t1} AS t1_{i}, {t2} AS t2_{i}",
+        "token_set": token_set,
+        "token_sort": token_sort,
+        "partial": partial,
+        "simple": simple,
+    }
+
+
+def _corpus_match_sql() -> str:
+    n = len(CV_PARAS)
+    frags = [_sql_para_scores(i, p) for i, p in enumerate(CV_PARAS)]
+    pre_cols = ", ".join(f["pre"] for f in frags)
+    method_exprs = []
+    for i, f in enumerate(frags):
+        cols = ", ".join(
+            f"{f[m]} AS {m}_{i}" for m in CV_METHODS
+        )
+        method_exprs.append(cols)
+    method_cols = ", ".join(method_exprs)
+    pscore_cols = ", ".join(
+        "greatest("
+        + ", ".join(f"{m}_{i}" for m in CV_METHODS)
+        + f") AS pscore_{i}"
+        for i in range(n)
+    )
+    method_pick = ", ".join(
+        "(CASE "
+        + " ".join(
+            f"WHEN {m}_{i} = pscore_{i} THEN '{m}'" for m in CV_METHODS
+        )
+        + f" END) AS method_{i}"
+        for i in range(n)
+    )
+    # strictly-greater paragraph fold, expressed as the equivalent
+    # ORDER BY (coalesce(score,-1) DESC, para_id ASC) row_number pick
+    melt = " UNION ALL ".join(
+        f"SELECT doc_id, {i + 1} AS para_id, pscore_{i} AS score, "
+        f"method_{i} AS method FROM picked0"
+        for i in range(n)
+    )
+    common = _sql_lit_list(sorted(CV_COMMON))
+    hl_common = _sql_lit_list(sorted(HL_COMMON))
+    mat_case, mis_case, nkw_case, hlw_case = [], [], [], []
+    for i, p in enumerate(CV_PARAS):
+        kw_p = _sql_lit_list(sorted(set(_py_tokens(p)) - set(CV_COMMON)))
+        n_kw = len(set(_py_tokens(p)) - set(CV_COMMON))
+        hl_p = _sql_lit_list(sorted(set(_py_tokens(p)) - set(HL_COMMON)))
+        mat_case.append(
+            f"WHEN para_id = {i + 1} THEN "
+            f"list_sort(list_intersect(kw_r, {kw_p}))"
+        )
+        mis_case.append(
+            f"WHEN para_id = {i + 1} THEN list_sort(list_filter({kw_p}, "
+            f"x -> NOT list_contains(kw_r, x)))"
+        )
+        nkw_case.append(f"WHEN para_id = {i + 1} THEN {n_kw}")
+        hlw_case.append(
+            f"WHEN para_id = {i + 1} THEN list_sort(list_filter("
+            f"list_intersect(d_r, {hl_p}), "
+            f"x -> NOT list_contains({hl_common}, x)))"
+        )
+    return f"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, {CV_RESP_CHARS}) AS orig,
+         lower(substr(text, 1, {CV_RESP_CHARS})) AS resp
+  FROM documents
+), toked AS (
+  SELECT doc_id, orig, resp,
+         regexp_extract_all(resp, '\\w+') AS rtoks,
+         list_sort(list_distinct(regexp_extract_all(resp, '\\w+'))) AS d_r,
+         array_to_string(list_sort(regexp_extract_all(resp, '\\w+')), ' ')
+           AS sort_r
+  FROM base
+), pre AS (
+  SELECT *, {pre_cols} FROM toked
+), methods AS (
+  SELECT *, {method_cols} FROM pre
+), pscored AS (
+  SELECT *, {pscore_cols} FROM (SELECT * FROM methods)
+), picked0 AS (
+  SELECT *, {method_pick} FROM pscored
+), melted AS (
+  {melt}
+), ranked AS (
+  SELECT doc_id, para_id, score, method,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY coalesce(score, -1.0) DESC, para_id ASC
+         ) AS rn
+  FROM melted
+), best AS (
+  SELECT r.doc_id, r.para_id, r.score, r.method,
+         t.orig, t.d_r,
+         list_sort(list_filter(t.d_r,
+           x -> NOT list_contains({common}, x))) AS kw_r
+  FROM ranked r JOIN toked t ON t.doc_id = r.doc_id
+  WHERE r.rn = 1
+)
+SELECT doc_id,
+  para_id AS best_para_id,
+  method AS best_method,
+  {_sql_floor4('score')} AS best_score,
+  coalesce(score >= {CV_THRESHOLD}, false) AS valid,
+  (CASE {' '.join(mat_case)} END) AS matching_words,
+  CAST(len(CASE {' '.join(mat_case)} END) AS INTEGER) AS n_matching,
+  CAST(len(CASE {' '.join(mis_case)} END) AS INTEGER) AS n_missing,
+  {_sql_floor4(
+      'CAST(len(CASE ' + ' '.join(mat_case) + ' END) AS DOUBLE)'
+      ' / (CASE ' + ' '.join(nkw_case) + ' END) * 100.0'
+  )} AS overlap_pct,
+  list_reduce(
+    list_prepend(orig, (CASE {' '.join(hlw_case)} END)),
+    (acc, w) -> regexp_replace(acc,
+       '(?i)\\b' || w || '\\b', '[' || w || ']', 'g')
+  ) AS highlighted
+FROM best
+ORDER BY doc_id
+"""
+
+
+CORPUS_MATCH_SQL = _corpus_match_sql()
+
+
+def _highlight_sql() -> str:
+    q_words = _sql_lit_list(
+        sorted(set(_py_tokens(HL_QUERY_TEXT)) - set(HL_COMMON))
+    )
+    hl_common = _sql_lit_list(sorted(HL_COMMON))
+    return f"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, {CV_RESP_CHARS}) AS orig
+  FROM documents
+), toked AS (
+  SELECT doc_id, orig,
+         list_sort(list_filter(
+           list_intersect(
+             list_distinct(regexp_extract_all(lower(orig), '\\w+')),
+             {q_words}),
+           x -> NOT list_contains({hl_common}, x))) AS common
+  FROM base
+)
+SELECT doc_id,
+  CAST(len(common) AS INTEGER) AS n_common,
+  list_reduce(
+    list_prepend(orig, common),
+    (acc, w) -> regexp_replace(acc,
+       '(?i)\\b' || w || '\\b', '[' || w || ']', 'g')
+  ) AS highlighted
+FROM toked
+ORDER BY doc_id
+"""
+
+
+HIGHLIGHT_SQL = _highlight_sql()
