@@ -16,6 +16,7 @@ from . import (
     search_api,
     similarity,
     solve,
+    taskflow,
     textstats,
     validation,
 )
@@ -303,6 +304,11 @@ QUERIES: Dict[str, QuerySpec] = {
     ),
     "highlight_matching_words": QuerySpec(
         validation.highlight_matching_words, validation.HIGHLIGHT_SQL, "R3-41"
+    ),
+    "task_dependency_schedule": QuerySpec(
+        taskflow.task_dependency_schedule,
+        taskflow.TASK_DEPENDENCY_SQL,
+        "R3-42",
     ),
 }
 
