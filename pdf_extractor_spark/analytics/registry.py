@@ -310,6 +310,9 @@ QUERIES: Dict[str, QuerySpec] = {
         taskflow.TASK_DEPENDENCY_SQL,
         "R3-42",
     ),
+    "template_substitute": QuerySpec(
+        taskflow.template_substitute, taskflow.TEMPLATE_SUBSTITUTE_SQL, "R3-43"
+    ),
 }
 
 

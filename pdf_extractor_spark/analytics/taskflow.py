@@ -56,6 +56,116 @@ def task_dependency_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("task_id")
 
 
+# ---------------------------------------------------------------------------
+# Placeholder substitution (reference llm_integration/parser.py:50-157
+# substitute_placeholders): replace {{ task_id.result }} placeholders
+# with sanitized results from a completed-results map.
+# ---------------------------------------------------------------------------
+
+# The fixture's completed-results map (the reference takes a Python
+# dict): statuses and values chosen to light every replacer branch.
+TPL_RESULTS: dict[str, tuple[str, object]] = {
+    "T0": ("success", "alpha beta"),
+    "T1": ("success", "   "),  # empty after strip
+    "T2": ("failed", "whatever"),
+    "T3": ("success", None),
+    "T4": ("success", 'it\'s <b>bold</b> & "quoted"'),
+    "T5": ("success", "x" * 10001),  # over the 10,000-char cap
+}
+TPL_PAT = r"\{\{\s*[\w-]+\.result\s*\}\}"  # parser.py:99
+
+
+def _render_result(status: str, value) -> str:
+    """The reference's replacer (parser.py:101-146) for simple-typed
+    results, evaluated per TASK at plan build (it is row-independent —
+    the engine-side work is the pattern application). Quirk carried
+    as-is: the sanitizer's HTML-encode chain (parser.py:86-92) is
+    literally self-identity for & < > \" and only rewrites the single
+    quote to ``&#39;`` — faithful to the file, not to its comment."""
+    if status != "success":
+        return "[ERROR: Dependency failed]"
+    if value is None:
+        return "[ERROR: Null result]"
+    s = str(value)
+    if len(s) > 10000:
+        return "[ERROR: Input too long]"
+    s = s.replace("'", "&#39;")
+    if not s.strip():
+        return "[ERROR: Empty result after sanitization]"
+    return s
+
+
+def _tpl_replacements() -> list[tuple[str, str]]:
+    """(pattern, replacement) chain: one exact-task pattern per known
+    task, then the catch-all for unknown task ids. Safe as a sequential
+    fold because no rendered replacement contains placeholder syntax
+    (Python's one-pass re.sub and the fold agree whenever replacements
+    cannot re-match — asserted here)."""
+    out = []
+    for tid, (status, value) in TPL_RESULTS.items():
+        repl = _render_result(status, value)
+        assert "{{" not in repl
+        out.append((r"\{\{\s*" + tid + r"\.result\s*\}\}", repl))
+    out.append((TPL_PAT, "[ERROR: Result not found]"))
+    return out
+
+
+def template_substitute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substitute_placeholders over a per-document template: each doc
+    renders ``{{T<doc_id%8>.result}}`` (tight form) and
+    ``{{ T<(doc_id+3)%10>.result }}`` (spaced form) plus a text
+    snippet, so hits cover every replacer branch — success, quote
+    sanitization, empty-after-strip, failed dependency, null result,
+    over-length result, and the two missing-id error paths. Map-only:
+    a short chain of literal regexp_replace passes, no shuffle before
+    the presentation sort."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tpl = F.concat(
+        F.lit("doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(": {{T"),
+        (F.col("doc_id") % 8).cast("string"),
+        F.lit(".result}} & {{ T"),
+        ((F.col("doc_id") + 3) % 10).cast("string"),
+        F.lit(".result }} | "),
+        F.coalesce(F.substring("text", 1, 40), F.lit("")),
+    )
+    base = docs.select("doc_id", tpl.alias("template"))
+    rendered = F.col("template")
+    for pat, repl in _tpl_replacements():
+        rendered = F.regexp_replace(rendered, pat, repl)
+    return base.select(
+        "doc_id",
+        F.regexp_count("template", F.lit(TPL_PAT)).alias("n_placeholders"),
+        rendered.alias("rendered"),
+    ).orderBy("doc_id")
+
+
+def _template_sql() -> str:
+    tpl = (
+        "'doc ' || doc_id || ': {{T' || (doc_id % 8) || '.result}} & "
+        "{{ T' || ((doc_id + 3) % 10) || '.result }} | ' "
+        "|| coalesce(substr(text, 1, 40), '')"
+    )
+    rendered = "template"
+    for pat, repl in _tpl_replacements():
+        rendered = f"regexp_replace({rendered}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {tpl} AS template FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(template, '{TPL_PAT}')) AS INTEGER)
+    AS n_placeholders,
+  {rendered} AS rendered
+FROM base
+ORDER BY doc_id
+"""
+
+
+TEMPLATE_SUBSTITUTE_SQL = _template_sql()
+
+
 _TASK_K = "CAST(json_extract(props, '$.k') AS INTEGER)"
 
 TASK_DEPENDENCY_SQL = f"""
