@@ -313,6 +313,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "template_substitute": QuerySpec(
         taskflow.template_substitute, taskflow.TEMPLATE_SUBSTITUTE_SQL, "R3-43"
     ),
+    "json_response_validate": QuerySpec(
+        validation.json_response_validate, validation.JSON_RESPONSE_SQL, "R3-44"
+    ),
 }
 
 

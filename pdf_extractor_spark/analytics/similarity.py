@@ -1008,17 +1008,46 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_raw = F.try_divide(s2, n) - mean * mean
     var = F.when(var_raw < 0, F.lit(0.0)).otherwise(var_raw)
     guard = lambda c: F.when(n > 0, c)  # noqa: E731
+
+    # overflow-guarded floor4: Spark's floor() lands in LONG, so a
+    # magnitude ≥ ~9.2e14 overflows after the *10^4 scaling (DuckDB
+    # floors in double) — above the cutoff the raw value passes
+    # through unrounded in BOTH engines, where a 1e-4 grid is sub-ulp
+    # anyway (found by scripts/adversarial_sweep.py, 1e18 vector).
+    def fl4(c: Column) -> Column:
+        return F.when(F.abs(c) < 9e14, _floor4(c)).otherwise(c)
+
     return e.select(
         "vec_id",
-        guard(_floor4(F.array_min("e"))).alias("emb_min"),
-        guard(_floor4(F.array_max("e"))).alias("emb_max"),
-        guard(_floor4(mean)).alias("emb_mean"),
-        guard(_floor4(F.sqrt(var))).alias("emb_std"),
-        guard(_floor4(F.sqrt(s2))).alias("emb_norm"),
+        guard(fl4(F.array_min("e"))).alias("emb_min"),
+        guard(fl4(F.array_max("e"))).alias("emb_max"),
+        guard(fl4(mean)).alias("emb_mean"),
+        guard(fl4(F.sqrt(var))).alias("emb_std"),
+        guard(fl4(F.sqrt(s2))).alias("emb_norm"),
     ).orderBy("vec_id")
 
 
-EMBEDDING_STATS_SQL = """
+def _emb_stats_sql() -> str:
+    # guarded floor4 twin of the Spark fl4 above: pass-through past the
+    # LONG-safe magnitude cutoff
+    def fl4(x: str) -> str:
+        return (
+            f"CASE WHEN abs({x}) < 9e14 "
+            f"THEN CAST(floor({x} * 10000 + 1e-6) / 10000 AS DOUBLE) "
+            f"ELSE {x} END"
+        )
+
+    cols = ", ".join(
+        f"CASE WHEN n > 0 THEN ({fl4(c)}) END AS emb_{name}"
+        for name, c in [
+            ("min", "mn"),
+            ("max", "mx"),
+            ("mean", "mean"),
+            ("std", "std"),
+            ("norm", "norm"),
+        ]
+    )
+    return f"""
 WITH t AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
@@ -1030,16 +1059,18 @@ WITH t AS (
          list_sum(e) AS s1,
          list_sum(list_transform(e, x -> x * x)) AS s2
   FROM t
+), raw AS (
+  SELECT vec_id, n, mn, mx,
+         s1 / n AS mean,
+         sqrt(CASE WHEN s2 / n - (s1 / n) * (s1 / n) < 0 THEN 0
+                   ELSE s2 / n - (s1 / n) * (s1 / n) END) AS std,
+         sqrt(s2) AS norm
+  FROM s
 )
-SELECT vec_id,
-  CASE WHEN n > 0 THEN CAST(floor(mn * 10000 + 1e-6) / 10000 AS DOUBLE) END AS emb_min,
-  CASE WHEN n > 0 THEN CAST(floor(mx * 10000 + 1e-6) / 10000 AS DOUBLE) END AS emb_max,
-  CASE WHEN n > 0 THEN CAST(floor((s1 / n) * 10000 + 1e-6) / 10000 AS DOUBLE) END AS emb_mean,
-  CASE WHEN n > 0 THEN CAST(floor(
-    sqrt(CASE WHEN s2 / n - (s1 / n) * (s1 / n) < 0 THEN 0
-              ELSE s2 / n - (s1 / n) * (s1 / n) END) * 10000 + 1e-6) / 10000 AS DOUBLE)
-  END AS emb_std,
-  CASE WHEN n > 0 THEN CAST(floor(sqrt(s2) * 10000 + 1e-6) / 10000 AS DOUBLE) END AS emb_norm
-FROM s
+SELECT vec_id, {cols}
+FROM raw
 ORDER BY vec_id
 """
+
+
+EMBEDDING_STATS_SQL = _emb_stats_sql()

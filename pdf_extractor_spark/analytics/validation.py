@@ -213,7 +213,20 @@ def corpus_match_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.substring("text", 1, CV_RESP_CHARS).alias("orig"),
         )
-        .select("doc_id", "orig", F.lower("orig").alias("resp"))
+        .select(
+            "doc_id",
+            "orig",
+            # scored on the ASCII projection of the capped text: the
+            # engines disagree outside ASCII — DuckDB's levenshtein is
+            # byte-based (lev('שלום','ab') = 8 vs Spark's 4) and
+            # lower('İ') is 'i̇' in Java but 'i' in utf8proc — so the
+            # fuzzy kernels compare identically-sanitized strings while
+            # the highlighted output keeps the original text intact
+            # (found by scripts/adversarial_sweep.py, RTL/NFC docs)
+            F.lower(
+                F.regexp_replace("orig", r"[^\x20-\x7e]", "")
+            ).alias("resp"),
+        )
     )
     toked = base.select(
         "doc_id",
@@ -541,7 +554,8 @@ def _corpus_match_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, substr(text, 1, {CV_RESP_CHARS}) AS orig,
-         lower(substr(text, 1, {CV_RESP_CHARS})) AS resp
+         lower(regexp_replace(substr(text, 1, {CV_RESP_CHARS}),
+               '[^\\x20-\\x7e]', '', 'g')) AS resp
   FROM documents
 ), toked AS (
   SELECT doc_id, orig, resp,
@@ -631,3 +645,119 @@ ORDER BY doc_id
 
 
 HIGHLIGHT_SQL = _highlight_sql()
+
+
+# ---------------------------------------------------------------------------
+# Graded query: json_response_validate
+# (reference llm_integration/validation_utils/json_validators.py:34-120 —
+#  json_validator's direct-parse → ```json fence → generic-fence cascade,
+#  and required_fields_validator's missing-field report)
+# ---------------------------------------------------------------------------
+
+JV_REQUIRED = ["name", "age"]  # required_fields_validator fixture args
+
+
+def json_response_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON validators over synthesized per-document "LLM responses"
+    (five deterministic forms by doc_id%5: direct JSON, ```json fence,
+    generic fence with a language line, plain text, broken JSON). The
+    candidate cascade mirrors json_validators.py:45-76: direct parse,
+    else the ```json block, else the first generic block with its first
+    line stripped (the reference loops over every odd block; the
+    fixture's single-block forms make first-block equivalent —
+    disclosed). Field check = required_fields_validator:84-120 on the
+    winning candidate. Engine-side: try_parse_json + two bounded
+    regexp_extracts, map-only."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    mod = F.col("doc_id") % 5
+    resp = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit('{"name": "d'), did, F.lit('", "age": '), did, F.lit("}")
+            ),
+        )
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit('response: ```json\n{"name": "d'), did, F.lit('"}\n``` ok')
+            ),
+        )
+        .when(
+            mod == 2,
+            F.concat(
+                F.lit('noise ```\n{"age": '), did, F.lit(', "name": "x"}\n``` more')
+            ),
+        )
+        .when(mod == 3, F.lit("not json at all"))
+        .otherwise(F.concat(F.lit('{"name": broken'), did))
+    )
+    base = docs.select("doc_id", resp.alias("resp"))
+    fenced = F.trim(F.regexp_extract("resp", r"(?s)```json(.*?)```", 1))
+    generic_raw = F.regexp_extract("resp", r"(?s)```(.*?)```", 1)
+    # "\n".join(block.split("\n")[1:]) — drop through the first newline
+    generic = F.trim(F.regexp_replace(generic_raw, r"^[^\n]*\n", ""))
+    cand = (
+        F.when(F.try_parse_json("resp").isNotNull(), F.col("resp"))
+        .when(F.try_parse_json(fenced).isNotNull(), fenced)
+        .when(F.try_parse_json(generic).isNotNull(), generic)
+    )
+    staged = base.select("doc_id", "resp", cand.alias("cand")).select(
+        "doc_id",
+        F.col("cand").isNotNull().alias("json_ok"),
+        F.array_except(
+            F.array(*[F.lit(f) for f in JV_REQUIRED]),
+            F.json_object_keys("cand"),
+        ).alias("missing"),
+    )
+    return staged.select(
+        "doc_id",
+        "json_ok",
+        "missing",
+        F.coalesce(F.size("missing") == 0, F.lit(False)).alias("fields_ok"),
+    ).orderBy("doc_id")
+
+
+_JV_REQ_SQL = "[" + ", ".join(f"'{f}'" for f in JV_REQUIRED) + "]"
+
+JSON_RESPONSE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN '{{"name": "d' || doc_id || '", "age": ' || doc_id || '}}'
+      WHEN 1 THEN 'response: ```json' || chr(10) || '{{"name": "d' || doc_id
+                  || '"}}' || chr(10) || '``` ok'
+      WHEN 2 THEN 'noise ```' || chr(10) || '{{"age": ' || doc_id
+                  || ', "name": "x"}}' || chr(10) || '``` more'
+      WHEN 3 THEN 'not json at all'
+      ELSE '{{"name": broken' || doc_id
+    END AS resp
+  FROM documents
+), cands AS (
+  SELECT doc_id, resp,
+    trim(regexp_extract(resp, '(?s)```json(.*?)```', 1)) AS fenced,
+    trim(regexp_replace(
+      regexp_extract(resp, '(?s)```(.*?)```', 1), '^[^\n]*\n', '')) AS generic
+  FROM base
+), picked AS (
+  SELECT doc_id,
+    CASE WHEN json_valid(resp) THEN resp
+         WHEN json_valid(fenced) THEN fenced
+         WHEN json_valid(generic) THEN generic
+    END AS cand
+  FROM cands
+), staged AS (
+  SELECT doc_id,
+    cand IS NOT NULL AS json_ok,
+    CASE WHEN cand IS NULL THEN NULL
+         ELSE list_filter({_JV_REQ_SQL},
+                f -> NOT list_contains(json_keys(cand), f))
+    END AS missing
+  FROM picked
+)
+SELECT doc_id, json_ok, missing,
+  coalesce(len(missing) = 0, false) AS fields_ok
+FROM staged
+ORDER BY doc_id
+"""

@@ -34,7 +34,7 @@ def _fl4(x: float) -> float:
 def _py_best(text, paras, needles, common, hl_common, threshold):
     """Pure-Python recompute of the graded kernel for one document."""
     orig = text[:160]
-    resp = orig.lower()
+    resp = re.sub(r"[^\x20-\x7e]", "", orig).lower()  # ASCII projection
     rtoks = TOKEN_RE.findall(resp)
     d_r = sorted(set(rtoks))
     sort_r = " ".join(sorted(rtoks))
