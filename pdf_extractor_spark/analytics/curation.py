@@ -647,3 +647,93 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+# ---------------------------------------------------------------------------
+# Language-mixture sampling (training:data-mixing)
+#
+# Pretraining corpora are rarely consumed at their natural language
+# proportions — a target mixture (the DoReMi / Pile-style domain-weight
+# idea, statically applied) says what fraction of the TRAINING set each
+# language should be. Given target shares, take the largest corpus the
+# observed counts can supply at exactly those shares: M = min over
+# target languages of count_l / share_l, keep share_l * M docs from
+# language l, i.e. per-language acceptance rate share_l * M / count_l
+# (rate 1.0 for the binding language). Languages outside the target
+# map are dropped.
+#
+# Scale shape: ONE tiny aggregate (count per target language — 5 keys,
+# map-side combined) broadcast back as per-language rates; the
+# selection itself is the same coordination-free md5-threshold rule as
+# stratified_sample — a pure function of (doc_id, lang), no rand(), so
+# the sample is reproducible run-to-run and resumable shard-by-shard.
+# The hash fraction uses 8 hex digits (2^32 grid) so rates resolve to
+# ~1e-10, vs the single-digit 1/16 grid of the fixed-rate sampler.
+# ---------------------------------------------------------------------------
+
+TARGET_MIX: dict[str, float] = {
+    "en": 0.40,
+    "de": 0.25,
+    "fr": 0.15,
+    "es": 0.15,
+    "zh": 0.05,
+}
+
+
+def language_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            [(lang, share) for lang, share in TARGET_MIX.items()],
+            "lang string, share double",
+        )
+    )
+    counts = (
+        docs.join(tgt, "lang")
+        .groupBy("lang", "share")
+        .agg(F.count("*").alias("cnt"))
+    )
+    m = counts.agg(
+        F.min(F.col("cnt").cast("double") / F.col("share")).alias("m")
+    )
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        "lang",
+        (F.col("share") * F.col("m") / F.col("cnt").cast("double")).alias(
+            "rate"
+        ),
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(frac < F.col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_VALUES = ", ".join(
+    f"('{lang}', CAST({share} AS DOUBLE))" for lang, share in TARGET_MIX.items()
+)
+
+LANGUAGE_MIX_SQL = f"""
+WITH tgt(lang, share) AS (
+  VALUES {_MIX_VALUES}
+), c AS (
+  SELECT d.lang, t.share, count(*) AS cnt
+  FROM documents d JOIN tgt t ON t.lang = d.lang
+  GROUP BY 1, 2
+), m AS (
+  SELECT min(CAST(cnt AS DOUBLE) / share) AS m FROM c
+), r AS (
+  SELECT lang, share * m.m / CAST(cnt AS DOUBLE) AS rate FROM c, m
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0 < r.rate
+ORDER BY d.doc_id
+"""

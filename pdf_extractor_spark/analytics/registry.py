@@ -319,6 +319,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "log_safe_preview": QuerySpec(
         validation.log_safe_preview, validation.LOG_SAFE_SQL, "R3-45"
     ),
+    "language_mix_sample": QuerySpec(
+        curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
+    ),
 }
 
 

@@ -36,3 +36,53 @@ def test_truncate_by_tokens_recompute(spark):
             want = " ".join(toks[:half]) + "... " + " ".join(toks[-half:])
             assert row["truncated"] == want
     assert saw_long and saw_short  # fixture exercises both branches
+
+
+def test_language_mix_sample_recompute(spark):
+    """Selection is the exact pure function of (doc_id, lang) the mixer
+    documents: rates = share * M / count with M = min(count/share);
+    accept iff the 8-hex md5 fraction clears the language's rate. Full
+    recompute in Python, plus the binding language keeps EVERY doc."""
+    import hashlib
+
+    from pdf_extractor_spark.analytics.curation import (
+        TARGET_MIX,
+        language_mix_sample,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in language_mix_sample(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    counts = {}
+    for lang in docs.values():
+        if lang in TARGET_MIX:
+            counts[lang] = counts.get(lang, 0) + 1
+    m = min(counts[lang] / TARGET_MIX[lang] for lang in counts)
+    rates = {lang: TARGET_MIX[lang] * m / counts[lang] for lang in counts}
+    binding = min(rates, key=lambda lg: abs(rates[lg] - 1.0))
+
+    want = {}
+    for doc_id, lang in docs.items():
+        if lang not in rates:
+            continue
+        frac = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        if frac < rates[lang]:
+            want[doc_id] = lang
+    assert got == want
+    # the binding language is kept whole (rate exactly 1.0)
+    assert rates[binding] == 1.0
+    kept_binding = sum(1 for lg in got.values() if lg == binding)
+    assert kept_binding == counts[binding]
+    # no out-of-target language leaks through
+    assert set(got.values()) <= set(TARGET_MIX)
