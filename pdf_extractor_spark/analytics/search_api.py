@@ -29,6 +29,23 @@ SEARCH_TYPES = {
 }
 
 
+def validate_search_params(
+    query_text: str | None, top_n: int, initial_k: int
+) -> tuple[str, int, int]:
+    """Reference ``search_api/utils.py:12-34`` verbatim semantics:
+    empty/None query becomes "", non-positive top_n defaults to 5,
+    non-positive initial_k defaults to 20. Applied by unified_search
+    before dispatch so a caller's junk parameters degrade exactly as
+    the reference's do."""
+    if not query_text:
+        query_text = ""
+    if top_n <= 0:
+        top_n = 5
+    if initial_k <= 0:
+        initial_k = 20
+    return query_text, top_n, initial_k
+
+
 def unified_search(
     spark: SparkSession,
     sf_dir: str,
@@ -56,6 +73,7 @@ def unified_search(
 
     st = search_type.lower()
     if query is not None and st in ("bm25", "bm25_stemmed"):
+        query, top_n, _ = validate_search_params(query, top_n, 20)
         docs = load(spark, sf_dir, "documents")
         if st == "bm25":
             terms = [t for t in query.lower().split() if t]
