@@ -79,3 +79,22 @@ def test_semantic_search_topk_before_doc_join(spark):
     global sort) and the preview join happens after the limit."""
     plan = _plan(spark, "semantic_search")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_corpus_match_plan_shape(spark):
+    """Regression guard for the validation-layer lessons (docs/PLANS.md
+    §14): the WINDOW aggregate (the one evaluating levenshtein over the
+    exploded frame) must stay a HashAggregate — first() on
+    strings/arrays would demote it to a SortAggregate that sorts every
+    window row. The only SortAggregate allowed is the best-struct pick
+    (max over 4 skinny rows/doc, inherently non-hashable). The
+    paragraph dimension must join as a broadcast."""
+    plan = _plan(spark, "corpus_match_validate")
+    assert any(
+        "HashAggregate" in line and "levenshtein" in line
+        for line in plan.split("\n")
+    ), "window max no longer hash-aggregates"
+    for line in plan.split("\n"):
+        if "SortAggregate" in line:
+            assert "max(b#" in line or "partial_max(b#" in line, line[:200]
+    assert "BroadcastHashJoin" in plan  # the 4-row paragraph dimension
