@@ -325,6 +325,11 @@ QUERIES: Dict[str, QuerySpec] = {
     "curriculum_buckets": QuerySpec(
         curation.curriculum_buckets, curation.CURRICULUM_SQL, "R3-47"
     ),
+    "embedding_quantize_error": QuerySpec(
+        similarity.embedding_quantize_error,
+        similarity.EMBEDDING_QUANTIZE_SQL,
+        "R3-48",
+    ),
 }
 
 

@@ -59,6 +59,24 @@ def _floor4(col: Column) -> Column:
     return floor_round(col, 4)
 
 
+def _floor4_safe(col: Column) -> Column:
+    """floor4 with the LONG-overflow guard (docs/PLANS.md §14): Spark's
+    floor() lands in LONG, overflowing for |x| ≥ ~9.2e14 after the
+    ×10^4 scaling while DuckDB floors in double — above the cutoff the
+    raw value passes through unrounded in BOTH engines (where a 1e-4
+    grid is sub-ulp anyway). Use for any UNBOUNDED magnitude (norms,
+    scales, raw stats); plain _floor4 is fine for cosines/ratios."""
+    return F.when(F.abs(col) < 9e14, _floor4(col)).otherwise(col)
+
+
+def _floor4_safe_sql(x: str) -> str:
+    return (
+        f"CASE WHEN abs({x}) < 9e14 "
+        f"THEN CAST(floor({x} * 10000 + 1e-6) / 10000 AS DOUBLE) "
+        f"ELSE {x} END"
+    )
+
+
 _DOT_SQL = (
     "list_sum(list_transform(generate_series(1, {d}), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
@@ -1008,37 +1026,20 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_raw = F.try_divide(s2, n) - mean * mean
     var = F.when(var_raw < 0, F.lit(0.0)).otherwise(var_raw)
     guard = lambda c: F.when(n > 0, c)  # noqa: E731
-
-    # overflow-guarded floor4: Spark's floor() lands in LONG, so a
-    # magnitude ≥ ~9.2e14 overflows after the *10^4 scaling (DuckDB
-    # floors in double) — above the cutoff the raw value passes
-    # through unrounded in BOTH engines, where a 1e-4 grid is sub-ulp
-    # anyway (found by scripts/adversarial_sweep.py, 1e18 vector).
-    def fl4(c: Column) -> Column:
-        return F.when(F.abs(c) < 9e14, _floor4(c)).otherwise(c)
-
+    # _floor4_safe: the 1e18 adversarial vector overflows a LONG floor
     return e.select(
         "vec_id",
-        guard(fl4(F.array_min("e"))).alias("emb_min"),
-        guard(fl4(F.array_max("e"))).alias("emb_max"),
-        guard(fl4(mean)).alias("emb_mean"),
-        guard(fl4(F.sqrt(var))).alias("emb_std"),
-        guard(fl4(F.sqrt(s2))).alias("emb_norm"),
+        guard(_floor4_safe(F.array_min("e"))).alias("emb_min"),
+        guard(_floor4_safe(F.array_max("e"))).alias("emb_max"),
+        guard(_floor4_safe(mean)).alias("emb_mean"),
+        guard(_floor4_safe(F.sqrt(var))).alias("emb_std"),
+        guard(_floor4_safe(F.sqrt(s2))).alias("emb_norm"),
     ).orderBy("vec_id")
 
 
 def _emb_stats_sql() -> str:
-    # guarded floor4 twin of the Spark fl4 above: pass-through past the
-    # LONG-safe magnitude cutoff
-    def fl4(x: str) -> str:
-        return (
-            f"CASE WHEN abs({x}) < 9e14 "
-            f"THEN CAST(floor({x} * 10000 + 1e-6) / 10000 AS DOUBLE) "
-            f"ELSE {x} END"
-        )
-
     cols = ", ".join(
-        f"CASE WHEN n > 0 THEN ({fl4(c)}) END AS emb_{name}"
+        f"CASE WHEN n > 0 THEN ({_floor4_safe_sql(c)}) END AS emb_{name}"
         for name, c in [
             ("min", "mn"),
             ("max", "mx"),
@@ -1074,3 +1075,140 @@ ORDER BY vec_id
 
 
 EMBEDDING_STATS_SQL = _emb_stats_sql()
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization + reconstruction audit (training:ann-quantize)
+#
+# The standard memory lever for ANN at corpus scale: symmetric int8
+# scalar quantization (scale = max|x| / 127, q_i = round-half-up of
+# x_i/scale) cuts the vector store 4x (float32 -> int8) while keeping
+# cosine nearly exact. The graded query is the AUDIT a pipeline runs
+# before switching its index to quantized vectors: per-vector scale,
+# L2 reconstruction error, and cosine(original, dequantized).
+#
+# Cross-engine notes: rounding is floor(x/scale + 0.5) EXPLICITLY —
+# round() is half-even in one engine and half-away in the other; the
+# zero vector short-circuits (scale 0) because ANSI Spark errors on
+# x/0 while DuckDB doubles give inf — its quantization is exactly the
+# zero vector, error 0, cosine NULL (zero norm, as everywhere else).
+# Map-only: arrays materialize stepwise (scale -> q -> folds), no
+# captured expressions inside HOF lambdas, no shuffle.
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127
+
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    )
+    staged = e0.select(
+        "vec_id",
+        "e",
+        (
+            F.array_max(F.transform("e", lambda x: F.abs(x)))
+            / F.lit(float(QUANT_LEVELS))
+        ).alias("scale"),
+    ).select(
+        "*",
+        F.transform(
+            "e",
+            # try_divide, not /: the zero vector's scale is 0 and ANSI
+            # Spark errors on x/0 (the zero row's outputs come from the
+            # scale=0 short-circuit, so the NULL q is never consumed)
+            lambda x: F.least(
+                F.greatest(
+                    F.floor(F.try_divide(x, F.col("scale")) + F.lit(0.5)),
+                    F.lit(-QUANT_LEVELS),
+                ),
+                F.lit(QUANT_LEVELS),
+            ).cast("int"),
+        ).alias("q"),
+    ).select(
+        "*",
+        F.sequence(F.lit(1), F.size("e")).alias("idx"),
+    )
+    x_i = lambda i: F.element_at("e", i)  # noqa: E731
+    dq_i = lambda i: F.element_at("q", i).cast("double") * F.col(  # noqa: E731
+        "scale"
+    )
+    err2 = F.aggregate(
+        "idx",
+        F.lit(0.0),
+        lambda acc, i: acc + (x_i(i) - dq_i(i)) * (x_i(i) - dq_i(i)),
+    )
+    dot = F.aggregate(
+        "idx", F.lit(0.0), lambda acc, i: acc + x_i(i) * dq_i(i)
+    )
+    n1 = F.sqrt(
+        F.aggregate("idx", F.lit(0.0), lambda acc, i: acc + x_i(i) * x_i(i))
+    )
+    n2 = F.sqrt(
+        F.aggregate("idx", F.lit(0.0), lambda acc, i: acc + dq_i(i) * dq_i(i))
+    )
+    n = F.size("e")
+    guard = lambda c: F.when(n > 0, c)  # noqa: E731
+    zero = F.col("scale") == 0.0
+    return staged.select(
+        "vec_id",
+        guard(_floor4_safe(F.col("scale"))).alias("q_scale"),
+        guard(
+            F.when(zero, F.lit(0.0)).otherwise(_floor4_safe(F.sqrt(err2)))
+        ).alias("l2_err"),
+        guard(
+            F.when(zero, F.lit(None).cast("double")).otherwise(
+                _floor4(F.try_divide(dot, n1 * n2))
+            )
+        ).alias("cos_dq"),
+    ).orderBy("vec_id")
+
+
+def _quant_sql() -> str:
+    x = "CAST(e[i] AS DOUBLE)"
+    dq = f"CAST(q[i] AS DOUBLE) * scale"
+    return f"""
+WITH t AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, v -> abs(v))) / {float(QUANT_LEVELS)!r}
+           AS scale
+  FROM t
+), qq AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, v -> CAST(least(greatest(
+           floor(v / scale + 0.5), -{QUANT_LEVELS}), {QUANT_LEVELS})
+           AS INTEGER)) AS q,
+         len(e) AS n
+  FROM s
+), f AS (
+  SELECT vec_id, scale, n,
+    list_sum(list_transform(generate_series(1, n),
+      i -> ({x} - {dq}) * ({x} - {dq}))) AS err2,
+    list_sum(list_transform(generate_series(1, n),
+      i -> {x} * CAST(q[i] AS DOUBLE) * scale)) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, n),
+      i -> {x} * {x}))) AS n1,
+    sqrt(list_sum(list_transform(generate_series(1, n),
+      i -> ({dq}) * ({dq})))) AS n2
+  FROM qq
+)
+SELECT vec_id,
+  CASE WHEN n > 0 THEN ({_floor4_safe_sql('scale')})
+  END AS q_scale,
+  CASE WHEN n > 0 THEN (CASE WHEN scale = 0.0 THEN 0.0
+       ELSE {_floor4_safe_sql('sqrt(err2)')} END)
+  END AS l2_err,
+  CASE WHEN n > 0 THEN (CASE WHEN scale = 0.0 THEN NULL
+       ELSE CAST(floor((dot / (n1 * n2)) * 10000 + 1e-6) / 10000 AS DOUBLE)
+       END)
+  END AS cos_dq
+FROM f
+ORDER BY vec_id
+"""
+
+
+EMBEDDING_QUANTIZE_SQL = _quant_sql()
