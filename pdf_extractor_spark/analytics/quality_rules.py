@@ -1,0 +1,386 @@
+r"""Published-pipeline quality heuristics for pretraining corpora.
+
+Beyond the reference's own surface (per the build mandate), next to
+analytics/curation.py: the three classic document-quality passes every
+web-scale corpus goes through before tokenization —
+
+* :func:`gopher_quality_filter` — Gopher's document-level quality
+  rules (Rae et al. 2021, appendix A1.1): word-count bounds, mean
+  word length band, alphabetic-word fraction, stop-word containment.
+* :func:`c4_line_clean` — C4's line-level cleanup (Raffel et al. 2020
+  §2.2): keep lines that end in terminal punctuation and have >=
+  ``C4_MIN_LINE_WORDS`` words, drop javascript boilerplate lines, and
+  drop whole documents containing "lorem ipsum" or a curly brace.
+* :func:`paragraph_dedup` — RefinedWeb-style (Penedo et al. 2023 §3.3)
+  cross-document paragraph deduplication: paragraphs are fingerprinted
+  and every later occurrence of a fingerprint anywhere in the corpus
+  is marked a duplicate of its first (lowest (doc_id, para_idx))
+  occurrence.
+
+Scale shapes:
+* gopher_quality_filter — map-only: every rule is a per-row HOF fold
+  over the materialized token array; no shuffle at all.
+* c4_line_clean — map-only as well: the line walk is transform/filter
+  over an in-row array, aggregated back per document inside the same
+  projection (no explode, no shuffle).
+* paragraph_dedup — the one genuine shuffle: paragraphs hash-partition
+  by fingerprint for the first-winner window. Duplicate mass is the
+  only skew source; a pathological single-paragraph hot key is the
+  same hot key the dedup band join already drills
+  (tests/test_dedup_skew.py) and AQE splits it the same way.
+
+The synthetic corpus (TESTDATA.md) is single-line word salad with no
+punctuation, so — same technique as curation.pii_redact's planted
+contact line — c4_line_clean derives a deterministic multi-line view
+(10-token lines, an md5-selected suffix per line planting terminal
+punctuation / javascript boilerplate / lorem-ipsum markers) and then
+applies the real rules to it; the rule kernels are the actual surface
+under test and run identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import DUP_ID_OFFSET, N_INJECTED_DUPS, floor_round, load
+from .base import tokens as _tokens
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 appendix A1.1). Thresholds are
+# the paper's: 50..100_000 words, mean word length in [3, 10], >= 80 %
+# of words contain an alphabetic character, >= 2 distinct stop words —
+# except the stop-word containment runs at >= 1 here: the synthetic
+# 31-word vocabulary contains exactly one of the paper's eight stop
+# words ('the'), so the paper's 2 would drop 100 % of the corpus and
+# exercise nothing (same corpus-derived adjustment as curation.DECON_N;
+# the containment kernel itself is unchanged).
+# (The symbol-to-word and bullet/ellipsis line rules live with the
+# line-level pass below — this corpus has no '#'/'…' symbols and the
+# repetition rules are already analytics/curation.repetition_filter.)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 1  # paper: 2; see header note
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality verdicts (reference has no analog; this
+    is a training-pipeline operator mandated by the build brief).
+
+    Map-only: token array materialized once per row (HOF-capture
+    rule), every metric a fold over it, zero shuffle — the 100 TB
+    shape is "however many executors you have".
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok_docs = docs.select("doc_id", _tokens().alias("toks"))
+
+    n_words = F.size("toks")
+    mean_wl = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / n_words
+    alpha_frac = F.size(F.filter("toks", lambda t: t.rlike("[A-Za-z]"))) / n_words
+    stop_hits = F.size(
+        F.array_intersect("toks", F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    )
+
+    m = tok_docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        floor_round(mean_wl, 4).alias("mean_word_len"),
+        floor_round(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    r_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_wl = F.col("mean_word_len").between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
+    r_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    fail_rule = (
+        F.when(~r_words, F.lit("word_count"))
+        .when(~r_wl, F.lit("mean_word_length"))
+        .when(~r_alpha, F.lit("alpha_ratio"))
+        .when(~r_stop, F.lit("stop_words"))
+        .otherwise(F.lit("pass"))
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        fail_rule.alias("fail_rule"),
+        (fail_rule == "pass").alias("keep"),
+    )
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+GOPHER_QUALITY_SQL = rf"""
+WITH m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         floor(list_sum(list_transform(toks, t -> len(t))) * 1.0
+               / len(toks) * 10000 + 1e-6) / 10000 AS mean_word_len,
+         floor(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+               * 1.0 / len(toks) * 10000 + 1e-6) / 10000 AS alpha_frac,
+         len(list_intersect(toks, {_STOPLIST_SQL})) AS stop_hits
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+), v AS (
+  SELECT *,
+         CASE
+           WHEN NOT (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             THEN 'word_count'
+           WHEN NOT (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WL} AND {GOPHER_MAX_MEAN_WL})
+             THEN 'mean_word_length'
+           WHEN alpha_frac < {GOPHER_MIN_ALPHA_FRAC} THEN 'alpha_ratio'
+           WHEN stop_hits < {GOPHER_MIN_STOP_HITS} THEN 'stop_words'
+           ELSE 'pass'
+         END AS fail_rule
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+       fail_rule, fail_rule = 'pass' AS keep
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleanup (Raffel et al. 2020 §2.2). Deterministic line
+# view: 10-token lines; per line a planted suffix selected by the
+# first md5 hex digit of 'doc_id|line_idx' —
+#   0-3 '.'   4-5 '!'  6 '?'   (terminal punctuation -> keepable)
+#   7-9 ''                     (no terminal punctuation -> dropped)
+#   a-b ' javascript required.' (boilerplate -> dropped by word rule)
+#   c-f '.'                    (keepable)
+# plus doc-level poison: docs with doc_id % 97 == 3 get ' lorem ipsum'
+# appended to their last line, doc_id % 97 == 5 get ' {' — both drop
+# the WHOLE document per C4.
+# ---------------------------------------------------------------------------
+
+C4_LINE_TOKENS = 10
+C4_MIN_LINE_WORDS = 5
+
+
+def c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 line filter over the deterministic line view.
+
+    Map-only: the line array is built, suffixed, filtered and
+    re-aggregated inside one projection — no explode, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok_docs = docs.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.sequence(
+            F.lit(0),
+            F.floor((F.size("toks") - 1) / C4_LINE_TOKENS).cast("int"),
+        ).alias("line_ids"),
+    )
+
+    def _line(i):
+        # i is the lambda arg; toks/doc_id are plain row-column refs
+        base = F.concat_ws(
+            " ", F.slice(F.col("toks"), i * C4_LINE_TOKENS + 1, C4_LINE_TOKENS)
+        )
+        digit = F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("doc_id").cast("string"), i.cast("string"))
+            ),
+            1,
+            1,
+        )
+        suffix = (
+            F.when(digit.isin("7", "8", "9"), F.lit(""))
+            .when(digit.isin("a", "b"), F.lit(" javascript required."))
+            .when(digit == "6", F.lit("?"))
+            .when(digit.isin("4", "5"), F.lit("!"))
+            .otherwise(F.lit("."))
+        )
+        return F.concat(base, suffix)
+
+    poison = (
+        F.when(F.col("doc_id") % 97 == 3, F.lit(" lorem ipsum"))
+        .when(F.col("doc_id") % 97 == 5, F.lit(" {"))
+        .otherwise(F.lit(""))
+    )
+    # materialize the raw line array BEFORE reusing it (slice/size/
+    # element_at below would each re-evaluate a captured transform)
+    raw = tok_docs.select(
+        "doc_id", F.transform("line_ids", _line).alias("lines0")
+    )
+    # poison rides the LAST line so the doc-level rules see it
+    lined = raw.select(
+        "doc_id",
+        F.concat(
+            F.slice("lines0", 1, F.size("lines0") - 1),
+            F.array(F.concat(F.element_at("lines0", -1), poison)),
+        ).alias("lines"),
+    )
+
+    def _keep(line):
+        n = F.size(F.split(line, r"\s+"))
+        return (
+            line.rlike(r"[.!?]$")
+            & (n >= C4_MIN_LINE_WORDS)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    scored = lined.select(
+        "doc_id", "lines", F.filter("lines", _keep).alias("kept")
+    )
+    joined = F.concat_ws("\n", F.col("lines"))
+    doc_keep = (
+        ~F.lower(joined).contains("lorem ipsum")
+        & ~joined.contains("{")
+        & (F.size("kept") > 0)
+    )
+    return scored.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size("kept").alias("n_kept"),
+        floor_round(F.size("kept") / F.size("lines"), 4).alias("kept_frac"),
+        doc_keep.alias("doc_keep"),
+        F.md5(F.concat_ws("\n", "kept")).alias("cleaned_md5"),
+    )
+
+
+C4_LINE_CLEAN_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+), raw AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(floor((len(toks)-1)/{C4_LINE_TOKENS}) AS INT)),
+           i -> array_to_string(toks[i*{C4_LINE_TOKENS}+1 : i*{C4_LINE_TOKENS}+{C4_LINE_TOKENS}], ' ')
+                || (CASE substr(md5(doc_id || '|' || i), 1, 1)
+                      WHEN '7' THEN '' WHEN '8' THEN '' WHEN '9' THEN ''
+                      WHEN 'a' THEN ' javascript required.'
+                      WHEN 'b' THEN ' javascript required.'
+                      WHEN '6' THEN '?'
+                      WHEN '4' THEN '!' WHEN '5' THEN '!'
+                      ELSE '.' END)
+         ) AS lines0,
+         CASE WHEN doc_id % 97 = 3 THEN ' lorem ipsum'
+              WHEN doc_id % 97 = 5 THEN ' {{' ELSE '' END AS poison
+  FROM tok
+), lined AS (
+  SELECT doc_id,
+         list_append(lines0[1:len(lines0)-1],
+                     lines0[len(lines0)] || poison) AS lines
+  FROM raw
+), scored AS (
+  SELECT doc_id, lines,
+         list_filter(lines, line ->
+             regexp_matches(line, '[.!?]$')
+             AND len(string_split_regex(line, '\s+')) >= {C4_MIN_LINE_WORDS}
+             AND NOT contains(lower(line), 'javascript')) AS kept
+  FROM lined
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept,
+       floor(len(kept) * 1.0 / len(lines) * 10000 + 1e-6) / 10000 AS kept_frac,
+       (NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum'))
+         AND (NOT contains(array_to_string(lines, chr(10)), '{{'))
+         AND len(kept) > 0 AS doc_keep,
+       -- DuckDB array_to_string([]) is NULL where Spark concat_ws is ''
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style cross-document paragraph dedup (Penedo et al. 2023
+# §3.3 "exact substring/paragraph deduplication", done at paragraph
+# granularity as in the paper's production pipeline). Paragraphs are
+# 20-token chunks; corpus includes the shared injected duplicates
+# (base.DUP_ID_OFFSET) so cross-document hits exist at every SF.
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 20
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark every paragraph occurrence after its first as a duplicate.
+
+    Shape: posexplode to (doc_id, para_idx, md5) — map-side — then ONE
+    hash-shuffle on the fingerprint for the first-winner window.
+    min(struct(doc_id, para_idx)) over the fingerprint partition is a
+    declarative aggregate window (no sort-within-group materialization
+    of the full partition as row_number would need); duplicate mass is
+    the only skew and AQE splits a hot fingerprint the same way the
+    band-join drill shows.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < N_INJECTED_DUPS).select(
+        (F.col("doc_id") + DUP_ID_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+
+    def _para(i):
+        return F.concat_ws(
+            " ", F.slice(F.col("toks"), i * PARA_TOKENS + 1, PARA_TOKENS)
+        )
+
+    paras = (
+        corpus.select("doc_id", _tokens().alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size("toks") - 1) / PARA_TOKENS).cast("int"),
+                    ),
+                    _para,
+                )
+            ).alias("para_idx", "para"),
+        )
+        .select("doc_id", "para_idx", F.md5("para").alias("para_md5"))
+    )
+    w = Window.partitionBy("para_md5")
+    winner = F.min(F.struct("doc_id", "para_idx")).over(w)
+    return paras.select(
+        "doc_id",
+        F.col("para_idx").cast("int").alias("para_idx"),
+        "para_md5",
+        winner["doc_id"].alias("winner_doc_id"),
+        (
+            (winner["doc_id"] != F.col("doc_id"))
+            | (winner["para_idx"] != F.col("para_idx"))
+        ).alias("is_dup"),
+    )
+
+
+PARAGRAPH_DEDUP_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_ID_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id < {N_INJECTED_DUPS}
+), tok AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus
+), paras AS (
+  SELECT doc_id, CAST(i AS INT) AS para_idx,
+         md5(array_to_string(
+             toks[i*{PARA_TOKENS}+1 : i*{PARA_TOKENS}+{PARA_TOKENS}], ' '))
+           AS para_md5
+  FROM tok,
+       unnest(generate_series(0, CAST(floor((len(toks)-1)/{PARA_TOKENS}) AS INT)))
+         AS u(i)
+), won AS (
+  SELECT *,
+         min(struct_pack(doc_id := doc_id, para_idx := para_idx))
+           OVER (PARTITION BY para_md5) AS winner
+  FROM paras
+)
+SELECT doc_id, para_idx, para_md5,
+       winner.doc_id AS winner_doc_id,
+       (winner.doc_id <> doc_id OR winner.para_idx <> para_idx) AS is_dup
+FROM won
+"""

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     curation,
     dedup,
+    quality_rules,
     extraction_queries,
     hybrid,
     multimodal,
@@ -194,6 +195,18 @@ QUERIES: Dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(
         curation.chunk_documents, curation.CHUNK_DOCUMENTS_SQL,
         "training:chunk (reference text_chunker, dangling import)",
+    ),
+    "gopher_quality_filter": QuerySpec(
+        quality_rules.gopher_quality_filter, quality_rules.GOPHER_QUALITY_SQL,
+        "training:gopher-quality (Rae et al. 2021 A1.1)",
+    ),
+    "c4_line_clean": QuerySpec(
+        quality_rules.c4_line_clean, quality_rules.C4_LINE_CLEAN_SQL,
+        "training:c4-clean (Raffel et al. 2020 §2.2)",
+    ),
+    "paragraph_dedup": QuerySpec(
+        quality_rules.paragraph_dedup, quality_rules.PARAGRAPH_DEDUP_SQL,
+        "training:paragraph-dedup (Penedo et al. 2023 §3.3)",
     ),
     # --- similarity search ---------------------------------------------------
     "cosine_topk_bruteforce": QuerySpec(
