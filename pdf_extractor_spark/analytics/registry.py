@@ -332,6 +332,14 @@ QUERIES: Dict[str, QuerySpec] = {
     "log_safe_preview": QuerySpec(
         validation.log_safe_preview, validation.LOG_SAFE_SQL, "R3-45"
     ),
+    "extract_code_block": QuerySpec(
+        validation.extract_code_block, validation.EXTRACT_CODE_SQL,
+        "reference code_validator.py:103-141",
+    ),
+    "parse_json_mixed": QuerySpec(
+        validation.parse_json_mixed, validation.PARSE_JSON_SQL,
+        "reference json_utils.py:97-135",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

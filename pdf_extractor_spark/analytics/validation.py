@@ -851,3 +851,271 @@ SELECT doc_id, json_ok, missing,
 FROM staged
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Graded query: extract_code_block
+# (reference llm_client/validators/code_validator.py:103-141
+#  extract_code_from_text — the code-extraction front half of the
+#  code-execution validator; the actual sandbox POST at :142-190 is an
+#  external service and stays out of scope)
+# ---------------------------------------------------------------------------
+
+# the reference's fenced-block regex verbatim (code_validator.py:114)
+CODE_FENCE_RE = r"(?s)```(?:python)?\n(.*?)```"
+# one alternation of the reference's seven line-pattern regexes
+# (code_validator.py:126-132); applied per line, so ^ anchors the line
+CODE_LINE_RE = (
+    r"^\s*(def\s+\w+\s*\(|class\s+\w+|import\s+|from\s+\w+\s+import|"
+    r"for\s+\w+\s+in\s+|if\s+.*:|while\s+.*:)"
+)
+
+
+def extract_code_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_code_from_text over synthesized per-document responses
+    (four deterministic forms by doc_id%4: a ```python fence, a bare
+    ``` fence, fence-less prose with a code line midway, pure prose).
+
+    Faithful to the reference's two paths: the FIRST fenced block wins
+    (findall[0].strip()); otherwise the line walk with the in_code_block
+    LATCH — once any line matches a code pattern, every later line is
+    kept too (the latch never resets, code_validator.py:133-135).
+    Map-only: two regexps + one array fold, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    mod = F.col("doc_id") % 4
+    nl = F.lit("\n")
+    resp = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit("use this ```python\ndef f"), did,
+                F.lit("():\n    return "), did, F.lit("\n``` done"),
+            ),
+        )
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit("pre ```\nimport mod"), did, F.lit("\ny = "), did,
+                F.lit("\n``` post"),
+            ),
+        )
+        .when(
+            mod == 2,
+            F.concat(
+                F.lit("intro words here"), nl,
+                F.lit("from pkg"), did, F.lit(" import thing"), nl,
+                F.lit("plain trailing line"), nl, F.lit("x = 1"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("no code at all in response "), did))
+    )
+    base = docs.select("doc_id", resp.alias("resp"))
+    # Python str.strip() removes ALL whitespace; SQL trim() only spaces
+    fenced = F.regexp_replace(
+        F.regexp_extract("resp", CODE_FENCE_RE, 1), r"^\s+|\s+$", ""
+    )
+    staged = base.select(
+        "doc_id", "resp",
+        F.when(F.col("resp").rlike(CODE_FENCE_RE), fenced).alias("fence"),
+        F.split("resp", "\n").alias("lines"),
+    )
+    # first line index matching any code pattern (1-based), NULL if none
+    first_idx = F.array_min(
+        F.filter(
+            F.transform(
+                "lines",
+                lambda x, i: F.when(x.rlike(CODE_LINE_RE), i + 1),
+            ),
+            lambda v: v.isNotNull(),
+        )
+    )
+    staged = staged.select(
+        "doc_id", "fence", "lines", first_idx.alias("first_idx")
+    )
+    latched = F.concat_ws(
+        "\n",
+        F.slice(
+            "lines", F.col("first_idx"), F.size("lines") - F.col("first_idx") + 1
+        ),
+    )
+    code = (
+        F.when(F.col("fence").isNotNull(), F.col("fence"))
+        .when(F.col("first_idx").isNotNull(), latched)
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(F.col("fence").isNotNull(), F.lit("fenced"))
+        .when(F.col("first_idx").isNotNull(), F.lit("latched"))
+        .otherwise(F.lit("none"))
+    )
+    return staged.select(
+        "doc_id", path.alias("path"), code.alias("code"),
+        F.length(code).alias("code_chars"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_CODE_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'use this ```python' || chr(10) || 'def f' || doc_id
+                  || '():' || chr(10) || '    return ' || doc_id
+                  || chr(10) || '``` done'
+      WHEN 1 THEN 'pre ```' || chr(10) || 'import mod' || doc_id || chr(10)
+                  || 'y = ' || doc_id || chr(10) || '``` post'
+      WHEN 2 THEN 'intro words here' || chr(10) || 'from pkg' || doc_id
+                  || ' import thing' || chr(10) || 'plain trailing line'
+                  || chr(10) || 'x = 1'
+      ELSE 'no code at all in response ' || doc_id
+    END AS resp
+  FROM documents
+), staged AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(resp, '{CODE_FENCE_RE}')
+         THEN regexp_replace(regexp_extract(resp, '{CODE_FENCE_RE}', 1),
+                             '^\s+|\s+$', '', 'g') END AS fence,
+    string_split(resp, chr(10)) AS lines
+  FROM base
+), idx AS (
+  SELECT doc_id, fence, lines,
+    list_min(list_filter(generate_series(1, len(lines)),
+                         i -> regexp_matches(lines[i], '{CODE_LINE_RE}')))
+      AS first_idx
+  FROM staged
+), picked AS (
+  SELECT doc_id,
+    CASE WHEN fence IS NOT NULL THEN 'fenced'
+         WHEN first_idx IS NOT NULL THEN 'latched'
+         ELSE 'none' END AS path,
+    CASE WHEN fence IS NOT NULL THEN fence
+         WHEN first_idx IS NOT NULL
+           THEN array_to_string(lines[first_idx:len(lines)], chr(10))
+         ELSE '' END AS code
+  FROM idx
+)
+SELECT doc_id, path, code, len(code) AS code_chars
+FROM picked
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graded query: parse_json_mixed
+# (reference arangodb/json_utils.py:97-135 parse_json — direct parse,
+#  else greedy (\[.*\]|\{.*\}) extraction from mixed content, else
+#  repair; repair here is a documented deterministic stand-in for the
+#  external json-repair dependency: single→double quote fold + trailing
+#  comma strip, the two repairs its README demos and the only ones the
+#  fixture forms need)
+# ---------------------------------------------------------------------------
+
+JSON_EXTRACT_RE = r"(?s)(\[.*\]|\{.*\})"  # json_utils.py:115 verbatim
+
+
+def parse_json_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json over five deterministic response forms by doc_id%5:
+    direct JSON, JSON embedded in prose, a bare array in prose, a
+    single-quoted + trailing-comma object (repair path), no JSON at
+    all (original-string fallback, json_utils.py:134-135).
+
+    Map-only: regexp extraction + try_parse_json cascade; the winning
+    candidate string is fingerprinted (md5) rather than re-serialized
+    so both engines hash the identical bytes."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    mod = F.col("doc_id") % 5
+    resp = (
+        F.when(mod == 0, F.concat(F.lit('{"k": '), did, F.lit(', "v": "a"}')))
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit('Sure! here: {"k": '), did, F.lit(', "arr": [1, 2]} hope')
+            ),
+        )
+        .when(mod == 2, F.concat(F.lit("list: [1, 2, "), did, F.lit("] end")))
+        .when(
+            mod == 3,
+            F.concat(F.lit("{'k': "), did, F.lit(", 'b': 'x',}")),
+        )
+        .otherwise(F.concat(F.lit("nothing parseable "), did))
+    )
+    base = docs.select("doc_id", resp.alias("resp"))
+    extracted = F.regexp_extract("resp", JSON_EXTRACT_RE, 1)
+    staged = base.select(
+        "doc_id", "resp",
+        F.when(F.col("resp").rlike(JSON_EXTRACT_RE), extracted).alias("ext"),
+    ).select(
+        "doc_id", "resp", "ext",
+        F.regexp_replace(
+            F.regexp_replace("ext", r"'", '"'), r",\s*([}\]])", r"$1"
+        ).alias("rep"),
+    )
+    status = (
+        F.when(F.try_parse_json("resp").isNotNull(), F.lit("direct"))
+        .when(F.try_parse_json("ext").isNotNull(), F.lit("extracted"))
+        .when(F.try_parse_json("rep").isNotNull(), F.lit("repaired"))
+        .otherwise(F.lit("original"))
+    )
+    winning = (
+        F.when(F.try_parse_json("resp").isNotNull(), F.col("resp"))
+        .when(F.try_parse_json("ext").isNotNull(), F.col("ext"))
+        .when(F.try_parse_json("rep").isNotNull(), F.col("rep"))
+        .otherwise(F.col("resp"))
+    )
+    # keys only for OBJECT results: engines disagree on json-keys-of-
+    # an-array (Spark NULL vs DuckDB []), so gate on the '{' start
+    keys = F.when(
+        (status != "original") & F.trim(winning).startswith("{"),
+        F.array_sort(F.json_object_keys(winning)),
+    )
+    return staged.select(
+        "doc_id",
+        status.alias("status"),
+        keys.alias("parsed_keys"),
+        F.md5(winning).alias("result_md5"),
+    ).orderBy("doc_id")
+
+
+PARSE_JSON_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN '{{"k": ' || doc_id || ', "v": "a"}}'
+      WHEN 1 THEN 'Sure! here: {{"k": ' || doc_id
+                  || ', "arr": [1, 2]}} hope'
+      WHEN 2 THEN 'list: [1, 2, ' || doc_id || '] end'
+      WHEN 3 THEN '{{''k'': ' || doc_id || ', ''b'': ''x'',}}'
+      ELSE 'nothing parseable ' || doc_id
+    END AS resp
+  FROM documents
+), staged AS (
+  SELECT doc_id, resp,
+    CASE WHEN regexp_matches(resp, '{JSON_EXTRACT_RE}')
+         THEN regexp_extract(resp, '{JSON_EXTRACT_RE}', 1) END AS ext
+  FROM base
+), rep AS (
+  SELECT doc_id, resp, ext,
+    regexp_replace(regexp_replace(ext, '''', '"', 'g'),
+                   ',\s*([}}\]])', '\1', 'g') AS rep
+  FROM staged
+), picked AS (
+  SELECT doc_id,
+    CASE WHEN json_valid(resp) THEN 'direct'
+         WHEN json_valid(ext) THEN 'extracted'
+         WHEN json_valid(rep) THEN 'repaired'
+         ELSE 'original' END AS status,
+    CASE WHEN json_valid(resp) THEN resp
+         WHEN json_valid(ext) THEN ext
+         WHEN json_valid(rep) THEN rep
+         ELSE resp END AS winning
+  FROM rep
+)
+SELECT doc_id, status,
+  CASE WHEN status <> 'original' AND trim(winning) LIKE '{{%'
+       THEN list_sort(json_keys(winning)) END AS parsed_keys,
+  md5(winning) AS result_md5
+FROM picked
+ORDER BY doc_id
+"""
