@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .base import load
+from .base import floor_round, load
 
 MEDIA_META_SCHEMA = StructType(
     [
@@ -255,3 +255,357 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Graded query: multimodal_messages_format
+# (reference llm_integration/multimodal_utils.py:32-94 is_multimodal +
+#  format_multimodal_messages — the message-list normalization in front
+#  of every multimodal LLM call)
+# ---------------------------------------------------------------------------
+
+_ITEM_T = "struct<type:string,text:string,image_url:struct<url:string>>"
+_ITEMS_T = f"array<{_ITEM_T}>"
+
+
+def multimodal_messages_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_multimodal + format_multimodal_messages over a deterministic
+    per-document messages fixture (nested array<struct> all the way
+    down, as the real call sites ship it):
+
+    * message 0: role='system', plain string content (the reference's
+      non-list passthrough branch — role NOT defaulted there);
+    * message 1: role='user', a text item + an image item; docs with
+      doc_id%3==1 also carry a MALFORMED image item (NULL image_url —
+      the reference's try/except KeyError/TypeError skip,
+      multimodal_utils.py:77-87); docs with doc_id%5==4 get no image
+      at all (is_multimodal=false path);
+    * message 2 (even doc_id): role=NULL, one text item — the
+      reference's ``message.get("role", "user")`` default.
+
+    Engine side is pure nested-HOF Catalyst (exists/filter/transform/
+    flatten) — no explode, no shuffle, no Python.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+
+    def _item(typ, text, url):
+        return F.struct(
+            F.lit(typ).alias("type"),
+            (F.lit(None).cast("string") if text is None else text).alias("text"),
+            (
+                F.lit(None).cast("struct<url:string>")
+                if url is None
+                else F.struct(url.alias("url"))
+            ).alias("image_url"),
+        )
+
+    text_item = _item("text", F.concat(F.lit("question "), did), None)
+    img_item = _item(
+        "image_url", None, F.concat(F.lit("https://img/"), did, F.lit(".jpg"))
+    )
+    bad_item = _item("image_url", None, None)
+    follow_item = _item("text", F.lit("follow"), None)
+
+    items1 = (
+        F.when(F.col("doc_id") % 5 == 4, F.array(text_item))
+        .when(F.col("doc_id") % 3 == 1, F.array(text_item, img_item, bad_item))
+        .otherwise(F.array(text_item, img_item))
+    )
+
+    def _msg(role, items):
+        return F.struct(
+            (F.lit(None).cast("string") if role is None else F.lit(role)).alias(
+                "role"
+            ),
+            (F.lit(None).cast(_ITEMS_T) if items is None else items).alias(
+                "items"
+            ),
+        )
+
+    msgs = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.array(
+            _msg("system", None), _msg("user", items1), _msg(None, F.array(follow_item))
+        ),
+    ).otherwise(F.array(_msg("system", None), _msg("user", items1)))
+
+    base = docs.select("doc_id", msgs.alias("msgs"))
+    with_items = base.select(
+        "doc_id",
+        "msgs",
+        F.flatten(
+            F.transform(
+                F.filter("msgs", lambda m: m["items"].isNotNull()),
+                lambda m: m["items"],
+            )
+        ).alias("all_items"),
+    )
+    kept_urls = F.transform(
+        F.filter(
+            "all_items",
+            lambda i: (i["type"] == "image_url") & i["image_url"].isNotNull(),
+        ),
+        lambda i: i["image_url"]["url"],
+    )
+    staged = with_items.select(
+        "doc_id",
+        F.exists(
+            "all_items", lambda i: i["type"] == "image_url"
+        ).alias("is_mm"),
+        F.size("msgs").alias("n_messages"),
+        F.size(
+            F.filter("all_items", lambda i: i["type"] == "text")
+        ).alias("n_text_items"),
+        kept_urls.alias("kept_urls"),
+        F.size(
+            F.filter(
+                "all_items",
+                lambda i: (i["type"] == "image_url") & i["image_url"].isNull(),
+            )
+        ).alias("n_img_dropped"),
+        # passthrough messages keep their role verbatim; multimodal
+        # messages default a NULL role to 'user'
+        F.transform(
+            "msgs",
+            lambda m: F.when(m["items"].isNull(), m["role"]).otherwise(
+                F.coalesce(m["role"], F.lit("user"))
+            ),
+        ).alias("roles_out"),
+    )
+    return staged.select(
+        "doc_id",
+        "is_mm",
+        "n_messages",
+        "n_text_items",
+        F.size("kept_urls").alias("n_img_kept"),
+        "n_img_dropped",
+        "roles_out",
+        # try_: ANSI element_at throws on the empty no-image array
+        F.try_element_at("kept_urls", F.lit(1)).alias("first_url"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_MESSAGES_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 4 THEN
+      [struct_pack(type := 'text', text := 'question ' || doc_id,
+                   image_url := NULL::STRUCT(url VARCHAR))]
+    WHEN doc_id % 3 = 1 THEN
+      [struct_pack(type := 'text', text := 'question ' || doc_id,
+                   image_url := NULL::STRUCT(url VARCHAR)),
+       struct_pack(type := 'image_url', text := NULL::VARCHAR,
+                   image_url := struct_pack(url := 'https://img/' || doc_id || '.jpg')),
+       struct_pack(type := 'image_url', text := NULL::VARCHAR,
+                   image_url := NULL::STRUCT(url VARCHAR))]
+    ELSE
+      [struct_pack(type := 'text', text := 'question ' || doc_id,
+                   image_url := NULL::STRUCT(url VARCHAR)),
+       struct_pack(type := 'image_url', text := NULL::VARCHAR,
+                   image_url := struct_pack(url := 'https://img/' || doc_id || '.jpg'))]
+    END AS items1
+  FROM documents
+), msgs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      [struct_pack(role := 'system',
+                   items := NULL::STRUCT(type VARCHAR, text VARCHAR,
+                                         image_url STRUCT(url VARCHAR))[]),
+       struct_pack(role := 'user', items := items1),
+       struct_pack(role := NULL::VARCHAR,
+                   items := [struct_pack(type := 'text', text := 'follow',
+                                         image_url := NULL::STRUCT(url VARCHAR))])]
+    ELSE
+      [struct_pack(role := 'system',
+                   items := NULL::STRUCT(type VARCHAR, text VARCHAR,
+                                         image_url STRUCT(url VARCHAR))[]),
+       struct_pack(role := 'user', items := items1)]
+    END AS msgs
+  FROM base
+), flat AS (
+  SELECT doc_id, msgs,
+    flatten(list_transform(list_filter(msgs, m -> m.items IS NOT NULL),
+                           m -> m.items)) AS all_items
+  FROM msgs
+), staged AS (
+  SELECT doc_id,
+    len(list_filter(all_items, i -> i.type = 'image_url')) > 0 AS is_mm,
+    len(msgs) AS n_messages,
+    len(list_filter(all_items, i -> i.type = 'text')) AS n_text_items,
+    list_transform(
+      list_filter(all_items,
+                  i -> i.type = 'image_url' AND i.image_url IS NOT NULL),
+      i -> i.image_url.url) AS kept_urls,
+    len(list_filter(all_items,
+                    i -> i.type = 'image_url' AND i.image_url IS NULL))
+      AS n_img_dropped,
+    list_transform(msgs, m -> CASE WHEN m.items IS NULL THEN m.role
+                                   ELSE coalesce(m.role, 'user') END)
+      AS roles_out
+  FROM flat
+)
+SELECT doc_id, is_mm, n_messages, n_text_items,
+       len(kept_urls) AS n_img_kept, n_img_dropped, roles_out,
+       kept_urls[1] AS first_url
+FROM staged
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graded query: image_compress_plan
+# (reference llm_integration/utils/image_utils.py:83-175
+#  process_image_input + compress_image — the routing decision and the
+#  quality/resize attempt schedule; the actual PIL save is stubbed by
+#  the disclosed deterministic size model below, same policy as the
+#  fake decode kernels at the top of this module)
+# ---------------------------------------------------------------------------
+
+IMG_MAX_KB = 500       # process_image_input default
+IMG_MAX_ATTEMPTS = 5   # compress_image default
+IMG_RESIZE_STEP = 10   # percent per failed attempt
+
+# STUB size model (no PIL in this container): a save at quality q and
+# dimensions (w, h) is modeled as  orig_kb * (q/90) * (w*h)/(w0*h0).
+# Monotone in q and area like a real JPEG encoder, exact-arithmetic
+# reproducible in both engines; a real deployment swaps the model for
+# the actual encoder, the schedule around it is unchanged.
+
+
+def image_compress_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's image-input routing + compression schedule over
+    synthesized per-document image metadata (route by doc_id%3; size/
+    dims deterministic functions of doc_id).
+
+    Faithful branches: http URLs pass through untouched
+    (image_utils.py:97-98); base64 inputs skip compression when the
+    decoded payload is already within bounds (:207-213); local paths
+    always compress (:104-108). The attempt loop mirrors
+    compress_image:148-167 — attempt k saves at quality max(10,90-10k)
+    with dimensions int-truncated 10 % per PRIOR failed attempt (never
+    resized after the last attempt), first attempt within max_size_kb
+    wins, all-fail returns the original. Unrolled to the 5 fixed
+    attempts: a map-only projection, no shuffle, no Python.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = docs.select(
+        "doc_id",
+        # up to ~5 MB so the all-attempts-fail branch (orig returned,
+        # compress_image:169-172) occurs: 5000*(50/90)*0.81^4 > 500
+        (100 + (d * 37) % 4900).cast("double").alias("orig_kb"),
+        (640 + (d % 7) * 160).cast("double").alias("w0"),
+        (480 + (d % 5) * 120).cast("double").alias("h0"),
+        F.when(d % 3 == 0, F.lit("url"))
+        .when(d % 3 == 1, F.lit("base64"))
+        .otherwise(F.lit("path"))
+        .alias("route"),
+    )
+    # unrolled dims after k truncating resizes (int(w*0.9) per step)
+    cols = {"w_0": F.col("w0"), "h_0": F.col("h0")}
+    for k in range(1, IMG_MAX_ATTEMPTS):
+        cols[f"w_{k}"] = F.floor(cols[f"w_{k-1}"] * 0.9).cast("double")
+        cols[f"h_{k}"] = F.floor(cols[f"h_{k-1}"] * 0.9).cast("double")
+    staged = base.select(
+        "doc_id", "orig_kb", "w0", "h0", "route",
+        *[c.alias(n) for n, c in cols.items()],
+    )
+    attempts = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.lit(max(10, 90 - 10 * k)).cast("double").alias("q"),
+                F.col(f"w_{k}").alias("w"),
+                F.col(f"h_{k}").alias("h"),
+                floor_round(
+                    F.col("orig_kb")
+                    * (max(10, 90 - 10 * k) / 90.0)
+                    * (F.col(f"w_{k}") * F.col(f"h_{k}"))
+                    / (F.col("w0") * F.col("h0")),
+                    4,
+                ).alias("kb"),
+            )
+            for k in range(IMG_MAX_ATTEMPTS)
+        ]
+    )
+    staged = staged.select(
+        "doc_id", "orig_kb", "route",
+        F.filter(attempts, lambda a: a["kb"] <= IMG_MAX_KB).alias("ok_attempts"),
+    )
+    win = F.try_element_at("ok_attempts", F.lit(1))
+    compress_needed = (F.col("route") == "path") | (
+        (F.col("route") == "base64") & (F.col("orig_kb") > IMG_MAX_KB)
+    )
+    passthrough = ~compress_needed
+    success = compress_needed & win.isNotNull()
+    return staged.select(
+        "doc_id",
+        "route",
+        "orig_kb",
+        passthrough.alias("passthrough"),
+        F.when(compress_needed, win.isNotNull()).alias("success"),
+        F.when(success, win["k"] + 1).alias("n_attempts"),
+        F.when(success, win["q"]).alias("final_q"),
+        F.when(success, win["w"]).alias("final_w"),
+        F.when(success, win["h"]).alias("final_h"),
+        F.when(success, win["kb"]).otherwise(F.col("orig_kb")).alias("final_kb"),
+    ).orderBy("doc_id")
+
+
+def _img_attempts_sql() -> str:
+    entries = []
+    for k in range(IMG_MAX_ATTEMPTS):
+        q = max(10, 90 - 10 * k)
+        entries.append(
+            f"struct_pack(k := {k}, q := CAST({q} AS DOUBLE), w := w_{k}, h := h_{k}, "
+            f"kb := floor(orig_kb * ({q} / 90.0) * (w_{k} * h_{k}) "
+            f"/ (w0 * h0) * 10000 + 1e-6) / 10000)"
+        )
+    return "[" + ",\n       ".join(entries) + "]"
+
+
+def _img_dims_sql() -> str:
+    lines = ["w0 AS w_0", "h0 AS h_0"]
+    for k in range(1, IMG_MAX_ATTEMPTS):
+        lines.append(f"floor(w_{k-1} * 0.9) AS w_{k}")
+        lines.append(f"floor(h_{k-1} * 0.9) AS h_{k}")
+    return ",\n         ".join(lines)
+
+
+IMAGE_COMPRESS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(100 + (doc_id * 37) % 4900 AS DOUBLE) AS orig_kb,
+         CAST(640 + (doc_id % 7) * 160 AS DOUBLE) AS w0,
+         CAST(480 + (doc_id % 5) * 120 AS DOUBLE) AS h0,
+         CASE WHEN doc_id % 3 = 0 THEN 'url'
+              WHEN doc_id % 3 = 1 THEN 'base64'
+              ELSE 'path' END AS route
+  FROM documents
+), dims AS (
+  SELECT *, {_img_dims_sql()}
+  FROM base
+), tries AS (
+  SELECT doc_id, orig_kb, route,
+    list_filter({_img_attempts_sql()}, a -> a.kb <= {IMG_MAX_KB}) AS ok
+  FROM dims
+), picked AS (
+  SELECT doc_id, orig_kb, route, ok[1] AS win,
+    (route = 'path' OR (route = 'base64' AND orig_kb > {IMG_MAX_KB}))
+      AS compress_needed
+  FROM tries
+)
+SELECT doc_id, route, orig_kb,
+  NOT compress_needed AS passthrough,
+  CASE WHEN compress_needed THEN win IS NOT NULL END AS success,
+  CASE WHEN compress_needed AND win IS NOT NULL THEN win.k + 1 END
+    AS n_attempts,
+  CASE WHEN compress_needed AND win IS NOT NULL THEN win.q END AS final_q,
+  CASE WHEN compress_needed AND win IS NOT NULL THEN win.w END AS final_w,
+  CASE WHEN compress_needed AND win IS NOT NULL THEN win.h END AS final_h,
+  CASE WHEN compress_needed AND win IS NOT NULL THEN win.kb
+       ELSE orig_kb END AS final_kb
+FROM picked
+ORDER BY doc_id
+"""

@@ -340,6 +340,15 @@ QUERIES: Dict[str, QuerySpec] = {
         validation.parse_json_mixed, validation.PARSE_JSON_SQL,
         "reference json_utils.py:97-135",
     ),
+    "multimodal_messages_format": QuerySpec(
+        multimodal.multimodal_messages_format,
+        multimodal.MULTIMODAL_MESSAGES_SQL,
+        "reference multimodal_utils.py:32-94",
+    ),
+    "image_compress_plan": QuerySpec(
+        multimodal.image_compress_plan, multimodal.IMAGE_COMPRESS_SQL,
+        "reference image_utils.py:83-175",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),
