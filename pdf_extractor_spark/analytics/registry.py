@@ -349,6 +349,10 @@ QUERIES: Dict[str, QuerySpec] = {
         multimodal.image_compress_plan, multimodal.IMAGE_COMPRESS_SQL,
         "reference image_utils.py:83-175",
     ),
+    "lessons_by_keyword": QuerySpec(
+        search_api.lessons_by_keyword, search_api.LESSONS_BY_KEYWORD_SQL,
+        "reference arango_utils.py:243-320",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

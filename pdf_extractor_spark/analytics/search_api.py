@@ -17,8 +17,10 @@ the executed plan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import hybrid, similarity, textstats
+from .base import load
 
 SEARCH_TYPES = {
     "bm25": textstats.bm25_search,
@@ -310,3 +312,80 @@ related AS (
 SELECT * FROM (SELECT * FROM msgs UNION ALL SELECT * FROM related)
 ORDER BY role, depth NULLS LAST, event_id NULLS LAST, doc_id NULLS LAST
 """
+
+
+# ---------------------------------------------------------------------------
+# Graded query: lessons_by_keyword
+# (reference llm_integration/utils/db/arango_utils.py:243-302
+#  query_lessons_by_keyword, which is also query_lessons_by_concept
+#  :304-320 verbatim — multi-keyword OR of case-insensitive LIKEs over
+#  three fields, with LIKE wildcards in the keyword escaped so they
+#  match literally, :266)
+# ---------------------------------------------------------------------------
+
+# the fixture keyword list: 'val_e' carries the reference's escaping
+# surface — an UNescaped '_' would wildcard-match 'value' everywhere,
+# escaped it matches nothing; 'SRC1' exercises LOWER on both sides
+LESSON_KEYWORDS = ["merge", "val_e", "SRC1"]
+LESSON_LIMIT = 10
+
+
+def lessons_by_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_lessons_by_keyword over documents standing in for
+    lessons_learned (text≈lesson, source≈category, lang≈identifier).
+
+    The reference's bare LIMIT without SORT is nondeterministic AQL;
+    graded as ORDER BY doc_id LIMIT (deterministic stand-in, same
+    policy as the constant-sort traversal quirk in docs/PARITY.md).
+    Map-only LIKE scan + TakeOrdered — no shuffle beyond top-k.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    def _pat(kw: str) -> str:
+        safe = kw.replace("%", r"\%").replace("_", r"\_")
+        return f"%{safe.lower()}%"
+
+    def _hit(kw: str):
+        p = _pat(kw)
+        return (
+            F.lower("text").like(p)
+            | F.lower("source").like(p)
+            | F.lower("lang").like(p)
+        )
+
+    matched = F.array_compact(
+        F.array(*[F.when(_hit(kw), F.lit(kw)) for kw in LESSON_KEYWORDS])
+    )
+    return (
+        docs.select("doc_id", "lang", "source", matched.alias("matched_kws"))
+        .filter(F.size("matched_kws") > 0)
+        .orderBy("doc_id")
+        .limit(LESSON_LIMIT)
+    )
+
+
+def _lessons_kw_sql() -> str:
+    hits = []
+    for kw in LESSON_KEYWORDS:
+        safe = kw.replace("%", r"\%").replace("_", r"\_").lower()
+        p = f"'%{safe}%'"
+        hits.append(
+            f"CASE WHEN lower(text) LIKE {p} ESCAPE '\\' "
+            f"OR lower(source) LIKE {p} ESCAPE '\\' "
+            f"OR lower(lang) LIKE {p} ESCAPE '\\' THEN '{kw}' END"
+        )
+    arr = "[" + ", ".join(hits) + "]"
+    return f"""
+SELECT doc_id, lang, source, matched_kws
+FROM (
+  SELECT doc_id, lang, source,
+         list_filter({arr}, x -> x IS NOT NULL) AS matched_kws
+  FROM documents
+)
+WHERE len(matched_kws) > 0
+ORDER BY doc_id
+LIMIT {LESSON_LIMIT}
+"""
+
+
+LESSONS_BY_KEYWORD_SQL = _lessons_kw_sql()
