@@ -384,3 +384,73 @@ SELECT doc_id, para_idx, para_md5,
        (winner.doc_id <> doc_id OR winner.para_idx <> para_idx) AS is_dup
 FROM won
 """
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (training:quality-classifier — the
+# DCLM / FineWeb-Edu-style model-based filter: a linear scorer over
+# hashed bag-of-words features deciding keep/drop for pretraining).
+# The weight table is a deterministic stand-in for trained weights
+# (offline here, same policy as the unigram-LM perplexity stand-in):
+# w(token) = frac(md5(token)) mapped onto the integer grid
+# [-10000, 10000]. Integer weights make the per-doc sum EXACT and
+# order-independent in both engines (float HOF sums are
+# accumulation-order-dependent — the perplexity kernel's lesson);
+# only the final mean divides, then the house floor4.
+#
+# Scale shape: map-only — one HOF fold per row over the materialized
+# token array, md5 per element, no shuffle, no vocabulary table to
+# broadcast (the hash IS the lookup).
+# ---------------------------------------------------------------------------
+
+CLS_THRESHOLD = 0.0  # keep iff mean hashed weight >= 0
+
+
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok_docs = docs.select("doc_id", _tokens().alias("toks"))
+    wsum = F.aggregate(
+        "toks",
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + (
+            F.floor(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double")
+                / 4294967296.0
+                * 20000
+                + 1e-6
+            ).cast("long")
+            - 10000
+        ),
+    )
+    staged = tok_docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        wsum.alias("wsum"),
+    )
+    score = floor_round(F.col("wsum") / (10000.0 * F.col("n_tokens")), 4)
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        (score >= CLS_THRESHOLD).alias("keep"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+), staged AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_sum(list_transform(toks, t ->
+           CAST(floor(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                      / 4294967296.0 * 20000 + 1e-6) AS BIGINT) - 10000))
+           AS wsum
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       floor(wsum / (10000.0 * n_tokens) * 10000 + 1e-6) / 10000 AS score,
+       floor(wsum / (10000.0 * n_tokens) * 10000 + 1e-6) / 10000
+         >= {CLS_THRESHOLD} AS keep
+FROM staged
+"""

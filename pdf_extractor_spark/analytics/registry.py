@@ -208,6 +208,11 @@ QUERIES: Dict[str, QuerySpec] = {
         quality_rules.paragraph_dedup, quality_rules.PARAGRAPH_DEDUP_SQL,
         "training:paragraph-dedup (Penedo et al. 2023 §3.3)",
     ),
+    "quality_classifier_linear": QuerySpec(
+        quality_rules.quality_classifier_linear,
+        quality_rules.QUALITY_CLASSIFIER_SQL,
+        "training:quality-classifier (DCLM/FineWeb-Edu-style)",
+    ),
     # --- similarity search ---------------------------------------------------
     "cosine_topk_bruteforce": QuerySpec(
         similarity.cosine_topk_bruteforce, similarity.COSINE_TOPK_SQL,

@@ -146,3 +146,40 @@ def test_paragraph_dedup_first_winner(spark):
     # their originals: every one of their paragraphs is a duplicate
     injected = [r for r in rows if r["doc_id"] >= DUP_ID_OFFSET]
     assert injected and all(r["is_dup"] for r in injected)
+
+
+def test_quality_classifier_linear_recompute(spark):
+    """Doc scores match an exact pure-Python recompute of the hashed
+    integer-weight fold (order-independent by construction), and both
+    labels occur on the fixture corpus."""
+    import re
+
+    from pdf_extractor_spark.analytics.quality_rules import (
+        quality_classifier_linear,
+    )
+
+    out = {
+        r["doc_id"]: r for r in quality_classifier_linear(spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    labels = set()
+    for doc_id, text in docs.items():
+        toks = re.split(r"\s+", text)
+        wsum = 0
+        for t in toks:
+            frac = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) / 4294967296.0
+            wsum += int(frac * 20000 + 1e-6) - 10000
+        # math.floor, not int(): wsum can be negative and int()
+        # truncates toward zero where the engines floor
+        import math
+
+        score = math.floor(wsum / (10000.0 * len(toks)) * 10000 + 1e-6) / 10000
+        row = out[doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["score"] == score
+        assert row["keep"] == (score >= 0.0)
+        labels.add(row["keep"])
+    assert labels == {True, False}
