@@ -23,11 +23,11 @@ Scale shapes:
 * c4_line_clean — map-only as well: the line walk is transform/filter
   over an in-row array, aggregated back per document inside the same
   projection (no explode, no shuffle).
-* paragraph_dedup — the one genuine shuffle: paragraphs hash-partition
-  by fingerprint for the first-winner window. Duplicate mass is the
-  only skew source; a pathological single-paragraph hot key is the
-  same hot key the dedup band join already drills
-  (tests/test_dedup_skew.py) and AQE splits it the same way.
+* paragraph_dedup — the one genuine shuffle: first winner per
+  fingerprint via a map-side-combinable groupBy().min(struct) + join
+  back (NOT a window — AQE cannot split a hot window partition; the
+  aggregate collapses a pathological duplicated paragraph to one row
+  per mapper before the shuffle, and the join back is skew-splittable).
 
 The synthetic corpus (TESTDATA.md) is single-line word salad with no
 punctuation, so — same technique as curation.pii_redact's planted
@@ -40,7 +40,7 @@ under test and run identically in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import DUP_ID_OFFSET, N_INJECTED_DUPS, floor_round, load
@@ -308,13 +308,17 @@ PARA_TOKENS = 20
 def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mark every paragraph occurrence after its first as a duplicate.
 
-    Shape: posexplode to (doc_id, para_idx, md5) — map-side — then ONE
-    hash-shuffle on the fingerprint for the first-winner window.
-    min(struct(doc_id, para_idx)) over the fingerprint partition is a
-    declarative aggregate window (no sort-within-group materialization
-    of the full partition as row_number would need); duplicate mass is
-    the only skew and AQE splits a hot fingerprint the same way the
-    band-join drill shows.
+    Shape: posexplode to (doc_id, para_idx, md5) — map-side — then the
+    first winner per fingerprint via groupBy().min(struct) + an
+    equi-join back, NOT a window. A window over PARTITION BY para_md5
+    forces every occurrence of one fingerprint into a single task and
+    AQE cannot split window partitions — a boilerplate paragraph
+    duplicated a billion times at corpus scale becomes one straggler.
+    The aggregate gets map-side partial combine (the hot key collapses
+    to one row per mapper BEFORE the shuffle) and the join back is an
+    ordinary equi-join AQE's skew handling can split; the aggregate's
+    output partitioning is reused by the join, so the plan still has
+    exactly two exchanges.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") < N_INJECTED_DUPS).select(
@@ -343,16 +347,17 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "para_idx", F.md5("para").alias("para_md5"))
     )
-    w = Window.partitionBy("para_md5")
-    winner = F.min(F.struct("doc_id", "para_idx")).over(w)
-    return paras.select(
+    winners = paras.groupBy("para_md5").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("winner")
+    )
+    return paras.join(winners, "para_md5").select(
         "doc_id",
         F.col("para_idx").cast("int").alias("para_idx"),
         "para_md5",
-        winner["doc_id"].alias("winner_doc_id"),
+        F.col("winner")["doc_id"].alias("winner_doc_id"),
         (
-            (winner["doc_id"] != F.col("doc_id"))
-            | (winner["para_idx"] != F.col("para_idx"))
+            (F.col("winner")["doc_id"] != F.col("doc_id"))
+            | (F.col("winner")["para_idx"] != F.col("para_idx"))
         ).alias("is_dup"),
     )
 

@@ -183,3 +183,17 @@ def test_quality_classifier_linear_recompute(spark):
         assert row["keep"] == (score >= 0.0)
         labels.add(row["keep"])
     assert labels == {True, False}
+
+
+def test_paragraph_dedup_plan_no_window(spark):
+    """The first-winner must be a map-side-combinable aggregate + join,
+    never a window: AQE cannot split a hot window partition, so a
+    boilerplate paragraph duplicated across the corpus would serialize
+    into one task (docs/PLANS.md §15). Asserts the plan has no Window
+    operator and DOES have a partial_min aggregate."""
+    from pdf_extractor_spark.analytics.quality_rules import paragraph_dedup
+
+    df = paragraph_dedup(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "min(" in plan
