@@ -358,6 +358,15 @@ QUERIES: Dict[str, QuerySpec] = {
         search_api.lessons_by_keyword, search_api.LESSONS_BY_KEYWORD_SQL,
         "reference arango_utils.py:243-320",
     ),
+    "match_from_list_validate": QuerySpec(
+        validation.match_from_list_validate, validation.MATCH_FROM_LIST_SQL,
+        "reference validation_utils/base.py:206-255",
+    ),
+    "validation_accuracy_profile": QuerySpec(
+        validation.validation_accuracy_profile,
+        validation.VALIDATION_ACCURACY_SQL,
+        "reference validation_utils/reporting.py:76-123",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

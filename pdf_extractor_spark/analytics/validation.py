@@ -1119,3 +1119,246 @@ SELECT doc_id, status,
 FROM picked
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Graded query: match_from_list_validate
+# (reference llm_integration/validation_utils/base.py:206-255
+#  match_from_list_validator — best token_set_ratio of the response
+#  against a delimiter-split choice list, process.extractOne tie rule:
+#  first best in list order, threshold min_similarity)
+# ---------------------------------------------------------------------------
+
+MFL_MIN_SIMILARITY = 85.0  # base.py:206 default
+# the "corpus" string of choices, comma-delimited as the reference
+# splits it (base.py:230); vocabulary-overlapping so real docs score
+MFL_CORPUS = (
+    "merge batch table, spark window filter order, "
+    "customer query line value, quantum entangled physics flux, "
+    "slow fast scan"
+)
+MFL_CHOICES = [c.strip() for c in MFL_CORPUS.split(",") if c.strip()]
+
+
+def match_from_list_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_from_list_validator over documents-as-responses: per doc
+    the best token_set score against the choice list, extractOne's
+    first-best-in-list-order tie rule, and the >= 85 verdict.
+
+    Same engineering as corpus_match_validate: choices ride as a
+    broadcast DIMENSION (not inlined constants — the Janino lesson,
+    docs/PLANS.md §14), responses scored on the ASCII projection of
+    the capped text; the winner is one map-side-combinable
+    max(struct(score, -choice_id)) aggregate.
+    """
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, CV_RESP_CHARS).alias("orig"))
+        .select(
+            "doc_id",
+            F.lower(F.regexp_replace("orig", r"[^\x20-\x7e]", "")).alias(
+                "resp"
+            ),
+        )
+    )
+    toked = base.select(
+        "doc_id",
+        "resp",
+        F.expr(r"regexp_extract_all(resp, '\\w+', 0)").alias("rtoks"),
+    ).select(
+        "doc_id", "resp", "rtoks",
+        F.array_sort(F.array_distinct("rtoks")).alias("d_r"),
+    )
+    dim = spark.createDataFrame(
+        [
+            (i + 1, c, sorted(set(_py_tokens(c))))
+            for i, c in enumerate(MFL_CHOICES)
+        ],
+        "choice_id int, choice string, c_dist array<string>",
+    )
+    pairs = toked.crossJoin(F.broadcast(dim))
+    inter = F.array_sort(F.array_intersect("d_r", "c_dist"))
+    diff_r = F.array_sort(F.array_except("d_r", "c_dist"))
+    diff_c = F.array_sort(F.array_except("c_dist", "d_r"))
+    t0 = F.array_join(inter, " ")
+    t1 = F.trim(F.concat_ws(" ", t0, F.array_join(diff_r, " ")))
+    t2 = F.trim(F.concat_ws(" ", t0, F.array_join(diff_c, " ")))
+    score = (
+        F.when(F.col("resp").isNull(), F.lit(None).cast("double"))
+        .when(F.size("rtoks") == 0, 0.0)
+        .otherwise(
+            F.greatest(_prefix_sim(t0, t1), _prefix_sim(t0, t2), _sim(t1, t2))
+        )
+    )
+    scored = pairs.select(
+        "doc_id", "resp", "choice_id", "choice",
+        F.coalesce(score, F.lit(-1.0)).alias("s"),
+    )
+    best = scored.groupBy("doc_id", "resp").agg(
+        F.max(F.struct(F.col("s"), (-F.col("choice_id")).alias("nid"))).alias(
+            "w"
+        )
+    )
+    status = F.when(
+        F.col("resp").isNull() | (F.length("resp") == 0), "empty"
+    ).otherwise("ok")
+    ok = status == "ok"
+    # tie rule: max over (score, -choice_id) = first best in list order
+    best_id = (-F.col("w")["nid"]).cast("int")
+    return (
+        best.join(F.broadcast(dim.select("choice_id", "choice")), best_id == F.col("choice_id"))
+        .select(
+            "doc_id",
+            status.alias("status"),
+            F.when(ok, F.col("choice")).alias("best_choice"),
+            F.when(ok, floor_round(F.col("w")["s"], 4)).alias("best_score"),
+            F.coalesce(
+                F.when(ok, F.col("w")["s"] >= MFL_MIN_SIMILARITY), F.lit(False)
+            ).alias("passed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mfl_sql() -> str:
+    score_cols, pre_cols = [], []
+    for i, c in enumerate(MFL_CHOICES, start=1):
+        c_dist = _sql_lit_list(sorted(set(_py_tokens(c))))
+        inter = f"list_sort(list_intersect(d_r, {c_dist}))"
+        diff_r = f"list_sort(list_filter(d_r, x -> NOT list_contains({c_dist}, x)))"
+        diff_c = f"list_sort(list_filter({c_dist}, x -> NOT list_contains(d_r, x)))"
+        t0 = f"array_to_string({inter}, ' ')"
+        t1 = f"trim(concat_ws(' ', {t0}, array_to_string({diff_r}, ' ')))"
+        t2 = f"trim(concat_ws(' ', {t0}, array_to_string({diff_c}, ' ')))"
+        pre_cols.append(f"{t0} AS t0_{i}, {t1} AS t1_{i}, {t2} AS t2_{i}")
+        score_cols.append(
+            f"CASE WHEN resp IS NULL THEN -1.0 "
+            f"WHEN len(rtoks) = 0 THEN 0.0 ELSE greatest("
+            f"{_sql_prefix_sim(f't0_{i}', f't1_{i}')}, "
+            f"{_sql_prefix_sim(f't0_{i}', f't2_{i}')}, "
+            f"{_sql_sim(f't1_{i}', f't2_{i}')}) END AS s_{i}"
+        )
+    n = len(MFL_CHOICES)
+    best = "greatest(" + ", ".join(f"s_{i}" for i in range(1, n + 1)) + ")"
+    first_best = "CASE " + " ".join(
+        f"WHEN s_{i} = best THEN {i}" for i in range(1, n + 1)
+    ) + " END"
+    choice_case = "CASE best_id " + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(MFL_CHOICES, start=1)
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         lower(regexp_replace(substr(text, 1, {CV_RESP_CHARS}),
+                              '[^\\x20-\\x7e]', '', 'g')) AS resp
+  FROM documents
+), toked AS (
+  SELECT doc_id, resp, regexp_extract_all(resp, '\\w+') AS rtoks,
+         list_sort(list_distinct(regexp_extract_all(resp, '\\w+'))) AS d_r
+  FROM base
+), pre AS (
+  SELECT doc_id, resp, rtoks, d_r, {", ".join(pre_cols)}
+  FROM toked
+), scored AS (
+  SELECT doc_id, resp, {", ".join(score_cols)}
+  FROM pre
+), picked AS (
+  SELECT doc_id, resp, {best} AS best
+  FROM scored
+), chosen AS (
+  SELECT s.doc_id, s.resp, p.best, {first_best} AS best_id
+  FROM scored s JOIN picked p USING (doc_id)
+)
+SELECT doc_id,
+  CASE WHEN resp IS NULL OR len(resp) = 0 THEN 'empty' ELSE 'ok' END AS status,
+  CASE WHEN resp IS NOT NULL AND len(resp) > 0 THEN {choice_case} END AS best_choice,
+  CASE WHEN resp IS NOT NULL AND len(resp) > 0
+       THEN floor(best * 10000 + 1e-6) / 10000 END AS best_score,
+  coalesce(CASE WHEN resp IS NOT NULL AND len(resp) > 0
+                THEN best >= {MFL_MIN_SIMILARITY} END, false) AS passed
+FROM chosen
+ORDER BY doc_id
+"""
+
+
+MATCH_FROM_LIST_SQL = _mfl_sql()
+
+
+# ---------------------------------------------------------------------------
+# Graded query: validation_accuracy_profile
+# (reference llm_integration/validation_utils/reporting.py:76-123
+#  calculate_validation_accuracy — per-document accuracy percentages
+#  from match/total count pairs, each guarded to appear only when its
+#  total is positive, overall = mean of the PRESENT metrics)
+# ---------------------------------------------------------------------------
+
+
+def validation_accuracy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calculate_validation_accuracy over synthesized per-document
+    count pairs (deterministic functions of doc_id; docs with
+    doc_id%7==0 have zero total_cells — the reference's metric-absent
+    branch, so overall averages TWO metrics there instead of three).
+    Map-only arithmetic."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m = docs.select(
+        "doc_id",
+        (300 + d % 200).alias("matching_chars"),
+        (400 + d % 150).alias("total_chars"),
+        (5 + d % 5).alias("matching_elements"),
+        (8 + d % 4).alias("total_elements"),
+        F.when(d % 7 != 0, 10 + d % 12).otherwise(F.lit(0)).alias(
+            "matching_cells"
+        ),
+        F.when(d % 7 != 0, 15 + d % 8).otherwise(F.lit(0)).alias("total_cells"),
+    )
+    text_acc = F.col("matching_chars") / F.col("total_chars") * 100.0
+    struct_acc = F.col("matching_elements") / F.col("total_elements") * 100.0
+    table_acc = F.when(
+        F.col("total_cells") > 0,
+        F.col("matching_cells") / F.col("total_cells") * 100.0,
+    )
+    n_metrics = F.lit(2) + F.when(table_acc.isNotNull(), 1).otherwise(0)
+    overall = (
+        text_acc + struct_acc + F.coalesce(table_acc, F.lit(0.0))
+    ) / n_metrics
+    return m.select(
+        "doc_id",
+        floor_round(text_acc, 4).alias("text_accuracy"),
+        floor_round(struct_acc, 4).alias("structure_accuracy"),
+        floor_round(table_acc, 4).alias("table_accuracy"),
+        n_metrics.alias("n_metrics"),
+        floor_round(overall, 4).alias("overall_accuracy"),
+    )
+
+
+VALIDATION_ACCURACY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         300 + doc_id % 200 AS matching_chars,
+         400 + doc_id % 150 AS total_chars,
+         5 + doc_id % 5 AS matching_elements,
+         8 + doc_id % 4 AS total_elements,
+         CASE WHEN doc_id % 7 <> 0 THEN 10 + doc_id % 12 ELSE 0 END
+           AS matching_cells,
+         CASE WHEN doc_id % 7 <> 0 THEN 15 + doc_id % 8 ELSE 0 END
+           AS total_cells
+  FROM documents
+), a AS (
+  SELECT doc_id,
+         matching_chars * 100.0 / total_chars AS text_acc,
+         matching_elements * 100.0 / total_elements AS struct_acc,
+         CASE WHEN total_cells > 0
+              THEN matching_cells * 100.0 / total_cells END AS table_acc
+  FROM m
+)
+SELECT doc_id,
+  floor(text_acc * 10000 + 1e-6) / 10000 AS text_accuracy,
+  floor(struct_acc * 10000 + 1e-6) / 10000 AS structure_accuracy,
+  floor(table_acc * 10000 + 1e-6) / 10000 AS table_accuracy,
+  2 + (table_acc IS NOT NULL)::INT AS n_metrics,
+  floor((text_acc + struct_acc + coalesce(table_acc, 0.0))
+        / (2 + (table_acc IS NOT NULL)::INT) * 10000 + 1e-6) / 10000
+    AS overall_accuracy
+FROM a
+"""

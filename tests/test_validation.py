@@ -177,3 +177,110 @@ def test_highlight_matching_words_recompute(spark):
         assert row["highlighted"] == want
         checked += 1
     assert checked == len(docs) and checked > 0
+
+
+def test_match_from_list_matches_python_recompute(spark):
+    """Best choice / score / verdict equal a pure-Python recompute of
+    the token_set kernel (inter/diff algebra + prefix-sim reductions)
+    with process.extractOne's first-best tie rule; both verdicts and
+    every choice appear across the fixture corpus."""
+    import re as _re
+
+    from pdf_extractor_spark.analytics.validation import (
+        CV_RESP_CHARS,
+        MFL_CHOICES,
+        MFL_MIN_SIMILARITY,
+        _py_tokens,
+        match_from_list_validate,
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def nsim(a, b):
+        return 100.0 * (1.0 - lev(a, b) / max(len(a), len(b), 1))
+
+    def token_set(resp_toks, choice):
+        c = sorted(set(_py_tokens(choice)))
+        r = sorted(set(resp_toks))
+        inter = sorted(set(r) & set(c))
+        diff_r = sorted(set(r) - set(c))
+        diff_c = sorted(set(c) - set(r))
+        t0 = " ".join(inter)
+        t1 = (t0 + " " + " ".join(diff_r)).strip()
+        t2 = (t0 + " " + " ".join(diff_c)).strip()
+
+        def psim(s, l):
+            return 100.0 * (1.0 - (len(l) - len(s)) / max(len(l), len(s), 1))
+
+        return max(psim(t0, t1), psim(t0, t2), nsim(t1, t2))
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {
+        r["doc_id"]: r
+        for r in match_from_list_validate(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    import math
+
+    verdicts, choices_seen = set(), set()
+    for doc_id, text in docs.items():
+        resp = _re.sub(r"[^\x20-\x7e]", "", text[:CV_RESP_CHARS]).lower()
+        rtoks = _py_tokens(resp)
+        row = out[doc_id]
+        if not resp:
+            assert row["status"] == "empty" and not row["passed"]
+            continue
+        scores = [
+            0.0 if not rtoks else token_set(rtoks, c) for c in MFL_CHOICES
+        ]
+        best = max(scores)
+        best_i = scores.index(best)  # extractOne: first best in order
+        assert row["status"] == "ok"
+        assert row["best_choice"] == MFL_CHOICES[best_i]
+        assert row["best_score"] == math.floor(best * 10000 + 1e-6) / 10000
+        assert row["passed"] == (best >= MFL_MIN_SIMILARITY)
+        verdicts.add(row["passed"])
+        choices_seen.add(row["best_choice"])
+    assert verdicts == {True, False}
+    assert len(choices_seen) >= 2
+
+
+def test_validation_accuracy_profile_branches(spark):
+    """overall averages only the PRESENT metrics: docs with zero
+    total_cells (doc_id%7==0) average two metrics, others three —
+    reporting.py:99-121 recomputed exactly."""
+    import math
+
+    from pdf_extractor_spark.analytics.validation import (
+        validation_accuracy_profile,
+    )
+
+    rows = validation_accuracy_profile(spark, "/root/testdata/sf0.001").collect()
+    assert any(r["n_metrics"] == 2 for r in rows)
+    assert any(r["n_metrics"] == 3 for r in rows)
+    for r in rows:
+        d = r["doc_id"]
+        text = (300 + d % 200) / (400 + d % 150) * 100
+        struct = (5 + d % 5) / (8 + d % 4) * 100
+        metrics = [text, struct]
+        if d % 7 != 0:
+            metrics.append((10 + d % 12) / (15 + d % 8) * 100)
+            assert r["table_accuracy"] is not None
+        else:
+            assert r["table_accuracy"] is None
+        assert r["n_metrics"] == len(metrics)
+        want = math.floor(sum(metrics) / len(metrics) * 10000 + 1e-6) / 10000
+        assert r["overall_accuracy"] == want
