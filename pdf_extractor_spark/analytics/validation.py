@@ -1015,17 +1015,21 @@ JSON_EXTRACT_RE = r"(?s)(\[.*\]|\{.*\})"  # json_utils.py:115 verbatim
 
 
 def parse_json_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse_json over five deterministic response forms by doc_id%5:
+    """parse_json over six deterministic response forms by doc_id%6:
     direct JSON, JSON embedded in prose, a bare array in prose, a
-    single-quoted + trailing-comma object (repair path), no JSON at
-    all (original-string fallback, json_utils.py:134-135).
+    single-quoted + trailing-comma object (repair-on-extracted path),
+    no JSON at all (original-string fallback, json_utils.py:134-135),
+    and a bracket-less single-quoted answer (repair-on-FULL-content:
+    json_utils.py:114-120 only narrows `content` when the greedy regex
+    matches — repair always runs, so when no [..]/{..} exists the whole
+    response is repaired).
 
     Map-only: regexp extraction + try_parse_json cascade; the winning
     candidate string is fingerprinted (md5) rather than re-serialized
     so both engines hash the identical bytes."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id").cast("string")
-    mod = F.col("doc_id") % 5
+    mod = F.col("doc_id") % 6
     resp = (
         F.when(mod == 0, F.concat(F.lit('{"k": '), did, F.lit(', "v": "a"}')))
         .when(
@@ -1039,7 +1043,8 @@ def parse_json_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             mod == 3,
             F.concat(F.lit("{'k': "), did, F.lit(", 'b': 'x',}")),
         )
-        .otherwise(F.concat(F.lit("nothing parseable "), did))
+        .when(mod == 4, F.concat(F.lit("nothing parseable "), did))
+        .otherwise(F.concat(F.lit("'plain quoted answer "), did, F.lit("'")))
     )
     base = docs.select("doc_id", resp.alias("resp"))
     extracted = F.regexp_extract("resp", JSON_EXTRACT_RE, 1)
@@ -1048,8 +1053,13 @@ def parse_json_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("resp").rlike(JSON_EXTRACT_RE), extracted).alias("ext"),
     ).select(
         "doc_id", "resp", "ext",
+        # reference repairs `content` whether or not the regex narrowed
+        # it (json_utils.py:114-120): repair the full response when no
+        # bracket candidate exists
         F.regexp_replace(
-            F.regexp_replace("ext", r"'", '"'), r",\s*([}\]])", r"$1"
+            F.regexp_replace(F.coalesce("ext", "resp"), r"'", '"'),
+            r",\s*([}\]])",
+            r"$1",
         ).alias("rep"),
     )
     status = (
@@ -1081,13 +1091,14 @@ def parse_json_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARSE_JSON_SQL = rf"""
 WITH base AS (
   SELECT doc_id,
-    CASE doc_id % 5
+    CASE doc_id % 6
       WHEN 0 THEN '{{"k": ' || doc_id || ', "v": "a"}}'
       WHEN 1 THEN 'Sure! here: {{"k": ' || doc_id
                   || ', "arr": [1, 2]}} hope'
       WHEN 2 THEN 'list: [1, 2, ' || doc_id || '] end'
       WHEN 3 THEN '{{''k'': ' || doc_id || ', ''b'': ''x'',}}'
-      ELSE 'nothing parseable ' || doc_id
+      WHEN 4 THEN 'nothing parseable ' || doc_id
+      ELSE '''plain quoted answer ' || doc_id || ''''
     END AS resp
   FROM documents
 ), staged AS (
@@ -1097,7 +1108,7 @@ WITH base AS (
   FROM base
 ), rep AS (
   SELECT doc_id, resp, ext,
-    regexp_replace(regexp_replace(ext, '''', '"', 'g'),
+    regexp_replace(regexp_replace(coalesce(ext, resp), '''', '"', 'g'),
                    ',\s*([}}\]])', '\1', 'g') AS rep
   FROM staged
 ), picked AS (

@@ -68,7 +68,7 @@ def test_extract_code_block_matches_reference_port(spark):
 
 
 def _fixture_resp_json(doc_id: int) -> str:
-    m = doc_id % 5
+    m = doc_id % 6
     if m == 0:
         return f'{{"k": {doc_id}, "v": "a"}}'
     if m == 1:
@@ -77,30 +77,37 @@ def _fixture_resp_json(doc_id: int) -> str:
         return f"list: [1, 2, {doc_id}] end"
     if m == 3:
         return f"{{'k': {doc_id}, 'b': 'x',}}"
-    return f"nothing parseable {doc_id}"
+    if m == 4:
+        return f"nothing parseable {doc_id}"
+    return f"'plain quoted answer {doc_id}'"
 
 
 def _ref_parse_json(content: str):
     """json_utils.parse_json with the documented repair stand-in
-    (quote fold + trailing-comma strip). Returns (status, winning)."""
+    (quote fold + trailing-comma strip). Returns (status, winning).
+    Mirrors the reference control flow exactly: the regex only NARROWS
+    content when it matches (json_utils.py:114-117); repair then runs
+    on whatever content is — the full response when no bracket
+    candidate exists."""
     try:
         json.loads(content)
         return "direct", content
     except json.JSONDecodeError:
         pass
     m = re.search(r"(\[.*\]|\{.*\})", content, re.DOTALL)
+    cand = m.group(1) if m else content
     if m:
-        ext = m.group(1)
         try:
-            json.loads(ext)
-            return "extracted", ext
+            json.loads(cand)
+            return "extracted", cand
         except json.JSONDecodeError:
-            rep = re.sub(r",\s*([}\]])", r"\1", ext.replace("'", '"'))
-            try:
-                json.loads(rep)
-                return "repaired", rep
-            except json.JSONDecodeError:
-                pass
+            pass
+    rep = re.sub(r",\s*([}\]])", r"\1", cand.replace("'", '"'))
+    try:
+        json.loads(rep)
+        return "repaired", rep
+    except json.JSONDecodeError:
+        pass
     return "original", content
 
 
@@ -117,5 +124,10 @@ def test_parse_json_mixed_matches_reference_port(spark):
             assert row["parsed_keys"] == sorted(json.loads(winning).keys())
         else:
             assert row["parsed_keys"] is None
-        statuses.add(status)
-    assert statuses == {"direct", "extracted", "repaired", "original"}
+        statuses.add((status, doc_id % 6))
+    # both repair paths fire: on-extracted (form 3) and on-full-content
+    # (form 5, no bracket candidate)
+    assert {s for s, _ in statuses} == {
+        "direct", "extracted", "repaired", "original"
+    }
+    assert ("repaired", 3) in statuses and ("repaired", 5) in statuses
