@@ -213,6 +213,10 @@ QUERIES: Dict[str, QuerySpec] = {
         quality_rules.QUALITY_CLASSIFIER_SQL,
         "training:quality-classifier (DCLM/FineWeb-Edu-style)",
     ),
+    "semantic_dedup": QuerySpec(
+        similarity.semantic_dedup, similarity.SEMANTIC_DEDUP_SQL,
+        "training:semdedup (Abbas et al. 2023)",
+    ),
     # --- similarity search ---------------------------------------------------
     "cosine_topk_bruteforce": QuerySpec(
         similarity.cosine_topk_bruteforce, similarity.COSINE_TOPK_SQL,

@@ -1212,3 +1212,124 @@ ORDER BY vec_id
 
 
 EMBEDDING_QUANTIZE_SQL = _quant_sql()
+
+
+# ---------------------------------------------------------------------------
+# Graded query: semantic_dedup
+# (training:semdedup — Abbas et al. 2023 "SemDeDup": cluster the
+#  embedding space, then deduplicate WITHIN each cluster by cosine,
+#  keeping one representative per semantic-duplicate group. The
+#  cluster step here is one-pass nearest-SEED assignment (seeds = the
+#  first SEMDEDUP_K corpus vectors) so the WHOLE operator is
+#  SQL-expressible and cross-engine gated; the paper's full k-means
+#  exists separately as kmeans_fit/ivf_kmeans_topk (rows-only entry),
+#  and swapping fitted centroids for the seeds changes nothing in the
+#  plan below.)
+#
+# Scale shape: seeds broadcast (K rows) → assignment is map-only
+# (argmax over K cosines via one max(struct) hash aggregate, map-side
+# combinable) → the dup self-join is an EQUI-join on cluster id, so
+# work is bounded by the largest cluster, never corpus² — exactly the
+# IVF trade-off the docstring of ivf_kmeans_topk records. Single-pass
+# keep-lowest-id policy like dedup_survivors; transitive closure
+# composes via dedup.connected_components when needed.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8          # seed/cluster count at test scale
+SEMDEDUP_THRESHOLD = 0.95  # within-cluster cosine duplicate bar
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < N_INJECTED_DUPS).select(
+        (F.col("vec_id") + DUP_ID_OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").cast("int").alias("seed_id"),
+            F.col("embedding").alias("seed_emb"),
+        )
+    )
+    pairs = corpus.crossJoin(seeds).select(
+        "vec_id",
+        "embedding",
+        "seed_id",
+        # zero-norm junk: cosine NULL → -2 sentinel → such a vector
+        # lands in the lowest seed id deterministically in both engines
+        F.coalesce(
+            _cosine(_as_double("embedding"), _as_double("seed_emb")),
+            F.lit(-2.0),
+        ).alias("cos_seed"),
+    )
+    assigned = pairs.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos_seed"), (-F.col("seed_id")).alias("nid"))
+        ).alias("w"),
+        F.first("embedding").alias("embedding"),
+    )
+    clustered = assigned.select(
+        "vec_id", "embedding", (-F.col("w")["nid"]).cast("int").alias("cluster")
+    )
+    a, b = clustered.alias("a"), clustered.alias("b")
+    dup_pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            _cosine(
+                _as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))
+            )
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("dup_id"),
+        )
+    )
+    dup_of = dup_pairs.groupBy("dup_id").agg(F.min("keep_id").alias("dup_of"))
+    return (
+        clustered.join(dup_of, clustered["vec_id"] == dup_of["dup_id"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_ID_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id < {N_INJECTED_DUPS}
+), seeds AS (
+  SELECT CAST(vec_id AS INT) AS seed_id, embedding AS seed_emb
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+), scored AS (
+  SELECT c.vec_id, c.embedding, s.seed_id,
+         coalesce({_cosine_sql('c.embedding', 's.seed_emb')}, -2.0) AS cos_seed
+  FROM corpus c CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, any_value(embedding) AS embedding,
+         CAST(-(max(struct_pack(c := cos_seed, nid := -seed_id)).nid) AS INT)
+           AS cluster
+  FROM scored
+  GROUP BY vec_id
+), dup_pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+), dup_of AS (
+  SELECT dup_id, min(keep_id) AS dup_of FROM dup_pairs GROUP BY dup_id
+)
+SELECT c.vec_id, c.cluster, d.dup_of IS NULL AS kept, d.dup_of
+FROM assigned c LEFT JOIN dup_of d ON c.vec_id = d.dup_id
+ORDER BY c.vec_id
+"""

@@ -85,3 +85,64 @@ def test_embedding_quantize_error_numpy_recompute(spark):
         assert row["cos_dq"] >= 0.99
         checked += 1
     assert checked > 0
+
+
+def test_semantic_dedup_recompute(spark):
+    """SemDeDup verdicts equal a numpy recompute of the seeded
+    assignment + within-cluster cosine dedup: injected exact copies are
+    marked duplicates of their originals (same cluster by construction)
+    and keep-lowest-id survivorship holds per duplicate group."""
+    import numpy as np
+
+    from pdf_extractor_spark.analytics.base import (
+        DUP_ID_OFFSET,
+        N_INJECTED_DUPS,
+    )
+    from pdf_extractor_spark.analytics.similarity import (
+        SEMDEDUP_K,
+        SEMDEDUP_THRESHOLD,
+        semantic_dedup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {r["vec_id"]: r for r in semantic_dedup(spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    corpus = dict(emb)
+    for vid in range(N_INJECTED_DUPS):
+        corpus[vid + DUP_ID_OFFSET] = emb[vid]
+    seeds = {sid: emb[sid] for sid in range(SEMDEDUP_K)}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return None if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
+    cluster = {}
+    for vid, v in corpus.items():
+        scored = [
+            (c if (c := cos(v, s)) is not None else -2.0, -sid, sid)
+            for sid, s in seeds.items()
+        ]
+        cluster[vid] = max(scored)[2]
+    dup_of = {}
+    ids = sorted(corpus)
+    for i, b_id in enumerate(ids):
+        for a_id in ids[:i]:
+            if cluster[a_id] != cluster[b_id]:
+                continue
+            c = cos(corpus[a_id], corpus[b_id])
+            if c is not None and c >= SEMDEDUP_THRESHOLD:
+                dup_of.setdefault(b_id, a_id)
+                break  # ids ascending: first hit is the min keep_id
+    assert set(out) == set(corpus)
+    for vid in corpus:
+        row = out[vid]
+        assert row["cluster"] == cluster[vid], vid
+        assert row["kept"] == (vid not in dup_of), vid
+        assert row["dup_of"] == dup_of.get(vid), vid
+    # the injected copies can never survive against their originals
+    injected = [vid for vid in corpus if vid >= DUP_ID_OFFSET]
+    assert injected and all(not out[vid]["kept"] for vid in injected)
+    assert any(out[vid]["kept"] for vid in corpus if vid < DUP_ID_OFFSET)
