@@ -98,3 +98,18 @@ def test_corpus_match_plan_shape(spark):
         if "SortAggregate" in line:
             assert "max(b#" in line or "partial_max(b#" in line, line[:200]
     assert "BroadcastHashJoin" in plan  # the 4-row paragraph dimension
+
+
+def test_semantic_dedup_join_shapes(spark):
+    """SemDeDup's within-cluster dup join must ride the cluster-id
+    equi-key (SortMergeJoin/ShuffledHashJoin — bounded by cluster
+    width), never a CartesianProduct; the only nested loops allowed are
+    the deliberate K-row broadcast seed joins (BuildRight)."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin [cluster" in plan) or (
+        "ShuffledHashJoin [cluster" in plan
+    )
+    for line in plan.splitlines():
+        if "NestedLoop" in line:
+            assert "Broadcast" in line and "BuildRight" in line
