@@ -796,3 +796,109 @@ ORDER BY d.doc_id
 
 
 CURRICULUM_SQL = _curriculum_sql()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (training:dsir)
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw-pool document by the log-likelihood
+# ratio of a hashed bag-of-ngrams model fit on a target domain vs one
+# fit on the raw pool; resampling by these weights shifts the corpus
+# toward the target distribution. Features are unigrams + bigrams
+# hashed into 256 buckets (first 2 hex chars of md5 — engine-portable,
+# same cross-engine-hash rule as the rest of the suite); both bucket
+# distributions are Laplace-smoothed (+1 / +B). The "target domain"
+# stand-in is docs 0..DSIR_TARGET_MAX_ID-1, the same synthetic-corpus
+# technique decontaminate uses for its benchmark set.
+#
+# Scale shape: feature explode is map-only; bucket counts are two
+# hash-aggregates with map-side combine (256 groups — the shuffle
+# carries ≤256 rows per task); corpus totals ride a single-row agg
+# crossJoin(broadcast(...)) — the bm25 corpus-stats idiom; the 256-row
+# log-ratio table broadcasts into a map-side join; the per-doc weight
+# is one final hash-aggregate on doc_id. No driver-side state, no
+# collect, nothing data-dependent on the driver.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_MAX_ID = 100  # docs 0..99 stand in for the target domain
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    feats = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.col("toks"), _grams(F.col("toks"), 2))
+        ).alias("g"),
+    ).select("doc_id", F.substring(F.md5("g"), 1, 2).alias("b"))
+    raw = feats.groupBy("b").agg(F.count("*").alias("n_raw"))
+    tgt = (
+        feats.filter(F.col("doc_id") < DSIR_TARGET_MAX_ID)
+        .groupBy("b")
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    totals = feats.agg(
+        F.count("*").alias("nr"),
+        F.count(
+            F.when(F.col("doc_id") < DSIR_TARGET_MAX_ID, F.lit(1))
+        ).alias("nt"),
+    )
+    logratio = (
+        F.log(
+            (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1.0)
+            / (F.col("nt") + DSIR_BUCKETS)
+        )
+        - F.log((F.col("n_raw") + 1.0) / (F.col("nr") + DSIR_BUCKETS))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("b", logratio.alias("logratio"))
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            floor_round(F.sum("logratio"), 4).alias("dsir_weight"),
+        )
+    )
+
+
+DSIR_WEIGHTS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, substr(md5(g), 1, 2) AS b
+  FROM (
+    SELECT doc_id,
+           unnest(list_concat(
+             t,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]))) AS g
+    FROM toks
+  )
+),
+raw AS (SELECT b, count(*) AS n_raw FROM feats GROUP BY b),
+tgt AS (SELECT b, count(*) AS n_tgt FROM feats
+        WHERE doc_id < {DSIR_TARGET_MAX_ID} GROUP BY b),
+tot AS (SELECT count(*) AS nr,
+               count(*) FILTER (WHERE doc_id < {DSIR_TARGET_MAX_ID}) AS nt
+        FROM feats),
+lr AS (
+  SELECT r.b,
+         ln((coalesce(g.n_tgt, 0) + 1.0) / (t.nt + {DSIR_BUCKETS}))
+       - ln((r.n_raw + 1.0) / (t.nr + {DSIR_BUCKETS})) AS logratio
+  FROM raw r LEFT JOIN tgt g ON g.b = r.b CROSS JOIN tot t
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(floor(sum(l.logratio) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS dsir_weight
+FROM feats f JOIN lr l ON l.b = f.b
+GROUP BY f.doc_id
+"""

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import DUP_ID_OFFSET, N_INJECTED_DUPS, load
+from .base import DUP_ID_OFFSET, N_INJECTED_DUPS, floor_round, load
 from .base import tokens as _tokens
 
 SHINGLE = 3           # words per shingle
@@ -1025,3 +1025,103 @@ def _compact_commit(
         for d in olds:
             shutil.rmtree(d)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate statistics (training:substring-dedup)
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") remove any substring that occurs verbatim more than once in
+# the corpus, found via a suffix array. The Spark-native shape replaces
+# the suffix array with rolling fixed-width token windows (the same
+# windows winnowing fingerprints ride): a window whose md5 appears more
+# than once ANYWHERE in the corpus (cross-doc or within-doc repeat —
+# the paper's criterion) is a duplicated span. Per doc we report how
+# many of its windows are duplicated and the duplicated fraction — the
+# statistic the paper's filtering decision consumes.
+#
+# Scale shape: explode to (doc_id, window_hash) — map-only; occurrence
+# counting is one hash-aggregate on uniform md5 keys (map-side
+# combined); the flag-back is a left-semi equi-join on the same
+# uniform keys. The duplicated-hash set is data-dependent (boilerplate
+# can make it huge) so it is NOT broadcast — AQE downgrades the
+# exchange to broadcast by itself whenever it happens to be small.
+# Totals never re-shuffle: they are a map-only expression on the scan.
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 8  # window width in tokens (matches the winnowing window)
+
+
+def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # toks materialized before the HOF (capture rule — see _shingles)
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (SUBSTR_W - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, SUBSTR_W))),
+    )
+    guarded = F.when(F.size("toks") >= SUBSTR_W, win_hashes).otherwise(
+        F.array().cast("array<string>")
+    )
+    wins = toks.select("doc_id", F.explode(guarded).alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    per = (
+        wins.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_windows"))
+    )
+    tot = toks.select(
+        "doc_id",
+        F.greatest(F.size("toks") - (SUBSTR_W - 1), F.lit(0))
+        .cast("long")
+        .alias("total_windows"),
+    )
+    frac = F.when(
+        F.col("total_windows") > 0,
+        floor_round(
+            F.col("dup_windows") / F.col("total_windows"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        tot.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            "total_windows",
+        )
+        .select("doc_id", "dup_windows", "total_windows", frac.alias("dup_fraction"))
+    )
+
+
+SUBSTRING_DUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(t[i:i + {SUBSTR_W - 1}], ' ')) AS h
+  FROM toks,
+       unnest(generate_series(1, greatest(len(t) - {SUBSTR_W - 1}, 0))) AS u(i)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+per AS (
+  SELECT doc_id, count(*) AS dup_windows
+  FROM wins WHERE h IN (SELECT h FROM dup)
+  GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, greatest(len(t) - {SUBSTR_W - 1}, 0) AS total_windows FROM toks
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(t.total_windows AS BIGINT) AS total_windows,
+       CAST(CASE WHEN t.total_windows > 0
+                 THEN floor(coalesce(p.dup_windows, 0) * 1.0 / t.total_windows
+                            * 10000 + 1e-6) / 10000
+                 ELSE 0.0 END AS DOUBLE) AS dup_fraction
+FROM tot t LEFT JOIN per p ON p.doc_id = t.doc_id
+"""

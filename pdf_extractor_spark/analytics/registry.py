@@ -160,6 +160,10 @@ QUERIES: Dict[str, QuerySpec] = {
         dedup.neardup_incremental_ingest, dedup.NEARDUP_INGEST_SQL,
         "training:dedup-incremental",
     ),
+    "substring_dup_stats": QuerySpec(
+        dedup.substring_dup_stats, dedup.SUBSTRING_DUP_SQL,
+        "training:substring-dedup (Lee et al. 2022)",
+    ),
     "training_corpus_filter": QuerySpec(
         dedup.training_corpus_filter, dedup.TRAINING_FILTER_SQL,
         "training:compose",
@@ -179,6 +183,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(
         curation.decontaminate, curation.DECONTAMINATE_SQL,
         "training:decontaminate",
+    ),
+    "dsir_weights": QuerySpec(
+        curation.dsir_weights, curation.DSIR_WEIGHTS_SQL,
+        "training:dsir (Xie et al. 2023)",
     ),
     "perplexity_score": QuerySpec(
         curation.perplexity_score, curation.PERPLEXITY_SCORE_SQL,

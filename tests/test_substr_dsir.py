@@ -1,0 +1,116 @@
+"""Unit oracles for the round-3 additions substring_dup_stats (Lee et
+al. 2022 exact-substring dedup shape) and dsir_weights (Xie et al. 2023
+hashed-ngram importance resampling): full pure-Python recomputes on the
+real sf0.001 corpus, independent of both Spark and DuckDB."""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toks(text):
+    # identical to analytics.base.tokens / string_split_regex(text,'\s+')
+    return re.split(r"\s+", text)
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _docs(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+
+def test_substring_dup_stats_recompute(spark):
+    from pdf_extractor_spark.analytics.dedup import (
+        SUBSTR_W,
+        substring_dup_stats,
+    )
+
+    docs = _docs(spark)
+    wins = {}  # doc_id -> list of window hashes
+    occurrences = Counter()
+    for doc_id, text in docs.items():
+        t = _toks(text)
+        hs = [
+            _md5(" ".join(t[i : i + SUBSTR_W]))
+            for i in range(len(t) - SUBSTR_W + 1)
+        ]
+        wins[doc_id] = hs
+        occurrences.update(hs)
+    dup_set = {h for h, c in occurrences.items() if c > 1}
+
+    out = {r["doc_id"]: r for r in substring_dup_stats(spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    saw_dup = saw_zero_window = False
+    for doc_id, hs in wins.items():
+        row = out[doc_id]
+        want_dup = sum(1 for h in hs if h in dup_set)
+        want_tot = len(hs)
+        assert row["dup_windows"] == want_dup, doc_id
+        assert row["total_windows"] == want_tot, doc_id
+        if want_tot:
+            want_frac = math.floor(want_dup / want_tot * 10000 + 1e-6) / 10000
+        else:
+            want_frac = 0.0
+            saw_zero_window = True
+        assert row["dup_fraction"] == want_frac, doc_id
+        saw_dup = saw_dup or want_dup > 0
+    # the corpus must actually exercise the operator
+    assert saw_dup
+
+
+def test_dsir_weights_recompute(spark):
+    from pdf_extractor_spark.analytics.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_MAX_ID,
+        dsir_weights,
+    )
+
+    docs = _docs(spark)
+    feats = {}  # doc_id -> list of bucket keys
+    for doc_id, text in docs.items():
+        t = _toks(text)
+        grams = list(t) + [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+        feats[doc_id] = [_md5(g)[:2] for g in grams]
+
+    raw = Counter(b for bs in feats.values() for b in bs)
+    tgt = Counter(
+        b
+        for doc_id, bs in feats.items()
+        if doc_id < DSIR_TARGET_MAX_ID
+        for b in bs
+    )
+    nr = sum(raw.values())
+    nt = sum(tgt.values())
+    logratio = {
+        b: math.log((tgt.get(b, 0) + 1.0) / (nt + DSIR_BUCKETS))
+        - math.log((raw[b] + 1.0) / (nr + DSIR_BUCKETS))
+        for b in raw
+    }
+
+    out = {r["doc_id"]: r for r in dsir_weights(spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    for doc_id, bs in feats.items():
+        row = out[doc_id]
+        assert row["n_feats"] == len(bs), doc_id
+        want = sum(logratio[b] for b in bs)
+        # fp sum order differs across engines: allow one floor step
+        assert abs(row["dsir_weight"] - math.floor(want * 10000 + 1e-6) / 10000) \
+            <= 1.0001e-4, doc_id
+
+    # the target stand-in must tilt weights: target docs score higher
+    # on their own distribution than the raw pool average
+    tgt_mean = sum(
+        out[d]["dsir_weight"] for d in out if d < DSIR_TARGET_MAX_ID
+    ) / max(1, sum(1 for d in out if d < DSIR_TARGET_MAX_ID))
+    pool_mean = sum(r["dsir_weight"] for r in out.values()) / len(out)
+    assert tgt_mean >= pool_mean
