@@ -379,6 +379,10 @@ QUERIES: Dict[str, QuerySpec] = {
         validation.VALIDATION_ACCURACY_SQL,
         "reference validation_utils/reporting.py:76-123",
     ),
+    "snapshot_diff": QuerySpec(
+        validation.snapshot_diff, validation.SNAPSHOT_DIFF_SQL,
+        "reference arangodb/validation/validation_utils.py:65-129",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

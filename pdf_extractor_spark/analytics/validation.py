@@ -1373,3 +1373,182 @@ SELECT doc_id,
     AS overall_accuracy
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (reference
+# ``arangodb/validation/validation_utils.py:65-129`` compare_results:
+# field-by-field expected-vs-actual comparison emitting a typed failure
+# list; document payloads are compared by their ``_key`` fingerprint
+# rather than deep content).
+#
+# Generalized to table scale: diff TWO SNAPSHOTS of the documents
+# corpus — the regression check a 100 TB corpus rebuild actually needs
+# ("what did the new pipeline version change?"). The "actual" snapshot
+# is derived deterministically from the base corpus by the first hex
+# digit of md5(doc_id): digit 0 → row deleted, digit 1 → lang field
+# rewritten, digit 2 → text edited (so the content fingerprint AND
+# n_chars move), digit 3 → an extra row inserted under a new key. The
+# diff reports per-key status (added / removed / changed) plus the
+# exact fields that moved — compare_results' failure-record shape.
+#
+# Scale shape: two map-only projections over the same scan (content
+# compared by md5 FINGERPRINT, never by payload — diff rows stay tiny
+# no matter how big the documents are), then ONE full-outer
+# sort-merge join on the snapshot key. No windows, no explode, no
+# driver state; AQE splits a skewed key range. 'same' rows are
+# filtered out before anything leaves the join, so the result is
+# bounded by the churn, not the corpus.
+# ---------------------------------------------------------------------------
+
+SNAP_ADD_OFFSET = 5_000_000  # inserted-row key space (clear of DUP/ADV ids)
+SNAP_FIELDS = ["lang", "n_chars", "source", "text_md5"]  # compare order
+
+
+def _snapshot_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "source",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _snapshot_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    base = (
+        docs.withColumn("d", digit)
+        .filter(F.col("d") != "0")  # deletions
+        .select(
+            "doc_id",
+            F.when(F.col("d") == "1", F.lit("xx")).otherwise(F.col("lang"))
+            .alias("lang"),
+            F.when(
+                F.col("d") == "2",
+                (F.col("n_chars") + F.lit(9)).cast("long"),
+            ).otherwise(F.col("n_chars").cast("long")).alias("n_chars"),
+            "source",
+            F.when(
+                F.col("d") == "2", F.md5(F.concat(F.col("text"), F.lit(" [edited]")))
+            ).otherwise(F.md5("text")).alias("text_md5"),
+        )
+    )
+    inserted = (
+        docs.withColumn("d", digit)
+        .filter(F.col("d") == "3")  # insertions under a fresh key
+        .select(
+            (F.col("doc_id") + SNAP_ADD_OFFSET).alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.lit("snapshot").alias("source"),
+            F.md5("text").alias("text_md5"),
+        )
+    )
+    return base.unionByName(inserted)
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _snapshot_expected(spark, sf_dir)
+    a = _snapshot_actual(spark, sf_dir)
+    ec = {f: F.col(f"e_{f}") for f in SNAP_FIELDS}
+    ac = {f: F.col(f"a_{f}") for f in SNAP_FIELDS}
+    joined = (
+        e.select("doc_id", *[F.col(f).alias(f"e_{f}") for f in SNAP_FIELDS])
+        .join(
+            a.select(
+                "doc_id", *[F.col(f).alias(f"a_{f}") for f in SNAP_FIELDS]
+            ),
+            "doc_id",
+            "full_outer",
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("e_text_md5").isNull(), F.lit("added"))
+            .when(F.col("a_text_md5").isNull(), F.lit("removed"))
+            .otherwise(
+                F.when(
+                    sum(
+                        (~ec[f].eqNullSafe(ac[f])).cast("int")
+                        for f in SNAP_FIELDS
+                    )
+                    > 0,
+                    F.lit("changed"),
+                ).otherwise(F.lit("same"))
+            ),
+        )
+        .filter(F.col("status") != "same")
+    )
+    changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    (F.col("status") == "changed")
+                    & ~ec[f].eqNullSafe(ac[f]),
+                    F.lit(f),
+                )
+                for f in SNAP_FIELDS
+            ]
+        )
+    )
+    return joined.select("doc_id", "status", changed.alias("changed_fields"))
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH e AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, source,
+         md5(text) AS text_md5
+  FROM documents
+),
+a_base AS (
+  SELECT doc_id,
+         CASE WHEN d = '1' THEN 'xx' ELSE lang END AS lang,
+         CAST(CASE WHEN d = '2' THEN n_chars + 9 ELSE n_chars END AS BIGINT)
+           AS n_chars,
+         source,
+         CASE WHEN d = '2' THEN md5(text || ' [edited]')
+              ELSE md5(text) END AS text_md5
+  FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS d
+        FROM documents)
+  WHERE d <> '0'
+),
+a AS (
+  SELECT * FROM a_base
+  UNION ALL
+  SELECT doc_id + {SNAP_ADD_OFFSET} AS doc_id, lang,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         'snapshot' AS source, md5(text) AS text_md5
+  FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS d
+        FROM documents)
+  WHERE d = '3'
+),
+j AS (
+  SELECT coalesce(e.doc_id, a.doc_id) AS doc_id,
+         CASE WHEN e.text_md5 IS NULL THEN 'added'
+              WHEN a.text_md5 IS NULL THEN 'removed'
+              WHEN e.lang IS DISTINCT FROM a.lang
+                OR e.n_chars IS DISTINCT FROM a.n_chars
+                OR e.source IS DISTINCT FROM a.source
+                OR e.text_md5 IS DISTINCT FROM a.text_md5 THEN 'changed'
+              ELSE 'same' END AS status,
+         e.lang AS e_lang, a.lang AS a_lang,
+         e.n_chars AS e_n_chars, a.n_chars AS a_n_chars,
+         e.source AS e_source, a.source AS a_source,
+         e.text_md5 AS e_text_md5, a.text_md5 AS a_text_md5
+  FROM e FULL OUTER JOIN a ON e.doc_id = a.doc_id
+)
+SELECT doc_id, status,
+       list_filter([
+         CASE WHEN status = 'changed'
+               AND e_lang IS DISTINCT FROM a_lang THEN 'lang' END,
+         CASE WHEN status = 'changed'
+               AND e_n_chars IS DISTINCT FROM a_n_chars THEN 'n_chars' END,
+         CASE WHEN status = 'changed'
+               AND e_source IS DISTINCT FROM a_source THEN 'source' END,
+         CASE WHEN status = 'changed'
+               AND e_text_md5 IS DISTINCT FROM a_text_md5 THEN 'text_md5' END
+       ], x -> x IS NOT NULL) AS changed_fields
+FROM j
+WHERE status <> 'same'
+"""
