@@ -1125,3 +1125,177 @@ SELECT t.doc_id,
                  ELSE 0.0 END AS DOUBLE) AS dup_fraction
 FROM tot t LEFT JOIN per p ON p.doc_id = t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup REWRITE (training:substring-dedup-rewrite)
+#
+# The actual corpus operation from Lee et al. 2022: every duplicated
+# span keeps its globally-first occurrence (min (doc_id, pos) — the
+# same first-winner rule paragraph_dedup uses) and every OTHER
+# occurrence is cut out of its document. A token is removed iff any
+# non-winner duplicated window covers it; the surviving tokens are
+# reassembled in order. Output carries the rewritten text as an md5
+# FINGERPRINT (never the payload — diff-sized rows at any doc size)
+# plus kept/removed counts.
+#
+# Scale shape, in order:
+#   1. window hashes ride the same map-only HOF as substring_dup_stats;
+#   2. winner/count per hash is groupBy().agg(count, min(struct)) +
+#      equi-join back — NOT a window over the hash (a boilerplate span
+#      duplicated 10^9 times would be one unsplittable window
+#      partition; the aggregate map-side-combines the hot key and the
+#      join is AQE-skew-splittable — the paragraph_dedup lesson,
+#      docs/PLANS.md §15);
+#   3. covered token indexes = explode of the (bounded, W-row) window
+#      span per dup occurrence, distinct on (doc_id, t);
+#   4. ONLY touched docs (left-semi on the covered set) pay the full
+#      token explode → anti-join → ordered reassembly; the untouched
+#      majority of a web corpus is a map-only projection. No HOF ever
+#      scans the covered array per token (that is O(n·|cov|) on a
+#      megadoc — the anti-join is the linear shape).
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = SUBSTR_W
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (W - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, W))),
+    )
+    guarded = F.when(F.size("toks") >= W, win_hashes).otherwise(
+        F.array().cast("array<string>")
+    )
+    wins = toks.select(
+        "doc_id", F.posexplode(guarded).alias("i0", "h")
+    ).select("doc_id", (F.col("i0") + 1).alias("pos"), "h")
+    stats = (
+        wins.groupBy("h")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("w"),
+        )
+        .filter(F.col("c") > 1)
+        .select("h", "w")
+    )
+    dup_occ = (
+        wins.join(stats, "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("w.doc_id"))
+                & (F.col("pos") == F.col("w.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cov = dup_occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (W - 1))).alias("t"),
+    ).distinct()
+    touched_ids = cov.select("doc_id").distinct()
+    untouched = toks.join(touched_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("toks"))).alias("dedup_text_md5"),
+    )
+    touched_toks = toks.join(touched_ids, "doc_id", "left_semi")
+    tok_rows = touched_toks.select(
+        "doc_id", F.posexplode("toks").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("t"), "tok")
+    rebuilt = (
+        tok_rows.join(cov, ["doc_id", "t"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("t", "tok"))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    touched = (
+        touched_toks.select(
+            "doc_id", F.size("toks").cast("long").alias("n_tokens")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(
+                F.col("kept_md5"), F.md5(F.lit(""))
+            ).alias("dedup_text_md5"),
+        )
+    )
+    return untouched.unionByName(touched)
+
+
+SUBSTRING_REWRITE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS tks FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(tks[i:i + {SUBSTR_W - 1}], ' ')) AS h
+  FROM toks,
+       unnest(generate_series(1, greatest(len(tks) - {SUBSTR_W - 1}, 0)))
+         AS u(i)
+),
+won AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS c,
+         min(struct_pack(doc_id := doc_id, pos := pos))
+           OVER (PARTITION BY h) AS w
+  FROM wins
+),
+dup_occ AS (
+  SELECT doc_id, pos FROM won
+  WHERE c > 1 AND NOT (w.doc_id = doc_id AND w.pos = pos)
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(t AS BIGINT) AS t
+  FROM dup_occ, unnest(generate_series(pos, pos + {SUBSTR_W - 1})) AS u(t)
+),
+touched AS (SELECT DISTINCT doc_id FROM cov),
+tok_rows AS (
+  SELECT k.doc_id, CAST(i AS BIGINT) AS t, k.tks[i] AS tok
+  FROM toks k JOIN touched USING (doc_id),
+       unnest(generate_series(1, len(k.tks))) AS u(i)
+),
+kept AS (
+  SELECT r.doc_id, r.t, r.tok
+  FROM tok_rows r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = r.doc_id AND c.t = r.t
+  )
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY t)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT k.doc_id, CAST(len(k.tks) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_removed,
+       md5(array_to_string(k.tks, ' ')) AS dedup_text_md5
+FROM toks k
+WHERE k.doc_id NOT IN (SELECT doc_id FROM touched)
+UNION ALL
+SELECT k.doc_id, CAST(len(k.tks) AS BIGINT) AS n_tokens,
+       CAST(len(k.tks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.kept_md5, md5('')) AS dedup_text_md5
+FROM toks k
+JOIN touched USING (doc_id)
+LEFT JOIN rebuilt r ON r.doc_id = k.doc_id
+"""

@@ -164,6 +164,10 @@ QUERIES: Dict[str, QuerySpec] = {
         dedup.substring_dup_stats, dedup.SUBSTRING_DUP_SQL,
         "training:substring-dedup (Lee et al. 2022)",
     ),
+    "substring_dedup_rewrite": QuerySpec(
+        dedup.substring_dedup_rewrite, dedup.SUBSTRING_REWRITE_SQL,
+        "training:substring-dedup-rewrite (Lee et al. 2022)",
+    ),
     "training_corpus_filter": QuerySpec(
         dedup.training_corpus_filter, dedup.TRAINING_FILTER_SQL,
         "training:compose",

@@ -114,3 +114,48 @@ def test_dsir_weights_recompute(spark):
     ) / max(1, sum(1 for d in out if d < DSIR_TARGET_MAX_ID))
     pool_mean = sum(r["dsir_weight"] for r in out.values()) / len(out)
     assert tgt_mean >= pool_mean
+
+
+def test_substring_dedup_rewrite_recompute(spark):
+    from pdf_extractor_spark.analytics.dedup import (
+        SUBSTR_W,
+        substring_dedup_rewrite,
+    )
+
+    docs = _docs(spark)
+    occ = {}  # h -> list of (doc_id, pos) in any order
+    toks = {}
+    for doc_id, text in docs.items():
+        t = _toks(text)
+        toks[doc_id] = t
+        for i in range(len(t) - SUBSTR_W + 1):
+            h = _md5(" ".join(t[i : i + SUBSTR_W]))
+            occ.setdefault(h, []).append((doc_id, i + 1))
+
+    covered = {}  # doc_id -> set of 1-based token indexes removed
+    for h, places in occ.items():
+        if len(places) < 2:
+            continue
+        winner = min(places)
+        for doc_id, pos in places:
+            if (doc_id, pos) == winner:
+                continue
+            covered.setdefault(doc_id, set()).update(
+                range(pos, pos + SUBSTR_W)
+            )
+
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup_rewrite(spark, SF_DIR).collect()
+    }
+    assert set(out) == set(docs)
+    saw_removed = False
+    for doc_id, t in toks.items():
+        cut = covered.get(doc_id, set())
+        kept = [tok for i, tok in enumerate(t, start=1) if i not in cut]
+        row = out[doc_id]
+        assert row["n_tokens"] == len(t), doc_id
+        assert row["n_removed"] == len(t) - len(kept), doc_id
+        assert row["dedup_text_md5"] == _md5(" ".join(kept)), doc_id
+        saw_removed = saw_removed or row["n_removed"] > 0
+    assert saw_removed  # the corpus must actually exercise removal
