@@ -347,6 +347,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "template_substitute": QuerySpec(
         taskflow.template_substitute, taskflow.TEMPLATE_SUBSTITUTE_SQL, "R3-43"
     ),
+    "message_history": QuerySpec(
+        taskflow.message_history, taskflow.MESSAGE_HISTORY_SQL,
+        "reference llm_integration/engine.py:124-166",
+    ),
     "json_response_validate": QuerySpec(
         validation.json_response_validate, validation.JSON_RESPONSE_SQL, "R3-44"
     ),

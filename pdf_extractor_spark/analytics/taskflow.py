@@ -221,3 +221,161 @@ LEFT JOIN ndep n USING (task_id)
 JOIN depth d USING (task_id)
 ORDER BY task_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Message-history assembly (reference ``llm_integration/engine.py:
+# 124-166`` build_message_history): for each task, walk its EXPLICIT
+# dependencies in sorted order (original_dependencies carries only the
+# explicit deps — dependency_graph.py:71; and sorted() on task-id
+# STRINGS is lexicographic, so 'T10' < 'T9' — quirk carried as-is),
+# and for every dep that is present in completed_results with
+# status == 'success' AND a non-null result, append the
+# (user: dep question, assistant: dep result) pair and collect the
+# result into the corpus; deps that failed, returned null, or never
+# completed are skipped (the reference's three warning branches).
+# Finally append the task's own question; corpus is the
+# '\n\n---\n\n' join of collected results, NULL when none qualified.
+#
+# Completed-results fixture (deterministic per seq): seq%11==5 never
+# completed, seq%4==3 completed-but-failed, seq%10==7 success with a
+# null result; otherwise success with result 'R<seq>' (the str branch)
+# for even seq and '{"answer": <seq>}' (the json.dumps(dict) branch,
+# rendered at fixture level) for odd seq.
+#
+# Scale shape: explode the (≤2-element) deps array, ONE equi-join back
+# to the tasks table for dep question/result, one hash-aggregate
+# collecting the sorted pairs, one left join to re-attach dep-less
+# tasks. Messages are flattened to 'role: content' strings (the
+# engine-portable hash shape); no Python, no window, no nested loop.
+# ---------------------------------------------------------------------------
+
+
+def _result_cols() -> tuple:
+    """(status, result) columns for a task row — the fixture above."""
+    seq = F.col("seq")
+    status = F.when(seq % 11 == 5, F.lit(None).cast("string")).otherwise(
+        F.when(seq % 4 == 3, F.lit("failed")).otherwise(F.lit("success"))
+    )
+    result = F.when(
+        seq % 10 == 7, F.lit(None).cast("string")
+    ).otherwise(
+        F.when(
+            seq % 2 == 0, F.concat(F.lit("R"), seq.cast("string"))
+        ).otherwise(
+            F.concat(F.lit('{"answer": '), seq.cast("string"), F.lit("}"))
+        )
+    )
+    return status, result
+
+
+def message_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tasks = _tasks_df(spark, sf_dir)
+    status, result = _result_cols()
+    results = tasks.select(
+        F.col("task_id").alias("dep_id"),
+        F.concat(F.lit("ask "), F.col("task_id")).alias("dep_q"),
+        status.alias("dep_status"),
+        result.alias("dep_result"),
+    )
+    pairs = (
+        tasks.select("task_id", F.explode("deps").alias("dep_id"))
+        .join(results, "dep_id")
+        .filter(
+            (F.col("dep_status") == "success")
+            & F.col("dep_result").isNotNull()
+        )
+        .groupBy("task_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dep_id", "dep_q", "dep_result"))
+            ).alias("ctx")
+        )
+    )
+    own_q = F.concat(F.lit("ask "), F.col("task_id"))
+    ctx = F.coalesce(
+        F.col("ctx"),
+        F.array().cast(
+            "array<struct<dep_id:string,dep_q:string,dep_result:string>>"
+        ),
+    )
+    messages = F.concat(
+        F.flatten(
+            F.transform(
+                ctx,
+                lambda x: F.array(
+                    F.concat(F.lit("user: "), x["dep_q"]),
+                    F.concat(F.lit("assistant: "), x["dep_result"]),
+                ),
+            )
+        ),
+        F.array(F.concat(F.lit("user: "), own_q)),
+    )
+    corpus = F.when(
+        F.size(ctx) > 0,
+        F.concat_ws(
+            "\n\n---\n\n", F.transform(ctx, lambda x: x["dep_result"])
+        ),
+    )
+    return (
+        tasks.join(pairs, "task_id", "left")
+        .select(
+            "task_id",
+            F.size(messages).alias("n_messages"),
+            messages.alias("messages"),
+            corpus.alias("corpus"),
+        )
+        .orderBy("task_id")
+    )
+
+
+MESSAGE_HISTORY_SQL = f"""
+WITH tasks AS (
+  SELECT 'T' || event_id AS task_id,
+         event_id AS seq,
+         list_filter([
+           CASE WHEN {_TASK_K} % 5 = 0 AND event_id >= 2
+                THEN 'T' || (event_id - 2) END,
+           CASE WHEN {_TASK_K} % 7 = 0 AND event_id >= 3
+                THEN 'T' || (event_id - 3) END
+         ], x -> x IS NOT NULL) AS deps
+  FROM events WHERE event_id < {TASK_BATCH}
+), results AS (
+  SELECT task_id AS dep_id,
+         'ask ' || task_id AS dep_q,
+         CASE WHEN seq % 11 = 5 THEN NULL
+              WHEN seq % 4 = 3 THEN 'failed'
+              ELSE 'success' END AS dep_status,
+         CASE WHEN seq % 10 = 7 THEN NULL
+              WHEN seq % 2 = 0 THEN 'R' || seq
+              ELSE '{{"answer": ' || seq || '}}' END AS dep_result
+  FROM tasks
+), expl AS (
+  SELECT t.task_id, u.dep_id FROM tasks t, unnest(t.deps) AS u(dep_id)
+), ok AS (
+  SELECT e.task_id, e.dep_id, r.dep_q, r.dep_result
+  FROM expl e JOIN results r USING (dep_id)
+  WHERE r.dep_status = 'success' AND r.dep_result IS NOT NULL
+), pairs AS (
+  SELECT task_id,
+         flatten(list_transform(
+           list_sort(list(struct_pack(
+             dep_id := dep_id, dep_q := dep_q, dep_result := dep_result))),
+           x -> ['user: ' || x.dep_q, 'assistant: ' || x.dep_result]
+         )) AS ctx_msgs,
+         list_transform(
+           list_sort(list(struct_pack(
+             dep_id := dep_id, dep_q := dep_q, dep_result := dep_result))),
+           x -> x.dep_result
+         ) AS ctx_results
+  FROM ok GROUP BY task_id
+)
+SELECT t.task_id,
+       CAST(coalesce(len(p.ctx_msgs), 0) + 1 AS INTEGER) AS n_messages,
+       list_append(coalesce(p.ctx_msgs, []), 'user: ask ' || t.task_id)
+         AS messages,
+       CASE WHEN coalesce(len(p.ctx_results), 0) > 0
+            THEN array_to_string(p.ctx_results, '\n\n---\n\n') END AS corpus
+FROM tasks t LEFT JOIN pairs p USING (task_id)
+ORDER BY t.task_id
+"""
