@@ -93,6 +93,10 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.bm25_search_stemmed, textstats.BM25_SEARCH_STEMMED_SQL,
         "F15 text_en analyzer",
     ),
+    "tfidf_keywords": QuerySpec(
+        textstats.tfidf_keywords, textstats.TFIDF_KEYWORDS_SQL,
+        "training:tfidf-keywords",
+    ),
     "unified_search": QuerySpec(
         search_api.unified_search_default, hybrid.HYBRID_RRF_SQL,
         "search_functions.py:112-160 dispatch",

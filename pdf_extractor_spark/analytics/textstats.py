@@ -829,3 +829,93 @@ def bm25_collection_cte(prefix: str, where_sql: str) -> str:
          CAST(floor(({_BM25_SCORE_SQL}) * 10000 + 1e-6) / 10000 AS DOUBLE) AS bm25
   FROM {prefix}_per_doc d CROSS JOIN {prefix}_stats s
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document tf-idf keyword extraction (training:tfidf-keywords —
+# the standard corpus-profiling op next to BM25: the top terms that
+# characterize each document against the whole collection; what a
+# curation pipeline feeds into topic buckets / dedup explanations).
+#
+# tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1 (smoothed,
+# never negative), score = tf * idf under the house floor4 (ranking
+# on the FLOORED score + term tie-break keeps the order identical
+# across engines — raw-float ranking can flip on 1-ulp ln noise).
+#
+# Scale shape: explode → one (doc_id, term) hash-aggregate (map-side
+# combined); document frequency is a second aggregate OVER THE
+# (doc_id, term) COUNTS (each doc contributes each term once — never
+# a distinct over raw tokens); N rides a single-row
+# crossJoin(broadcast(...)); the per-doc top-k window partitions by
+# doc_id, so a partition is one document's VOCABULARY — bounded by
+# doc length, never corpus-shaped (the hot-key window caveat of
+# paragraph_dedup does not apply).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            _floor_round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+TFIDF_KEYWORDS_SQL = rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(floor(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+                    * 10000 + 1e-6) / 10000 AS DOUBLE) AS tfidf
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""

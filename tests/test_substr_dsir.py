@@ -159,3 +159,42 @@ def test_substring_dedup_rewrite_recompute(spark):
         assert row["dedup_text_md5"] == _md5(" ".join(kept)), doc_id
         saw_removed = saw_removed or row["n_removed"] > 0
     assert saw_removed  # the corpus must actually exercise removal
+
+
+def test_tfidf_keywords_recompute(spark):
+    from pdf_extractor_spark.analytics.textstats import (
+        TFIDF_TOP_K,
+        tfidf_keywords,
+    )
+
+    docs = _docs(spark)
+    tf = {}
+    df = Counter()
+    for doc_id, text in docs.items():
+        c = Counter(_toks(text))
+        tf[doc_id] = c
+        df.update(c.keys())
+    n = len(docs)
+
+    want = {}
+    for doc_id, c in tf.items():
+        scored = []
+        for term, k in c.items():
+            raw = k * (math.log((n + 1.0) / (df[term] + 1.0)) + 1.0)
+            scored.append(
+                (math.floor(raw * 10000 + 1e-6) / 10000, term, k)
+            )
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        want[doc_id] = [
+            (r + 1, term, k, df[term], s)
+            for r, (s, term, k) in enumerate(scored[:TFIDF_TOP_K])
+        ]
+
+    out = {}
+    for r in tfidf_keywords(spark, SF_DIR).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"], r["tfidf"])
+        )
+    for doc_id in out:
+        out[doc_id].sort()
+    assert out == want
