@@ -97,6 +97,10 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.tfidf_keywords, textstats.TFIDF_KEYWORDS_SQL,
         "training:tfidf-keywords",
     ),
+    "search_results_log": QuerySpec(
+        textstats.search_results_log, textstats.SEARCH_LOG_SQL,
+        "reference arangodb/main_usage.py:92-119",
+    ),
     "unified_search": QuerySpec(
         search_api.unified_search_default, hybrid.HYBRID_RRF_SQL,
         "search_functions.py:112-160 dispatch",

@@ -919,3 +919,75 @@ WITH terms AS (
 SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Search-result log rendering (reference ``arangodb/main_usage.py:
+# 92-119`` log_search_results): the per-result display line
+# ``  {i}. Score: {score:.4f} | Key: {key} | Problem: {problem} |
+# Tags: [{tags}]`` over the BM25 top-10 (the bm25_score call site —
+# score_field IS bm25_score there, so the other-scores suffix is
+# empty by the reference's own `score_field !=` guards). Quirks
+# carried as-is: problem is ALWAYS truncated-plus-'...' even when the
+# text is shorter than 80 chars, and tags join with ', ' inside
+# brackets. %.4f is engine-stable because bm25 is already floored to
+# the 4-decimal grid (distance to a rounding boundary is ~1e-17).
+#
+# Scale shape: the 10-row result side broadcasts into the documents
+# scan (one broadcast hash join), everything else is a map-only
+# projection; the enumeration window runs over 10 rows.
+# ---------------------------------------------------------------------------
+
+
+def search_results_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    top = bm25_search(spark, sf_dir)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    top = top.withColumn("pos", F.row_number().over(w))
+    enriched = docs.select(
+        "doc_id", "text", _tokens().alias("toks")
+    ).join(F.broadcast(top), "doc_id")
+    tags = F.array_join(
+        F.filter(
+            F.array(*[F.lit(k) for k in _TAG_KEYWORDS]),
+            lambda kw: F.array_contains(F.col("toks"), kw),
+        ),
+        ", ",
+    )
+    problem = F.concat(F.substring("text", 1, 80), F.lit("..."))
+    line = F.format_string(
+        "  %d. Score: %.4f | Key: %s | Problem: %s | Tags: [%s]",
+        F.col("pos"),
+        F.col("bm25"),
+        F.col("doc_id").cast("string"),
+        problem,
+        tags,
+    )
+    return enriched.select(
+        "pos", "doc_id", line.alias("line")
+    ).orderBy("pos")
+
+
+SEARCH_LOG_SQL = f"""
+WITH {BM25_SCORES_CTE},
+top10 AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS pos
+  FROM bm25_scored
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT 10
+)
+SELECT t.pos, t.doc_id,
+       printf('  %d. Score: %.4f | Key: %s | Problem: %s | Tags: [%s]',
+              t.pos, t.bm25, CAST(t.doc_id AS VARCHAR),
+              substr(d.text, 1, 80) || '...',
+              array_to_string(
+                list_filter({_TAG_KEYWORDS!r},
+                  kw -> list_contains(
+                    string_split_regex(d.text, '\\s+'), kw)),
+                ', ')) AS line
+FROM top10 t JOIN documents d USING (doc_id)
+ORDER BY t.pos
+"""

@@ -198,3 +198,41 @@ def test_tfidf_keywords_recompute(spark):
     for doc_id in out:
         out[doc_id].sort()
     assert out == want
+
+
+def test_search_results_log_format(spark):
+    """Formatting parity with the reference's log line (bm25 call
+    site): recompute each display line in pure Python from the graded
+    bm25 top-10 + raw docs (bm25 numeric correctness has its own
+    oracle gate; this pins enumeration, truncation quirk, tag join,
+    and %.4f rendering)."""
+    from pdf_extractor_spark.analytics.textstats import (
+        _TAG_KEYWORDS,
+        bm25_search,
+        search_results_log,
+    )
+
+    docs = _docs(spark)
+    top = sorted(
+        [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, SF_DIR).collect()],
+        key=lambda x: (-x[1], x[0]),
+    )
+    want = []
+    for i, (doc_id, score) in enumerate(top, start=1):
+        text = docs[doc_id]
+        problem = text[:80] + "..."
+        toks = set(_toks(text))
+        tags = ", ".join(k for k in _TAG_KEYWORDS if k in toks)
+        want.append(
+            (i, doc_id,
+             f"  {i}. Score: {score:.4f} | Key: {doc_id} | "
+             f"Problem: {problem} | Tags: [{tags}]")
+        )
+
+    got = [
+        (r["pos"], r["doc_id"], r["line"])
+        for r in search_results_log(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    assert any(t[2].rstrip("]").endswith(("spark", "vector", "stream", "hash"))
+               for t in got)  # tags actually render
