@@ -386,6 +386,10 @@ QUERIES: Dict[str, QuerySpec] = {
         search_api.lessons_by_keyword, search_api.LESSONS_BY_KEYWORD_SQL,
         "reference arango_utils.py:243-320",
     ),
+    "lesson_add_validate": QuerySpec(
+        search_api.lesson_add_validate, search_api.LESSON_ADD_SQL,
+        "reference arangodb/lessons_crud.py:46-113",
+    ),
     "match_from_list_validate": QuerySpec(
         validation.match_from_list_validate, validation.MATCH_FROM_LIST_SQL,
         "reference validation_utils/base.py:206-255",

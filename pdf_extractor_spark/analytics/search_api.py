@@ -389,3 +389,110 @@ LIMIT {LESSON_LIMIT}
 
 
 LESSONS_BY_KEYWORD_SQL = _lessons_kw_sql()
+
+
+# ---------------------------------------------------------------------------
+# Lesson-insert validation + embedding-text assembly (reference
+# ``arangodb/lessons_crud.py:46-113`` add_lesson): required fields
+# [problem, solution] checked IN ORDER with the reference's exact
+# error string (first failure wins — the loop raises immediately);
+# the embedding text is ``' '.join(str(data.get(f, '')) for f in
+# [problem, solution, context, example] if f in data)`` whose quirks
+# are carried as-is: a present-but-None field contributes the literal
+# string 'None', and a present-but-empty field still contributes its
+# empty string (double spaces in the join). The reference's
+# ``lesson_<uuid4[:8]>`` key is replaced by the deterministic
+# ``lesson_<md5(doc_id)[:8]>`` stand-in (disclosed — uuid4 is
+# unreproducible by design; the md5 prefix keeps the shape and the
+# collision behavior).
+#
+# Lesson fixture (deterministic per doc_id): problem empty for
+# doc_id%7==0 (required-empty failure), solution ABSENT for
+# doc_id%11==3 (required-missing failure; problem wins when both),
+# context present-but-None for doc_id%5==2 ('None' quirk), example
+# present only for doc_id%3==1. Map-only: one projection over the
+# scan, no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+
+def lesson_add_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    problem = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("P: "), F.substring("text", 1, 30))
+    )
+    has_solution = ~(F.col("doc_id") % 11 == 3)
+    solution = F.concat(F.lit("S: "), F.substring("text", 31, 30))
+    has_context = F.col("doc_id") % 5 == 2  # present but None
+    has_example = F.col("doc_id") % 3 == 1
+    # present-but-EMPTY example (doc_id%9==4) keeps its '' in the join
+    # -> the reference's double-space quirk on a VALID row
+    example = F.when(F.col("doc_id") % 9 == 4, F.lit("")).otherwise(
+        F.concat(F.lit("E: "), F.col("doc_id").cast("string"))
+    )
+
+    error = F.when(
+        problem == "",
+        F.lit("Required field 'problem' is missing or empty in lesson data"),
+    ).when(
+        ~has_solution,
+        F.lit("Required field 'solution' is missing or empty in lesson data"),
+    )
+    # join over PRESENT fields only; None renders as 'None' (str()),
+    # empty strings stay (the double-space quirk)
+    parts = F.array_compact(
+        F.array(
+            problem,  # always present
+            F.when(has_solution, solution),
+            F.when(has_context, F.lit("None")),
+            F.when(has_example, example),
+        )
+    )
+    embed_text = F.array_join(parts, " ")
+    key = F.concat(
+        F.lit("lesson_"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+    )
+    return docs.select(
+        "doc_id",
+        key.alias("lesson_key"),
+        error.isNull().alias("valid"),
+        error.alias("error"),
+        F.when(error.isNull(), embed_text).alias("embed_text"),
+    )
+
+
+LESSON_ADD_SQL = """
+WITH fx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN ''
+              ELSE 'P: ' || substr(text, 1, 30) END AS problem,
+         doc_id % 11 <> 3 AS has_solution,
+         'S: ' || substr(text, 31, 30) AS solution,
+         doc_id % 5 = 2 AS has_context,
+         doc_id % 3 = 1 AS has_example,
+         CASE WHEN doc_id % 9 = 4 THEN ''
+              ELSE 'E: ' || doc_id END AS example
+  FROM documents
+), v AS (
+  SELECT *,
+         CASE WHEN problem = ''
+              THEN 'Required field ''problem'' is missing or empty in lesson data'
+              WHEN NOT has_solution
+              THEN 'Required field ''solution'' is missing or empty in lesson data'
+         END AS error
+  FROM fx
+)
+SELECT doc_id,
+       'lesson_' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS lesson_key,
+       error IS NULL AS valid,
+       error,
+       CASE WHEN error IS NULL THEN
+         array_to_string(list_filter([
+           problem,
+           CASE WHEN has_solution THEN solution END,
+           CASE WHEN has_context THEN 'None' END,
+           CASE WHEN has_example THEN example END
+         ], x -> x IS NOT NULL), ' ')
+       END AS embed_text
+FROM v
+"""

@@ -98,3 +98,61 @@ def test_message_history_json_branch(spark):
                 ], task_id
                 hits += 1
     assert hits > 0
+
+
+def test_lesson_add_validate_recompute(spark):
+    """Verbatim port of add_lesson's validation + embedding-text
+    assembly (lessons_crud.py:46-113) over the derived fixture."""
+    import hashlib
+
+    from pdf_extractor_spark.analytics.search_api import lesson_add_validate
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def reference_add(doc_id, text):
+        data = {}
+        data["problem"] = "" if doc_id % 7 == 0 else "P: " + text[:30]
+        if doc_id % 11 != 3:
+            data["solution"] = "S: " + text[30:60]
+        if doc_id % 5 == 2:
+            data["context"] = None
+        if doc_id % 3 == 1:
+            data["example"] = "" if doc_id % 9 == 4 else f"E: {doc_id}"
+        for field in ["problem", "solution"]:
+            if field not in data or not data[field]:
+                return (
+                    False,
+                    f"Required field '{field}' is missing or empty in lesson data",
+                    None,
+                )
+        embed = " ".join(
+            str(data.get(f, ""))
+            for f in ["problem", "solution", "context", "example"]
+            if f in data
+        )
+        return True, None, embed
+
+    out = {r["doc_id"]: r for r in lesson_add_validate(spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    classes = set()
+    for doc_id, text in docs.items():
+        valid, err, embed = reference_add(doc_id, text)
+        row = out[doc_id]
+        assert row["valid"] == valid, doc_id
+        assert row["error"] == err, doc_id
+        assert row["embed_text"] == embed, doc_id
+        key = "lesson_" + hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        assert row["lesson_key"] == key, doc_id
+        if not valid:
+            classes.add(err.split("'")[1])
+        elif embed and "None" in embed:
+            classes.add("none-quirk")
+        if valid and embed and "  " in embed:
+            classes.add("double-space")
+    # all four behaviors must be exercised by the corpus
+    assert classes == {"problem", "solution", "none-quirk", "double-space"}
