@@ -424,7 +424,7 @@ QUERIES: Dict[str, QuerySpec] = {
 # rows-only smoke entry (independently exercised by the unit suite and
 # entry()), never an exact-parity gate.
 #
-# Round 3 note: there are now MORE oracle-backed entries (63) than a
+# Round 3 note: there are now MORE oracle-backed entries (98) than a
 # 50-entry cap would record, so a capped snapshot drops the tail of the
 # oracle set too. The authoritative full gate is
 # `scripts/check_oracle.py <sf_dir>` — run per-round at BOTH sf0.01 and
