@@ -902,3 +902,133 @@ SELECT f.doc_id,
 FROM feats f JOIN lr l ON l.b = f.b
 GROUP BY f.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (training:decontaminate-bloom — the
+# broadcast-bitset variant of `decontaminate` above, the shape that
+# wins at corpus scale when the benchmark gram set is too large to
+# broadcast as strings but its BLOOM FILTER is not: m bits travel to
+# every task instead of the gram text).
+#
+# Deterministic bloom: m = 4096 positions, k = 3 salted hashes
+# pos_j(g) = int(md5('<j>|' || g)[:8], 16) % m — the same md5-hex
+# arithmetic language_mix_sample uses, so both engines compute
+# IDENTICAL bit positions and the false-positive set is exactly
+# reproducible (and hash-gated) cross-engine. Output carries the
+# exact-hit count next to the bloom-hit count, so the query itself
+# demonstrates the false-positive envelope (n_bloom_hits >=
+# n_exact_hits always; equality iff no FP for that doc).
+#
+# Scale shape: the bench side collapses to ONE row (a <=m-element
+# position array via collect_set) that crossJoin(broadcast(...))s
+# into the corpus scan — the corpus side never shuffles to test
+# membership. At 100 TB you would pack the array into a real bitset
+# inside an Arrow kernel; the declarative array_contains form keeps
+# the whole operator SQL-gated and costs O(m) per gram at test scale.
+# The exact-hit column reuses decontaminate's broadcast semi-join.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def _bloom_pos(g: Column, j: int) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), g)), 1, 8), 16, 10
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id", F.explode(_grams(F.col("toks"), DECON_N)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
+        .select("g")
+        .distinct()
+    )
+    bits = (
+        bench.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("g"), j) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+    )
+    corpus = grams.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+    in_bloom = None
+    for j in range(BLOOM_K):
+        c = F.array_contains(F.col("bits"), _bloom_pos(F.col("g"), j))
+        in_bloom = c if in_bloom is None else (in_bloom & c)
+    probed = corpus.crossJoin(F.broadcast(bits)).select(
+        "doc_id", "g", in_bloom.alias("bloom_hit")
+    )
+    # exact flag via the DISTINCT bench set (left join on a unique key
+    # — a corpus gram occurring twice in one doc must count twice in
+    # n_grams, so nothing here may multiply or collapse corpus rows)
+    bench_flag = bench.withColumn("exact_hit", F.lit(True))
+    return (
+        probed.join(F.broadcast(bench_flag), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum(
+                F.coalesce(F.col("exact_hit"), F.lit(False)).cast("long")
+            ).alias("n_exact_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") > 0).alias("flagged"),
+        )
+    )
+
+
+def _bloom_pos_sql(g: str, j: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{j}|' || {g}), 1, 8) AS BIGINT)"
+        f" % {BLOOM_M}"
+    )
+
+
+BLOOM_DECON_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
+  FROM toks,
+       unnest(generate_series(1, greatest(len(t) - {DECON_N - 1}, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_BENCH_MAX_ID}),
+bits AS (
+  SELECT list(DISTINCT pos) AS bits FROM (
+    {' UNION ALL '.join(f"SELECT {_bloom_pos_sql('g', j)} AS pos FROM bench" for j in range(BLOOM_K))}
+  )
+),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= {DECON_BENCH_MAX_ID}),
+probed AS (
+  SELECT c.doc_id, c.g,
+         {' AND '.join(f"list_contains(b.bits, {_bloom_pos_sql('c.g', j)})" for j in range(BLOOM_K))}
+           AS bloom_hit,
+         c.g IN (SELECT g FROM bench) AS exact_hit
+  FROM corpus c CROSS JOIN bits b
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_hits,
+       sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0 AS flagged
+FROM probed
+GROUP BY doc_id
+"""

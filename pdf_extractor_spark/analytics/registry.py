@@ -200,6 +200,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.dsir_weights, curation.DSIR_WEIGHTS_SQL,
         "training:dsir (Xie et al. 2023)",
     ),
+    "bloom_decontaminate": QuerySpec(
+        curation.bloom_decontaminate, curation.BLOOM_DECON_SQL,
+        "training:decontaminate-bloom",
+    ),
     "perplexity_score": QuerySpec(
         curation.perplexity_score, curation.PERPLEXITY_SCORE_SQL,
         "training:ccnet-perplexity",

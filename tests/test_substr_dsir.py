@@ -236,3 +236,63 @@ def test_search_results_log_format(spark):
     assert got == want
     assert any(t[2].rstrip("]").endswith(("spark", "vector", "stream", "hash"))
                for t in got)  # tags actually render
+
+
+def test_bloom_decontaminate_recompute(spark):
+    """Pure-Python bloom recompute + the FP envelope: bloom hits must
+    be a superset of exact hits, and the corpus must actually contain
+    at least one contaminated doc and one clean doc."""
+    from pdf_extractor_spark.analytics.curation import (
+        BLOOM_K,
+        BLOOM_M,
+        DECON_BENCH_MAX_ID,
+        DECON_N,
+        bloom_decontaminate,
+    )
+
+    docs = _docs(spark)
+
+    def grams(text):
+        t = _toks(text)
+        return [
+            " ".join(t[i : i + DECON_N])
+            for i in range(len(t) - DECON_N + 1)
+        ]
+
+    def positions(g):
+        return [
+            int(_md5(f"{j}|{g}")[:8], 16) % BLOOM_M for j in range(BLOOM_K)
+        ]
+
+    bench = {
+        g
+        for d, text in docs.items()
+        if d < DECON_BENCH_MAX_ID
+        for g in grams(text)
+    }
+    bits = {p for g in bench for p in positions(g)}
+
+    want = {}
+    for d, text in docs.items():
+        if d < DECON_BENCH_MAX_ID:
+            continue
+        gs = grams(text)
+        if not gs:
+            continue
+        n_bloom = sum(1 for g in gs if all(p in bits for p in positions(g)))
+        n_exact = sum(1 for g in gs if g in bench)
+        want[d] = (len(gs), n_bloom, n_exact, n_bloom > 0)
+
+    out = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_bloom_hits"],
+            r["n_exact_hits"],
+            r["flagged"],
+        )
+        for r in bloom_decontaminate(spark, SF_DIR).collect()
+    }
+    assert out == want
+    assert all(b >= e for _, b, e, _ in want.values())  # FP envelope
+    assert any(f for *_, f in want.values())
+    assert any(not f for *_, f in want.values())
