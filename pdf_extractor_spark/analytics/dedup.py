@@ -1299,3 +1299,129 @@ FROM toks k
 JOIN touched USING (doc_id)
 LEFT JOIN rebuilt r ON r.doc_id = k.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Shingle CONTAINMENT pairs (training:containment — Broder 1997's
+# asymmetric twin of resemblance/Jaccard: containment(A in B) =
+# |S(A) ∩ S(B)| / |S(A)|. Jaccard misses the quote/wrapper case — a
+# short doc fully embedded in a long one scores low resemblance but
+# containment ≈ 1 — which is exactly the template/boilerplate
+# relationship a crawl dedup pass needs to see).
+#
+# Same scale shape as ngram_jaccard_pairs: candidates from the shared
+# MinHash band table (equi-join, plan-audited), exact shingle-set
+# arithmetic on candidates only; both directions reported plus the
+# dominant direction ('mutual' on the floored-value tie, so the
+# label is engine-stable by construction).
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dups = docs.filter(F.col("doc_id") < N_INJECTED_DUPS).select(
+        (F.col("doc_id") + DUP_ID_OFFSET).alias("doc_id"), "lang", "text"
+    )
+    pool = docs.unionByName(dups)
+    bands = _with_bands(_docs_with_injected_dups(spark, sf_dir))
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = pool.select(
+        "doc_id", "lang", "text", _tokens().alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(_shingles(F.col("toks"), F.col("text"))).alias("shset"),
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("shset").alias("a_sh"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("shset").alias("b_sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast(
+        "double"
+    )
+    c_a = floor_round(inter / F.size("a_sh"), 4)
+    c_b = floor_round(inter / F.size("b_sh"), 4)
+    scored = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(F.col("a_lang") == F.col("b_lang"))
+        .select(
+            "a_id",
+            "b_id",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+    )
+    direction = (
+        F.when(F.col("containment_a") > F.col("containment_b"), F.lit("a_in_b"))
+        .when(F.col("containment_a") < F.col("containment_b"), F.lit("b_in_a"))
+        .otherwise(F.lit("mutual"))
+    )
+    return scored.filter(
+        F.greatest("containment_a", "containment_b") >= CONTAIN_THRESHOLD
+    ).select(
+        "a_id",
+        "b_id",
+        "containment_a",
+        "containment_b",
+        direction.alias("direction"),
+    )
+
+
+CONTAINMENT_SQL = rf"""
+WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, lang, list_distinct({_SHINGLES_SQL}) AS shset
+  FROM (
+    SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS toks
+    FROM (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_ID_OFFSET} AS doc_id, lang, text
+      FROM documents WHERE doc_id < {N_INJECTED_DUPS}
+    )
+  )
+),
+scored AS (
+  SELECT c.a_id, c.b_id,
+         CAST(floor(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+               / len(a.shset) * 10000 + 1e-6) / 10000 AS DOUBLE)
+           AS containment_a,
+         CAST(floor(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+               / len(b.shset) * 10000 + 1e-6) / 10000 AS DOUBLE)
+           AS containment_b
+  FROM cand c
+  JOIN sh a ON c.a_id = a.doc_id
+  JOIN sh b ON c.b_id = b.doc_id AND a.lang = b.lang
+)
+SELECT a_id, b_id, containment_a, containment_b,
+       CASE WHEN containment_a > containment_b THEN 'a_in_b'
+            WHEN containment_a < containment_b THEN 'b_in_a'
+            ELSE 'mutual' END AS direction
+FROM scored
+WHERE greatest(containment_a, containment_b) >= {CONTAIN_THRESHOLD}
+"""

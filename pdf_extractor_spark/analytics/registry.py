@@ -176,6 +176,10 @@ QUERIES: Dict[str, QuerySpec] = {
         dedup.substring_dedup_rewrite, dedup.SUBSTRING_REWRITE_SQL,
         "training:substring-dedup-rewrite (Lee et al. 2022)",
     ),
+    "shingle_containment_pairs": QuerySpec(
+        dedup.shingle_containment_pairs, dedup.CONTAINMENT_SQL,
+        "training:containment (Broder 1997)",
+    ),
     "training_corpus_filter": QuerySpec(
         dedup.training_corpus_filter, dedup.TRAINING_FILTER_SQL,
         "training:compose",

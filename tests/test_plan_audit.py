@@ -68,7 +68,7 @@ def test_neardup_candidate_joins_are_equi_not_nested_loop(spark):
     100 TB anti-pattern these operators exist to avoid."""
     for name in ("embedding_neardup_pairs", "ngram_jaccard_pairs",
                  "dedup_connected_components", "neardup_incremental_ingest",
-                 "embedding_incremental_ingest"):
+                 "embedding_incremental_ingest", "shingle_containment_pairs"):
         plan = _plan(spark, name)
         assert "NestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name

@@ -296,3 +296,45 @@ def test_bloom_decontaminate_recompute(spark):
     assert all(b >= e for _, b, e, _ in want.values())  # FP envelope
     assert any(f for *_, f in want.values())
     assert any(not f for *_, f in want.values())
+
+
+def test_shingle_containment_recompute_and_dups(spark):
+    """Every returned pair's containment values recomputed from raw
+    text (independent of the candidate machinery); injected exact dups
+    must surface as mutual 1.0/1.0 pairs."""
+    from pdf_extractor_spark.analytics.dedup import (
+        CONTAIN_THRESHOLD,
+        DUP_ID_OFFSET,
+        N_INJECTED_DUPS,
+        SHINGLE,
+        shingle_containment_pairs,
+    )
+
+    docs = _docs(spark)
+
+    def shset(doc_id):
+        base = doc_id - DUP_ID_OFFSET if doc_id >= DUP_ID_OFFSET else doc_id
+        t = _toks(docs[base])
+        return {
+            " ".join(t[i : i + SHINGLE])
+            for i in range(max(len(t) - SHINGLE + 1, 0))
+        } or {docs[base]}  # mirror _shingles' short-doc fallback
+
+    rows = shingle_containment_pairs(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        a, b = shset(r["a_id"]), shset(r["b_id"])
+        inter = len(a & b)
+        ca = math.floor(inter / len(a) * 10000 + 1e-6) / 10000
+        cb = math.floor(inter / len(b) * 10000 + 1e-6) / 10000
+        assert r["containment_a"] == ca, (r["a_id"], r["b_id"])
+        assert r["containment_b"] == cb, (r["a_id"], r["b_id"])
+        assert max(ca, cb) >= CONTAIN_THRESHOLD
+        want_dir = (
+            "a_in_b" if ca > cb else "b_in_a" if ca < cb else "mutual"
+        )
+        assert r["direction"] == want_dir
+        seen.add((r["a_id"], r["b_id"]))
+    for i in range(N_INJECTED_DUPS):
+        assert (i, i + DUP_ID_OFFSET) in seen, f"dup {i} missed"
