@@ -80,6 +80,99 @@ def _store_key_type(spark: SparkSession, output_dir: str, lineage: dict):
     return spark.read.parquet(sample).schema["doc_id"].dataType
 
 
+def _store_schema(lineage: dict) -> Optional[T.StructType]:
+    """The store's registered read schema, if the manifest carries one
+    (it does after the first :func:`evolve_store_schema`); None means
+    the schema is whatever the data files say — the pre-evolution
+    behavior, unchanged."""
+    sj = (lineage.get(META_KEY) or {}).get("schema")
+    return T.StructType.fromJson(sj) if sj else None
+
+
+def _conform_updates(
+    df: DataFrame, schema: T.StructType, evolved: list[str]
+) -> DataFrame:
+    """Align an update batch with the evolved store schema: EVOLVED
+    columns absent from the batch fill with NULL (a writer predating
+    the evolution keeps working); original columns must be present —
+    the projection raises on a genuinely malformed batch. Output is in
+    schema order so every generation file lays out identically."""
+    for f in schema.fields:
+        if f.name in evolved and f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def evolve_store_schema(
+    spark: SparkSession, output_dir: str, add_columns: dict[str, str]
+) -> T.StructType:
+    """Iceberg ADD COLUMN analog: register new nullable columns on the
+    keyed store WITHOUT rewriting a single data file.
+
+    ``add_columns`` maps column name → Spark DDL type string (e.g.
+    ``{"quality": "double"}``). The evolved schema is committed into
+    the manifest META (one manifest swap — snapshotted, so
+    ``read_output(as_of=pre_evolution_version)`` time-travels to the
+    narrow schema); data files written before the evolution simply
+    lack the column and read back as NULL via the manifest schema,
+    exactly Iceberg's read-time reconciliation. Later MERGE writers
+    may carry the new columns or omit them (omission fills NULL);
+    rewrites happen only when a merge touches a bucket anyway.
+
+    Add-only by design (drop/rename need column-id indirection parquet
+    names can't give); duplicate names and unparseable types raise
+    before anything commits.
+    """
+    if not add_columns:
+        raise ValueError("add_columns is empty")
+    with _manifest_lock(output_dir, wait_s=MERGE_LOCK_WAIT_S):
+        lineage = read_lineage(output_dir)
+        meta = lineage.get(META_KEY)
+        if meta is None:
+            raise FileNotFoundError(f"no lineage manifest under {output_dir}")
+        schema = _store_schema(lineage)
+        if schema is None:
+            sample = next(
+                (
+                    _bucket_dir(output_dir, b, e)
+                    for b, e in sorted(
+                        _bucket_items(lineage), key=lambda kv: int(kv[0])
+                    )
+                    if e["status"] == "done" and e.get("row_count", 0) > 0
+                ),
+                None,
+            )
+            if sample is None:
+                raise FileNotFoundError(
+                    f"no committed buckets under {output_dir}"
+                )
+            schema = spark.read.parquet(sample).schema
+        existing = {f.name.lower() for f in schema.fields}
+        evolved = list(meta.get("evolved_columns") or [])
+        fields = list(schema.fields)
+        for name, ddl in add_columns.items():
+            if name.lower() in existing:
+                raise ValueError(
+                    f"column {name!r} already exists in the store schema"
+                )
+            dt = T._parse_datatype_string(ddl)  # raises on junk DDL
+            fields.append(T.StructField(name, dt, True))
+            existing.add(name.lower())
+            evolved.append(name)
+        new_schema = T.StructType(fields)
+        _commit_lineage(
+            output_dir,
+            {
+                META_KEY: {
+                    "schema": new_schema.jsonValue(),
+                    "evolved_columns": evolved,
+                }
+            },
+            locked=True,
+        )
+        return new_schema
+
+
 def _lineage_path(output_dir: str) -> str:
     return os.path.join(output_dir, LINEAGE_FILE)
 
@@ -398,10 +491,16 @@ def read_output(
             and int(b) in wanted
         ]
     )
+    # manifest schema (present after evolve_store_schema) drives the
+    # read: files predating an added column fill it with NULL — the
+    # Iceberg read-time reconciliation; as_of reads resolve the schema
+    # from the SNAPSHOT, so time travel also travels the schema
+    schema = _store_schema(lineage)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     if not parts:
         # pruned to buckets with no committed data: empty, store schema
-        return spark.read.parquet(*all_parts).limit(0)
-    return spark.read.parquet(*parts)
+        return reader.parquet(*all_parts).limit(0)
+    return reader.parquet(*parts)
 
 
 # ---------------------------------------------------------------------------
@@ -612,6 +711,11 @@ def _merge_elements_locked(
     key_t = _store_key_type(spark, output_dir, lineage)
     if updates is not None:
         updates = updates.withColumn("doc_id", F.col("doc_id").cast(key_t))
+        schema = _store_schema(lineage)
+        if schema is not None:
+            updates = _conform_updates(
+                updates, schema, meta.get("evolved_columns") or []
+            )
     if delete_keys is not None:
         delete_keys = delete_keys.withColumn(
             "doc_id", F.col("doc_id").cast(key_t)
@@ -694,10 +798,15 @@ def _merge_batch(
         for b in affected
         if lineage[str(b)].get("row_count", 0) > 0
     ]
+    schema = _store_schema(lineage)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     if src_dirs:
         # bucket is a pure function of doc_id, so the partition column
-        # is recomputed rather than threaded through the store files
-        current = spark.read.parquet(*src_dirs).withColumn(
+        # is recomputed rather than threaded through the store files;
+        # the manifest schema (when evolved) NULL-fills columns the
+        # older generation files do not carry, so the union below
+        # always sees one shape
+        current = reader.parquet(*src_dirs).withColumn(
             "bucket", bucket_of(F.col("doc_id"), n_buckets)
         )
         kept = current.join(
@@ -763,8 +872,12 @@ def _merge_per_bucket(
             if ups is not None
             else None
         )
+        schema = _store_schema(lineage)
+        reader = (
+            spark.read.schema(schema) if schema is not None else spark.read
+        )
         if entry.get("row_count", 0) > 0:
-            current = spark.read.parquet(_bucket_dir(output_dir, b, entry))
+            current = reader.parquet(_bucket_dir(output_dir, b, entry))
             kept = current.join(keys_b.distinct(), list(MERGE_KEYS), "left_anti")
             new_rows = kept.unionByName(ups_b) if ups_b is not None else kept
         else:

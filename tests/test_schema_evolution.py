@@ -1,0 +1,129 @@
+"""Store schema evolution (Iceberg ADD COLUMN analog): new nullable
+columns register in the manifest with ZERO data-file rewrites; readers
+NULL-fill older generations, writers may carry or omit the column, and
+time travel resolves the schema from the snapshot."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.corpus import corpus_rows
+from pdf_extractor_spark.lineage import (
+    META_KEY,
+    evolve_store_schema,
+    read_lineage,
+    read_output,
+    run_with_lineage,
+    upsert_elements,
+)
+from pdf_extractor_spark.schema import DOCS_SCHEMA
+
+N_DOCS = 16
+N_BUCKETS = 4
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(corpus_rows(N_DOCS), schema=DOCS_SCHEMA)
+
+
+@pytest.fixture()
+def store(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out")
+    run_with_lineage(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    return out
+
+
+def _data_files(out):
+    files = []
+    for root, _dirs, names in os.walk(out):
+        files += [
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        ]
+    return sorted(files)
+
+
+def test_evolve_adds_null_column_without_rewrite(spark, store):
+    before_files = _data_files(store)
+    before_rows = read_output(spark, store).count()
+    pre_version = read_lineage(store)[META_KEY]["manifest_version"]
+
+    schema = evolve_store_schema(spark, store, {"quality": "double"})
+    assert schema.fields[-1].name == "quality"
+    # zero data files touched — metadata-only commit
+    assert _data_files(store) == before_files
+
+    got = read_output(spark, store)
+    assert "quality" in got.columns
+    assert got.count() == before_rows
+    assert got.filter(F.col("quality").isNotNull()).count() == 0
+
+    # time travel to before the evolution reads the NARROW schema
+    old = read_output(spark, store, as_of=pre_version)
+    assert "quality" not in old.columns
+
+
+def test_merge_after_evolution_mixes_generations(spark, store):
+    evolve_store_schema(spark, store, {"quality": "double"})
+    base = read_output(spark, store)
+    base_count = base.count()  # materialize BEFORE the merge vacuums
+    # update 3 rows WITH the new column populated; materialize the rows
+    # too (a lazy handle over pre-merge files dies with the vacuum)
+    upd_rows = base.orderBy("doc_id", "offset").limit(3).collect()
+    upd = spark.createDataFrame(upd_rows, schema=base.schema).withColumn(
+        "quality", F.lit(0.75)
+    )
+    touched = [(r["doc_id"], r["offset"]) for r in upd_rows]
+    upsert_elements(spark, store, upd)
+
+    got = read_output(spark, store)
+    have = {
+        (r["doc_id"], r["offset"]): r["quality"]
+        for r in got.select("doc_id", "offset", "quality").collect()
+    }
+    for k in touched:
+        assert have[k] == 0.75
+    untouched_vals = {v for k, v in have.items() if k not in touched}
+    assert untouched_vals == {None}
+    assert len(have) == base_count
+
+
+def test_writer_omitting_evolved_column_null_fills(spark, store):
+    evolve_store_schema(spark, store, {"quality": "double"})
+    base = read_output(spark, store)
+    upd = base.orderBy("doc_id", "offset").limit(2).drop("quality")
+    keys = [(r["doc_id"], r["offset"]) for r in upd.collect()]
+    upsert_elements(spark, store, upd)  # pre-evolution writer shape
+    got = {
+        (r["doc_id"], r["offset"]): r["quality"]
+        for r in read_output(spark, store)
+        .select("doc_id", "offset", "quality")
+        .collect()
+    }
+    for k in keys:
+        assert got[k] is None
+
+
+def test_evolution_validation(spark, store):
+    with pytest.raises(ValueError, match="empty"):
+        evolve_store_schema(spark, store, {})
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_store_schema(spark, store, {"doc_id": "long"})
+    with pytest.raises(Exception):
+        evolve_store_schema(spark, store, {"broken": "not_a_type!!"})
+    # failed calls must not have committed anything
+    assert "schema" not in read_lineage(store)[META_KEY]
+
+    evolve_store_schema(spark, store, {"a": "string"})
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_store_schema(spark, store, {"A": "string"})  # case-insensitive
+
+
+def test_second_evolution_stacks(spark, store):
+    evolve_store_schema(spark, store, {"quality": "double"})
+    evolve_store_schema(spark, store, {"tag": "string"})
+    got = read_output(spark, store)
+    assert {"quality", "tag"} <= set(got.columns)
+    meta = read_lineage(store)[META_KEY]
+    assert meta["evolved_columns"] == ["quality", "tag"]
