@@ -95,8 +95,17 @@ def _conform_updates(
     """Align an update batch with the evolved store schema: EVOLVED
     columns absent from the batch fill with NULL (a writer predating
     the evolution keeps working); original columns must be present —
-    the projection raises on a genuinely malformed batch. Output is in
-    schema order so every generation file lays out identically."""
+    the projection raises on a genuinely malformed batch — and columns
+    the store does not know raise instead of silently dropping (the
+    same refusal a pre-evolution store's strict unionByName gives).
+    Output is in schema order so every generation file lays out
+    identically."""
+    unknown = set(df.columns) - {f.name for f in schema.fields}
+    if unknown:
+        raise ValueError(
+            f"update columns not in store schema: {sorted(unknown)} "
+            "(evolve_store_schema first)"
+        )
     for f in schema.fields:
         if f.name in evolved and f.name not in df.columns:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))

@@ -127,3 +127,13 @@ def test_second_evolution_stacks(spark, store):
     assert {"quality", "tag"} <= set(got.columns)
     meta = read_lineage(store)[META_KEY]
     assert meta["evolved_columns"] == ["quality", "tag"]
+
+
+def test_unknown_update_column_raises(spark, store):
+    evolve_store_schema(spark, store, {"quality": "double"})
+    base = read_output(spark, store)
+    upd = spark.createDataFrame(
+        base.limit(1).collect(), schema=base.schema
+    ).withColumn("mystery", F.lit("x"))
+    with pytest.raises(ValueError, match="mystery"):
+        upsert_elements(spark, store, upd)
