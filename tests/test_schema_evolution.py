@@ -137,3 +137,29 @@ def test_unknown_update_column_raises(spark, store):
     ).withColumn("mystery", F.lit("x"))
     with pytest.raises(ValueError, match="mystery"):
         upsert_elements(spark, store, upd)
+
+
+def test_patch_evolved_column(spark, store):
+    """patch_elements sees evolved columns through read_output, so a
+    sparse patch can populate a column added after the data landed."""
+    from pdf_extractor_spark.lineage import patch_elements
+
+    evolve_store_schema(spark, store, {"quality": "double"})
+    base = read_output(spark, store)
+    keys = base.orderBy("doc_id", "offset").limit(2).select(
+        "doc_id", "offset"
+    ).collect()
+    patches = spark.createDataFrame(
+        [(k["doc_id"], k["offset"], 0.5) for k in keys],
+        schema="doc_id string, offset int, quality double",
+    )
+    patch_elements(spark, store, patches)
+    got = {
+        (r["doc_id"], r["offset"]): r["quality"]
+        for r in read_output(spark, store)
+        .select("doc_id", "offset", "quality")
+        .collect()
+    }
+    for k in keys:
+        assert got[(k["doc_id"], k["offset"])] == 0.5
+    assert sum(1 for v in got.values() if v == 0.5) == 2
