@@ -422,6 +422,10 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.EMBEDDING_QUANTIZE_SQL,
         "R3-48",
     ),
+    "cluster_profile": QuerySpec(
+        similarity.cluster_profile, similarity.CLUSTER_PROFILE_SQL,
+        "training:ann-cluster-profile",
+    ),
 }
 
 

@@ -1333,3 +1333,97 @@ SELECT c.vec_id, c.cluster, d.dup_of IS NULL AS kept, d.dup_of
 FROM assigned c LEFT JOIN dup_of d ON c.vec_id = d.dup_id
 ORDER BY c.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cluster profile (training:ann-cluster-profile — the index-health
+# audit every IVF/SemDeDup deployment wants before trusting n_probe
+# recall: per-cluster population, junk count, and cosine-to-centroid
+# spread. A cluster whose mean centroid affinity is low — or whose
+# population is a huge share of the corpus — is where ANN recall quietly
+# dies; this surfaces both).
+#
+# Uses the SAME seeded assignment as semantic_dedup (first K corpus
+# vectors as centroids) so the whole audit is SQL-gated cross-engine;
+# the fitted variant drops in by swapping the seed table for
+# kmeans_fit's centroids without changing the plan. Zero-norm junk
+# vectors carry the -2 cosine sentinel: counted per cluster, excluded
+# from the affinity stats.
+#
+# Scale shape: K-row broadcast, one max(struct) hash-aggregate for the
+# assignment, one K-group aggregate for the profile. No joins beyond
+# the deliberate K-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").cast("int").alias("seed_id"),
+            F.col("embedding").alias("seed_emb"),
+        )
+    )
+    pairs = emb.crossJoin(seeds).select(
+        "vec_id",
+        "seed_id",
+        F.coalesce(
+            _cosine(_as_double("embedding"), _as_double("seed_emb")),
+            F.lit(-2.0),
+        ).alias("cos_seed"),
+    )
+    assigned = pairs.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos_seed"), (-F.col("seed_id")).alias("nid"))
+        ).alias("w")
+    )
+    per_vec = assigned.select(
+        "vec_id",
+        (-F.col("w")["nid"]).cast("int").alias("cluster"),
+        F.col("w")["cos_seed"].alias("cos_best"),
+    )
+    real = F.col("cos_best") != -2.0
+    return (
+        per_vec.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum((~real).cast("long")).alias("n_junk"),
+            _floor4_safe(F.min(F.when(real, F.col("cos_best")))).alias(
+                "min_cos"
+            ),
+            _floor4_safe(F.avg(F.when(real, F.col("cos_best")))).alias(
+                "mean_cos"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+CLUSTER_PROFILE_SQL = f"""
+WITH seeds AS (
+  SELECT CAST(vec_id AS INT) AS seed_id, embedding AS seed_emb
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+), scored AS (
+  SELECT e.vec_id, s.seed_id,
+         coalesce({_cosine_sql('e.embedding', 's.seed_emb')}, -2.0) AS cos_seed
+  FROM embeddings e CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id,
+         CAST(-(max(struct_pack(c := cos_seed, nid := -seed_id)).nid) AS INT)
+           AS cluster,
+         max(struct_pack(c := cos_seed, nid := -seed_id)).c AS cos_best
+  FROM scored
+  GROUP BY vec_id
+)
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN cos_best = -2.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_junk,
+       {_floor4_safe_sql('min(CASE WHEN cos_best <> -2.0 THEN cos_best END)')}
+         AS min_cos,
+       {_floor4_safe_sql('avg(CASE WHEN cos_best <> -2.0 THEN cos_best END)')}
+         AS mean_cos
+FROM assigned
+GROUP BY cluster
+ORDER BY cluster
+"""

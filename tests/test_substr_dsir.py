@@ -338,3 +338,48 @@ def test_shingle_containment_recompute_and_dups(spark):
         seen.add((r["a_id"], r["b_id"]))
     for i in range(N_INJECTED_DUPS):
         assert (i, i + DUP_ID_OFFSET) in seen, f"dup {i} missed"
+
+
+def test_cluster_profile_recompute(spark):
+    """numpy recompute of the seeded assignment + per-cluster stats."""
+    import numpy as np
+
+    from pdf_extractor_spark.analytics.similarity import (
+        SEMDEDUP_K,
+        cluster_profile,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    seeds = {i: vecs[i] for i in sorted(vecs) if i < SEMDEDUP_K}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return -2.0
+        return float(np.dot(a, b) / (na * nb))
+
+    per_cluster = {}
+    for vid, v in vecs.items():
+        scored = [(cos(v, s), -sid) for sid, s in seeds.items()]
+        c, nid = max(scored)
+        per_cluster.setdefault(-nid, []).append(c)
+
+    out = {r["cluster"]: r for r in cluster_profile(spark, SF_DIR).collect()}
+    assert set(out) == set(per_cluster)
+    for cl, cs in per_cluster.items():
+        row = out[cl]
+        real = [c for c in cs if c != -2.0]
+        assert row["n_vectors"] == len(cs)
+        assert row["n_junk"] == len(cs) - len(real)
+        if real:
+            # floor4 boundary: allow one grid step for fp sum-order noise
+            assert abs(row["min_cos"] - math.floor(min(real) * 10000 + 1e-6) / 10000) <= 1.0001e-4
+            want_mean = math.floor(sum(real) / len(real) * 10000 + 1e-6) / 10000
+            assert abs(row["mean_cos"] - want_mean) <= 1.0001e-4
+    # populations must cover the whole table
+    assert sum(r["n_vectors"] for r in out.values()) == len(vecs)
