@@ -163,3 +163,126 @@ def test_patch_evolved_column(spark, store):
     for k in keys:
         assert got[(k["doc_id"], k["offset"])] == 0.5
     assert sum(1 for v in got.values() if v == 0.5) == 2
+
+
+def test_schema_evolution_fuzz(spark, tmp_path):
+    """Composition fuzz: evolve / upsert-with / upsert-omitting /
+    patch-evolved / delete interleaved randomly, the store checked
+    against a dict oracle after EVERY commit; time travel at the end
+    must reproduce both the DATA and the SCHEMA of each retained
+    snapshot."""
+    import random
+
+    from pdf_extractor_spark.lineage import (
+        delete_elements,
+        init_store,
+        list_snapshots,
+        patch_elements,
+    )
+
+    rng = random.Random(77)
+    out = str(tmp_path / "store")
+    base_cols = ["body"]  # beyond the MERGE keys
+    oracle = {(i, 0): {"body": f"b{i}"} for i in range(40)}
+    init_store(
+        spark, out,
+        spark.createDataFrame(
+            [(k[0], k[1], v["body"]) for k, v in oracle.items()],
+            "doc_id long, offset int, body string",
+        ),
+        n_buckets=4,
+    )
+    cols = list(base_cols)
+    n_evolved = 0
+
+    def store_version():
+        return read_lineage(out)[META_KEY]["manifest_version"]
+
+    def snapshot(as_of=None):
+        df = read_output(spark, out, as_of=as_of)
+        return (
+            sorted(df.columns),
+            {
+                (r["doc_id"], r["offset"]): {
+                    c: r[c] for c in df.columns if c not in ("doc_id", "offset")
+                }
+                for r in df.collect()
+            },
+        )
+
+    def oracle_rows():
+        return {
+            k: {c: v.get(c) for c in cols} for k, v in oracle.items()
+        }
+
+    history = {store_version(): (list(cols), oracle_rows())}
+
+    def df_of(rows, with_cols):
+        schema = "doc_id long, offset int, " + ", ".join(
+            f"{c} string" for c in with_cols
+        )
+        return spark.createDataFrame(rows, schema)
+
+    for step in range(8):
+        # step 0 always evolves so every later op can hit the evolved
+        # schema; afterwards the walk is free-random
+        op = "evolve" if step == 0 else rng.choice(
+            ["evolve", "upsert_full", "upsert_omit", "patch_new", "delete"]
+        )
+        if op == "evolve":
+            n_evolved += 1
+            name = f"x{n_evolved}"
+            evolve_store_schema(spark, out, {name: "string"})
+            cols.append(name)
+        elif op in ("upsert_full", "upsert_omit"):
+            use = (
+                cols
+                if op == "upsert_full" or len(cols) == len(base_cols)
+                else cols[:-1]
+            )
+            keys = rng.sample(sorted(oracle), 3)
+            rows = [
+                tuple([k[0], k[1]] + [f"{c}.{step}.{k[0]}" for c in use])
+                for k in keys
+            ]
+            upsert_elements(spark, out, df_of(rows, use), retain_snapshots=3)
+            for r in rows:
+                k = (r[0], r[1])
+                oracle[k] = dict(zip(use, r[2:]))  # omitted evolved -> absent
+        elif op == "patch_new":
+            if len(cols) == len(base_cols):
+                continue
+            target = cols[-1]
+            keys = rng.sample(sorted(oracle), 2)
+            rows = [(k[0], k[1], f"{target}!{step}") for k in keys]
+            patch_elements(
+                spark, out,
+                df_of(rows, [target]),
+                retain_snapshots=3,
+            )
+            for k in keys:
+                oracle[k][target] = f"{target}!{step}"
+        else:
+            keys = rng.sample(sorted(oracle), 2)
+            delete_elements(
+                spark, out,
+                spark.createDataFrame(list(keys), "doc_id long, offset int"),
+                retain_snapshots=3,
+            )
+            for k in keys:
+                oracle.pop(k)
+        got_cols, got = snapshot()
+        assert got_cols == sorted(["doc_id", "offset"] + cols), op
+        assert got == oracle_rows(), f"divergence after step {step} ({op})"
+        history[store_version()] = (list(cols), oracle_rows())
+
+    assert n_evolved >= 1  # the walk must actually evolve
+    checked = 0
+    for v in list_snapshots(out):
+        if v in history:
+            want_cols, want = history[v]
+            got_cols, got = snapshot(as_of=v)
+            assert got_cols == sorted(["doc_id", "offset"] + want_cols), v
+            assert got == want, f"time-travel divergence at v{v}"
+            checked += 1
+    assert checked >= 2
