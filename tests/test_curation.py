@@ -118,3 +118,50 @@ def test_curriculum_buckets_invariants(spark):
             want += [b] * (base + (1 if b <= extra else 0))
         got = [r["decile"] for r in rs]
         assert got == want[:n], (lang, got[:20], want[:20])
+
+
+def test_shuffle_shard_invariants(spark):
+    """The shard export is a valid permutation: every doc appears
+    exactly once, positions within each shard are 0..n-1 dense, the
+    within-shard order follows the salted sort key, the split ratio is
+    ~90/5/5, and — the resharding guarantee — split assignment is a
+    pure function of doc_id alone (recomputing with a different
+    N_SHARDS moves shard membership but never the split)."""
+    import hashlib
+
+    from pdf_extractor_spark.analytics.curation import (
+        N_SHARDS,
+        SPLIT_TRAIN_PCT,
+        shuffle_shard_assign,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = shuffle_shard_assign(spark, sf_dir).collect()
+    n = len(rows)
+    assert len({r["doc_id"] for r in rows}) == n  # permutation, no dup
+
+    def h(salt, did):
+        return int(
+            hashlib.md5(f"{salt}|{did}".encode()).hexdigest()[:8], 16
+        )
+
+    by_shard = {}
+    for r in rows:
+        assert r["shard_id"] == h("shard", r["doc_id"]) % N_SHARDS
+        pct = h("split", r["doc_id"]) % 100
+        want = (
+            "train" if pct < SPLIT_TRAIN_PCT
+            else "valid" if pct < SPLIT_TRAIN_PCT + 5 else "test"
+        )
+        assert r["split"] == want  # split independent of shard count
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in shard_rows] == list(range(len(shard_rows)))
+        keys = [
+            hashlib.md5(f"order|{r['doc_id']}".encode()).hexdigest()
+            for r in shard_rows
+        ]
+        assert keys == sorted(keys)  # within-shard order = sort key
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    assert 0.80 * n <= n_train <= 0.97 * n  # hash split ≈ 90%
