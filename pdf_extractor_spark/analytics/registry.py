@@ -224,6 +224,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.chunk_documents, curation.CHUNK_DOCUMENTS_SQL,
         "training:chunk (reference text_chunker, dangling import)",
     ),
+    "retry_validation_cascade": QuerySpec(
+        taskflow.retry_validation_cascade, taskflow.RETRY_CASCADE_SQL,
+        "reference retry_llm_call.py:75-188 retry loop profile",
+    ),
     "shuffle_shard_assign": QuerySpec(
         curation.shuffle_shard_assign, curation.SHUFFLE_SHARD_SQL,
         "training:shuffle-shard",

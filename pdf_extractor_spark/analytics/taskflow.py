@@ -379,3 +379,166 @@ SELECT t.task_id,
 FROM tasks t LEFT JOIN pairs p USING (task_id)
 ORDER BY t.task_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Validation-retry cascade (reference llm_integration/retry_llm_call.py:
+# 75-188 retry_llm_call) — the control loop that re-asks an LLM until a
+# validator stack passes, re-expressed as a set-oriented profile: for a
+# batch of tasks, which attempt won, how many retries it cost, how the
+# conversation grew (2 feedback messages per failed-but-extractable
+# attempt, :170-174), and the formatted error string of the terminal
+# attempt ("Validator {i+1} ({name}): {msg}" joined with '; ', :146-149;
+# a failed CALL contributes "LLM call failed: {err}" and skips feedback,
+# :180-183). Tasks whose max_retries attempts all fail surface as
+# status='exhausted' (the MaxRetriesExceededError path :185-188).
+#
+# Attempts are synthesized deterministically per doc: attempt content
+# carries a '[valid]' marker iff (doc_id+a)%3==0 and a padding block iff
+# (doc_id+2a)%5!=0; validator 1 (marker_validator) requires the marker,
+# validator 2 (length_validator) requires >=16 chars, so pass/fail mixes
+# are content-derived exactly like the reference's validators-on-response.
+# doc_id%7==3 makes attempt 1 a failed CALL (the except branch).
+#
+# Scale shape: one explode (x MAX_ATTEMPTS, map-side), then ONE shuffle
+# on task_id serving both the min-winning-attempt window and the final
+# aggregate (same partitioning, Exchange reuse); everything else is
+# codegen'd projection.
+# ---------------------------------------------------------------------------
+
+RETRY_MAX_ATTEMPTS = 3
+RETRY_MIN_LEN = 16
+
+
+def retry_validation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    att = docs.select(
+        F.col("doc_id").alias("task_id"),
+        F.explode(
+            F.array(*[F.lit(i + 1) for i in range(RETRY_MAX_ATTEMPTS)])
+        ).alias("a"),
+    )
+    did, a = F.col("task_id"), F.col("a")
+    call_failed = (did % 7 == 3) & (a == 1)
+    base = F.concat(F.lit("a"), a.cast("string"), F.lit(" d"),
+                    did.cast("string"))
+    with_pad = F.when((did + 2 * a) % 5 != 0,
+                      F.concat(base, F.lit(" padding-block"))).otherwise(base)
+    content = F.when(call_failed, F.lit(None).cast("string")).otherwise(
+        F.when((did + a) % 3 == 0,
+               F.concat(with_pad, F.lit(" [valid]"))).otherwise(with_pad)
+    )
+    v1_fail = ~content.contains("[valid]")
+    v2_fail = F.length(content) < RETRY_MIN_LEN
+    errors = F.when(call_failed, F.lit("LLM call failed: TimeoutError()")).otherwise(
+        F.concat_ws(
+            "; ",
+            F.when(v1_fail, F.lit(
+                "Validator 1 (marker_validator): missing [valid] marker")),
+            F.when(v2_fail, F.concat(
+                F.lit("Validator 2 (length_validator): response too short: "),
+                F.length(content).cast("string"))),
+        )
+    )
+    passed = ~call_failed & ~v1_fail & ~v2_fail
+    staged = att.select(
+        "task_id", "a", call_failed.alias("call_failed"),
+        passed.alias("passed"), errors.alias("errors"),
+    )
+    w = Window.partitionBy("task_id")
+    staged = staged.withColumn(
+        "win", F.min(F.when(F.col("passed"), F.col("a"))).over(w)
+    )
+    terminal = F.coalesce(F.col("win"), F.lit(RETRY_MAX_ATTEMPTS))
+    out = staged.groupBy("task_id").agg(
+        F.first("win").alias("winning_attempt"),
+        F.sum(
+            F.when(
+                ~F.col("call_failed") & ~F.col("passed")
+                & (F.col("a") <= terminal) & (F.col("a") != terminal),
+                2,
+            ).otherwise(
+                # the terminal attempt itself feeds back only when the
+                # whole task exhausts (loop appends before exiting)
+                F.when(
+                    ~F.col("call_failed") & ~F.col("passed")
+                    & (F.col("a") == terminal) & F.col("win").isNull(),
+                    2,
+                ).otherwise(0)
+            )
+        ).cast("int").alias("n_feedback_msgs"),
+        F.max(
+            F.when((F.col("a") == terminal) & ~F.col("passed"), F.col("errors"))
+        ).alias("last_errors"),
+    )
+    return out.select(
+        "task_id",
+        F.when(F.col("winning_attempt").isNotNull(), "passed")
+        .otherwise("exhausted").alias("status"),
+        F.col("winning_attempt").cast("int"),
+        F.coalesce(F.col("winning_attempt") - 1, F.lit(RETRY_MAX_ATTEMPTS))
+        .cast("int").alias("retries"),
+        (F.col("n_feedback_msgs") + 1).cast("int").alias("n_messages"),
+        "last_errors",
+    ).orderBy("task_id")
+
+
+RETRY_CASCADE_SQL = f"""
+WITH att AS (
+  SELECT doc_id AS task_id, a
+  FROM documents, unnest([1, 2, 3]) AS u(a)
+),
+staged AS (
+  SELECT task_id, a,
+         (task_id % 7 = 3 AND a = 1) AS call_failed,
+         CASE WHEN (task_id % 7 = 3 AND a = 1) THEN NULL
+              ELSE 'a' || a || ' d' || task_id ||
+                   CASE WHEN (task_id + 2*a) % 5 <> 0
+                        THEN ' padding-block' ELSE '' END ||
+                   CASE WHEN (task_id + a) % 3 = 0
+                        THEN ' [valid]' ELSE '' END
+         END AS content
+  FROM att
+),
+flags AS (
+  SELECT task_id, a, call_failed,
+         NOT call_failed
+           AND content LIKE '%[valid]%'
+           AND length(content) >= {RETRY_MIN_LEN} AS passed,
+         CASE WHEN call_failed THEN 'LLM call failed: TimeoutError()'
+              ELSE concat_ws('; ',
+                CASE WHEN content NOT LIKE '%[valid]%'
+                     THEN 'Validator 1 (marker_validator): missing [valid] marker'
+                END,
+                CASE WHEN length(content) < {RETRY_MIN_LEN}
+                     THEN 'Validator 2 (length_validator): response too short: '
+                          || length(content)
+                END)
+         END AS errors
+  FROM staged
+),
+winw AS (
+  SELECT *, min(CASE WHEN passed THEN a END)
+              OVER (PARTITION BY task_id) AS win
+  FROM flags
+)
+SELECT task_id,
+       CASE WHEN min(win) IS NOT NULL THEN 'passed' ELSE 'exhausted' END
+         AS status,
+       CAST(min(win) AS INT) AS winning_attempt,
+       CAST(coalesce(min(win) - 1, {RETRY_MAX_ATTEMPTS}) AS INT) AS retries,
+       CAST(1 + sum(CASE
+           WHEN NOT call_failed AND NOT passed
+                AND a < coalesce(win, {RETRY_MAX_ATTEMPTS}) THEN 2
+           WHEN NOT call_failed AND NOT passed
+                AND a = coalesce(win, {RETRY_MAX_ATTEMPTS})
+                AND win IS NULL THEN 2
+           ELSE 0 END) AS INT) AS n_messages,
+       max(CASE WHEN a = coalesce(win, {RETRY_MAX_ATTEMPTS}) AND NOT passed
+                THEN errors END) AS last_errors
+FROM winw
+GROUP BY task_id
+ORDER BY task_id
+"""

@@ -105,3 +105,73 @@ def test_null_deps_column(spark):
                        ("T1", 1, "sequential", None)])
     # NULL deps ≡ no explicit deps: T1 gains the implicit edge
     assert out == {"T0": (0, 1, 0), "T1": (1, 0, 0)}
+
+
+def test_retry_cascade_matches_reference_loop(spark):
+    """Row-by-row equality between the set-oriented cascade profile and
+    a literal pure-Python transcription of the reference's retry loop
+    (retry_llm_call.py:75-188): attempt until validators pass, 2
+    feedback messages per failed-but-extractable attempt, call-failure
+    branch skips feedback, exhaustion carries the last attempt's
+    formatted errors."""
+    from pdf_extractor_spark.analytics.taskflow import (
+        RETRY_MAX_ATTEMPTS,
+        RETRY_MIN_LEN,
+        retry_validation_cascade,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {
+        r["task_id"]: r
+        for r in retry_validation_cascade(spark, sf_dir).collect()
+    }
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    assert set(out) == set(doc_ids)
+
+    statuses = set()
+    for did in doc_ids:
+        # --- literal reference loop ---
+        messages = 1  # the initial message list
+        win = None
+        last_errors = None
+        for a in range(1, RETRY_MAX_ATTEMPTS + 1):
+            if did % 7 == 3 and a == 1:  # LLM call raised
+                last_errors = "LLM call failed: TimeoutError()"
+                continue
+            content = f"a{a} d{did}"
+            if (did + 2 * a) % 5 != 0:
+                content += " padding-block"
+            if (did + a) % 3 == 0:
+                content += " [valid]"
+            errs = []
+            if "[valid]" not in content:
+                errs.append(
+                    "Validator 1 (marker_validator): missing [valid] marker"
+                )
+            if len(content) < RETRY_MIN_LEN:
+                errs.append(
+                    "Validator 2 (length_validator): "
+                    f"response too short: {len(content)}"
+                )
+            if not errs:
+                win = a
+                break
+            last_errors = "; ".join(errs)
+            messages += 2  # assistant echo + user feedback
+        row = out[did]
+        if win is not None:
+            assert (row["status"], row["winning_attempt"], row["retries"],
+                    row["last_errors"]) == ("passed", win, win - 1, None)
+        else:
+            assert (row["status"], row["winning_attempt"], row["retries"],
+                    row["last_errors"]) == (
+                "exhausted", None, RETRY_MAX_ATTEMPTS, last_errors)
+        assert row["n_messages"] == messages
+        statuses.add(row["status"])
+        if did % 7 == 3:
+            statuses.add("call-failure-seen")
+    assert {"passed", "exhausted", "call-failure-seen"} <= statuses
