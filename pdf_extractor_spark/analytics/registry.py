@@ -224,6 +224,11 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.chunk_documents, curation.CHUNK_DOCUMENTS_SQL,
         "training:chunk (reference text_chunker, dangling import)",
     ),
+    "embedding_validation_profile": QuerySpec(
+        similarity.embedding_validation_profile,
+        similarity.EMBEDDING_VALIDATION_SQL,
+        "reference embedding_utils.py:135-209 validate_embeddings",
+    ),
     "retry_validation_cascade": QuerySpec(
         taskflow.retry_validation_cascade, taskflow.RETRY_CASCADE_SQL,
         "reference retry_llm_call.py:75-188 retry loop profile",

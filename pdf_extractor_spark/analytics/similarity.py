@@ -1427,3 +1427,119 @@ FROM assigned
 GROUP BY cluster
 ORDER BY cluster
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding validation profile (reference arangodb/embedding_utils.py:
+# 135-200 validate_embeddings + config.py EMBEDDING_DIMENSIONS) — the
+# fixture-compare pass that guards an embedding store: every vector is
+# checked for (a) the expected dimension count (the fixture's
+# embedding_dimensions, which the reference seeds from the corpus
+# itself, :155-160), (b) presence in the fixture's test_values
+# (:203-209 "missing_{text}"), and (c) an md5 fingerprint match
+# against the stored hash (:166-171 hashes json.dumps(embedding);
+# here the canonical serialization is the engine-portable fixed-point
+# form floor(x*1e4+1e-6) joined by ','). Drift is planted
+# deterministically so the mismatch branch is exercised: vec_id%97==0
+# stores a fingerprint of the vector with its first component shifted
+# +0.5, vec_id%101==0 is absent from the fixture.
+#
+# Scale shape: map-only per-vector work (transform + md5) plus ONE
+# 1-row broadcast for the corpus-majority dimension — the same
+# crossJoin(broadcast(agg)) idiom as the BM25 corpus stats; no other
+# shuffle.
+# ---------------------------------------------------------------------------
+
+EV_DRIFT_MOD = 97
+EV_MISSING_MOD = 101
+
+
+def _fp(col: Column) -> Column:
+    """Canonical fixed-point fingerprint of a vector (md5)."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                col,
+                lambda x: F.floor(x.cast("double") * 10000 + 1e-6).cast(
+                    "string"
+                ),
+            ),
+        )
+    )
+
+
+def embedding_validation_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = emb.select(F.size("embedding").alias("n_dims"))
+    expected = dims.groupBy("n_dims").count().orderBy(
+        F.desc("count"), "n_dims"
+    ).limit(1).select(F.col("n_dims").alias("expected_dims"))
+    drifted = F.concat(
+        F.array((F.element_at("embedding", 1) + F.lit(0.5)).cast("float")),
+        F.slice("embedding", 2, F.size("embedding") - 1),
+    )
+    staged = emb.crossJoin(F.broadcast(expected)).select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        "expected_dims",
+        _fp(F.col("embedding")).alias("fingerprint"),
+        F.when(F.col("vec_id") % EV_DRIFT_MOD == 0, _fp(drifted))
+        .otherwise(_fp(F.col("embedding")))
+        .alias("stored_fp"),
+        (F.col("vec_id") % EV_MISSING_MOD != 0).alias("in_fixture"),
+    )
+    return staged.select(
+        "vec_id",
+        "n_dims",
+        (F.col("n_dims") == F.col("expected_dims")).alias("dim_ok"),
+        "in_fixture",
+        "fingerprint",
+        (F.col("fingerprint") == F.col("stored_fp")).alias("hash_match"),
+        (
+            (F.col("n_dims") == F.col("expected_dims"))
+            & F.col("in_fixture")
+            & (F.col("fingerprint") == F.col("stored_fp"))
+        ).alias("valid"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_VALIDATION_SQL = f"""
+WITH dims AS (
+  SELECT len(embedding) AS n_dims, count(*) AS c FROM embeddings
+  GROUP BY 1 ORDER BY c DESC, n_dims LIMIT 1
+),
+staged AS (
+  SELECT vec_id,
+         len(embedding) AS n_dims,
+         (SELECT n_dims FROM dims) AS expected_dims,
+         md5(array_to_string(
+           [CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 1e-6) AS BIGINT)
+                 AS VARCHAR) FOR x IN embedding], ',')) AS fingerprint,
+         CASE WHEN vec_id % {EV_DRIFT_MOD} = 0 THEN
+           md5(array_to_string(
+             [CAST(CAST(floor(CAST(
+                CASE WHEN i = 1
+                     THEN CAST(embedding[i] + 0.5 AS FLOAT)
+                     ELSE embedding[i] END AS DOUBLE) * 10000 + 1e-6)
+                AS BIGINT) AS VARCHAR)
+              FOR i IN generate_series(1, len(embedding))], ','))
+         ELSE
+           md5(array_to_string(
+             [CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 1e-6) AS BIGINT)
+                   AS VARCHAR) FOR x IN embedding], ','))
+         END AS stored_fp,
+         vec_id % {EV_MISSING_MOD} <> 0 AS in_fixture
+  FROM embeddings
+)
+SELECT vec_id, n_dims,
+       n_dims = expected_dims AS dim_ok,
+       in_fixture, fingerprint,
+       fingerprint = stored_fp AS hash_match,
+       (n_dims = expected_dims AND in_fixture
+        AND fingerprint = stored_fp) AS valid
+FROM staged
+ORDER BY vec_id
+"""

@@ -146,3 +146,50 @@ def test_semantic_dedup_recompute(spark):
     injected = [vid for vid in corpus if vid >= DUP_ID_OFFSET]
     assert injected and all(not out[vid]["kept"] for vid in injected)
     assert any(out[vid]["kept"] for vid in corpus if vid < DUP_ID_OFFSET)
+
+
+def test_embedding_validation_recompute(spark):
+    """Fingerprint/dim/presence checks match a pure-Python recompute of
+    the reference fixture-compare (embedding_utils.py:135-209) under
+    the canonical fixed-point serialization; planted drift and missing
+    rows are flagged, everything else validates."""
+    import hashlib
+    import math
+
+    from pdf_extractor_spark.analytics.similarity import (
+        EV_DRIFT_MOD,
+        EV_MISSING_MOD,
+        embedding_validation_profile,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {
+        r["vec_id"]: r
+        for r in embedding_validation_profile(spark, sf_dir).collect()
+    }
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert set(out) == set(vecs)
+
+    def fp(v):
+        return hashlib.md5(
+            ",".join(
+                str(int(math.floor(float(x) * 10000 + 1e-6))) for x in v
+            ).encode()
+        ).hexdigest()
+
+    n_invalid = 0
+    for vid, v in vecs.items():
+        row = out[vid]
+        assert row["n_dims"] == len(v) and row["dim_ok"]
+        assert row["fingerprint"] == fp(v)
+        want_match = vid % EV_DRIFT_MOD != 0 or fp(
+            [float(__import__("numpy").float32(v[0] + 0.5))] + [float(x) for x in v[1:]]
+        ) == fp(v)
+        assert row["hash_match"] == want_match
+        assert row["in_fixture"] == (vid % EV_MISSING_MOD != 0)
+        if not row["valid"]:
+            n_invalid += 1
+    assert n_invalid >= 2  # both planted branches exercised
