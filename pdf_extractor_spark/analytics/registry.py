@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     curation,
     dedup,
+    graphalgo,
     quality_rules,
     extraction_queries,
     hybrid,
@@ -223,6 +224,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(
         curation.chunk_documents, curation.CHUNK_DOCUMENTS_SQL,
         "training:chunk (reference text_chunker, dangling import)",
+    ),
+    "pagerank_fixed": QuerySpec(
+        graphalgo.pagerank_fixed, graphalgo.PAGERANK_SQL,
+        "training:link-quality (damped PageRank, K=3)",
     ),
     "embedding_validation_profile": QuerySpec(
         similarity.embedding_validation_profile,
