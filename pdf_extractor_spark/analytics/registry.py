@@ -225,6 +225,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.chunk_documents, curation.CHUNK_DOCUMENTS_SQL,
         "training:chunk (reference text_chunker, dangling import)",
     ),
+    "inverted_index_blocks": QuerySpec(
+        textstats.inverted_index_blocks, textstats.INVERTED_INDEX_SQL,
+        "training:inverted-index (blocked posting lists)",
+    ),
     "pagerank_fixed": QuerySpec(
         graphalgo.pagerank_fixed, graphalgo.PAGERANK_SQL,
         "training:link-quality (damped PageRank, K=3)",

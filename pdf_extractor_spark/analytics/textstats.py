@@ -991,3 +991,70 @@ SELECT t.pos, t.doc_id,
 FROM top10 t JOIN documents d USING (doc_id)
 ORDER BY t.pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (training:inverted-index) — the posting-list
+# construction behind every keyword/BM25 surface in the reference
+# (ArangoSearch builds this view server-side, arangodb/config.py view
+# definition; search_api/bm25.py then queries it). Spark-side the
+# build is the canonical index MapReduce: explode tokens → per
+# (term, doc) tf aggregate → per (term, block) posting arrays.
+#
+# Postings are BLOCKED by doc-id range (IDX_BLOCK docs per block), the
+# standard scale layout: a hot term (stopword) at 100 TB has a
+# billion-doc posting list, and a flat collect_list would funnel it
+# into one task/row; with range blocks no aggregation state exceeds
+# IDX_BLOCK entries, blocks of one term parallelize across tasks, and
+# a reader merge-scans blocks in (term, block_id) order. Both
+# aggregates are map-side combinable; the explode is codegen'd.
+# Term vocabulary is bounded to lowercase alphabetic terms of >= 3
+# chars (the analyzer's token-class filter).
+# ---------------------------------------------------------------------------
+
+IDX_BLOCK = 250
+IDX_MIN_TERM_LEN = 3
+
+
+def inverted_index_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("term"))
+    terms = terms.where(
+        F.col("term").rlike(rf"^[a-z]{{{IDX_MIN_TERM_LEN},}}$")
+    )
+    tf = terms.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        tf.withColumn("block_id", F.floor(F.col("doc_id") / IDX_BLOCK))
+        .groupBy("term", "block_id")
+        .agg(
+            F.count("*").alias("df_block"),
+            F.sum("tf").cast("long").alias("cf_block"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy("term", "block_id")
+    )
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH terms AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents
+  )
+  WHERE regexp_matches(lower(tok), '^[a-z]{{{IDX_MIN_TERM_LEN},}}$')
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2
+)
+SELECT term,
+       CAST(floor(doc_id / {IDX_BLOCK}.0) AS BIGINT) AS block_id,
+       count(*) AS df_block,
+       CAST(sum(tf) AS BIGINT) AS cf_block,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY 1, 2
+ORDER BY term, block_id
+"""

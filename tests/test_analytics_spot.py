@@ -306,3 +306,45 @@ def test_chunk_documents_window_semantics(spark):
     assert got == want
     # overlap: consecutive chunks of a long doc share OVERLAP tokens
     assert any(k[1] >= 1 for k in got), "corpus must produce multi-chunk docs"
+
+
+def test_inverted_index_blocks_roundtrip(spark):
+    """Posting blocks reconstruct exact term membership: a doc appears
+    in term t's postings iff its text contains t as a whitespace token
+    (lowercased, alphabetic >=3 chars); blocks partition postings by
+    doc-range with no overlap and df/cf consistent."""
+    import re
+
+    from pdf_extractor_spark.analytics.textstats import (
+        IDX_BLOCK,
+        inverted_index_blocks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = inverted_index_blocks(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    want = {}
+    for did, text in docs.items():
+        for tok in re.split(r"\s+", text or ""):
+            t = tok.lower()
+            if re.fullmatch(r"[a-z]{3,}", t):
+                want.setdefault(t, {}).setdefault(did, 0)
+                want[t][did] += 1
+    got = {}
+    for r in rows:
+        assert r["postings"] == sorted(r["postings"])
+        assert r["df_block"] == len(r["postings"])
+        for did in r["postings"]:
+            assert did // IDX_BLOCK == r["block_id"]  # range-partitioned
+            assert did not in got.get(r["term"], {})  # no overlap
+            got.setdefault(r["term"], {})[did] = True
+        assert r["cf_block"] == sum(
+            want[r["term"]][d] for d in r["postings"]
+        )
+    assert {t: set(m) for t, m in got.items()} == {
+        t: set(m) for t, m in want.items()
+    }
