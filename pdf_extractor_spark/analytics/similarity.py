@@ -1455,15 +1455,24 @@ EV_MISSING_MOD = 101
 
 
 def _fp(col: Column) -> Column:
-    """Canonical fixed-point fingerprint of a vector (md5)."""
+    """Canonical fixed-point fingerprint of a vector (md5). Components
+    are clamped to ±9e10 BEFORE the ×10^4 floor so the serialized
+    integer stays far from the LONG cliff (docs/PLANS.md §14 class —
+    a junk 1e30 component must fingerprint identically, not overflow
+    differently per engine)."""
     return F.md5(
         F.concat_ws(
             ",",
             F.transform(
                 col,
-                lambda x: F.floor(x.cast("double") * 10000 + 1e-6).cast(
-                    "string"
-                ),
+                lambda x: F.floor(
+                    F.least(
+                        F.greatest(x.cast("double"), F.lit(-9e10)),
+                        F.lit(9e10),
+                    )
+                    * 10000
+                    + 1e-6
+                ).cast("string"),
             ),
         )
     )
@@ -1516,19 +1525,22 @@ staged AS (
          len(embedding) AS n_dims,
          (SELECT n_dims FROM dims) AS expected_dims,
          md5(array_to_string(
-           [CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 1e-6) AS BIGINT)
+           [CAST(CAST(floor(least(greatest(CAST(x AS DOUBLE), -9e10), 9e10)
+                            * 10000 + 1e-6) AS BIGINT)
                  AS VARCHAR) FOR x IN embedding], ',')) AS fingerprint,
          CASE WHEN vec_id % {EV_DRIFT_MOD} = 0 THEN
            md5(array_to_string(
-             [CAST(CAST(floor(CAST(
+             [CAST(CAST(floor(least(greatest(CAST(
                 CASE WHEN i = 1
                      THEN CAST(embedding[i] + 0.5 AS FLOAT)
-                     ELSE embedding[i] END AS DOUBLE) * 10000 + 1e-6)
+                     ELSE embedding[i] END AS DOUBLE), -9e10), 9e10)
+                * 10000 + 1e-6)
                 AS BIGINT) AS VARCHAR)
               FOR i IN generate_series(1, len(embedding))], ','))
          ELSE
            md5(array_to_string(
-             [CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 1e-6) AS BIGINT)
+             [CAST(CAST(floor(least(greatest(CAST(x AS DOUBLE), -9e10), 9e10)
+                              * 10000 + 1e-6) AS BIGINT)
                    AS VARCHAR) FOR x IN embedding], ','))
          END AS stored_fp,
          vec_id % {EV_MISSING_MOD} <> 0 AS in_fixture

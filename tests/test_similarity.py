@@ -176,7 +176,9 @@ def test_embedding_validation_recompute(spark):
     def fp(v):
         return hashlib.md5(
             ",".join(
-                str(int(math.floor(float(x) * 10000 + 1e-6))) for x in v
+                str(int(math.floor(
+                    min(max(float(x), -9e10), 9e10) * 10000 + 1e-6
+                ))) for x in v
             ).encode()
         ).hexdigest()
 
