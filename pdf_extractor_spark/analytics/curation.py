@@ -942,24 +942,46 @@ def _bloom_pos(g: Column, j: int) -> Column:
     )
 
 
+def _bench_grams(docs: DataFrame) -> DataFrame:
+    """DISTINCT n-grams of the held-out benchmark slice."""
+    grams = docs.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id", F.explode(_grams(F.col("toks"), DECON_N)).alias("g")
+    )
+    return (
+        grams.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
+        .select("g")
+        .distinct()
+    )
+
+
+def _bench_bits_df(bench: DataFrame) -> DataFrame:
+    """1-row DataFrame holding the sorted bloom-position array."""
+    return bench.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("g"), j) for j in range(BLOOM_K)])
+        ).alias("pos")
+    ).agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+
+
+def bloom_bench_bits(spark: SparkSession, sf_dir: str) -> list:
+    """Materialize the benchmark bloom bitset as a plain Python list
+    (≤ BLOOM_M ints) — the broadcast-into-a-stream entry point: the
+    streaming quality gate folds these positions into its plan as a
+    constant array, so decontamination runs on an infinite stream with
+    zero stream-side joins."""
+    [row] = _bench_bits_df(
+        _bench_grams(load(spark, sf_dir, "documents"))
+    ).collect()
+    return list(row["bits"])
+
+
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     grams = docs.select("doc_id", _tokens().alias("toks")).select(
         "doc_id", F.explode(_grams(F.col("toks"), DECON_N)).alias("g")
     )
-    bench = (
-        grams.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
-        .select("g")
-        .distinct()
-    )
-    bits = (
-        bench.select(
-            F.explode(
-                F.array(*[_bloom_pos(F.col("g"), j) for j in range(BLOOM_K)])
-            ).alias("pos")
-        )
-        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
-    )
+    bench = _bench_grams(docs)
+    bits = _bench_bits_df(bench)
     corpus = grams.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
     in_bloom = None
     for j in range(BLOOM_K):

@@ -77,8 +77,15 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule), every metric a fold over it, zero shuffle — the 100 TB
     shape is "however many executors you have".
     """
-    docs = load(spark, sf_dir, "documents")
-    tok_docs = docs.select("doc_id", _tokens().alias("toks"))
+    return gopher_verdicts(load(spark, sf_dir, "documents"))
+
+
+def gopher_verdicts(docs: DataFrame, *carry: str) -> DataFrame:
+    """The rule kernel over any (doc_id, text) DataFrame — batch OR
+    streaming (map-only expressions stream unchanged; the streaming
+    quality gate reuses this exact body, never a fork). ``carry``
+    names extra input columns to pass through untouched."""
+    tok_docs = docs.select("doc_id", *carry, _tokens().alias("toks"))
 
     n_words = F.size("toks")
     mean_wl = F.aggregate(
@@ -91,6 +98,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = tok_docs.select(
         "doc_id",
+        *carry,
         n_words.alias("n_words"),
         floor_round(mean_wl, 4).alias("mean_word_len"),
         floor_round(alpha_frac, 4).alias("alpha_frac"),
@@ -109,6 +117,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "doc_id",
+        *carry,
         "n_words",
         "mean_word_len",
         "alpha_frac",

@@ -647,3 +647,98 @@ def stream_vector_ingest(
     )
     query.awaitTermination()
     return query
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate — Gopher verdicts + broadcast bloom
+# decontamination applied AT INGESTION, routing documents by verdict
+# (training pipelines gate a crawl stream before anything touches the
+# corpus store; re-running the batch filters over the whole corpus per
+# crawl wave is the anti-pattern this replaces).
+# ---------------------------------------------------------------------------
+
+TEXT_DOCS_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    bench_bits: list | None = None,
+):
+    """availableNow stream of raw text docs → Gopher document rules
+    (the EXACT batch kernel, analytics.quality_rules.gopher_verdicts —
+    never a fork) plus optional bloom decontamination → parquet
+    partitioned by ``verdict`` (pass / word_count / mean_word_length /
+    alpha_ratio / stop_words / contaminated), so downstream consumers
+    partition-prune straight to the slice they want.
+
+    ``bench_bits`` is the benchmark bloom bitset from
+    :func:`analytics.curation.bloom_bench_bits` — a plain list that
+    folds into the streaming plan as a CONSTANT array (≤ BLOOM_M
+    ints): decontamination needs no stream-side join and no state, so
+    the gate runs forever at O(1) memory. All expressions are
+    map-only; the stream parallelizes with the file-split count.
+    Contamination loses to a harder quality failure in the verdict
+    order (a too-short doc reads word_count even if also
+    contaminated) — verdict is one label; the full rule metrics ride
+    along as columns.
+    """
+    from pyspark.sql import functions as F
+
+    from .analytics.curation import BLOOM_K, DECON_N, _bloom_pos, _grams
+    from .analytics.quality_rules import gopher_verdicts
+    from .analytics.base import tokens as _tokens
+
+    docs = spark.readStream.schema(TEXT_DOCS_SCHEMA).parquet(input_dir)
+    staged = gopher_verdicts(docs, "text", "lang", "source")
+
+    if bench_bits is not None:
+        bits_lit = F.array(*[F.lit(int(b)) for b in bench_bits])
+
+        def _gram_hit(g):
+            c = None
+            for j in range(BLOOM_K):
+                cj = F.array_contains(bits_lit, _bloom_pos(g, j))
+                c = cj if c is None else (c & cj)
+            return c
+
+        # materialize grams into a real column first (HOF-capture
+        # rule part 2: an expression referenced inside exists() would
+        # re-evaluate per element)
+        staged = staged.withColumn(
+            "_grams", _grams(_tokens("text"), DECON_N)
+        ).withColumn(
+            "contaminated", F.coalesce(F.exists("_grams", _gram_hit), F.lit(False))
+        ).drop("_grams")
+    else:
+        staged = staged.withColumn("contaminated", F.lit(False))
+
+    routed = staged.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        "contaminated",
+        F.when(F.col("fail_rule") != "pass", F.col("fail_rule"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .otherwise(F.lit("pass"))
+        .alias("verdict"),
+    )
+    query = (
+        routed.writeStream.format("parquet")
+        .partitionBy("verdict")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -545,3 +545,77 @@ def test_stream_dedup_exact_drops_content_duplicates(spark, tmp_path):
     # replay: nothing new -> no change
     stream_dedup_exact(spark, inbox, out, ckpt)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_quality_gate_matches_batch_rules(spark, tmp_path):
+    """The ingestion gate's verdicts equal the BATCH Gopher kernel +
+    bloom decontamination on the same docs (shared kernel, no fork);
+    output is partitioned by verdict; re-delivering an already-
+    processed wave appends nothing (checkpoint idempotence)."""
+    import os
+
+    from pdf_extractor_spark.analytics.curation import (
+        DECON_BENCH_MAX_ID,
+        bloom_bench_bits,
+        bloom_decontaminate,
+    )
+    from pdf_extractor_spark.analytics.quality_rules import (
+        gopher_quality_filter,
+    )
+    from pdf_extractor_spark.streaming import stream_quality_gate
+
+    sf_dir = "/root/testdata/sf0.001"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bits = bloom_bench_bits(spark, sf_dir)
+
+    # wave 1: first half; wave 2: rest
+    docs.where("doc_id < 250").write.mode("append").parquet(inbox)
+    stream_quality_gate(spark, inbox, out, ckpt, bench_bits=bits)
+    docs.where("doc_id >= 250").write.mode("append").parquet(inbox)
+    stream_quality_gate(spark, inbox, out, ckpt, bench_bits=bits)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == docs.count()
+
+    rules = {r["doc_id"]: r for r in gopher_quality_filter(spark, sf_dir).collect()}
+    flagged = {
+        r["doc_id"]: r["flagged"]
+        for r in bloom_decontaminate(spark, sf_dir).collect()
+    }
+    verdicts = set()
+    for did, row in got.items():
+        want_rule = rules[did]["fail_rule"]
+        if want_rule != "pass":
+            assert row["verdict"] == want_rule
+        elif did >= DECON_BENCH_MAX_ID:
+            # batch op only scores corpus docs; bench docs trivially
+            # self-contaminate in the gate (their grams built the bits)
+            want = "contaminated" if flagged[did] else "pass"
+            assert row["verdict"] == want
+        assert row["n_words"] == rules[did]["n_words"]
+        verdicts.add(row["verdict"])
+    # at sf0.001 density the 4096-bit bloom saturates (~0.46 FP/gram),
+    # so every rule-passing doc reads contaminated — consistent with
+    # the batch op's flagged column (asserted above); the pass path is
+    # checked below with the gate run bits-free
+    assert len(verdicts) >= 2
+    # physical layout: hive-partitioned by verdict
+    parts = {d for d in os.listdir(out) if d.startswith("verdict=")}
+    assert {f"verdict={v}" for v in verdicts} <= parts
+
+    out2 = str(tmp_path / "out2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream_quality_gate(spark, inbox, out2, ckpt2)  # no bitset
+    got2 = {r["doc_id"]: r for r in spark.read.parquet(out2).collect()}
+    for did, row in got2.items():
+        assert not row["contaminated"]
+        assert row["verdict"] == rules[did]["fail_rule"]
+    assert any(r["verdict"] == "pass" for r in got2.values())
+
+    # re-deliver wave 2 files by re-running with nothing new: no growth
+    n_before = spark.read.parquet(out).count()
+    stream_quality_gate(spark, inbox, out, ckpt, bench_bits=bits)
+    assert spark.read.parquet(out).count() == n_before
