@@ -1184,3 +1184,84 @@ FROM staged
 GROUP BY 1, 2
 ORDER BY shard_id, split
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap (training:domain-cap) — C4/CCNet-style host
+# capping: no single domain may contribute more than DOMCAP_K docs to
+# the training mix (mirror sites and SEO farms otherwise dominate a
+# crawl). Selection is a salted-hash order per domain — deterministic,
+# coordination-free, and unbiased w.r.t. crawl/doc_id order (capping
+# "first K crawled" would keep a domain's oldest template pages).
+#
+# Scale shape: the naive form is one window over source — but a hot
+# domain at 100 TB (10^8 docs of one host) makes that partition one
+# task's problem. The implemented shape is the two-level tournament:
+# rank within (source, salt_bucket) and keep ≤ K per bucket (bounded
+# state per task regardless of domain size), then re-rank the ≤ K*B
+# survivors per source. The final top-K per source is provably the
+# global top-K (it is contained in the union of bucket top-Ks), so the
+# single-window oracle checks the two-level plan exactly.
+# ---------------------------------------------------------------------------
+
+DOMCAP_K = 10
+DOMCAP_BUCKETS = 4
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    key = F.md5(F.concat(F.lit("domcap|"), did))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        key.alias("key"),
+        (_salted_hash64("domcap-bucket", did) % DOMCAP_BUCKETS).alias("b"),
+    )
+    w_bucket = Window.partitionBy("source", "b").orderBy("key", "doc_id")
+    survivors = (
+        staged.withColumn("rb", F.row_number().over(w_bucket))
+        .where(F.col("rb") <= DOMCAP_K)
+        .drop("rb", "b")
+    )
+    w_src = Window.partitionBy("source").orderBy("key", "doc_id")
+    kept = (
+        survivors.withColumn("rank_in_source", F.row_number().over(w_src))
+        .where(F.col("rank_in_source") <= DOMCAP_K)
+    )
+    totals = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_source_docs")
+    )
+    return (
+        kept.join(F.broadcast(totals), "source")
+        .select(
+            "doc_id", "source",
+            F.col("rank_in_source").cast("int").alias("rank_in_source"),
+            "n_source_docs",
+        )
+        .orderBy("source", "rank_in_source")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         md5('domcap|' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+           AS rank_in_source
+  FROM staged
+),
+totals AS (
+  SELECT source, count(*) AS n_source_docs FROM documents GROUP BY 1
+)
+SELECT r.doc_id, r.source,
+       CAST(r.rank_in_source AS INT) AS rank_in_source,
+       t.n_source_docs
+FROM ranked r JOIN totals t USING (source)
+WHERE r.rank_in_source <= {DOMCAP_K}
+ORDER BY r.source, r.rank_in_source
+"""

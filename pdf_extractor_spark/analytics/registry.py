@@ -250,6 +250,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.shard_manifest, curation.SHARD_MANIFEST_SQL,
         "training:shuffle-shard manifest",
     ),
+    "domain_cap_sample": QuerySpec(
+        curation.domain_cap_sample, curation.DOMAIN_CAP_SQL,
+        "training:domain-cap (C4/CCNet host capping)",
+    ),
     "gopher_quality_filter": QuerySpec(
         quality_rules.gopher_quality_filter, quality_rules.GOPHER_QUALITY_SQL,
         "training:gopher-quality (Rae et al. 2021 A1.1)",

@@ -165,3 +165,43 @@ def test_shuffle_shard_invariants(spark):
         assert keys == sorted(keys)  # within-shard order = sort key
     n_train = sum(1 for r in rows if r["split"] == "train")
     assert 0.80 * n <= n_train <= 0.97 * n  # hash split ≈ 90%
+
+
+def test_domain_cap_two_level_equals_single_window(spark):
+    """The two-level (bucketed) tournament keeps EXACTLY the global
+    top-K per source that a single window would (containment proof
+    exercised on real data), caps every source at K, and ranks follow
+    the salted-hash order."""
+    import hashlib
+
+    from pdf_extractor_spark.analytics.curation import (
+        DOMCAP_K,
+        domain_cap_sample,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = domain_cap_sample(spark, sf_dir).collect()
+    docs = [
+        (r["doc_id"], r["source"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source").collect()
+    ]
+    by_src = {}
+    for did, src in docs:
+        key = hashlib.md5(f"domcap|{did}".encode()).hexdigest()
+        by_src.setdefault(src, []).append((key, did))
+    want = {}
+    for src, lst in by_src.items():
+        lst.sort()
+        for rank, (_, did) in enumerate(lst[:DOMCAP_K], 1):
+            want[did] = (src, rank, len(lst))
+    got = {
+        r["doc_id"]: (r["source"], r["rank_in_source"], r["n_source_docs"])
+        for r in rows
+    }
+    assert got == want
+    counts = {}
+    for src, _, _ in got.values():
+        counts[src] = counts.get(src, 0) + 1
+    assert all(c <= DOMCAP_K for c in counts.values())
+    assert any(n > DOMCAP_K for _, _, n in got.values())  # cap did cut
