@@ -113,3 +113,30 @@ def test_semantic_dedup_join_shapes(spark):
     for line in plan.splitlines():
         if "NestedLoop" in line:
             assert "Broadcast" in line and "BuildRight" in line
+
+
+def test_late_r3_queries_have_scale_clean_plans(spark):
+    """Session additions: no CartesianProduct anywhere; the only
+    NestedLoop allowed is the 1-row-broadcast idiom (pagerank's corpus
+    count, the BM25-stats pattern); the window-based ops never funnel
+    through a single-partition Exchange (the global-window
+    anti-pattern the shuffle-shard design exists to avoid)."""
+    one_row_broadcast = ("pagerank_fixed", "embedding_validation_profile")
+    for name in ("shuffle_shard_assign", "shard_manifest",
+                 "domain_cap_sample", "retry_validation_cascade",
+                 "embedding_validation_profile", "inverted_index_blocks",
+                 "pagerank_fixed"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name in one_row_broadcast:
+            # NestedLoop only as the broadcast 1-row stats join
+            assert plan.count("NestedLoop") == plan.count(
+                "BroadcastNestedLoopJoin"
+            ), name
+        else:
+            assert "NestedLoop" not in plan, name
+    for name in ("shuffle_shard_assign", "domain_cap_sample",
+                 "retry_validation_cascade"):
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, name
+    assert "BroadcastNestedLoopJoin" in _plan(spark, "pagerank_fixed")
