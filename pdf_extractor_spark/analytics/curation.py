@@ -1265,3 +1265,194 @@ FROM ranked r JOIN totals t USING (source)
 WHERE r.rank_in_source <= {DOMCAP_K}
 ORDER BY r.source, r.rank_in_source
 """
+
+
+# ---------------------------------------------------------------------------
+# UniMax language allocation (training:unimax, Chung et al. 2023 —
+# "UniMax: Fairer and More Effective Language Sampling") — allocate a
+# token BUDGET across languages so no language repeats more than
+# UNIMAX_EPOCH_CAP epochs and the remainder is split EQUALLY (not
+# proportionally): the waterfill whose closed form is "cap the
+# ascending-size prefix, share the rest".
+#
+# Closed form (languages sorted ascending by size, k = rank):
+#   capped(k)  ⇔  C·cumsum(k) + C·size_k·(n−k) ≤ B
+#   k* = max capped k;  share = (B − C·cumsum(k*)) / (n − k*)
+#   alloc = C·size for ranks ≤ k*, else share
+# The capped set is always an ascending-size prefix, so ONE window
+# cumsum + one max decides the whole allocation — no iteration.
+#
+# Scale shape: per-language token totals are a map-side-combinable
+# aggregate; everything after runs on the LANGUAGE table (≤ a few
+# hundred rows for any real corpus), where a single-partition window
+# is the right plan, not a bottleneck.
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 2
+UNIMAX_BUDGET_FACTOR = 1.5  # budget = floor(1.5 × corpus tokens)
+
+
+def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", F.size(_tokens()).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("double").alias("sz"))
+    )
+    total = per_lang.agg(
+        F.sum("sz").alias("tot"), F.count("*").alias("n_langs")
+    )
+    staged = per_lang.crossJoin(F.broadcast(total)).withColumn(
+        "budget", F.floor(F.lit(UNIMAX_BUDGET_FACTOR) * F.col("tot"))
+    )
+    w = Window.orderBy("sz", "lang")
+    staged = staged.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cumcap",
+        F.lit(float(UNIMAX_EPOCH_CAP))
+        * F.sum("sz").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    capped = (
+        F.col("cumcap")
+        + UNIMAX_EPOCH_CAP * F.col("sz") * (F.col("n_langs") - F.col("rk"))
+        <= F.col("budget")
+    )
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = staged.withColumn("is_capped", capped).withColumn(
+        "kstar",
+        F.coalesce(
+            F.max(F.when(F.col("is_capped"), F.col("rk"))).over(whole),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "cum_kstar",
+        F.coalesce(
+            F.max(
+                F.when(F.col("rk") == F.col("kstar"), F.col("cumcap"))
+            ).over(whole),
+            F.lit(0.0),
+        ),
+    )
+    share = (F.col("budget") - F.col("cum_kstar")) / (
+        F.col("n_langs") - F.col("kstar")
+    )
+    alloc = F.when(
+        F.col("rk") <= F.col("kstar"),
+        F.lit(float(UNIMAX_EPOCH_CAP)) * F.col("sz"),
+    ).otherwise(share)
+    return staged.select(
+        "lang",
+        F.col("sz").cast("long").alias("n_tokens"),
+        F.col("is_capped").alias("capped"),
+        F.floor(alloc).cast("long").alias("alloc_tokens"),
+        floor_round(alloc / F.col("sz"), 4).alias("epochs"),
+    ).orderBy("lang")
+
+
+UNIMAX_SQL = rf"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) AS sz
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(sz) AS tot, count(*) AS n_langs FROM per_lang),
+staged AS (
+  SELECT lang, sz,
+         floor({UNIMAX_BUDGET_FACTOR} * (SELECT tot FROM tot)) AS budget,
+         (SELECT n_langs FROM tot) AS n_langs,
+         row_number() OVER (ORDER BY sz, lang) AS rk,
+         {float(UNIMAX_EPOCH_CAP)} *
+           sum(sz) OVER (ORDER BY sz, lang
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumcap
+  FROM per_lang
+),
+flagged AS (
+  SELECT *,
+         cumcap + {UNIMAX_EPOCH_CAP} * sz * (n_langs - rk) <= budget
+           AS is_capped
+  FROM staged
+),
+solved AS (
+  SELECT *,
+         coalesce(max(CASE WHEN is_capped THEN rk END) OVER (), 0) AS kstar
+  FROM flagged
+),
+solved2 AS (
+  SELECT *,
+         coalesce(max(CASE WHEN rk = kstar THEN cumcap END) OVER (), 0.0)
+           AS cum_kstar
+  FROM solved
+)
+SELECT lang,
+       CAST(sz AS BIGINT) AS n_tokens,
+       is_capped AS capped,
+       CAST(floor(CASE WHEN rk <= kstar THEN {float(UNIMAX_EPOCH_CAP)} * sz
+                       ELSE (budget - cum_kstar) / (n_langs - kstar)
+                  END) AS BIGINT) AS alloc_tokens,
+       floor((CASE WHEN rk <= kstar THEN {float(UNIMAX_EPOCH_CAP)} * sz
+                   ELSE (budget - cum_kstar) / (n_langs - kstar)
+              END) / sz * 10000 + 1e-6) / 10000 AS epochs
+FROM solved2
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (training:weighted-sample,
+# Efraimidis & Spirakis 2006 "Weighted random sampling with a
+# reservoir") — pick WS_N docs with inclusion probability proportional
+# to a quality weight, in ONE distributed pass: each row computes
+# key = ln(u)/w for a deterministic uniform u (salted md5 — the
+# corpus-wide reproducibility convention), and the global top-N keys
+# ARE the weighted sample. No reservoir, no sequential scan, no
+# rand(): the E-S priority trick turns weighted sampling into a
+# top-k, which Spark plans as TakeOrderedAndProject (map-side
+# partial top-N per partition, no global sort).
+#
+# Cross-engine ranking rides the floored key (1-ulp ln() noise is
+# ~1e-15 absolute here, 8-decimal floor + doc_id tie-break per the
+# floor4-on-ORDER lesson, PLANS §16.4).
+# ---------------------------------------------------------------------------
+
+WS_N = 100
+
+
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens())
+    w_qual = F.log(F.lit(2.0) + n_tok.cast("double"))
+    u = (
+        _salted_hash64("essample", F.col("doc_id").cast("string")).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / w_qual
+    staged = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        floor_round(w_qual, 4).alias("weight"),
+        floor_round(key, 8).alias("priority"),
+    )
+    return staged.orderBy(F.desc("priority"), F.asc("doc_id")).limit(WS_N)
+
+
+WEIGHTED_SAMPLE_SQL = rf"""
+WITH staged AS (
+  SELECT doc_id,
+         len(string_split_regex(text, '\s+')) AS n_tokens,
+         ln(2.0 + len(string_split_regex(text, '\s+'))) AS w,
+         ln((CAST('0x' || substr(md5('essample|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+           AS lnu
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       floor(w * 10000 + 1e-6) / 10000 AS weight,
+       floor(lnu / w * 100000000 + 1e-6) / 100000000 AS priority
+FROM staged
+ORDER BY priority DESC, doc_id
+LIMIT {WS_N}
+"""

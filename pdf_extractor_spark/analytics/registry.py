@@ -254,6 +254,14 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.domain_cap_sample, curation.DOMAIN_CAP_SQL,
         "training:domain-cap (C4/CCNet host capping)",
     ),
+    "unimax_allocation": QuerySpec(
+        curation.unimax_allocation, curation.UNIMAX_SQL,
+        "training:unimax (Chung et al. 2023 budget waterfill)",
+    ),
+    "weighted_sample_es": QuerySpec(
+        curation.weighted_sample_es, curation.WEIGHTED_SAMPLE_SQL,
+        "training:weighted-sample (Efraimidis-Spirakis 2006)",
+    ),
     "gopher_quality_filter": QuerySpec(
         quality_rules.gopher_quality_filter, quality_rules.GOPHER_QUALITY_SQL,
         "training:gopher-quality (Rae et al. 2021 A1.1)",

@@ -205,3 +205,88 @@ def test_domain_cap_two_level_equals_single_window(spark):
         counts[src] = counts.get(src, 0) + 1
     assert all(c <= DOMCAP_K for c in counts.values())
     assert any(n > DOMCAP_K for _, _, n in got.values())  # cap did cut
+
+
+def test_unimax_matches_sequential_waterfill(spark):
+    """The closed-form allocation equals a literal sequential waterfill
+    (cap ascending languages while affordable, share the rest), spends
+    the whole budget when any language is share-bound, and never
+    exceeds the epoch cap."""
+    import math
+
+    from pdf_extractor_spark.analytics.curation import (
+        UNIMAX_BUDGET_FACTOR,
+        UNIMAX_EPOCH_CAP,
+        unimax_allocation,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["lang"]: r for r in unimax_allocation(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    sizes = {}
+    for r in docs:
+        import re
+        sizes[r["lang"]] = sizes.get(r["lang"], 0) + len(
+            re.split(r"\s+", r["text"])
+        )
+    budget = math.floor(UNIMAX_BUDGET_FACTOR * sum(sizes.values()))
+    order = sorted(sizes, key=lambda l: (sizes[l], l))
+    # literal sequential waterfill
+    alloc, remaining = {}, budget
+    langs_left = list(order)
+    while langs_left:
+        lang = langs_left[0]
+        cap = UNIMAX_EPOCH_CAP * sizes[lang]
+        share = remaining / len(langs_left)
+        if cap <= share:
+            alloc[lang] = cap
+            remaining -= cap
+            langs_left.pop(0)
+        else:
+            for l in langs_left:
+                alloc[l] = share
+            langs_left = []
+    for lang, r in rows.items():
+        assert r["alloc_tokens"] == math.floor(alloc[lang]), lang
+        assert r["epochs"] <= UNIMAX_EPOCH_CAP + 1e-9
+        assert r["capped"] == (
+            math.isclose(alloc[lang], UNIMAX_EPOCH_CAP * sizes[lang])
+        ), lang
+    assert any(r["capped"] for r in rows.values())
+    assert any(not r["capped"] for r in rows.values())
+
+
+def test_weighted_sample_es_recompute(spark):
+    """The distributed top-N equals a pure-Python E-S priority sample
+    on the same weights and salted uniforms (exact, not statistical)."""
+    import hashlib
+    import math
+    import re
+
+    from pdf_extractor_spark.analytics.curation import (
+        WS_N,
+        weighted_sample_es,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = [r["doc_id"] for r in weighted_sample_es(spark, sf_dir).collect()]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    pri = []
+    for r in docs:
+        n = len(re.split(r"\s+", r["text"]))
+        w = math.log(2.0 + n)
+        h = int(
+            hashlib.md5(f"essample|{r['doc_id']}".encode()).hexdigest()[:8],
+            16,
+        )
+        u = (h + 0.5) / 4294967296.0
+        key = math.floor(math.log(u) / w * 1e8 + 1e-6) / 1e8
+        pri.append((-key, r["doc_id"]))
+    pri.sort()
+    want = [d for _, d in pri[:WS_N]]
+    assert got == want
+    # heavier docs are overrepresented vs uniform (weighted semantics)
+    lens = {r["doc_id"]: len(re.split(r"\s+", r["text"])) for r in docs}
+    mean_all = sum(lens.values()) / len(lens)
+    mean_sample = sum(lens[d] for d in got) / len(got)
+    assert mean_sample > mean_all
