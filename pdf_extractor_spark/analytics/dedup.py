@@ -1425,3 +1425,87 @@ SELECT a_id, b_id, containment_a, containment_b,
 FROM scored
 WHERE greatest(containment_a, containment_b) >= {CONTAIN_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware survivor selection (training:dedup-survivor-quality) —
+# the companion to dedup_connected_components: production dedup keeps
+# the BEST member of each duplicate cluster (longest / highest-quality
+# — "keep the longest" is the standard heuristic), not the smallest
+# id. Per component: the argmax member by (content length DESC,
+# doc_id ASC) — injected exact dups tie on length, so the tie-break
+# provably keeps the original over its +DUP_ID_OFFSET copy.
+#
+# Scale shape: the label table (one row per doc) joins the pool on
+# doc_id (equi), then ONE window over component — components are
+# near-dup clusters, bounded by the LSH band width, so no window
+# partition is hot. The CC labels come from the iterated
+# min-propagation above (localCheckpoint-bounded lineage).
+# ---------------------------------------------------------------------------
+
+
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    labels = dedup_connected_components(spark, sf_dir)
+    pool = _docs_with_injected_dups(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("len")
+    )
+    staged = labels.join(pool, "doc_id").select(
+        F.col("survivor").alias("component"), "doc_id", "len"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("len"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        staged.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_q"),
+            F.col("len").cast("long").alias("survivor_len"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("component")
+    )
+
+
+DEDUP_SURVIVORS_QUALITY_SQL = f"""
+WITH RECURSIVE
+bands AS (SELECT * FROM ({_minhash_sql(_DUP_SOURCE_SQL)}) t),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM ({_DUP_SOURCE_SQL})
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+labels AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+staged AS (
+  SELECT l.component, l.doc_id, length(p.text) AS len
+  FROM labels l JOIN ({_DUP_SOURCE_SQL}) p ON p.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY len DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM staged
+)
+SELECT component, doc_id AS survivor_q,
+       CAST(len AS BIGINT) AS survivor_len,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+ORDER BY component
+"""

@@ -262,6 +262,14 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.weighted_sample_es, curation.WEIGHTED_SAMPLE_SQL,
         "training:weighted-sample (Efraimidis-Spirakis 2006)",
     ),
+    "dedup_survivors_quality": QuerySpec(
+        dedup.dedup_survivors_quality, dedup.DEDUP_SURVIVORS_QUALITY_SQL,
+        "training:dedup-survivor-quality (keep-the-best per CC cluster)",
+    ),
+    "corpus_drift_kl": QuerySpec(
+        textstats.corpus_drift_kl, textstats.CORPUS_DRIFT_KL_SQL,
+        "training:drift-kl (wave-over-wave token distribution)",
+    ),
     "gopher_quality_filter": QuerySpec(
         quality_rules.gopher_quality_filter, quality_rules.GOPHER_QUALITY_SQL,
         "training:gopher-quality (Rae et al. 2021 A1.1)",

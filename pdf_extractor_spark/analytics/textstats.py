@@ -1058,3 +1058,99 @@ FROM tf
 GROUP BY 1, 2
 ORDER BY term, block_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: token-distribution KL divergence between crawl waves
+# (training:drift-kl) — the monitoring pass a continuously-ingested
+# corpus needs: when wave N+1's token distribution diverges from wave
+# N's, something changed upstream (a spam flood, a parser regression,
+# a source going dark). Reported per-term so the TOP CONTRIBUTORS
+# name the drift, not just score it.
+#
+# Waves here are the deterministic halves of the corpus (doc_id below/
+# above the midpoint — the synthetic stand-in for crawl timestamps).
+# Add-one smoothing over the union vocabulary V keeps q > 0, so
+# kl_term = p·ln(p/q) is total and Σ kl_term ≥ 0.
+#
+# Scale shape: explode → per-(term, wave) hash aggregate (map-side
+# combined), a 1-row totals broadcast, then TakeOrdered for the top
+# contributors — the same two-shuffle skeleton as the inverted index,
+# with the vocabulary table never collected anywhere.
+# ---------------------------------------------------------------------------
+
+DRIFT_TOP_N = 20
+
+
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).alias("mid")
+    )
+    terms = (
+        docs.crossJoin(F.broadcast(mid))
+        .select(
+            (F.col("doc_id") >= F.col("mid")).alias("new_wave"),
+            F.explode(_tokens()).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(~F.col("new_wave"), 1).otherwise(0)).alias("c_old"),
+            F.sum(F.when(F.col("new_wave"), 1).otherwise(0)).alias("c_new"),
+        )
+    )
+    totals = terms.agg(
+        F.sum("c_old").alias("n_old"),
+        F.sum("c_new").alias("n_new"),
+        F.count("*").alias("v"),
+    )
+    st = terms.crossJoin(F.broadcast(totals))
+    p = (F.col("c_new") + 1).cast("double") / (F.col("n_new") + F.col("v"))
+    q = (F.col("c_old") + 1).cast("double") / (F.col("n_old") + F.col("v"))
+    kl = p * F.log(p / q)
+    scored = st.select(
+        "term",
+        F.col("c_old").cast("long").alias("c_old"),
+        F.col("c_new").cast("long").alias("c_new"),
+        _floor_round(p, 8).alias("p_new"),
+        _floor_round(q, 8).alias("q_old"),
+        _floor_round(kl, 8).alias("kl_term"),
+    )
+    return scored.orderBy(F.desc("kl_term"), F.asc("term")).limit(
+        DRIFT_TOP_N
+    )
+
+
+CORPUS_DRIFT_KL_SQL = rf"""
+WITH mid AS (
+  SELECT (min(doc_id) + max(doc_id)) / 2.0 AS mid FROM documents
+),
+terms AS (
+  SELECT term,
+         sum(CASE WHEN NOT new_wave THEN 1 ELSE 0 END) AS c_old,
+         sum(CASE WHEN new_wave THEN 1 ELSE 0 END) AS c_new
+  FROM (
+    SELECT doc_id >= (SELECT mid FROM mid) AS new_wave,
+           unnest(string_split_regex(text, '\s+')) AS term
+    FROM documents
+  )
+  GROUP BY 1
+),
+tot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new, count(*) AS v
+        FROM terms),
+scored AS (
+  SELECT term, c_old, c_new,
+         (c_new + 1.0) / (t.n_new + t.v) AS p,
+         (c_old + 1.0) / (t.n_old + t.v) AS q
+  FROM terms, tot t
+)
+SELECT term,
+       CAST(c_old AS BIGINT) AS c_old,
+       CAST(c_new AS BIGINT) AS c_new,
+       floor(p * 100000000 + 1e-6) / 100000000 AS p_new,
+       floor(q * 100000000 + 1e-6) / 100000000 AS q_old,
+       floor(p * ln(p / q) * 100000000 + 1e-6) / 100000000 AS kl_term
+FROM scored
+ORDER BY kl_term DESC, term
+LIMIT {DRIFT_TOP_N}
+"""

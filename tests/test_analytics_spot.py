@@ -348,3 +348,42 @@ def test_inverted_index_blocks_roundtrip(spark):
     assert {t: set(m) for t, m in got.items()} == {
         t: set(m) for t, m in want.items()
     }
+
+
+def test_corpus_drift_kl_recompute(spark):
+    """Top drift contributors equal a pure-Python recompute of the
+    smoothed per-term KL between corpus halves, and every reported
+    kl_term is the true (floored) contribution."""
+    import math
+    import re
+
+    from pdf_extractor_spark.analytics.textstats import (
+        DRIFT_TOP_N,
+        corpus_drift_kl,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = corpus_drift_kl(spark, sf_dir).collect()
+    assert len(rows) == DRIFT_TOP_N
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ids = [r["doc_id"] for r in docs]
+    mid = (min(ids) + max(ids)) / 2.0
+    c_old, c_new = {}, {}
+    for r in docs:
+        tgt = c_new if r["doc_id"] >= mid else c_old
+        for t in re.split(r"\s+", r["text"]):
+            tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(c_old) | set(c_new)
+    n_old, n_new, v = sum(c_old.values()), sum(c_new.values()), len(vocab)
+    want = []
+    for t in vocab:
+        p = (c_new.get(t, 0) + 1.0) / (n_new + v)
+        q = (c_old.get(t, 0) + 1.0) / (n_old + v)
+        kl = math.floor(p * math.log(p / q) * 1e8 + 1e-6) / 1e8
+        want.append((-kl, t))
+    want.sort()
+    want_top = [(t, -k) for k, t in want[:DRIFT_TOP_N]]
+    got_top = [(r["term"], r["kl_term"]) for r in rows]
+    assert got_top == want_top
+    kls = [k for _, k in got_top]
+    assert kls == sorted(kls, reverse=True)  # truly the top contributors

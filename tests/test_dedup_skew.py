@@ -62,3 +62,26 @@ def test_aqe_skew_join_backstop_enabled(spark):
     config regression is caught here, not at 100 TB."""
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_survivors_quality_keeps_original_over_injected_copy(spark):
+    """In every multi-member cluster the argmax-by-(len, id) survivor
+    is the ORIGINAL doc (injected +OFFSET copies tie on length and
+    lose the id tie-break); singleton clusters survive as themselves;
+    membership counts sum to the pool size."""
+    from pdf_extractor_spark.analytics.base import (
+        DUP_ID_OFFSET,
+        N_INJECTED_DUPS,
+    )
+    from pdf_extractor_spark.analytics.dedup import dedup_survivors_quality
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = dedup_survivors_quality(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_members"] for r in rows) == n_docs + N_INJECTED_DUPS
+    multi = [r for r in rows if r["n_members"] > 1]
+    assert len(multi) >= N_INJECTED_DUPS
+    for r in rows:
+        assert r["survivor_q"] < DUP_ID_OFFSET  # never the injected copy
+        if r["n_members"] == 1:
+            assert r["survivor_q"] == r["component"]
