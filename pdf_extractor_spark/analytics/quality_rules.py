@@ -468,3 +468,100 @@ SELECT doc_id, n_tokens,
          >= {CLS_THRESHOLD} AS keep
 FROM staged
 """
+
+
+# ---------------------------------------------------------------------------
+# Site-template boilerplate strip (training:template-strip) — the
+# cross-document twin of the C4 line rules: a site's pages share a
+# navigation header the per-document rules can't see; the signal is
+# the MODAL first line per source (RefinedWeb strips exactly this
+# class via line-frequency-per-domain). The synthetic corpus carries
+# no templates, so the query plants a deterministic nav line on the
+# even-hash half of the sources (the pii_redact technique) and then
+# detects it from frequency alone — the detector never reads the
+# planting rule.
+#
+# Scale shape: first lines are a map-only projection; the modal line
+# is a per-(source, first_line) hash aggregate + a per-source window
+# over the AGGREGATED counts (one row per distinct first line per
+# source — bounded, never per-doc); the verdict joins the modal table
+# back by source (broadcast — sources ≪ docs).
+# ---------------------------------------------------------------------------
+
+TEMPLATE_MIN_DF = 3  # a "template" must repeat across ≥3 docs
+
+
+def template_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("tmpl|"), F.col("source"))), 1, 8),
+            16, 10,
+        ).cast("long") % 2 == 0,
+        F.concat(
+            F.lit("NAV "), F.col("source"),
+            F.lit(" | home | about | contact\n"), F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.select(
+        "doc_id", "source", planted.alias("t"),
+        F.substring_index(planted, "\n", 1).alias("fl"),
+    )
+    modal = (
+        staged.groupBy("source", "fl")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("df"), "fl")
+            ),
+        )
+        .where((F.col("rn") == 1) & (F.col("df") >= TEMPLATE_MIN_DF))
+        .select("source", F.col("fl").alias("modal_fl"), F.col("df").alias("modal_df"))
+    )
+    out = staged.join(F.broadcast(modal), "source", "left")
+    had = F.col("modal_fl").isNotNull() & (F.col("fl") == F.col("modal_fl"))
+    cleaned = F.when(
+        had, F.substring(F.col("t"), F.length("fl") + 2, 2147483647)
+    ).otherwise(F.col("t"))
+    return out.select(
+        "doc_id",
+        "source",
+        had.alias("had_template"),
+        F.coalesce(F.col("modal_df"), F.lit(0)).cast("long").alias("template_df"),
+        F.substring(cleaned, 1, 40).alias("cleaned_head"),
+    ).orderBy("doc_id")
+
+
+TEMPLATE_STRIP_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST('0x' || substr(md5('tmpl|' || source), 1, 8)
+                   AS BIGINT) % 2 = 0
+              THEN 'NAV ' || source || ' | home | about | contact' || chr(10)
+                   || text
+              ELSE text END AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source, t, split_part(t, chr(10), 1) AS fl FROM staged
+),
+modal AS (
+  SELECT source, fl AS modal_fl, df AS modal_df FROM (
+    SELECT source, fl, count(*) AS df,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, fl) AS rn
+    FROM lines GROUP BY source, fl
+  ) WHERE rn = 1 AND df >= {TEMPLATE_MIN_DF}
+)
+SELECT l.doc_id, l.source,
+       m.modal_fl IS NOT NULL AND l.fl = m.modal_fl AS had_template,
+       CAST(coalesce(m.modal_df, 0) AS BIGINT) AS template_df,
+       substr(CASE WHEN m.modal_fl IS NOT NULL AND l.fl = m.modal_fl
+                   THEN substr(l.t, length(l.fl) + 2)
+                   ELSE l.t END, 1, 40) AS cleaned_head
+FROM lines l LEFT JOIN modal m ON m.source = l.source
+ORDER BY l.doc_id
+"""

@@ -270,6 +270,10 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.corpus_drift_kl, textstats.CORPUS_DRIFT_KL_SQL,
         "training:drift-kl (wave-over-wave token distribution)",
     ),
+    "template_prefix_strip": QuerySpec(
+        quality_rules.template_prefix_strip, quality_rules.TEMPLATE_STRIP_SQL,
+        "training:template-strip (modal first-line per source)",
+    ),
     "gopher_quality_filter": QuerySpec(
         quality_rules.gopher_quality_filter, quality_rules.GOPHER_QUALITY_SQL,
         "training:gopher-quality (Rae et al. 2021 A1.1)",

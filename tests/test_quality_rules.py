@@ -197,3 +197,32 @@ def test_paragraph_dedup_plan_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_min" in plan or "min(" in plan
+
+
+def test_template_strip_detects_planted_nav(spark):
+    """Every doc of an even-hash source is flagged and loses exactly
+    its nav line (cleaned head = original text head); odd-hash sources
+    are untouched with template_df below the threshold."""
+    import hashlib
+
+    from pdf_extractor_spark.analytics.quality_rules import (
+        template_prefix_strip,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = template_prefix_strip(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: (r["source"], r["text"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text").collect()
+    }
+    flagged_sources, clean_sources = set(), set()
+    for r in rows:
+        src, text = docs[r["doc_id"]]
+        planted = int(
+            hashlib.md5(f"tmpl|{src}".encode()).hexdigest()[:8], 16
+        ) % 2 == 0
+        assert r["had_template"] == planted, r["doc_id"]
+        assert r["cleaned_head"] == text[:40]  # strip restores original
+        (flagged_sources if planted else clean_sources).add(src)
+    assert flagged_sources and clean_sources  # both branches live
