@@ -565,3 +565,54 @@ SELECT l.doc_id, l.source,
 FROM lines l LEFT JOIN modal m ON m.source = l.source
 ORDER BY l.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Classifier-confidence rejection sampling (training:rejection-sample —
+# FineWeb-Edu keeps docs with probability derived from the quality
+# classifier's confidence rather than a hard threshold, preserving a
+# graded tail instead of a cliff). p_keep = ((score+1)/2)² — the
+# square is written as x·x, NOT pow(): IEEE multiplication is
+# correctly rounded in both engines while pow() routes through
+# exp/ln and can differ by an ulp, which would flip a keep decision
+# whenever u lands inside that ulp. The score feeding p_keep is the
+# FLOORED classifier score (already on the 1e-4 grid), so p_keep is
+# bit-identical cross-engine; u is the salted-md5 uniform on the
+# 2⁻³² grid. Map-only end to end.
+# ---------------------------------------------------------------------------
+
+
+def classifier_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = quality_classifier_linear(spark, sf_dir)
+    half = (F.col("score") + 1.0) / 2.0
+    p_keep = half * half
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("reject|"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    return scored.select(
+        "doc_id",
+        "score",
+        floor_round(p_keep, 4).alias("p_keep"),
+        (u < p_keep).alias("kept"),
+    ).orderBy("doc_id")
+
+
+REJECTION_SAMPLE_SQL = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_SQL.replace(chr(10), chr(10) + '  ')}
+)
+SELECT doc_id, score,
+       floor(((score + 1.0) / 2.0) * ((score + 1.0) / 2.0) * 10000 + 1e-6)
+         / 10000 AS p_keep,
+       (CAST('0x' || substr(md5('reject|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) + 0.5) / 4294967296.0
+         < ((score + 1.0) / 2.0) * ((score + 1.0) / 2.0) AS kept
+FROM scored
+ORDER BY doc_id
+"""

@@ -270,6 +270,11 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.corpus_drift_kl, textstats.CORPUS_DRIFT_KL_SQL,
         "training:drift-kl (wave-over-wave token distribution)",
     ),
+    "classifier_rejection_sample": QuerySpec(
+        quality_rules.classifier_rejection_sample,
+        quality_rules.REJECTION_SAMPLE_SQL,
+        "training:rejection-sample (FineWeb-Edu confidence sampling)",
+    ),
     "template_prefix_strip": QuerySpec(
         quality_rules.template_prefix_strip, quality_rules.TEMPLATE_STRIP_SQL,
         "training:template-strip (modal first-line per source)",

@@ -226,3 +226,35 @@ def test_template_strip_detects_planted_nav(spark):
         assert r["cleaned_head"] == text[:40]  # strip restores original
         (flagged_sources if planted else clean_sources).add(src)
     assert flagged_sources and clean_sources  # both branches live
+
+
+def test_rejection_sample_probability_semantics(spark):
+    """Keep decisions are exactly u < ((score+1)/2)^2 on the salted
+    uniform, and the empirical keep rate of a score band brackets its
+    p_keep (graded tail, not a cliff)."""
+    import hashlib
+
+    from pdf_extractor_spark.analytics.quality_rules import (
+        classifier_rejection_sample,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = classifier_rejection_sample(spark, sf_dir).collect()
+    kept_hi = kept_lo = n_hi = n_lo = 0
+    for r in rows:
+        h = int(
+            hashlib.md5(f"reject|{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 4294967296.0
+        half = (r["score"] + 1.0) / 2.0
+        p = half * half  # x*x, matching the engines (not pow)
+        assert r["kept"] == (u < p), r["doc_id"]
+        if r["score"] >= 0:
+            n_hi += 1
+            kept_hi += r["kept"]
+        else:
+            n_lo += 1
+            kept_lo += r["kept"]
+    assert n_hi > 20 and n_lo > 20
+    # higher-confidence band keeps a strictly larger fraction
+    assert kept_hi / n_hi > kept_lo / n_lo
