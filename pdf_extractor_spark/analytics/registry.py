@@ -341,6 +341,14 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q1_pricing_summary, relational.TPCH_Q1_SQL, "A1-A6",
         headline=True,
     ),
+    "tpch_q3_shipping_priority": QuerySpec(
+        relational.tpch_q3_shipping_priority, relational.TPCH_Q3_SQL,
+        "OLAP breadth: Q3 shipping priority",
+    ),
+    "tpch_q5_local_supplier_volume": QuerySpec(
+        relational.tpch_q5_local_supplier_volume, relational.TPCH_Q5_SQL,
+        "OLAP breadth: Q5 local supplier volume",
+    ),
     "top_revenue_orders": QuerySpec(
         relational.top_revenue_orders, relational.TOP_REVENUE_SQL, "O1+join",
         headline=True,

@@ -713,3 +713,135 @@ SELECT * FROM (
 WHERE (_from = 'n:1' OR _to = 'n:1') AND type IN ('located_in')
 ORDER BY _from
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 analog — shipping-priority top-k: unshipped BUILDING-segment
+# orders placed before the cutoff, ranked by outstanding revenue.
+# Scale shape: the lineitem side pre-aggregates per order AFTER its
+# shipdate filter is pushed to the scan; customer is the broadcast
+# dimension; the final ranking is TakeOrderedAndProject, never a
+# global sort. Money on the floor2 grid before ranking (house rule).
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1998-03-15"
+_Q3_SEGMENT = "BUILDING"
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    rev = (
+        li.where(F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(
+            floor_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        orders.where(
+            F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp")
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == _Q3_SEGMENT)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(rev, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = f"""
+SELECT o.o_orderkey AS orderkey, r.revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS priority
+FROM (
+  SELECT l_orderkey,
+         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 1e-6)
+              / 100 AS DOUBLE) AS revenue
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+  GROUP BY 1
+) r
+JOIN orders o ON o.o_orderkey = r.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND c.c_mktsegment = '{_Q3_SEGMENT}'
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 analog — local-supplier volume per nation: revenue where the
+# customer and supplier share the lineitem's nation, one region, one
+# order-year. Scale shape: the nation/region dimension chain collapses
+# to a broadcast; the only big shuffle is lineitem⋈orders on orderkey;
+# the c_nationkey = s_nationkey locality condition rides the hash join
+# keys (never a post-join filter over a cross product).
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_YEAR = 1997
+
+
+def tpch_q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == _Q5_YEAR
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == _Q5_REGION)
+    dims = F.broadcast(
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(dims, supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            floor_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+TPCH_Q5_SQL = f"""
+SELECT n.n_name,
+       CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 1e-6)
+            / 100 AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+  AND year(o.o_orderdate) = {_Q5_YEAR}
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+"""

@@ -140,3 +140,18 @@ def test_late_r3_queries_have_scale_clean_plans(spark):
         plan = _plan(spark, name)
         assert "Exchange SinglePartition" not in plan, name
     assert "BroadcastNestedLoopJoin" in _plan(spark, "pagerank_fixed")
+
+
+def test_tpch_q3_q5_plan_shapes(spark):
+    """Q3: shipdate/orderdate/segment filters pushed, customer side
+    broadcast, ranking via TakeOrderedAndProject. Q5: the whole
+    dimension chain broadcast, locality predicate riding hash-join
+    keys (no nested loop / cartesian anywhere)."""
+    p3 = _plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p3
+    assert "BroadcastHashJoin" in p3
+    assert "PushedFilters" in p3
+    p5 = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in p5
+    for p in (p3, p5):
+        assert "NestedLoop" not in p and "CartesianProduct" not in p
