@@ -1253,3 +1253,115 @@ def _compact_store_locked(
     _commit_lineage(output_dir, delta, locked=True)
     vacuum_store(output_dir, retain_snapshots=retain_snapshots, locked=True)
     return lineage
+
+
+def rebucket_store(
+    spark: SparkSession,
+    output_dir: str,
+    new_n_buckets: int,
+    run_id: str = "rebucket",
+    retain_snapshots: int = 0,
+) -> dict[str, dict]:
+    """Partition-spec evolution (Iceberg ``REPLACE PARTITION FIELD``
+    analog): re-hash the whole store into a different bucket count in
+    ONE Spark wave + ONE manifest swap.
+
+    Why it exists: the bucket count is a capacity decision (buckets ≈
+    cluster write parallelism ≈ per-partition file sizes); a store that
+    grew 100× needs more buckets, and "mixing bucketings would
+    silently drop documents" (the resume guard above) means the count
+    can only change through a full, committed re-hash. Protocol is the
+    batch-MERGE's: allocate the next ``merge_v{gen}`` generation root
+    (the dir class vacuum already reclaims), write every row re-hashed
+    with ``partitionBy(bucket)``, take per-bucket counts from one
+    ``groupBy(bucket).count()``, then swap the manifest — new META
+    ``n_buckets``, every new bucket entry pointing into the
+    generation, and (on shrink) tombstones for the dropped bucket ids.
+    The pre-swap snapshot keeps the old layout time-travel-readable
+    (``read_output(as_of=...)``) until ``vacuum_store`` expires it;
+    a crash before the swap leaves an orphaned generation dir that the
+    next writer's idempotent re-allocation overwrites.
+
+    Runs entirely under the store lock (same reasoning as
+    ``merge_elements``: the lock protects the staging directories, not
+    just the manifest rename).
+    """
+    if new_n_buckets < 1:
+        raise ValueError("new_n_buckets must be >= 1")
+    with _manifest_lock(output_dir, wait_s=MERGE_LOCK_WAIT_S):
+        lineage = read_lineage(output_dir)
+        meta = lineage.get(META_KEY)
+        if not meta:
+            raise FileNotFoundError(f"no committed store under {output_dir}")
+        old_n = int(meta["n_buckets"])
+        if new_n_buckets == old_n:
+            raise ValueError(
+                f"store already uses n_buckets={old_n}; rebucket is a "
+                "full re-hash — refuse the no-op rather than burn a wave"
+            )
+        gen = 1 + max(e.get("version", 0) for _, e in _bucket_items(lineage))
+        rel_root = f"merge_v{gen}"
+        staging = os.path.join(output_dir, rel_root)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)  # orphan from a crashed attempt
+        src_dirs = [
+            _bucket_dir(output_dir, b, e)
+            for b, e in _bucket_items(lineage)
+            if e["status"] == "done" and e.get("row_count", 0) > 0
+        ]
+        t0 = time.time()
+        counts: dict = {}
+        if src_dirs:
+            schema = _store_schema(lineage)
+            reader = spark.read.schema(schema) if schema else spark.read
+            rows = reader.parquet(*src_dirs).withColumn(
+                "bucket", bucket_of(F.col("doc_id"), new_n_buckets)
+            )
+            (
+                _clustered(rows).write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(staging)
+            )
+            counts = {
+                r["bucket"]: r["count"]
+                for r in spark.read.parquet(staging)
+                .groupBy("bucket")
+                .count()
+                .collect()
+            }
+        wall_ms = int((time.time() - t0) * 1000)
+        delta: dict[str, dict] = {
+            META_KEY: {**meta, "n_buckets": new_n_buckets}
+        }
+        for b in range(new_n_buckets):
+            rc = int(counts.get(b, 0))
+            rel_path = f"{rel_root}/bucket={b}"
+            delta[str(b)] = {
+                "status": "done",
+                "row_count": rc,
+                "bytes": _dir_bytes(os.path.join(output_dir, rel_path))
+                if rc > 0
+                else 0,
+                "wall_ms": wall_ms,
+                "run_id": run_id,
+                "version": gen,
+                "path": rel_path if rc > 0 else None,
+            }
+        for b, _e in _bucket_items(lineage):
+            if int(b) >= new_n_buckets:
+                # shrink: tombstone dropped ids (rc=0 keeps them out of
+                # reads and out of vacuum's reference set; the pre-swap
+                # snapshot still resolves their old dirs for as_of)
+                delta[str(b)] = {
+                    "status": "superseded",
+                    "row_count": 0,
+                    "bytes": 0,
+                    "wall_ms": wall_ms,
+                    "run_id": run_id,
+                    "version": gen,
+                    "path": None,
+                }
+        _commit_lineage(output_dir, delta, locked=True)
+        vacuum_store(output_dir, retain_snapshots, locked=True)
+        return read_lineage(output_dir)

@@ -1146,3 +1146,88 @@ def test_concurrent_merges_serialize_without_data_loss(spark, docs_df, tmp_path)
     }
     assert [got[d + "|" + str(o)] for d, o in keys[:2]] == ["edit-A", "edit-A"]
     assert [got[d + "|" + str(o)] for d, o in keys[2:]] == ["edit-B", "edit-B"]
+
+
+def test_rebucket_store_roundtrip_time_travel_and_merge(spark, tmp_path):
+    """Partition-spec evolution: expanding 4→8 buckets preserves
+    content exactly, point lookups and subsequent MERGEs use the new
+    bucketing, the pre-rebucket snapshot stays time-travel-readable
+    (old layout) until vacuum expires it, and shrinking 8→3
+    tombstones the dropped bucket ids."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.lineage import (
+        bucket_of,
+        init_store,
+        merge_elements,
+        point_lookup,
+        read_lineage,
+        read_output,
+        rebucket_store,
+        vacuum_store,
+    )
+
+    out = str(tmp_path / "store")
+    rows = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("offset"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+    )
+    init_store(spark, out, rows, n_buckets=4)
+    before = sorted(
+        (r["doc_id"], r["offset"], r["text"])
+        for r in read_output(spark, out).collect()
+    )
+    v_before = read_lineage(out)["__meta__"]["manifest_version"]
+
+    manifest = rebucket_store(spark, out, 8, retain_snapshots=4)
+    assert manifest["__meta__"]["n_buckets"] == 8
+    after = sorted(
+        (r["doc_id"], r["offset"], r["text"])
+        for r in read_output(spark, out).collect()
+    )
+    assert after == before  # content identical under the new hash
+
+    # data actually lives in the new layout: every row's file bucket
+    # matches the NEW hash
+    got = read_output(spark, out).select(
+        "doc_id",
+        F.input_file_name().alias("f"),
+        bucket_of(F.col("doc_id"), 8).alias("want_b"),
+    ).collect()
+    for r in got:
+        assert f"bucket={r['want_b']}/" in r["f"]
+
+    # keyed read + merge on the evolved spec
+    one = point_lookup(spark, out, [42]).collect()
+    assert len(one) == 1 and one[0]["text"] == "payload-42"
+    upd = spark.createDataFrame(
+        [(42, 0, "payload-42-v2")], "doc_id LONG, offset LONG, text STRING"
+    )
+    merge_elements(spark, out, updates=upd, retain_snapshots=4)
+    assert point_lookup(spark, out, [42]).collect()[0]["text"] == "payload-42-v2"
+
+    # time travel to the pre-rebucket layout still works
+    old = sorted(
+        (r["doc_id"], r["offset"], r["text"])
+        for r in read_output(spark, out, as_of=v_before).collect()
+    )
+    assert old == before
+
+    # shrink with tombstones
+    manifest = rebucket_store(spark, out, 3, retain_snapshots=4)
+    assert manifest["__meta__"]["n_buckets"] == 3
+    assert manifest["7"]["status"] == "superseded"
+    final = sorted(
+        (r["doc_id"], r["offset"], r["text"])
+        for r in read_output(spark, out).collect()
+    )
+    assert len(final) == 200
+    assert ("payload-42-v2" in {t for _, _, t in final})
+
+    # expiry: vacuum with no retention drops snapshots; as_of now fails
+    vacuum_store(out, retain_snapshots=0)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_output(spark, out, as_of=v_before).collect()
