@@ -742,3 +742,80 @@ def stream_quality_gate(
     )
     query.awaitTermination()
     return query
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join: live extraction × live HITL corrections.
+# The batch corrections overlay (operators/corrections.py, S15) assumes
+# the corrections table is at rest; in a live deployment annotations
+# arrive as their own feed, and matching them to in-flight extractions
+# is Spark's watermarked stream-stream inner join — the one streaming
+# shape the module didn't yet exercise.
+# ---------------------------------------------------------------------------
+
+CORR_SCHEMA = "doc_id STRING, offset BIGINT, corrected_text STRING"
+
+
+def stream_corrections_join(
+    spark: SparkSession,
+    elements_dir: str,
+    corrections_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    join_window_s: int = 3600,
+):
+    """Join the flat-element stream with a corrections stream on
+    (doc_id, offset) within ± ``join_window_s`` of event time, emitting
+    the corrected rows (doc_id, offset, original text, corrected text,
+    both event times).
+
+    Both sides carry watermarks (file modification time — the same
+    event-time source the dedup stream uses), so the join state store
+    EVICTS rows once the watermark passes them: a correction that
+    arrives more than the window after its element matches nothing and
+    the element's state is long gone — bounded memory forever, the
+    entire point of the watermark contract. Equi-keys (doc_id, offset)
+    carry the join; the time predicate rides on top (no cross-stream
+    scan). availableNow trigger per wave, exactly-once via checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    els = (
+        spark.readStream.schema(FLAT_SCHEMA)
+        .parquet(elements_dir)
+        .select(
+            "doc_id", "offset", "text",
+            F.col("_metadata.file_modification_time").alias("el_ts"),
+        )
+        .withWatermark("el_ts", watermark)
+    )
+    corr = (
+        spark.readStream.schema(CORR_SCHEMA)
+        .parquet(corrections_dir)
+        .select(
+            F.col("doc_id").alias("c_doc_id"),
+            F.col("offset").alias("c_offset"),
+            "corrected_text",
+            F.col("_metadata.file_modification_time").alias("corr_ts"),
+        )
+        .withWatermark("corr_ts", watermark)
+    )
+    joined = els.join(
+        corr,
+        (F.col("doc_id") == F.col("c_doc_id"))
+        & (F.col("offset") == F.col("c_offset"))
+        & (F.col("corr_ts") >= F.col("el_ts") - F.expr(f"INTERVAL {join_window_s} SECONDS"))
+        & (F.col("corr_ts") <= F.col("el_ts") + F.expr(f"INTERVAL {join_window_s} SECONDS")),
+        "inner",
+    ).select("doc_id", "offset", "text", "corrected_text", "el_ts", "corr_ts")
+    query = (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

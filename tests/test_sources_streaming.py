@@ -619,3 +619,65 @@ def test_stream_quality_gate_matches_batch_rules(spark, tmp_path):
     n_before = spark.read.parquet(out).count()
     stream_quality_gate(spark, inbox, out, ckpt, bench_bits=bits)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_stream_corrections_join(spark, tmp_path):
+    """Watermarked stream-stream inner join on (doc_id, offset):
+    corrections match elements within the window — including a
+    correction arriving in a LATER wave than its element (state kept
+    via checkpoint) — and unmatched corrections emit nothing."""
+    from pdf_extractor_spark.schema import FLAT_SCHEMA
+    from pdf_extractor_spark.streaming import (
+        CORR_SCHEMA,
+        stream_corrections_join,
+    )
+
+    els_dir = str(tmp_path / "els")
+    corr_dir = str(tmp_path / "corr")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def el(doc_id, offset, text):
+        return {
+            "doc_id": doc_id, "kind": "text", "text": text,
+            "media_ref": None, "offset": offset, "page": None,
+            "level": None, "token_count": 1, "section_path": None,
+            "section_id": None, "table_headers": None, "table_rows": None,
+            "is_multi_page": False, "page_range": None,
+        }
+
+    spark.createDataFrame(
+        [el("a", 0, "orig-a0"), el("a", 1, "orig-a1"), el("b", 0, "orig-b0")],
+        schema=FLAT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(els_dir)
+    spark.createDataFrame(
+        [("a", 0, "fixed-a0"), ("zz", 9, "never-matches")],
+        schema=CORR_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(corr_dir)
+    stream_corrections_join(spark, els_dir, corr_dir, out, ckpt)
+    got = {
+        (r["doc_id"], r["offset"]): r["corrected_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("a", 0): "fixed-a0"}
+
+    # wave 2: correction for an element seen in wave 1 (cross-wave
+    # match through checkpointed join state) + a fresh matched pair
+    spark.createDataFrame(
+        [el("c", 0, "orig-c0")], schema=FLAT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(els_dir)
+    spark.createDataFrame(
+        [("a", 1, "fixed-a1"), ("c", 0, "fixed-c0")], schema=CORR_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(corr_dir)
+    stream_corrections_join(spark, els_dir, corr_dir, out, ckpt)
+    got = {
+        (r["doc_id"], r["offset"]): r["corrected_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("a", 0): "fixed-a0",
+        ("a", 1): "fixed-a1",
+        ("c", 0): "fixed-c0",
+    }
+    for r in spark.read.parquet(out).collect():
+        assert r["text"].startswith("orig-")  # original rides along
