@@ -1555,3 +1555,176 @@ SELECT vec_id, n_dims,
 FROM staged
 ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit (training:ann-recall — the measurement that justifies
+# an n_probe setting: recall@K of the IVF probe against the brute-force
+# truth, as a curve over probe depth). Probe order is the real IVF
+# rule — clusters ranked by query→centroid cosine — NOT by peeking at
+# member similarity. Centroids are computed and compared entirely in
+# LONG form (per-(label, dim) averages; dot/norm as aggregates), so
+# neither engine ever rebuilds an array: the shape is
+# posexplode → two hash aggregates for centroids, a K_probe-row
+# ranking, then per-depth top-K vs the brute-force truth set.
+# At index scale each depth's top-K is a TakeOrdered over the probed
+# clusters only — the whole point of IVF; the audit quantifies what
+# that pruning costs in recall.
+# ---------------------------------------------------------------------------
+
+RECALL_MAX_PROBE = 4
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.posexplode(F.col("embedding")).alias("i", "qx")
+    ).select("i", F.col("qx").cast("double").alias("qx"))
+    # per-(label, dim) centroid components — long form, one hash agg
+    comp = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("i", "x")
+        )
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+    )
+    aff = (
+        comp.join(F.broadcast(q), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("cx") * F.col("qx")).alias("dot"),
+            F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn"),
+            F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qn"),
+        )
+        .select(
+            "label",
+            floor_round(
+                F.col("dot") / (F.col("cn") * F.col("qn")), 4
+            ).alias("aff"),
+        )
+        .withColumn(
+            "label_rank",
+            F.row_number().over(Window.orderBy(F.desc("aff"), F.asc("label"))),
+        )
+    )
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", _floor4(cos).alias("cos"))
+    )
+    # truth via orderBy+limit → TakeOrderedAndProject (a row_number
+    # over an unpartitioned window would funnel the corpus through one
+    # task; the label_rank window above is fine — it runs over the
+    # K-row label table, the bounded-aggregate exception)
+    truth = (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    probes = spark.range(1, RECALL_MAX_PROBE + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    cand = (
+        scored.join(F.broadcast(aff), "label")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("label_rank") <= F.col("n_probe"))
+    )
+    topk = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("n_probe").orderBy(
+                F.desc("cos"), F.asc("vec_id")
+            )
+        ),
+    ).where(F.col("rk") <= TOP_K)
+    return (
+        topk.join(truth.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .groupBy("n_probe")
+        .agg(
+            F.count("*").cast("long").alias("n_returned"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_probe",
+            "n_returned",
+            "n_hits",
+            floor_round(F.col("n_hits") / F.lit(float(TOP_K)), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("n_probe")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH q AS (
+  SELECT i, CAST(x AS DOUBLE) AS qx
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+),
+comp AS (
+  SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY 1, 2
+),
+aff AS (
+  SELECT label,
+         floor(sum(cx * qx) / (sqrt(sum(cx * cx)) * sqrt(sum(qx * qx)))
+               * 10000 + 1e-6) / 10000 AS aff
+  FROM comp JOIN q USING (i)
+  GROUP BY label
+),
+ranked_labels AS (
+  SELECT label,
+         row_number() OVER (ORDER BY aff DESC, label ASC) AS label_rank
+  FROM aff
+),
+qv AS (SELECT embedding AS q_embedding FROM embeddings
+       WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id, label,
+         CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000
+                    + 1e-6) / 10000 AS DOUBLE) AS cos
+  FROM embeddings, qv WHERE vec_id != {QUERY_VEC_ID}
+),
+truth AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS t_rank
+    FROM scored
+  ) WHERE t_rank <= {TOP_K}
+),
+cand AS (
+  SELECT s.vec_id, s.cos, p.n_probe
+  FROM scored s
+  JOIN ranked_labels r ON r.label = s.label
+  JOIN (SELECT unnest([1, 2, 3, 4]) AS n_probe) p
+    ON r.label_rank <= p.n_probe
+),
+topk AS (
+  SELECT * FROM (
+    SELECT vec_id, n_probe,
+           row_number() OVER (PARTITION BY n_probe
+                              ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {TOP_K}
+)
+SELECT CAST(n_probe AS INT) AS n_probe,
+       count(*) AS n_returned,
+       CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       floor(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {float(TOP_K)} * 10000 + 1e-6) / 10000 AS recall_at_k
+FROM topk k LEFT JOIN truth t ON t.vec_id = k.vec_id
+GROUP BY n_probe
+ORDER BY n_probe
+"""

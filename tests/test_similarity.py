@@ -195,3 +195,31 @@ def test_embedding_validation_recompute(spark):
         if not row["valid"]:
             n_invalid += 1
     assert n_invalid >= 2  # both planted branches exercised
+
+
+def test_ann_recall_audit_monotone_and_exact_at_full_probe(spark):
+    """Recall@K is monotone in probe depth, n_returned is always K,
+    and probing every cluster reproduces the brute-force truth exactly
+    (recall 1.0) — the invariant that makes the curve trustworthy."""
+    from pdf_extractor_spark.analytics.similarity import (
+        RECALL_MAX_PROBE,
+        TOP_K,
+        ann_recall_audit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["n_probe"]: r for r in ann_recall_audit(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, RECALL_MAX_PROBE + 1))
+    n_labels = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label").distinct().count()
+    )
+    prev = -1.0
+    for p in sorted(rows):
+        r = rows[p]
+        assert r["n_returned"] == TOP_K
+        assert r["recall_at_k"] >= prev  # monotone
+        prev = r["recall_at_k"]
+        assert r["n_hits"] <= TOP_K
+    if RECALL_MAX_PROBE >= n_labels:
+        assert rows[max(rows)]["recall_at_k"] == 1.0
