@@ -279,6 +279,10 @@ QUERIES: Dict[str, QuerySpec] = {
         quality_rules.REJECTION_SAMPLE_SQL,
         "training:rejection-sample (FineWeb-Edu confidence sampling)",
     ),
+    "hll_distinct_audit": QuerySpec(
+        textstats.hll_distinct_audit, textstats.HLL_DISTINCT_SQL,
+        "training:hll-distinct (Flajolet 2007 mergeable sketch audit)",
+    ),
     "template_prefix_strip": QuerySpec(
         quality_rules.template_prefix_strip, quality_rules.TEMPLATE_STRIP_SQL,
         "training:template-strip (modal first-line per source)",

@@ -1154,3 +1154,134 @@ FROM scored
 ORDER BY kl_term DESC, term
 LIMIT {DRIFT_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct audit (training:hll-distinct, Flajolet et al.
+# 2007) — exact COUNT(DISTINCT) at 100 TB is a full shuffle of every
+# distinct value; the production substitute is an HLL sketch whose
+# registers are map-side mergeable (a 64-byte sidecar per group). This
+# audit runs a DETERMINISTIC HLL (md5-derived register/rank — not a
+# random hash, so both engines build byte-identical registers) next to
+# the exact count and reports the relative error per language.
+#
+# Portability analysis (why the oracle matches exactly, not "closely"):
+# register index and rank are integer md5 arithmetic; 2^-M terms are
+# computed as 1/(1<<M) — exact dyadic rationals whose sum spans 2^5 …
+# 2^-33 ≈ 38 mantissa bits < the 52 doubles carry, so the harmonic sum
+# is EXACT in any accumulation order; the only ulp-exposed op is the
+# small-range ln() correction, covered by the floor slack.
+#
+# Scale shape: explode → one (lang, register) hash aggregate (map-side
+# combined: max(rank) is algebraic) → one per-lang aggregate. The
+# exact branch exists only to grade the sketch at test scale.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers; std error ≈ 1.04/sqrt(64) ≈ 13%
+
+
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # audited domain = 3-gram shingles: the synthetic vocabulary is only
+    # ~31 tokens (every lang would sit in HLL's small-range branch);
+    # shingles give 10^3-10^4 distincts so the raw harmonic estimator
+    # is exercised while small corpora still hit the ln() correction
+    tok_docs = docs.select("lang", _tokens().alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+    )
+    toks = tok_docs.select("lang", F.explode(grams).alias("t"))
+    h_reg = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % HLL_M
+    v = F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        33 - F.length(F.bin(v))
+    ).cast("int")
+    regs = (
+        toks.select("lang", h_reg.alias("reg"), rho.alias("rho"))
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    per_lang = regs.groupBy("lang").agg(
+        F.sum(
+            # pyspark's shiftleft() only takes a literal shift count,
+            # so the per-row register term goes through expr()
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m_j) AS DOUBLE)")
+        ).alias("s_nonzero"),
+        F.count("*").alias("n_nonzero"),
+    )
+    s = F.col("s_nonzero") + (HLL_M - F.col("n_nonzero")).cast("double")
+    zeros = F.lit(HLL_M) - F.col("n_nonzero")
+    raw = F.lit(alpha * HLL_M * HLL_M) / s
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("t").cast("long").alias("n_exact")
+    )
+    return (
+        per_lang.join(exact, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            _floor_round(est, 4).alias("hll_estimate"),
+            _floor_round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
+HLL_DISTINCT_SQL = rf"""
+WITH tsrc AS (
+  SELECT lang, string_split_regex(text, '\s+') AS toks FROM documents
+),
+toks AS (
+  SELECT lang, array_to_string(toks[i:i+2], ' ') AS t
+  FROM tsrc,
+       unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+hashed AS (
+  SELECT lang,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {HLL_M} AS reg,
+         CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS v
+  FROM toks
+),
+regs AS (
+  SELECT lang, reg,
+         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+per_lang AS (
+  SELECT lang,
+         sum(1.0 / CAST(1 << m_j AS DOUBLE)) AS s_nonzero,
+         count(*) AS n_nonzero
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT lang,
+         CASE WHEN CAST({0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M}
+                        AS DOUBLE)
+                   / (s_nonzero + ({HLL_M} - n_nonzero)) <= {2.5 * HLL_M}
+                   AND ({HLL_M} - n_nonzero) > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)}
+                   / CAST({HLL_M} - n_nonzero AS DOUBLE))
+              ELSE CAST({0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M}
+                        AS DOUBLE)
+                   / (s_nonzero + ({HLL_M} - n_nonzero))
+         END AS e
+  FROM per_lang
+),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS n_exact
+  FROM toks GROUP BY 1
+)
+SELECT lang, n_exact,
+       floor(e * 10000 + 1e-6) / 10000 AS hll_estimate,
+       floor(abs(e - n_exact) / n_exact * 10000 + 1e-6) / 10000 AS rel_err
+FROM est JOIN exact USING (lang)
+ORDER BY lang
+"""

@@ -387,3 +387,51 @@ def test_corpus_drift_kl_recompute(spark):
     assert got_top == want_top
     kls = [k for _, k in got_top]
     assert kls == sorted(kls, reverse=True)  # truly the top contributors
+
+
+def test_hll_distinct_audit_recompute(spark):
+    """HLL registers and estimate equal a pure-Python recompute of the
+    deterministic sketch, the estimate lands within 3 standard errors
+    (1.04/sqrt(m)) of exact for every language, and the raw-estimator
+    branch is exercised (not just the small-range correction)."""
+    import hashlib
+    import math
+    import re
+
+    from pdf_extractor_spark.analytics.textstats import (
+        HLL_M,
+        hll_distinct_audit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["lang"]: r for r in hll_distinct_audit(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    grams = {}
+    for r in docs:
+        toks = re.split(r"\s+", r["text"])
+        for i in range(max(len(toks) - 2, 0)):
+            grams.setdefault(r["lang"], set()).add(" ".join(toks[i:i + 3]))
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    raw_branch_seen = False
+    for lang, gset in grams.items():
+        regs = [0] * HLL_M
+        for g in gset:
+            h = hashlib.md5(g.encode()).hexdigest()
+            reg = int(h[:8], 16) % HLL_M
+            v = int(h[8:16], 16)
+            rho = 33 if v == 0 else 33 - len(bin(v)[2:])
+            regs[reg] = max(regs[reg], rho)
+        s = sum(1.0 / (1 << m) for m in regs)
+        zeros = regs.count(0)
+        raw = alpha * HLL_M * HLL_M / s
+        if raw <= 2.5 * HLL_M and zeros > 0:
+            est = HLL_M * math.log(HLL_M / zeros)
+        else:
+            est = raw
+            raw_branch_seen = True
+        row = rows[lang]
+        assert row["n_exact"] == len(gset)
+        assert abs(row["hll_estimate"] - math.floor(est * 1e4 + 1e-6) / 1e4) < 1e-9
+        se = 1.04 / math.sqrt(HLL_M)
+        assert abs(est - len(gset)) / len(gset) <= 3 * se, lang
+    assert raw_branch_seen
