@@ -1187,10 +1187,16 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles give 10^3-10^4 distincts so the raw harmonic estimator
     # is exercised while small corpora still hit the ln() correction
     tok_docs = docs.select("lang", _tokens().alias("toks"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
-    )
+    # short docs: Spark's sequence(1, 0) DESCENDS ([1, 0] — slice start
+    # 0 then crashes) where DuckDB's generate_series(1, 0) is empty —
+    # guard below 3 tokens explicitly (adversarial-sweep find)
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     toks = tok_docs.select("lang", F.explode(grams).alias("t"))
     h_reg = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % HLL_M
     v = F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
