@@ -279,6 +279,10 @@ QUERIES: Dict[str, QuerySpec] = {
         quality_rules.REJECTION_SAMPLE_SQL,
         "training:rejection-sample (FineWeb-Edu confidence sampling)",
     ),
+    "cms_heavy_hitters": QuerySpec(
+        textstats.cms_heavy_hitters, textstats.CMS_HEAVY_SQL,
+        "training:cms-heavy-hitters (Cormode-Muthukrishnan 2005)",
+    ),
     "hll_distinct_audit": QuerySpec(
         textstats.hll_distinct_audit, textstats.HLL_DISTINCT_SQL,
         "training:hll-distinct (Flajolet 2007 mergeable sketch audit)",

@@ -1291,3 +1291,112 @@ SELECT lang, n_exact,
 FROM est JOIN exact USING (lang)
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy-hitter audit (training:cms-heavy-hitters, Cormode &
+# Muthukrishnan 2005) — HLL's sibling for frequencies: exact per-term
+# counts at corpus scale need a full shuffle of the vocabulary; the
+# CMS is a d×w integer grid that is map-side mergeable and answers
+# "how often does term t occur" with a one-sided (over-)estimate. The
+# audit builds a deterministic CMS (salted md5 bucket hashes), queries
+# it for the exact top-N heavy hitters, and reports estimate vs truth
+# — the overestimate is provably ≥ 0 and the unit test pins the
+# ε = e/w · N bound. The grid is deliberately SMALL (d=3, w=16) so the
+# synthetic vocabulary actually collides and the audit shows real
+# overestimates, not a trivially-exact sketch.
+#
+# Everything is integer arithmetic on md5 prefixes → both engines
+# build the identical grid and the oracle matches exactly.
+# ---------------------------------------------------------------------------
+
+CMS_D = 3
+CMS_W = 16
+CMS_TOP = 10
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(_tokens()).alias("t"))
+
+    def _bucket(col: Column, j: int) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{j}|"), col)), 1, 8),
+                16, 10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    rows = terms.select(
+        "t",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), _bucket(F.col("t"), j).alias("b"))
+                for j in range(CMS_D)
+            ])
+        ).alias("jb"),
+    ).select("t", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    grid = rows.groupBy("j", "b").agg(F.count("*").alias("c"))
+
+    exact = (
+        terms.groupBy("t")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("t"))
+        .limit(CMS_TOP)
+    )
+    probes = exact.select(
+        "t", "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), _bucket(F.col("t"), j).alias("b"))
+                for j in range(CMS_D)
+            ])
+        ).alias("jb"),
+    ).select("t", "n_exact", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(grid), ["j", "b"])
+        .groupBy("t", "n_exact")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        F.col("t").alias("term"),
+        F.col("n_exact").cast("long"),
+        "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).cast("long").alias("over"),
+    ).orderBy(F.desc("n_exact"), F.asc("term"))
+
+
+CMS_HEAVY_SQL = rf"""
+WITH terms AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents
+),
+rows_ AS (
+  SELECT t, j,
+         CAST('0x' || substr(md5('cms' || j || '|' || t), 1, 8) AS BIGINT)
+           % {CMS_W} AS b
+  FROM terms, unnest([{', '.join(str(j) for j in range(CMS_D))}]) AS u(j)
+),
+grid AS (SELECT j, b, count(*) AS c FROM rows_ GROUP BY 1, 2),
+exact AS (
+  SELECT t, count(*) AS n_exact FROM terms GROUP BY 1
+  ORDER BY n_exact DESC, t ASC LIMIT {CMS_TOP}
+),
+probes AS (
+  SELECT e.t, e.n_exact, u.j,
+         CAST('0x' || substr(md5('cms' || u.j || '|' || e.t), 1, 8) AS BIGINT)
+           % {CMS_W} AS b
+  FROM exact e, unnest([{', '.join(str(j) for j in range(CMS_D))}]) AS u(j)
+),
+est AS (
+  SELECT p.t, p.n_exact, min(g.c) AS cms_est
+  FROM probes p JOIN grid g ON g.j = p.j AND g.b = p.b
+  GROUP BY 1, 2
+)
+SELECT t AS term,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n_exact AS BIGINT) AS over
+FROM est
+ORDER BY n_exact DESC, term ASC
+"""

@@ -435,3 +435,48 @@ def test_hll_distinct_audit_recompute(spark):
         se = 1.04 / math.sqrt(HLL_M)
         assert abs(est - len(gset)) / len(gset) <= 3 * se, lang
     assert raw_branch_seen
+
+
+def test_cms_heavy_hitters_recompute_and_bound(spark):
+    """CMS estimates equal a pure-Python recompute of the deterministic
+    grid, every estimate is one-sided (est >= exact), collisions on the
+    tiny grid produce real overestimates, and every overestimate obeys
+    the e/w * N Markov bound (with the usual 1/delta slack at d=3)."""
+    import hashlib
+    import math
+    import re
+
+    from pdf_extractor_spark.analytics.textstats import (
+        CMS_D,
+        CMS_W,
+        cms_heavy_hitters,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    counts = {}
+    for r in docs:
+        for t in re.split(r"\s+", r["text"]):
+            counts[t] = counts.get(t, 0) + 1
+    n_total = sum(counts.values())
+
+    def bucket(j, t):
+        return int(hashlib.md5(f"cms{j}|{t}".encode()).hexdigest()[:8], 16) % CMS_W
+
+    grid = [[0] * CMS_W for _ in range(CMS_D)]
+    for t, c in counts.items():
+        for j in range(CMS_D):
+            grid[j][bucket(j, t)] += c
+    saw_over = False
+    for r in rows:
+        t = r["term"]
+        assert r["n_exact"] == counts[t]
+        want = min(grid[j][bucket(j, t)] for j in range(CMS_D))
+        assert r["cms_est"] == want
+        assert r["over"] == want - counts[t] >= 0  # one-sided
+        # expected overestimate per row is N/w; min over d rows is far
+        # below; allow generous constant for the tiny deliberate grid
+        assert r["over"] <= 3 * math.e / CMS_W * n_total
+        saw_over = saw_over or r["over"] > 0
+    assert saw_over  # the tiny grid must actually collide
