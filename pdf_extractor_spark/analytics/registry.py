@@ -279,6 +279,10 @@ QUERIES: Dict[str, QuerySpec] = {
         quality_rules.REJECTION_SAMPLE_SQL,
         "training:rejection-sample (FineWeb-Edu confidence sampling)",
     ),
+    "quantile_sketch_audit": QuerySpec(
+        textstats.quantile_sketch_audit, textstats.QUANTILE_SKETCH_SQL,
+        "training:hist-quantiles (mergeable histogram percentiles)",
+    ),
     "cms_heavy_hitters": QuerySpec(
         textstats.cms_heavy_hitters, textstats.CMS_HEAVY_SQL,
         "training:cms-heavy-hitters (Cormode-Muthukrishnan 2005)",

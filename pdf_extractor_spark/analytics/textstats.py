@@ -1400,3 +1400,125 @@ SELECT t AS term,
 FROM est
 ORDER BY n_exact DESC, term ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile audit (training:hist-quantiles) — the third
+# mergeable sketch beside HLL (distinct) and CMS (frequency): exact
+# percentiles need a per-group sort; the scale substitute is a
+# fixed-bin histogram (a tiny mergeable int vector) read off at the
+# cumulative crossing. Bins are bit_length(x) — PURE integer
+# arithmetic (length of the binary string), so both engines build the
+# identical histogram and the oracle matches exactly; the estimate
+# returns the bin's inclusive upper edge 2^b - 1, a ≤2× one-sided
+# overestimate by construction, which the unit test pins.
+#
+# The exact side (per-lang rank pick: value at row ceil(p·n)) exists
+# to GRADE the sketch — it is the expensive per-group sort the
+# histogram replaces at 100 TB.
+# ---------------------------------------------------------------------------
+
+QTL_PS = (50, 90)
+
+
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select("lang", "doc_id", F.size(_tokens()).alias("x"))
+    binned = vals.select(
+        "lang", "x", F.length(F.bin(F.greatest("x", F.lit(1)))).alias("b")
+    )
+    hist = binned.groupBy("lang", "b").agg(F.count("*").alias("c"))
+    totals = vals.groupBy("lang").agg(F.count("*").alias("n"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).join(
+        F.broadcast(totals), "lang"
+    )
+    # exact side: rank pick
+    w_rank = Window.partitionBy("lang").orderBy("x", "doc_id")
+    ranked = vals.withColumn("rn", F.row_number().over(w_rank)).join(
+        F.broadcast(totals), "lang"
+    )
+    out = None
+    for p in QTL_PS:
+        target = F.ceil(F.lit(p / 100.0) * F.col("n"))
+        exact_p = (
+            ranked.where(F.col("rn") == target)
+            .select("lang", F.col("x").cast("long").alias("exact"))
+        )
+        est_p = (
+            cum.where(F.col("cum") >= target)
+            .groupBy("lang")
+            .agg(F.min("b").alias("bmin"))
+            .select(
+                "lang",
+                (F.pow(F.lit(2.0), F.col("bmin")) - 1).cast("long").alias("est"),
+            )
+        )
+        row = exact_p.join(est_p, "lang").select(
+            "lang",
+            F.lit(p).cast("int").alias("p"),
+            "exact",
+            "est",
+            _floor_round(
+                (F.col("est") - F.col("exact")) / F.col("exact"), 4
+            ).alias("rel_over"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lang", "p")
+
+
+def _qtl_one_sql(p: int) -> str:
+    return f"""
+SELECT e.lang, {p} AS p, e.exact, s.est,
+       floor((s.est - e.exact) * 1.0 / e.exact * 10000 + 1e-6) / 10000
+         AS rel_over
+FROM (
+  SELECT lang, CAST(x AS BIGINT) AS exact FROM ranked
+  WHERE rn = CAST(ceil({p / 100.0} * n) AS BIGINT)
+) e
+JOIN (
+  SELECT lang,
+         CAST(power(2.0, min(b)) - 1 AS BIGINT) AS est
+  FROM cum WHERE cum >= CAST(ceil({p / 100.0} * n) AS BIGINT)
+  GROUP BY lang
+) s ON s.lang = e.lang
+"""
+
+
+QUANTILE_SKETCH_SQL = rf"""
+WITH vals AS (
+  SELECT lang, doc_id,
+         len(string_split_regex(text, '\s+')) AS x
+  FROM documents
+),
+totals AS (SELECT lang, count(*) AS n FROM vals GROUP BY 1),
+hist AS (
+  SELECT lang, length(bin(greatest(x, 1))) AS b, count(*) AS c
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT h.lang, h.b,
+         sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         t.n
+  FROM hist h JOIN totals t ON t.lang = h.lang
+),
+ranked AS (
+  SELECT v.lang, v.x,
+         row_number() OVER (PARTITION BY v.lang ORDER BY v.x, v.doc_id)
+           AS rn,
+         t.n
+  FROM vals v JOIN totals t ON t.lang = v.lang
+)
+{_qtl_one_sql(50)}
+UNION ALL
+{_qtl_one_sql(90)}
+ORDER BY lang, p
+"""

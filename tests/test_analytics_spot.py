@@ -480,3 +480,44 @@ def test_cms_heavy_hitters_recompute_and_bound(spark):
         assert r["over"] <= 3 * math.e / CMS_W * n_total
         saw_over = saw_over or r["over"] > 0
     assert saw_over  # the tiny grid must actually collide
+
+
+def test_quantile_sketch_recompute_and_bound(spark):
+    """Histogram-quantile estimates equal a pure-Python recompute of
+    the bit-length-binned rule, exact percentiles match the rank-pick
+    definition, and every estimate is a one-sided <2x overestimate."""
+    import math
+    import re
+
+    from pdf_extractor_spark.analytics.textstats import (
+        QTL_PS,
+        quantile_sketch_audit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {(r["lang"], r["p"]): r
+            for r in quantile_sketch_audit(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(
+            (len(re.split(r"\s+", r["text"])), r["doc_id"])
+        )
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        for p in QTL_PS:
+            exact = vals[math.ceil(p / 100.0 * n) - 1][0]
+            target = math.ceil(p / 100.0 * n)
+            # histogram estimate: smallest bit-length bin whose
+            # cumulative count reaches the target rank
+            cum = 0
+            for b in range(1, 40):
+                cum += sum(1 for x, _ in vals if len(bin(max(x, 1))[2:]) == b)
+                if cum >= target:
+                    est = (1 << b) - 1
+                    break
+            row = rows[(lang, p)]
+            assert row["exact"] == exact
+            assert row["est"] == est
+            assert exact <= est < 2 * exact + 1  # one-sided, <2x
