@@ -133,3 +133,125 @@ SELECT v AS doc_id,
 FROM pr3
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (training:graph-triangles) — the third classic next
+# to traversal and PageRank; triangle density is a standard cohesion /
+# spam-farm signal on link graphs. Algorithm is the degree-ordered
+# orientation (Schank & Wagner 2005): orient every undirected edge
+# from the (degree, id)-smaller endpoint to the larger, so each
+# triangle is counted exactly once AND the join fan-out per vertex is
+# bounded by its oriented out-degree (≤ O(√m) on any graph) — the
+# trick that makes wedge-join triangle counting survive power-law
+# graphs where a naive join explodes on hub vertices.
+#
+# Plan: two equi-joins (wedge build on the middle vertex, closure
+# probe on the (u, w) pair), all hash joins on ids; per-vertex
+# participation via explode + hash aggregate; top-k via TakeOrdered.
+# Same deterministic link fixture as pagerank_fixed.
+# ---------------------------------------------------------------------------
+
+TRI_TOP = 10
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    und = (
+        _edges(docs, n)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("w").alias("z"), F.lit(1).alias("closed")
+    )
+    tris = wedges.join(closing, ["x", "z"]).select("x", "y", "z")
+    per_vertex = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        per_vertex.select(
+            F.col("v").alias("doc_id"), "n_triangles"
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("doc_id"))
+        .limit(TRI_TOP)
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+-- edge generation as UNION of the three maps (not unnest): DuckDB's
+-- optimizer hits an internal binder assertion when least()/<> reference
+-- an unnest-derived column under stacked DISTINCTs; UNION dedupes and
+-- sidesteps it (semantically identical to pagerank's edges CTE)
+raw_edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 3) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, CAST(floor(doc_id / 2.0) AS BIGINT) FROM documents, nn
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS w
+  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+),
+tris AS (
+  SELECT e1.u AS x, e1.w AS y, e2.w AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.w
+  JOIN oriented e3 ON e3.u = e1.u AND e3.w = e2.w
+)
+SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS v FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+)
+GROUP BY 1
+ORDER BY n_triangles DESC, doc_id ASC
+LIMIT {TRI_TOP}
+"""

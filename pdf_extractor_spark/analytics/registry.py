@@ -233,6 +233,10 @@ QUERIES: Dict[str, QuerySpec] = {
         graphalgo.pagerank_fixed, graphalgo.PAGERANK_SQL,
         "training:link-quality (damped PageRank, K=3)",
     ),
+    "triangle_count": QuerySpec(
+        graphalgo.triangle_count, graphalgo.TRIANGLE_SQL,
+        "training:graph-triangles (degree-ordered, Schank-Wagner 2005)",
+    ),
     "ann_recall_audit": QuerySpec(
         similarity.ann_recall_audit, similarity.ANN_RECALL_SQL,
         "training:ann-recall (recall@K vs IVF probe depth)",
