@@ -361,6 +361,18 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q1_pricing_summary, relational.TPCH_Q1_SQL, "A1-A6",
         headline=True,
     ),
+    "tpch_q4_priority_check": QuerySpec(
+        relational.tpch_q4_priority_check, relational.TPCH_Q4_SQL,
+        "OLAP breadth: Q4 EXISTS semi-join",
+    ),
+    "token_rollup": QuerySpec(
+        relational.token_rollup, relational.TOKEN_ROLLUP_SQL,
+        "OLAP breadth: ROLLUP grouping sets",
+    ),
+    "source_lang_pivot": QuerySpec(
+        relational.source_lang_pivot, relational.SOURCE_LANG_PIVOT_SQL,
+        "OLAP breadth: PIVOT (explicit value list)",
+    ),
     "tpch_q3_shipping_priority": QuerySpec(
         relational.tpch_q3_shipping_priority, relational.TPCH_Q3_SQL,
         "OLAP breadth: Q3 shipping priority",

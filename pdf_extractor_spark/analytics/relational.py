@@ -845,3 +845,125 @@ WHERE r.r_name = '{_Q5_REGION}'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 analog — order-priority checking: orders in a quarter with
+# at least one late lineitem, counted by priority. The EXISTS
+# correlated subquery is the shape under test: Catalyst must plan it
+# as a LeftSemi hash join on orderkey (never a per-row subquery), and
+# the plan audit pins that.
+# ---------------------------------------------------------------------------
+
+_Q4_START = "1997-07-01"
+_Q4_END = "1997-10-01"
+
+
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp"))
+    )
+    # "late" in this dataset: shipped more than 60 days after order —
+    # expressed on the join so the semi-join carries the correlation
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_START}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q4_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregate — hierarchical totals (lang, source) → lang → grand
+# total in ONE pass (Catalyst expands grouping sets inside a single
+# hash aggregate; at scale this replaces three separate jobs). NULL
+# markers for the rolled-up levels hash identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import tokens as _tok
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source", F.size(_tok()).alias("n"))
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+        .orderBy(
+            F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first()
+        )
+    )
+
+
+TOKEN_ROLLUP_SQL = r"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+         AS total_tokens
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — per-source language breakdown as columns (the reporting
+# shape). Spark's pivot with an EXPLICIT value list keeps the plan a
+# single hash aggregate (an implicit list would add a distinct-scan
+# job to discover values — never do that at scale); the oracle uses
+# portable conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_PIVOT_LANGS = ["en", "de", "es", "fr", "zh"]
+
+
+def source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+        .na.fill(0, _PIVOT_LANGS)
+        .select(
+            "source",
+            *[F.col(l).cast("long").alias(f"n_{l}") for l in _PIVOT_LANGS],
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_LANG_PIVOT_SQL = f"""
+SELECT source,
+       {', '.join(
+           f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS n_{l}" for l in _PIVOT_LANGS)}
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

@@ -155,3 +155,19 @@ def test_tpch_q3_q5_plan_shapes(spark):
     assert "BroadcastHashJoin" in p5
     for p in (p3, p5):
         assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_olap_breadth_plan_shapes(spark):
+    """Q4's EXISTS plans as a LeftSemi hash join (never a per-row
+    subquery); ROLLUP expands grouping sets inside ONE aggregate pass
+    (a single Expand node, no per-level re-scan); the explicit-value
+    PIVOT stays pure hash aggregation with no distinct-discovery job."""
+    p4 = _plan(spark, "tpch_q4_priority_check")
+    assert "LeftSemi" in p4
+    pr = _plan(spark, "token_rollup")
+    assert pr.count("Expand") == 1
+    pp = _plan(spark, "source_lang_pivot")
+    assert "HashAggregate" in pp and "CollectLimit" not in pp
+    for p in (p4, pr, pp):
+        assert "BatchEvalPython" not in p
+        assert "CartesianProduct" not in p
