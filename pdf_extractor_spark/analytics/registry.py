@@ -361,6 +361,10 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q1_pricing_summary, relational.TPCH_Q1_SQL, "A1-A6",
         headline=True,
     ),
+    "tpch_q13_order_distribution": QuerySpec(
+        relational.tpch_q13_order_distribution, relational.TPCH_Q13_SQL,
+        "OLAP breadth: Q13 outer-join double aggregation",
+    ),
     "tpch_q4_priority_check": QuerySpec(
         relational.tpch_q4_priority_check, relational.TPCH_Q4_SQL,
         "OLAP breadth: Q4 EXISTS semi-join",

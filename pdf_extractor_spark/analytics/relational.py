@@ -967,3 +967,45 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 analog — customer order-count distribution: LEFT OUTER join
+# (customers with zero orders must appear) followed by a second
+# aggregation over the first's result — the double-aggregation shape.
+# Scale: both aggregates hash and map-side combine; the outer join is
+# the only shuffle pair. Q13's comment-filter is mirrored as a
+# priority exclusion (the schema has no o_comment).
+# ---------------------------------------------------------------------------
+
+
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
