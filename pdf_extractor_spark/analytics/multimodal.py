@@ -609,3 +609,151 @@ SELECT doc_id, route, orig_kb,
 FROM picked
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media near-dup (training:media-phash-dedup) — the
+# image twin of MinHash text dedup: a dHash-style 64-bit fingerprint
+# (8×8 grid of "is this pixel brighter than its right neighbour")
+# bucketed into four 16-bit bands; docs sharing any band are
+# candidates, exact Hamming distance (bit_count of XOR) decides. The
+# decode step follows the module's stub contract: "pixels" are
+# deterministic samples of the payload characters (real image decode
+# is environment-gated; the hashing/banding/join plumbing is the real
+# surface). Identical media ⇒ identical hash ⇒ Hamming 0 via every
+# band — the injected +OFFSET copies guarantee recall-1 pairs.
+#
+# Everything is integer/character arithmetic (ascii/substr/xor/
+# bit_count — native in both engines): zero UDFs, and the oracle
+# matches exactly. Scale shape: map-only hash, explode ×4 bands,
+# band equi-join (never all-pairs), distinct, exact filter.
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8          # 8×8 comparison grid → 64 bits, 4×16-bit bands
+PHASH_PAD = 80          # sample window (chars); rpad keeps short docs total
+PHASH_HAM_MAX = 8
+PHASH_N_INJECT = 20
+PHASH_ID_OFFSET = 1_000_000
+
+
+def _phash_idx(r: int, c: int) -> int:
+    """1-based char index of grid cell (r, c) in the padded window."""
+    return (r * (PHASH_GRID + 1) + c) * (PHASH_PAD - 1) // (
+        PHASH_GRID * (PHASH_GRID + 1)
+    ) + 1
+
+
+def _phash_band_cols(text_col):
+    """Four 16-bit band values of the dHash over ``text_col``."""
+    padded = F.rpad(F.coalesce(text_col, F.lit("")), PHASH_PAD, ".")
+
+    def px(r, c):
+        return F.ascii(F.substring(padded, _phash_idx(r, c), 1))
+
+    bands = []
+    for k in range(4):
+        val = F.lit(0)
+        for r in (2 * k, 2 * k + 1):
+            for c in range(PHASH_GRID):
+                bit = (px(r, c) > px(r, c + 1)).cast("int")
+                val = val + (bit * F.lit(1 << ((r % 2) * PHASH_GRID + c)))
+        bands.append(val.cast("long"))
+    return bands
+
+
+def _phash_band_sql(text_expr: str, k: int) -> str:
+    terms = []
+    for r in (2 * k, 2 * k + 1):
+        for c in range(PHASH_GRID):
+            a = f"ascii(substr(rpad(coalesce({text_expr}, ''), {PHASH_PAD}, '.'), {_phash_idx(r, c)}, 1))"
+            b = f"ascii(substr(rpad(coalesce({text_expr}, ''), {PHASH_PAD}, '.'), {_phash_idx(r, c + 1)}, 1))"
+            terms.append(
+                f"(CASE WHEN {a} > {b} THEN {1 << ((r % 2) * PHASH_GRID + c)} ELSE 0 END)"
+            )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") < PHASH_N_INJECT).select(
+        (F.col("doc_id") + PHASH_ID_OFFSET).alias("doc_id"), "text"
+    )
+    pool = docs.unionByName(dups)
+    b = _phash_band_cols(F.col("text"))
+    hashed = pool.select(
+        "doc_id", *[bi.alias(f"b{i}") for i, bi in enumerate(b)]
+    )
+    banded = hashed.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("v"))
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "b0", "b1", "b2", "b3",
+             F.col("bb.band").alias("band"), F.col("bb.v").alias("v"))
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.v") == F.col("c.v"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("c.doc_id").alias("b_id"),
+            *[
+                (
+                    F.bit_count(
+                        F.col(f"a.b{i}").bitwiseXOR(F.col(f"c.b{i}"))
+                    )
+                ).alias(f"h{i}")
+                for i in range(4)
+            ],
+        )
+        .distinct()
+    )
+    ham = sum(F.col(f"h{i}") for i in range(4))
+    return (
+        cand.select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= PHASH_HAM_MAX)
+        .orderBy("a_id", "b_id")
+    )
+
+
+MEDIA_PHASH_SQL = f"""
+WITH pool AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PHASH_ID_OFFSET}, text FROM documents
+  WHERE doc_id < {PHASH_N_INJECT}
+),
+hashed AS (
+  SELECT doc_id,
+         {_phash_band_sql('text', 0)} AS b0,
+         {_phash_band_sql('text', 1)} AS b1,
+         {_phash_band_sql('text', 2)} AS b2,
+         {_phash_band_sql('text', 3)} AS b3
+  FROM pool
+),
+banded AS (
+  SELECT doc_id, b0, b1, b2, b3, band,
+         CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+                   WHEN 2 THEN b2 ELSE b3 END AS v
+  FROM hashed, unnest([0, 1, 2, 3]) AS u(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
+         bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+         + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3))
+           AS hamming
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id
+)
+SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+FROM cand
+WHERE hamming <= {PHASH_HAM_MAX}
+ORDER BY a_id, b_id
+"""

@@ -237,6 +237,10 @@ QUERIES: Dict[str, QuerySpec] = {
         graphalgo.triangle_count, graphalgo.TRIANGLE_SQL,
         "training:graph-triangles (degree-ordered, Schank-Wagner 2005)",
     ),
+    "media_phash_neardup": QuerySpec(
+        multimodal.media_phash_neardup, multimodal.MEDIA_PHASH_SQL,
+        "training:media-phash-dedup (dHash bands, zero UDFs)",
+    ),
     "ann_recall_audit": QuerySpec(
         similarity.ann_recall_audit, similarity.ANN_RECALL_SQL,
         "training:ann-recall (recall@K vs IVF probe depth)",

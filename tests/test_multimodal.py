@@ -84,3 +84,54 @@ def test_null_payload_rows_are_safe(spark):
     assert resize_media(df).count() == 2
     assert extract_features(df).count() == 2
     assert sample_frames(df).count() >= 1  # null payload → 1 frame (n=1)
+
+
+def test_media_phash_neardup_recall_and_recompute(spark):
+    """Every injected identical-media copy pairs with its original at
+    Hamming 0 (band LSH keeps exact dups with recall 1), and every
+    reported Hamming distance equals a pure-Python recompute of the
+    dHash over the same sampled pixels."""
+    from pdf_extractor_spark.analytics.multimodal import (
+        PHASH_GRID,
+        PHASH_HAM_MAX,
+        PHASH_ID_OFFSET,
+        PHASH_N_INJECT,
+        PHASH_PAD,
+        _phash_idx,
+        media_phash_neardup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {(r["a_id"], r["b_id"]): r["hamming"]
+            for r in media_phash_neardup(spark, sf_dir).collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    for i in range(PHASH_N_INJECT):
+        assert rows.get((i, i + PHASH_ID_OFFSET)) == 0, i
+
+    def bands(text):
+        padded = ((text or "") + "." * PHASH_PAD)[:PHASH_PAD].ljust(
+            PHASH_PAD, "."
+        )
+        out = []
+        for k in range(4):
+            val = 0
+            for r in (2 * k, 2 * k + 1):
+                for c in range(PHASH_GRID):
+                    a = ord(padded[_phash_idx(r, c) - 1])
+                    b = ord(padded[_phash_idx(r, c + 1) - 1])
+                    if a > b:
+                        val |= 1 << ((r % 2) * PHASH_GRID + c)
+            out.append(val)
+        return out
+
+    for (a_id, b_id), h in rows.items():
+        ta = texts[a_id % PHASH_ID_OFFSET if a_id >= PHASH_ID_OFFSET else a_id]
+        tb = texts[b_id % PHASH_ID_OFFSET if b_id >= PHASH_ID_OFFSET else b_id]
+        ba, bb = bands(ta), bands(tb)
+        want = sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
+        assert h == want and h <= PHASH_HAM_MAX
+        assert any(x == y for x, y in zip(ba, bb))  # came via a band
