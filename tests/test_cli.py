@@ -45,3 +45,26 @@ def test_cli_search_bm25(spark, capsys):
     out = capsys.readouterr().out
     assert "search[bm25]:" in out
     assert "doc_id=" in out and "bm25=" in out
+
+
+def test_cli_quality_gate(spark, tmp_path, capsys):
+    """The quality-gate subcommand drains an inbox through the
+    streaming gate with the bloom bitset built from --bloom-sf-dir and
+    reports the routed count."""
+    from pdf_extractor_spark.__main__ import main
+
+    sf_dir = "/root/testdata/sf0.001"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.where("doc_id < 60").write.mode("append").parquet(inbox)
+    rc = main([
+        "quality-gate", "--input", inbox, "--output", out,
+        "--checkpoint", ckpt, "--bloom-sf-dir", sf_dir,
+    ])
+    assert rc == 0
+    assert "quality-gate: 60 docs routed" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert "verdict" in got.columns

@@ -1231,3 +1231,42 @@ def test_rebucket_store_roundtrip_time_travel_and_merge(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_output(spark, out, as_of=v_before).collect()
+
+
+def test_rebucket_preserves_evolved_schema(spark, tmp_path):
+    """Partition-spec evolution composes with schema evolution: a
+    rebucket after ADD COLUMN carries the evolved manifest schema, so
+    NULL-filled rows from pre-evolution files survive the re-hash and
+    a patched value written before the rebucket stays readable."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.lineage import (
+        evolve_store_schema,
+        init_store,
+        merge_elements,
+        read_lineage,
+        read_output,
+        rebucket_store,
+    )
+
+    out = str(tmp_path / "store")
+    rows = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("long").alias("offset"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    init_store(spark, out, rows, n_buckets=4)
+    evolve_store_schema(spark, out, {"quality": "double"})
+    upd = spark.createDataFrame(
+        [(7, 0, "t7", 0.93)],
+        "doc_id LONG, offset LONG, text STRING, quality DOUBLE",
+    )
+    merge_elements(spark, out, updates=upd, retain_snapshots=2)
+
+    rebucket_store(spark, out, 8, retain_snapshots=2)
+    got = {r["doc_id"]: r for r in read_output(spark, out).collect()}
+    assert len(got) == 60
+    assert "quality" in read_output(spark, out).columns
+    assert got[7]["quality"] == 0.93          # patched value survives
+    assert got[8]["quality"] is None          # NULL-fill survives
+    assert read_lineage(out)["__meta__"]["n_buckets"] == 8
