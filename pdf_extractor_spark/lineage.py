@@ -1365,3 +1365,53 @@ def rebucket_store(
         _commit_lineage(output_dir, delta, locked=True)
         vacuum_store(output_dir, retain_snapshots, locked=True)
         return read_lineage(output_dir)
+
+
+def store_stats(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Store health report (reference ``check_pdf_extractor_db.py:26``
+    ``check_database`` — the "does the database exist, what do its
+    collections hold" check, re-expressed over the manifest): one row
+    per bucket with status / row_count / bytes / generation / path,
+    plus a ``__total__`` summary row. Driver-side metadata only — the
+    manifest is bounded by n_buckets, no data files are touched (the
+    point of keeping counts in the manifest at 100 TB).
+
+    Raises FileNotFoundError when no committed store exists — the
+    reference's "database does not exist" branch.
+    """
+    lineage = read_lineage(output_dir)
+    meta = lineage.get(META_KEY)
+    if not meta:
+        raise FileNotFoundError(f"no committed store under {output_dir}")
+    rows = []
+    tot_rows = tot_bytes = 0
+    for b, e in sorted(_bucket_items(lineage), key=lambda kv: int(kv[0])):
+        rows.append(
+            (
+                str(b),
+                e.get("status"),
+                int(e.get("row_count", 0)),
+                int(e.get("bytes", 0)),
+                int(e.get("version", 0)),
+                e.get("path") or f"bucket={b}",
+            )
+        )
+        if e.get("status") == "done":
+            tot_rows += int(e.get("row_count", 0))
+            tot_bytes += int(e.get("bytes", 0))
+    rows.append(
+        (
+            "__total__",
+            f"n_buckets={meta['n_buckets']},"
+            f"manifest_version={meta.get('manifest_version', 0)}",
+            tot_rows,
+            tot_bytes,
+            max((r[4] for r in rows), default=0),
+            output_dir,
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "bucket STRING, status STRING, row_count LONG, bytes LONG, "
+        "version LONG, path STRING",
+    )

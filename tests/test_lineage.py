@@ -1270,3 +1270,38 @@ def test_rebucket_preserves_evolved_schema(spark, tmp_path):
     assert got[7]["quality"] == 0.93          # patched value survives
     assert got[8]["quality"] is None          # NULL-fill survives
     assert read_lineage(out)["__meta__"]["n_buckets"] == 8
+
+
+def test_store_stats_report(spark, tmp_path):
+    """store_stats mirrors the manifest: per-bucket rows sum to the
+    committed totals, generations reflect merges, and a missing store
+    raises (the reference's 'database does not exist' branch)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from pdf_extractor_spark.lineage import (
+        init_store,
+        merge_elements,
+        store_stats,
+    )
+
+    out = str(tmp_path / "store")
+    with _pytest.raises(FileNotFoundError):
+        store_stats(spark, out)
+    rows = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("long").alias("offset"),
+        F.concat(F.lit("p"), F.col("id")).alias("text"),
+    )
+    init_store(spark, out, rows, n_buckets=4)
+    upd = spark.createDataFrame(
+        [(3, 0, "p3-v2")], "doc_id LONG, offset LONG, text STRING"
+    )
+    merge_elements(spark, out, updates=upd, retain_snapshots=2)
+    got = {r["bucket"]: r for r in store_stats(spark, out).collect()}
+    total = got.pop("__total__")
+    assert total["row_count"] == 50
+    assert sum(r["row_count"] for r in got.values()) == 50
+    assert any(r["version"] > 0 for r in got.values())  # merge generation
+    assert all(r["status"] == "done" for r in got.values())
+    assert "n_buckets=4" in total["status"]
