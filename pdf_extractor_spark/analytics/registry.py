@@ -365,6 +365,10 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q1_pricing_summary, relational.TPCH_Q1_SQL, "A1-A6",
         headline=True,
     ),
+    "events_session_windows": QuerySpec(
+        relational.events_session_windows, relational.SESSION_WINDOWS_SQL,
+        "W5 native session_window twin",
+    ),
     "tpch_q13_order_distribution": QuerySpec(
         relational.tpch_q13_order_distribution, relational.TPCH_Q13_SQL,
         "OLAP breadth: Q13 outer-join double aggregation",

@@ -1009,3 +1009,61 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# W5 twin — native session_window sessionization: Spark's built-in
+# session operator (one hash-aggregate with session merging inside the
+# aggregation — no window sort, the shape that also runs UNCHANGED on
+# a stream) next to the lag-method events_sessionize above. Session
+# semantics are session_window's: an event merges while strictly
+# within gap of the session end; session_end = last event + gap. The
+# oracle replicates exactly that rule with the lag method — the two
+# formulations' equivalence IS the check. Microsecond timestamps ride
+# as unix_micros BIGINTs (exact integers, no float epoch).
+# ---------------------------------------------------------------------------
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+SESSION_WINDOWS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= {SESSION_GAP_S} * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, t_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(t_us) AS start_us,
+       max(t_us) + {SESSION_GAP_S} * 1000000 AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, start_us
+"""
