@@ -365,6 +365,10 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q1_pricing_summary, relational.TPCH_Q1_SQL, "A1-A6",
         headline=True,
     ),
+    "events_hourly_windows": QuerySpec(
+        relational.events_hourly_windows, relational.EVENTS_HOURLY_SQL,
+        "W-native tumbling windows (batch twin of the streaming agg)",
+    ),
     "events_session_windows": QuerySpec(
         relational.events_session_windows, relational.SESSION_WINDOWS_SQL,
         "W5 native session_window twin",

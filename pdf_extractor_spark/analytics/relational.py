@@ -1067,3 +1067,43 @@ FROM sess
 GROUP BY user_id, session_seq
 ORDER BY user_id, start_us
 """
+
+
+# ---------------------------------------------------------------------------
+# W-native — tumbling event-time windows in batch: the same
+# F.window("1 hour") aggregate the streaming module runs with a
+# watermark (streaming.stream_windowed_event_counts), graded here
+# against a date_trunc oracle (1-hour windows are epoch-aligned, so
+# the two are identical by construction). One hash aggregate.
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            floor_round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 10000 + 1e-6) / 10000 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+"""
