@@ -287,6 +287,10 @@ QUERIES: Dict[str, QuerySpec] = {
         quality_rules.REJECTION_SAMPLE_SQL,
         "training:rejection-sample (FineWeb-Edu confidence sampling)",
     ),
+    "langid_confusion": QuerySpec(
+        textstats.langid_confusion, textstats.LANGID_CONFUSION_SQL,
+        "training:langid-eval (confusion matrix + P/R)",
+    ),
     "quantile_sketch_audit": QuerySpec(
         textstats.quantile_sketch_audit, textstats.QUANTILE_SKETCH_SQL,
         "training:hist-quantiles (mergeable histogram percentiles)",

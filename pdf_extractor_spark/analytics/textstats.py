@@ -1522,3 +1522,82 @@ UNION ALL
 {_qtl_one_sql(90)}
 ORDER BY lang, p
 """
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (training:langid-eval) — the evaluation
+# companion to lang_id_heuristic: predicted × actual counts with
+# per-cell precision/recall denominators, i.e. the report that decides
+# whether a cheap classifier is good enough to route a 100 TB corpus.
+# One hash aggregate over the map-only prediction; the two marginal
+# totals ride broadcast joins of tiny aggregates.
+# ---------------------------------------------------------------------------
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+        )
+        for lang, ws in _LANG_SETS.items()
+    }
+    pred = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]), "en")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+    cells = (
+        docs.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    row_tot = cells.groupBy("actual").agg(
+        F.sum("n").cast("long").alias("n_actual")
+    )
+    col_tot = cells.groupBy("predicted").agg(
+        F.sum("n").cast("long").alias("n_predicted")
+    )
+    return (
+        cells.join(F.broadcast(row_tot), "actual")
+        .join(F.broadcast(col_tot), "predicted")
+        .select(
+            "actual", "predicted", "n",
+            _floor_round(F.col("n") / F.col("n_actual"), 4).alias("recall"),
+            _floor_round(F.col("n") / F.col("n_predicted"), 4).alias(
+                "precision"
+            ),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+LANGID_CONFUSION_SQL = r"""
+WITH pred AS (
+  SELECT lang AS actual,
+         CASE WHEN en >= de AND en >= es THEN 'en'
+              WHEN de >= es THEN 'de'
+              ELSE 'es' END AS predicted
+  FROM (
+    SELECT lang,
+           len(list_intersect(toks, ['the','a','table','join'])) AS en,
+           len(list_intersect(toks, ['der','und','fenster'])) AS de,
+           len(list_intersect(toks, ['el','y','tabla'])) AS es
+    FROM (SELECT lang, string_split_regex(text, '\s+') AS toks
+          FROM documents)
+  )
+),
+cells AS (
+  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+rt AS (SELECT actual, sum(n) AS n_actual FROM cells GROUP BY 1),
+ct AS (SELECT predicted, sum(n) AS n_predicted FROM cells GROUP BY 1)
+SELECT c.actual, c.predicted, c.n,
+       floor(c.n * 1.0 / r.n_actual * 10000 + 1e-6) / 10000 AS recall,
+       floor(c.n * 1.0 / t.n_predicted * 10000 + 1e-6) / 10000 AS precision
+FROM cells c JOIN rt r ON r.actual = c.actual
+             JOIN ct t ON t.predicted = c.predicted
+ORDER BY c.actual, c.predicted
+"""

@@ -171,3 +171,17 @@ def test_olap_breadth_plan_shapes(spark):
     for p in (p4, pr, pp):
         assert "BatchEvalPython" not in p
         assert "CartesianProduct" not in p
+
+
+def test_aqe_produces_final_adaptive_plans(spark):
+    """AQE is on for every session (session.get_spark config) and
+    actually re-plans at runtime: after executing a multi-join query,
+    the final adaptive plan is materialized (isFinalPlan=true) — the
+    mechanism that handles runtime skew/broadcast decisions at 100 TB
+    without manual hints."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = QUERIES["dedup_survivors_quality"].fn(spark, SF_DIR)
+    df.collect()  # drive execution so AQE finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
+    assert "isFinalPlan=true" in plan
