@@ -1509,3 +1509,62 @@ SELECT component, doc_id AS survivor_q,
 FROM ranked WHERE rn = 1
 ORDER BY component
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster-size histogram (training:dedup-cluster-histogram) —
+# the health report read before trusting a dedup pass: how many
+# clusters of each size exist, and what fraction of the corpus the
+# non-singleton clusters hold (the dedup "savings"). Two map-side-
+# combinable aggregates over the CC labels; at 100 TB this is the
+# monitoring query run after every incremental ingest wave.
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_connected_components(spark, sf_dir)
+    sizes = labels.groupBy("survivor").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_HISTOGRAM_SQL = f"""
+WITH RECURSIVE
+bands AS (SELECT * FROM ({_minhash_sql(_DUP_SOURCE_SQL)}) t),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM ({_DUP_SOURCE_SQL})
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+labels AS (SELECT node AS doc_id, min(r) AS survivor FROM reach GROUP BY 1),
+sizes AS (SELECT survivor, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""

@@ -274,6 +274,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.weighted_sample_es, curation.WEIGHTED_SAMPLE_SQL,
         "training:weighted-sample (Efraimidis-Spirakis 2006)",
     ),
+    "dedup_cluster_histogram": QuerySpec(
+        dedup.dedup_cluster_histogram, dedup.DEDUP_CLUSTER_HISTOGRAM_SQL,
+        "training:dedup-cluster-histogram (CC health report)",
+    ),
     "dedup_survivors_quality": QuerySpec(
         dedup.dedup_survivors_quality, dedup.DEDUP_SURVIVORS_QUALITY_SQL,
         "training:dedup-survivor-quality (keep-the-best per CC cluster)",

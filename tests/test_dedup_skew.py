@@ -85,3 +85,29 @@ def test_survivors_quality_keeps_original_over_injected_copy(spark):
         assert r["survivor_q"] < DUP_ID_OFFSET  # never the injected copy
         if r["n_members"] == 1:
             assert r["survivor_q"] == r["component"]
+
+
+def test_cluster_histogram_consistency(spark):
+    """Histogram mass equals the pool size, singleton count matches the
+    CC labelling, and the injected copies guarantee >=1 multi-doc
+    cluster bin."""
+    from pdf_extractor_spark.analytics.base import N_INJECTED_DUPS
+    from pdf_extractor_spark.analytics.dedup import (
+        dedup_cluster_histogram,
+        dedup_connected_components,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    hist = {r["cluster_size"]: r for r in
+            dedup_cluster_histogram(spark, sf_dir).collect()}
+    labels = dedup_connected_components(spark, sf_dir).collect()
+    sizes = {}
+    for r in labels:
+        sizes[r["survivor"]] = sizes.get(r["survivor"], 0) + 1
+    want = {}
+    for s in sizes.values():
+        want[s] = want.get(s, 0) + 1
+    assert {k: v["n_clusters"] for k, v in hist.items()} == want
+    assert sum(v["n_docs"] for v in hist.values()) == len(labels)
+    assert any(k > 1 for k in hist)  # injected dups form real clusters
+    assert len(labels) >= N_INJECTED_DUPS
