@@ -373,6 +373,10 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q1_pricing_summary, relational.TPCH_Q1_SQL, "A1-A6",
         headline=True,
     ),
+    "pit_feature_join": QuerySpec(
+        relational.pit_feature_join, relational.PIT_FEATURE_SQL,
+        "training:point-in-time (AS OF feature join, leakage-safe)",
+    ),
     "events_hourly_windows": QuerySpec(
         relational.events_hourly_windows, relational.EVENTS_HOURLY_SQL,
         "W-native tumbling windows (batch twin of the streaming agg)",

@@ -1107,3 +1107,78 @@ FROM events
 GROUP BY 1, 2
 ORDER BY window_start_us, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join (training:point-in-time — the feature-
+# store correctness op: every training label must see the latest
+# feature value AS OF its own timestamp, never a later one, or the
+# model trains on leaked future data). Features = 'view' events'
+# value; labels = 'purchase' events. The scalable form is NOT an
+# inequality join (a per-label range probe) but union + ONE window
+# forward-fill: order each user's stream by time, carry the last seen
+# feature value forward, keep the label rows — one shuffle on
+# user_id, linear in the stream. Ties (feature and label at the same
+# instant) resolve feature-first (event ordering (ts, is_label,
+# event_id)), i.e. a same-timestamp feature IS visible — the
+# conventional `<=` AS OF bound.
+# ---------------------------------------------------------------------------
+
+
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_type", "value",
+    )
+    stream = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "event_id", "user_id", "t_us",
+        (F.col("event_type") == "purchase").cast("int").alias("is_label"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("feat"),
+        F.when(F.col("event_type") == "view", F.col("t_us")).alias("feat_t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_label", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = stream.select(
+        "event_id", "user_id", "t_us", "is_label",
+        F.last("feat", ignorenulls=True).over(w).alias("feature_value"),
+        F.last("feat_t", ignorenulls=True).over(w).alias("feature_t_us"),
+    )
+    return (
+        filled.where(F.col("is_label") == 1)
+        .select(
+            "event_id", "user_id", "t_us",
+            floor_round(F.col("feature_value"), 4).alias("feature_value"),
+            "feature_t_us",
+        )
+        .orderBy("event_id")
+    )
+
+
+PIT_FEATURE_SQL = """
+WITH stream AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_label,
+         CASE WHEN event_type = 'view' THEN value END AS feat,
+         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS feat_t
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+filled AS (
+  SELECT event_id, user_id, t_us, is_label,
+         last_value(feat IGNORE NULLS) OVER w AS feature_value,
+         last_value(feat_t IGNORE NULLS) OVER w AS feature_t_us
+  FROM stream
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, is_label, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, t_us,
+       floor(feature_value * 10000 + 1e-6) / 10000 AS feature_value,
+       feature_t_us
+FROM filled
+WHERE is_label = 1
+ORDER BY event_id
+"""

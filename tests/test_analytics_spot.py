@@ -600,3 +600,42 @@ def test_sketches_are_mergeable_across_partitions(spark):
         for b, c in hist(lens).items():
             hsum[b] = hsum.get(b, 0) + c
     assert hsum == hist(all_lens)
+
+
+def test_pit_feature_join_no_leakage(spark):
+    """Every label carries the latest feature at-or-before its own
+    timestamp and NEVER a later one (the leakage property), matching a
+    brute-force per-label recompute; labels before any feature carry
+    NULL."""
+    from pdf_extractor_spark.analytics.relational import pit_feature_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["event_id"]: r for r in pit_feature_join(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    import math
+
+    feats, labels = {}, []
+    for r in ev:
+        t_us = int(r["ts"].timestamp() * 1_000_000)
+        if r["event_type"] == "view":
+            feats.setdefault(r["user_id"], []).append(
+                (t_us, r["event_id"], r["value"])
+            )
+        elif r["event_type"] == "purchase":
+            labels.append((r["event_id"], r["user_id"], t_us))
+    saw_null = saw_feat = False
+    for eid, uid, t_us in labels:
+        row = rows[eid]
+        prior = [f for f in feats.get(uid, []) if f[0] <= t_us]
+        if not prior:
+            assert row["feature_value"] is None and row["feature_t_us"] is None
+            saw_null = True
+        else:
+            t_f, _, v = max(prior)
+            assert row["feature_t_us"] == t_f
+            assert row["feature_t_us"] <= t_us  # the leakage bound
+            want = math.floor(v * 1e4 + 1e-6) / 1e4
+            assert abs(row["feature_value"] - want) < 1e-9
+            saw_feat = True
+    assert saw_feat and saw_null  # both branches exercised
+    assert set(rows) == {eid for eid, _, _ in labels}
