@@ -1568,3 +1568,51 @@ FROM sizes
 GROUP BY cluster_size
 ORDER BY cluster_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold calibration curve (training:dedup-threshold-curve)
+# — picking the dedup threshold is an empirical decision: this report
+# shows, for each candidate threshold, how many pairs and how many
+# distinct docs a cutoff would merge. Reuses the content-based
+# candidate pairs (ngram_jaccard_pairs) and aggregates once per
+# threshold step via a tiny cross join on a 5-row threshold dimension
+# — the pairs are computed ONCE, not per threshold.
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(t,) for t in JACCARD_THRESHOLDS], "threshold DOUBLE"
+    )
+    hit = pairs.crossJoin(F.broadcast(thr)).where(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    return (
+        hit.groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.size(
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.array("a_id", "b_id")))
+                )
+            ).cast("long").alias("n_docs_touched"),
+        )
+        .orderBy("threshold")
+    )
+
+
+JACCARD_CURVE_SQL = f"""
+WITH pairs AS ({NGRAM_JACCARD_SQL}),
+thr(threshold) AS (VALUES {', '.join(f'(CAST({t} AS DOUBLE))' for t in JACCARD_THRESHOLDS)})
+SELECT t.threshold,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(len(list_distinct(flatten(list([p.a_id, p.b_id])))) AS BIGINT)
+         AS n_docs_touched
+FROM pairs p JOIN thr t ON p.jaccard >= t.threshold
+GROUP BY t.threshold
+ORDER BY t.threshold
+"""

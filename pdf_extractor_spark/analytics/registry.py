@@ -274,6 +274,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.weighted_sample_es, curation.WEIGHTED_SAMPLE_SQL,
         "training:weighted-sample (Efraimidis-Spirakis 2006)",
     ),
+    "jaccard_threshold_curve": QuerySpec(
+        dedup.jaccard_threshold_curve, dedup.JACCARD_CURVE_SQL,
+        "training:dedup-threshold-curve (calibration report)",
+    ),
     "dedup_cluster_histogram": QuerySpec(
         dedup.dedup_cluster_histogram, dedup.DEDUP_CLUSTER_HISTOGRAM_SQL,
         "training:dedup-cluster-histogram (CC health report)",

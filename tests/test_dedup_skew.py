@@ -111,3 +111,20 @@ def test_cluster_histogram_consistency(spark):
     assert sum(v["n_docs"] for v in hist.values()) == len(labels)
     assert any(k > 1 for k in hist)  # injected dups form real clusters
     assert len(labels) >= N_INJECTED_DUPS
+
+
+def test_jaccard_threshold_curve_monotone(spark):
+    """The calibration curve is monotone non-increasing in threshold
+    (both pairs and docs touched), and the 0.9 cutoff still catches
+    every injected exact duplicate (jaccard 1.0)."""
+    from pdf_extractor_spark.analytics.base import N_INJECTED_DUPS
+    from pdf_extractor_spark.analytics.dedup import jaccard_threshold_curve
+
+    rows = {r["threshold"]: r
+            for r in jaccard_threshold_curve(
+                spark, "/root/testdata/sf0.001").collect()}
+    ts = sorted(rows)
+    for a, b in zip(ts, ts[1:]):
+        assert rows[a]["n_pairs"] >= rows[b]["n_pairs"]
+        assert rows[a]["n_docs_touched"] >= rows[b]["n_docs_touched"]
+    assert rows[max(ts)]["n_pairs"] >= N_INJECTED_DUPS
