@@ -1616,3 +1616,91 @@ FROM pairs p JOIN thr t ON p.jaccard >= t.threshold
 GROUP BY t.threshold
 ORDER BY t.threshold
 """
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair mining (training:contrastive-pairs — the
+# retrieval-training recipe of the Contriever/E5 lineage: mined
+# near-duplicates become positives, corpus-random docs become
+# negatives). Anchors are the docs with a mined near-dup (here the
+# injected-copy set — exactly what LSH mining yields in production);
+# each anchor gets its dup as the positive and NEG_K salted-hash
+# negatives (deterministic, coordination-free, collision-bumped away
+# from anchor and positive). The pair's n-gram jaccard rides along as
+# the positive-quality signal. Map-only except the one broadcast join
+# pulling the positive's jaccard from the candidate pairs.
+# ---------------------------------------------------------------------------
+
+NEG_K = 3
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    anchors = docs.where(F.col("doc_id") < N_INJECTED_DUPS).select(
+        F.col("doc_id").alias("anchor_id"),
+        (F.col("doc_id") + DUP_ID_OFFSET).alias("positive_id"),
+    )
+    jac = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("anchor_id"),
+        F.col("b_id").alias("positive_id"),
+        F.col("jaccard").alias("positive_jaccard"),
+    )
+    out = anchors.join(F.broadcast(jac), ["anchor_id", "positive_id"], "left")
+    out = out.crossJoin(F.broadcast(n))
+    neg_cols = []
+    for j in range(1, NEG_K + 1):
+        raw = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"neg{j}|"),
+                            F.col("anchor_id").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.col("n")
+        )
+        # bump off the anchor itself (negatives must be true negatives;
+        # the +OFFSET positive can never collide with a corpus id)
+        neg = F.when(raw == F.col("anchor_id"), (raw + 1) % F.col("n")).otherwise(raw)
+        neg_cols.append(neg.alias(f"neg_{j}"))
+    return out.select(
+        "anchor_id", "positive_id", "positive_jaccard", *neg_cols
+    ).orderBy("anchor_id")
+
+
+def _neg_sql(j: int) -> str:
+    raw = (
+        f"CAST('0x' || substr(md5('neg{j}|' || CAST(a.anchor_id AS VARCHAR)),"
+        f" 1, 8) AS BIGINT) % nn.n"
+    )
+    return (
+        f"CASE WHEN {raw} = a.anchor_id THEN ({raw} + 1) % nn.n"
+        f" ELSE {raw} END AS neg_{j}"
+    )
+
+
+CONTRASTIVE_PAIRS_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+anchors AS (
+  SELECT doc_id AS anchor_id, doc_id + {DUP_ID_OFFSET} AS positive_id
+  FROM documents WHERE doc_id < {N_INJECTED_DUPS}
+),
+jac AS (
+  SELECT a_id AS anchor_id, b_id AS positive_id,
+         jaccard AS positive_jaccard
+  FROM ({NGRAM_JACCARD_SQL})
+)
+SELECT a.anchor_id, a.positive_id, j.positive_jaccard,
+       {', '.join(_neg_sql(k) for k in range(1, NEG_K + 1))}
+FROM anchors a
+LEFT JOIN jac j ON j.anchor_id = a.anchor_id
+                AND j.positive_id = a.positive_id
+CROSS JOIN nn
+ORDER BY a.anchor_id
+"""

@@ -274,6 +274,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.weighted_sample_es, curation.WEIGHTED_SAMPLE_SQL,
         "training:weighted-sample (Efraimidis-Spirakis 2006)",
     ),
+    "contrastive_pairs": QuerySpec(
+        dedup.contrastive_pairs, dedup.CONTRASTIVE_PAIRS_SQL,
+        "training:contrastive-pairs (near-dup positives + salted negatives)",
+    ),
     "jaccard_threshold_curve": QuerySpec(
         dedup.jaccard_threshold_curve, dedup.JACCARD_CURVE_SQL,
         "training:dedup-threshold-curve (calibration report)",

@@ -128,3 +128,32 @@ def test_jaccard_threshold_curve_monotone(spark):
         assert rows[a]["n_pairs"] >= rows[b]["n_pairs"]
         assert rows[a]["n_docs_touched"] >= rows[b]["n_docs_touched"]
     assert rows[max(ts)]["n_pairs"] >= N_INJECTED_DUPS
+
+
+def test_contrastive_pairs_validity(spark):
+    """Every anchor's positive is its mined near-dup at jaccard 1.0,
+    negatives are in-corpus ids distinct from the anchor (and from the
+    positive by id-space construction), and negatives are
+    deterministic salted hashes."""
+    import hashlib
+
+    from pdf_extractor_spark.analytics.base import (
+        DUP_ID_OFFSET,
+        N_INJECTED_DUPS,
+    )
+    from pdf_extractor_spark.analytics.dedup import NEG_K, contrastive_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["anchor_id"]: r for r in contrastive_pairs(spark, sf_dir).collect()}
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert set(rows) == set(range(N_INJECTED_DUPS))
+    for aid, r in rows.items():
+        assert r["positive_id"] == aid + DUP_ID_OFFSET
+        assert r["positive_jaccard"] == 1.0  # exact copy
+        for j in range(1, NEG_K + 1):
+            raw = int(
+                hashlib.md5(f"neg{j}|{aid}".encode()).hexdigest()[:8], 16
+            ) % n
+            want = (raw + 1) % n if raw == aid else raw
+            assert r[f"neg_{j}"] == want
+            assert 0 <= r[f"neg_{j}"] < n and r[f"neg_{j}"] != aid
