@@ -1591,15 +1591,21 @@ def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = pairs.crossJoin(F.broadcast(thr)).where(
         F.col("jaccard") >= F.col("threshold")
     )
+    # Explode each qualifying pair into its two member ids and run ONE
+    # grouped distinct aggregate (map-side partial, spillable hash) —
+    # never collect_list: a hot threshold at corpus scale would funnel
+    # every pair's id array through a single unbounded aggregation
+    # buffer. Each pair contributes exactly two exploded rows, so
+    # n_pairs falls out as count(*)/2 in the same pass.
+    exploded = hit.select(
+        "threshold",
+        F.explode(F.array("a_id", "b_id")).alias("doc_id"),
+    )
     return (
-        hit.groupBy("threshold")
+        exploded.groupBy("threshold")
         .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            F.size(
-                F.array_distinct(
-                    F.flatten(F.collect_list(F.array("a_id", "b_id")))
-                )
-            ).cast("long").alias("n_docs_touched"),
+            (F.count("*") / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs_touched"),
         )
         .orderBy("threshold")
     )
@@ -1607,14 +1613,19 @@ def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_CURVE_SQL = f"""
 WITH pairs AS ({NGRAM_JACCARD_SQL}),
-thr(threshold) AS (VALUES {', '.join(f'(CAST({t} AS DOUBLE))' for t in JACCARD_THRESHOLDS)})
-SELECT t.threshold,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(len(list_distinct(flatten(list([p.a_id, p.b_id])))) AS BIGINT)
-         AS n_docs_touched
-FROM pairs p JOIN thr t ON p.jaccard >= t.threshold
-GROUP BY t.threshold
-ORDER BY t.threshold
+thr(threshold) AS (VALUES {', '.join(f'(CAST({t} AS DOUBLE))' for t in JACCARD_THRESHOLDS)}),
+exploded AS (
+  SELECT t.threshold, u.doc_id
+  FROM pairs p
+  JOIN thr t ON p.jaccard >= t.threshold,
+  unnest([p.a_id, p.b_id]) AS u(doc_id)
+)
+SELECT threshold,
+       CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_touched
+FROM exploded
+GROUP BY threshold
+ORDER BY threshold
 """
 
 

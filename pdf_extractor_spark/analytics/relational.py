@@ -1045,7 +1045,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_WINDOWS_SQL = f"""
 WITH flagged AS (
-  SELECT user_id, epoch_us(ts) AS t_us,
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                    >= {SESSION_GAP_S} * 1000000 THEN 1 ELSE 0 END AS new_s
@@ -1053,8 +1053,14 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
+  -- cumulative sum ordered deterministically: ties on t_us must sum
+  -- the new_s=1 row first (new_s DESC) so tie rows join the session
+  -- their lag() flag opened, matching Spark's session_window; the
+  -- final event_id key makes the frame fully deterministic under
+  -- duplicate (user_id, ts, new_s) rows.
   SELECT user_id, t_us,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY t_us, new_s DESC, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_seq
   FROM flagged

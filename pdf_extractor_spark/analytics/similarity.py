@@ -1707,7 +1707,7 @@ cand AS (
   SELECT s.vec_id, s.cos, p.n_probe
   FROM scored s
   JOIN ranked_labels r ON r.label = s.label
-  JOIN (SELECT unnest([1, 2, 3, 4]) AS n_probe) p
+  JOIN (SELECT unnest([{", ".join(str(i) for i in range(1, RECALL_MAX_PROBE + 1))}]) AS n_probe) p
     ON r.label_rank <= p.n_probe
 ),
 topk AS (

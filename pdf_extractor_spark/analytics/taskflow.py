@@ -488,7 +488,7 @@ def retry_validation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETRY_CASCADE_SQL = f"""
 WITH att AS (
   SELECT doc_id AS task_id, a
-  FROM documents, unnest([1, 2, 3]) AS u(a)
+  FROM documents, unnest([{", ".join(str(i) for i in range(1, RETRY_MAX_ATTEMPTS + 1))}]) AS u(a)
 ),
 staged AS (
   SELECT task_id, a,

@@ -194,6 +194,13 @@ _LANG_SETS = {
 }
 
 
+def _sql_words(lang: str) -> str:
+    """DuckDB list literal for _LANG_SETS[lang] — interpolated into the
+    oracle SQL so editing the Python constant can never silently desync
+    the oracle (same pattern as NEG_K/CMS_D elsewhere)."""
+    return "[" + ",".join(f"'{w}'" for w in _LANG_SETS[lang]) + "]"
+
+
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = _tokens()
@@ -211,16 +218,16 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred"))
 
 
-LANG_ID_SQL = r"""
+LANG_ID_SQL = rf"""
 SELECT doc_id,
        CASE WHEN en >= de AND en >= es THEN 'en'
             WHEN de >= es THEN 'de'
             ELSE 'es' END AS lang_pred
 FROM (
   SELECT doc_id,
-         len(list_intersect(toks, ['the','a','table','join'])) AS en,
-         len(list_intersect(toks, ['der','und','fenster'])) AS de,
-         len(list_intersect(toks, ['el','y','tabla'])) AS es
+         len(list_intersect(toks, {_sql_words("en")})) AS en,
+         len(list_intersect(toks, {_sql_words("de")})) AS de,
+         len(list_intersect(toks, {_sql_words("es")})) AS es
   FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
 )
 """
@@ -1573,7 +1580,7 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LANGID_CONFUSION_SQL = r"""
+LANGID_CONFUSION_SQL = rf"""
 WITH pred AS (
   SELECT lang AS actual,
          CASE WHEN en >= de AND en >= es THEN 'en'
@@ -1581,9 +1588,9 @@ WITH pred AS (
               ELSE 'es' END AS predicted
   FROM (
     SELECT lang,
-           len(list_intersect(toks, ['the','a','table','join'])) AS en,
-           len(list_intersect(toks, ['der','und','fenster'])) AS de,
-           len(list_intersect(toks, ['el','y','tabla'])) AS es
+           len(list_intersect(toks, {_sql_words("en")})) AS en,
+           len(list_intersect(toks, {_sql_words("de")})) AS de,
+           len(list_intersect(toks, {_sql_words("es")})) AS es
     FROM (SELECT lang, string_split_regex(text, '\s+') AS toks
           FROM documents)
   )

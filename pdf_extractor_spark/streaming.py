@@ -706,14 +706,19 @@ def stream_quality_gate(
                 c = cj if c is None else (c & cj)
             return c
 
-        # materialize grams into a real column first (HOF-capture
-        # rule part 2: an expression referenced inside exists() would
-        # re-evaluate per element)
-        staged = staged.withColumn(
-            "_grams", _grams(_tokens("text"), DECON_N)
-        ).withColumn(
-            "contaminated", F.coalesce(F.exists("_grams", _gram_hit), F.lit(False))
-        ).drop("_grams")
+        # materialize tokens AND grams into real columns first
+        # (HOF-capture rule part 2: an expression referenced inside a
+        # HOF re-evaluates per element — _grams slices `toks` once per
+        # gram window, so a raw split() input is O(len²) on megadocs)
+        staged = (
+            staged.withColumn("_toks", _tokens("text"))
+            .withColumn("_grams", _grams(F.col("_toks"), DECON_N))
+            .withColumn(
+                "contaminated",
+                F.coalesce(F.exists("_grams", _gram_hit), F.lit(False)),
+            )
+            .drop("_toks", "_grams")
+        )
     else:
         staged = staged.withColumn("contaminated", F.lit(False))
 
