@@ -57,6 +57,8 @@ def _flat_arrow_batches(merge_strategy: str):
     def gen(batches):
         import pyarrow as pa
 
+        schema = _arrow_flat_schema()
+        all_cols = ("doc_id", *ELEMENT_COLUMNS)
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
             spans = batch.column(1)
@@ -70,22 +72,21 @@ def _flat_arrow_batches(merge_strategy: str):
             refs = flat.field("media_ref").to_pylist()
             offs = flat.field("offset").to_pylist()
             lo = spans.offsets.to_pylist()
-            out: dict = {c: [] for c in ("doc_id", *ELEMENT_COLUMNS)}
+            out: dict = {c: [] for c in all_cols}
+            id_col = out["doc_id"]
+            el_cols = [(c, out[c]) for c in ELEMENT_COLUMNS]
             for i, did in enumerate(doc_ids):
                 s, e = lo[i], lo[i + 1]
                 els = extract_document_cols(
                     kinds[s:e], texts[s:e], refs[s:e], offs[s:e], merge_strategy
                 )
-                out["doc_id"].extend([did] * len(els))
-                for c in ELEMENT_COLUMNS:
-                    col = out[c]
-                    for el in els:
-                        col.append(el[c])
-            schema = _arrow_flat_schema()
+                id_col.extend([did] * len(els))
+                for c, col in el_cols:
+                    col.extend([el[c] for el in els])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out[c], type=schema.field(j).type)
-                    for j, c in enumerate(("doc_id", *ELEMENT_COLUMNS))
+                    for j, c in enumerate(all_cols)
                 ],
                 schema=schema,
             )
