@@ -114,6 +114,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # single-executor local mode has no locality tiers to wait for —
+        # the default 3s spark.locality.wait only delays task launch
+        # (measured ~40ms/job on the extraction headline). On a real
+        # cluster the default stays: HDFS/shuffle locality matters there.
+        builder = builder.config("spark.locality.wait", "0")
     spark = builder.getOrCreate()
     ensure_pyfiles(spark)
     return spark
