@@ -212,3 +212,67 @@ def ocr_extract_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flat = extract_elements(ocr_docs)
     return flat.select("doc_id", "kind", "text")
+
+
+def code_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-element metadata (tree-sitter stand-in; codemeta.py).
+
+    Runs the REAL pipeline (span corpus → extraction → code elements)
+    and projects the code_metadata contract of
+    markdown_extractor.py:627-636: language, length, function name +
+    parameter names. Oracle-backed (unlike the other extraction
+    entries): code spans are synthesized from pure integer arithmetic
+    on doc_id, so DuckDB can regenerate the code text with
+    generate_series and re-derive the metadata with regexps —
+    an independent cross-engine check of the extraction kernel's
+    code path end to end.
+
+    Scale shape: the projection rides the map-only extraction plan —
+    no extra shuffle, no UDF beyond the existing Arrow kernel.
+    """
+    corpus = spans_corpus_from_documents(spark, sf_dir)
+    flat = extract_elements(corpus, mega_span_threshold=2000)
+    code = flat.filter(F.col("kind") == "code")
+    first_fn = F.element_at("code_functions", 1)
+    return code.select(
+        "doc_id",
+        F.col("code_language").alias("language"),
+        F.length("text").cast("int").alias("code_len"),
+        F.size("code_functions").cast("int").alias("n_functions"),
+        first_fn["name"].alias("fn_name"),
+        F.array_join(first_fn["params"], ",").alias("params_csv"),
+    )
+
+
+# DuckDB twin: re-synthesize the deterministic code spans (corpus.py
+# make_doc_spans — variant (i+s)%5==3 emits
+# "def handler_{s}(x):\n    return x * {s+1}\n"; extraction strips the
+# trailing newline) and re-derive every metadata field with regexps,
+# independently of the Python kernel.
+CODE_METADATA_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+secs AS (
+  SELECT i, u.s
+  FROM ids,
+       unnest(generate_series(
+         0,
+         (3 + i % 3) * (CASE WHEN i % 50 = 49 THEN 20 ELSE 1 END) - 1
+       )) AS u(s)
+),
+code AS (
+  SELECT printf('doc-%07d', i) AS doc_id,
+         'def handler_' || s || '(x):' || chr(10)
+           || '    return x * ' || (s + 1) AS code_text
+  FROM secs WHERE (i + s) % 5 = 3
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(code_text, 'def [A-Za-z_]\\w*\\s*\\(')
+            THEN 'python' ELSE 'text' END AS language,
+       CAST(length(code_text) AS INT) AS code_len,
+       CAST(len(regexp_extract_all(code_text, 'def ([A-Za-z_]\\w*)\\s*\\(', 1))
+            AS INT) AS n_functions,
+       regexp_extract(code_text, 'def ([A-Za-z_]\\w*)\\s*\\(', 1) AS fn_name,
+       trim(regexp_extract(code_text, 'def [A-Za-z_]\\w*\\s*\\(([^)]*)\\)', 1))
+         AS params_csv
+FROM code
+"""

@@ -542,6 +542,11 @@ QUERIES: Dict[str, QuerySpec] = {
         validation.snapshot_diff, validation.SNAPSHOT_DIFF_SQL,
         "reference arangodb/validation/validation_utils.py:65-129",
     ),
+    "code_metadata_extract": QuerySpec(
+        extraction_queries.code_metadata_extract,
+        extraction_queries.CODE_METADATA_SQL,
+        "R4-1 code_metadata (markdown_extractor.py:627-636)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

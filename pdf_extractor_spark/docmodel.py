@@ -37,6 +37,7 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List, Optional
 
+from .codemeta import extract_code_metadata
 from .textproc import clean_title, html_to_text, md5_hex, ocr_normalize, token_count
 
 Span = Dict[str, Any]
@@ -221,6 +222,7 @@ def _make_element(
     level: int,
     section_path: List[str],
     table: Optional[Dict[str, Any]] = None,
+    code: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     # section_path is stored by reference, not copied: the state machine
     # never mutates the current path list in place (the heading branch
@@ -240,6 +242,13 @@ def _make_element(
         "table_rows": (table or {}).get("rows"),
         "is_multi_page": False,
         "page_range": None,
+        # code_metadata contract (markdown_extractor.py:627-636; the
+        # {language, length, functions} shape is pinned by the
+        # reference's own fixture, context7 markdown_extractor.py:719).
+        # length = len(text) by construction, so only language and the
+        # function structs need columns.
+        "code_language": (code or {}).get("language"),
+        "code_functions": (code or {}).get("functions"),
     }
 
 
@@ -411,7 +420,15 @@ def extract_document_cols(
             content = text.strip()  # token.content.strip(), :526
             if content:
                 elements.append(
-                    _make_element("code", content, "", current_page, 0, section_path)
+                    _make_element(
+                        "code",
+                        content,
+                        "",
+                        current_page,
+                        0,
+                        section_path,
+                        code=extract_code_metadata(content),
+                    )
                 )
             continue
 

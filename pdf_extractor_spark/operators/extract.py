@@ -113,6 +113,18 @@ def _arrow_flat_schema():
             pa.field("table_rows", pa.list_(pa.list_(pa.string()))),
             pa.field("is_multi_page", pa.bool_()),
             pa.field("page_range", pa.string()),
+            pa.field("code_language", pa.string()),
+            pa.field(
+                "code_functions",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field("name", pa.string()),
+                            pa.field("params", pa.list_(pa.string())),
+                        ]
+                    )
+                ),
+            ),
         ]
     )
 

@@ -52,6 +52,21 @@ OUT_SPAN_STRUCT = StructType(
         StructField("table_rows", ArrayType(ArrayType(StringType()))),
         StructField("is_multi_page", BooleanType()),
         StructField("page_range", StringType()),
+        # code_metadata (tree-sitter stand-in): language + function
+        # signatures for code elements, null otherwise
+        # (markdown_extractor.py:627-636; codemeta.py)
+        StructField("code_language", StringType()),
+        StructField(
+            "code_functions",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", StringType()),
+                        StructField("params", ArrayType(StringType())),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 

@@ -41,8 +41,8 @@ def test_traverse_inbound_and_any(spark):
 def test_corrections_override_and_refingerprint(spark):
     elements = spark.createDataFrame(
         [
-            ("d1", "text", "orig one", "", 0, 1, 0, 2, [], "sid0", None, None, False, None),
-            ("d1", "text", "orig two", "", 1, 1, 0, 2, [], "sid1", None, None, False, None),
+            ("d1", "text", "orig one", "", 0, 1, 0, 2, [], "sid0", None, None, False, None, None, None),
+            ("d1", "text", "orig two", "", 1, 1, 0, 2, [], "sid1", None, None, False, None, None, None),
         ],
         schema=FLAT_SCHEMA,
     )
@@ -71,7 +71,7 @@ def test_corrections_recompute_tokens_and_null_table_fields(spark):
     elements = spark.createDataFrame(
         [
             ("d1", "table", "| A |", "", 0, 1, 0, 3, [], "s",
-             ["A"], [["1"]], False, None),
+             ["A"], [["1"]], False, None, None, None),
         ],
         schema=FLAT_SCHEMA,
     )

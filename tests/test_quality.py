@@ -9,7 +9,7 @@ from pdf_extractor_spark.schema import FLAT_SCHEMA
 def _el(doc, offset, headers, rows):
     return (
         doc, "table", "t", "", offset, 1, 0, 1, [], "sid",
-        headers, rows, False, None,
+        headers, rows, False, None, None, None,
     )
 
 

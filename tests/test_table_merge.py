@@ -115,8 +115,8 @@ def test_native_merge_plan_single_shuffle(spark):
 
     elements = spark.createDataFrame(
         [
-            ("d1", "table", "t", "", 0, 1, 0, 1, [], "s", ["H"], [["r"]], False, None),
-            ("d1", "table", "t", "", 1, 2, 0, 1, [], "s", ["H"], [["r"]], False, None),
+            ("d1", "table", "t", "", 0, 1, 0, 1, [], "s", ["H"], [["r"]], False, None, None, None),
+            ("d1", "table", "t", "", 1, 2, 0, 1, [], "s", ["H"], [["r"]], False, None, None, None),
         ],
         schema=FLAT_SCHEMA,
     )
