@@ -7,6 +7,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    corpus_build,
     curation,
     dedup,
     graphalgo,
@@ -546,6 +547,11 @@ QUERIES: Dict[str, QuerySpec] = {
         extraction_queries.code_metadata_extract,
         extraction_queries.CODE_METADATA_SQL,
         "R4-1 code_metadata (markdown_extractor.py:627-636)",
+    ),
+    "corpus_build_pipeline": QuerySpec(
+        corpus_build.corpus_build_pipeline,
+        corpus_build.CORPUS_BUILD_SQL,
+        "R4-3 end-to-end corpus-build composition",
     ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"

@@ -185,3 +185,22 @@ def test_aqe_produces_final_adaptive_plans(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan" in plan
     assert "isFinalPlan=true" in plan
+
+
+def test_corpus_build_composition_plan(spark):
+    """R4-3: the end-to-end corpus-build chain must introduce no new
+    shuffle shapes beyond its components' own — specifically no
+    CartesianProduct at any stage seam, NestedLoop only as the
+    whitelisted 1-row-broadcast idiom (the mix-rate min), the
+    benchmark gram set broadcast (never the corpus side), and no
+    single-partition exchange (the manifest agg is hash-partitioned
+    on its group keys)."""
+    plan = _plan(spark, "corpus_build_pipeline")
+    assert "CartesianProduct" not in plan
+    assert plan.count("NestedLoop") == plan.count("BroadcastNestedLoopJoin")
+    assert "BroadcastExchange" in plan            # bench grams + rates
+    assert "LeftAnti" in plan and "LeftSemi" in plan  # decon seams
+    # exactly ONE single-partition exchange: the |TARGET_MIX|-row → 1-row
+    # mix-rate min (bounded input, same shape as language_mix_sample);
+    # the manifest aggregate itself must stay hash-partitioned.
+    assert plan.count("Exchange SinglePartition") == 1
