@@ -553,6 +553,14 @@ QUERIES: Dict[str, QuerySpec] = {
         corpus_build.CORPUS_BUILD_SQL,
         "R4-3 end-to-end corpus-build composition",
     ),
+    "embedding_text_assembly": QuerySpec(
+        search_api.embedding_text_assembly, search_api.EMBED_TEXT_SQL,
+        "R4-4 get_text_for_embedding (embedding_utils.py:220-238)",
+    ),
+    "vector_debug_display": QuerySpec(
+        validation.vector_debug_display, validation.VECTOR_DISPLAY_SQL,
+        "R4-6 vector display helpers (vector_utils.py:10-76)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -496,3 +496,77 @@ SELECT doc_id,
        END AS embed_text
 FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# Graded query: embedding_text_assembly
+# (reference llm_integration/utils/embedding_utils.py:220-238
+#  get_text_for_embedding — the OTHER field-priority embedding-text
+#  assembler, distinct from lessons_crud's: fields [problem, solution,
+#  context] in order, ``"\n".join(filter(None, parts)).strip()``.
+#  Quirk differences vs lesson_add_validate, carried exactly:
+#    * absent fields default to '' (dict.get(f, "")) and filter(None)
+#      DROPS empty strings — absent and present-but-empty collapse
+#      (no double-space quirk here);
+#    * a present-but-None field is None after .get → also dropped by
+#      filter(None) — it never renders as the string 'None';
+#    * join separator is a NEWLINE and the result is .strip()ped — a
+#      whitespace-only surviving part can leave a leading separator
+#      that strip() then removes.
+#
+# Lesson fixture (deterministic per doc_id, same family as
+# lesson_add_validate): problem '' for doc_id%7==0 (dropped), problem
+# whitespace-only ' ' for doc_id%13==6 (survives filter, then strip()
+# eats it at the boundary), solution absent for doc_id%11==3, context
+# None for doc_id%5==2 and absent for doc_id%3==0. Map-only.
+# ---------------------------------------------------------------------------
+
+
+def embedding_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    problem = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 13 == 6, F.lit(" "))
+        .otherwise(F.concat(F.lit("P: "), F.substring("text", 1, 30)))
+    )
+    solution = F.when(
+        F.col("doc_id") % 11 == 3, F.lit(None).cast("string")
+    ).otherwise(F.concat(F.lit("S: "), F.substring("text", 31, 30)))
+    context = F.when(
+        (F.col("doc_id") % 5 == 2) | (F.col("doc_id") % 3 == 0),
+        F.lit(None).cast("string"),
+    ).otherwise(F.concat(F.lit("C: "), F.col("doc_id").cast("string")))
+    # filter(None): drop nulls AND empty strings, keep order
+    parts = F.filter(
+        F.array(problem, solution, context),
+        lambda x: x.isNotNull() & (x != F.lit("")),
+    )
+    joined = F.array_join(parts, "\n")
+    # Python str.strip() — whitespace classes incl. the join newline
+    embed_text = F.regexp_replace(joined, r"^\s+|\s+$", "")
+    return docs.select("doc_id", embed_text.alias("embed_text")).orderBy("doc_id")
+
+
+EMBED_TEXT_SQL = r"""
+WITH fx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN ''
+              WHEN doc_id % 13 = 6 THEN ' '
+              ELSE 'P: ' || substr(text, 1, 30) END AS problem,
+         CASE WHEN doc_id % 11 = 3 THEN NULL
+              ELSE 'S: ' || substr(text, 31, 30) END AS solution,
+         CASE WHEN doc_id % 5 = 2 OR doc_id % 3 = 0 THEN NULL
+              ELSE 'C: ' || doc_id END AS context
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+         coalesce(array_to_string(
+           list_filter([problem, solution, context],
+                       x -> x IS NOT NULL AND x <> ''),
+           chr(10)), ''),
+         '^\s+|\s+$', '', 'g') AS embed_text
+FROM fx
+ORDER BY doc_id
+"""

@@ -1552,3 +1552,117 @@ SELECT doc_id, status,
 FROM j
 WHERE status <> 'same'
 """
+
+
+# ---------------------------------------------------------------------------
+# Graded query: vector_debug_display
+# (reference llm_integration/utils/vector_utils.py:10-40
+#  truncate_vector_for_display + :43-76 format_embedding_for_debug —
+#  the debug renderers next to log_safe_preview in the logging family.)
+#
+# truncate_vector_for_display: first max_items=3 values at 4 decimals,
+# then ", ... +{remaining} more" when longer; None → 'None'; [] → '[]'.
+# format_embedding_for_debug: str(dict) of the non-vector fields in
+# input order with the vector REPLACED by its truncated string (moved
+# to the end — the reference builds a fresh dict and re-appends it),
+# so the debug value is "{'vec_id': N, 'label': L, 'embedding': '…'}"
+# with the embedding single-quoted (it is a str inside the dict).
+#
+# Disclosed divergence: the reference formats with Python f"{x:.4f}";
+# cross-engine, Java's %.4f (HALF_UP) and C's (half-even) disagree on
+# exact ties, so both engines floor-round to 4 decimals FIRST (the
+# repo-wide floor_round convention) and then render — never within an
+# ulp of a formatting tie, value drift ≤ 1 in the 4th decimal.
+#
+# Branch fixture: vec_id%17==5 → NULL vector ('None'), %19==7 → empty
+# ('[]'), %23==9 → 2-element slice (no '+N more' suffix), else the
+# full dim-64 vector. Map-only, zero UDFs.
+# ---------------------------------------------------------------------------
+
+VEC_MAX_ITEMS = 3  # truncate_vector_for_display max_items default
+VEC_PRECISION = 4  # precision default
+
+
+def vector_debug_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    vec = (
+        F.when(F.col("vec_id") % 17 == 5, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 19 == 7, F.array().cast("array<float>"))
+        .when(F.col("vec_id") % 23 == 9, F.slice("embedding", 1, 2))
+        .otherwise(F.col("embedding"))
+    )
+    staged = emb.select("vec_id", "label", vec.alias("vec"))
+    head = F.transform(
+        F.slice("vec", 1, VEC_MAX_ITEMS),
+        lambda x: F.format_string(
+            f"%.{VEC_PRECISION}f", floor_round(x.cast("double"), VEC_PRECISION)
+        ),
+    )
+    remaining = F.size("vec") - VEC_MAX_ITEMS
+    display = (
+        F.when(F.col("vec").isNull(), F.lit("None"))
+        .when(F.size("vec") == 0, F.lit("[]"))
+        .when(
+            remaining > 0,
+            F.concat(
+                F.lit("["),
+                F.array_join(head, ", "),
+                F.lit(", ... +"),
+                remaining.cast("string"),
+                F.lit(" more]"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("["), F.array_join(head, ", "), F.lit("]")))
+    )
+    out = staged.select("vec_id", "label", display.alias("vec_display"))
+    debug = F.concat(
+        F.lit("{'vec_id': "),
+        F.col("vec_id").cast("string"),
+        F.lit(", 'label': "),
+        F.col("label").cast("string"),
+        F.lit(", 'embedding': '"),
+        F.col("vec_display"),
+        F.lit("'}"),
+    )
+    return out.select(
+        "vec_id", "vec_display", debug.alias("debug_str")
+    ).orderBy("vec_id")
+
+
+VECTOR_DISPLAY_SQL = f"""
+WITH staged AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 17 = 5 THEN NULL
+              WHEN vec_id % 19 = 7 THEN CAST([] AS FLOAT[])
+              WHEN vec_id % 23 = 9 THEN embedding[1:2]
+              ELSE embedding END AS vec
+  FROM embeddings
+), d AS (
+  SELECT vec_id, label,
+         CASE WHEN vec IS NULL THEN 'None'
+              WHEN len(vec) = 0 THEN '[]'
+              WHEN len(vec) > {VEC_MAX_ITEMS} THEN
+                '[' || array_to_string(
+                        list_transform(vec[1:{VEC_MAX_ITEMS}],
+                          x -> printf('%.{VEC_PRECISION}f',
+                                      floor(CAST(x AS DOUBLE) * 10000 + 1e-6)
+                                      / 10000)),
+                        ', ')
+                    || ', ... +' || (len(vec) - {VEC_MAX_ITEMS}) || ' more]'
+              ELSE
+                '[' || array_to_string(
+                        list_transform(vec[1:{VEC_MAX_ITEMS}],
+                          x -> printf('%.{VEC_PRECISION}f',
+                                      floor(CAST(x AS DOUBLE) * 10000 + 1e-6)
+                                      / 10000)),
+                        ', ')
+                    || ']'
+         END AS vec_display
+  FROM staged
+)
+SELECT vec_id, vec_display,
+       '{{''vec_id'': ' || vec_id || ', ''label'': ' || label
+         || ', ''embedding'': ''' || vec_display || '''}}' AS debug_str
+FROM d
+ORDER BY vec_id
+"""
