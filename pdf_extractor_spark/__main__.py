@@ -97,6 +97,157 @@ def _cmd_quality_gate(args) -> int:
     return 0
 
 
+def _cmd_graph(args) -> int:
+    """Relationship CRUD + agent-decision verbs over the keyed edge
+    store — the reference's ``graph`` typer sub-app
+    (cli_extensions.py:30-242 add/list/delete/evaluate-need/suggest/
+    query), spark-submit shape. One deliberate divergence: ``delete``
+    addresses the edge by (from, to) pair — the store's natural key —
+    instead of an opaque edge ``_key`` (ours is derived from the pair,
+    operators/relationships.py _edge_key)."""
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+
+    spark = get_spark("pdf_extractor_spark.graph", master=args.master)
+
+    if args.graph_cmd == "add":
+        from .operators.relationships import add_relationships
+
+        edges = spark.createDataFrame(
+            [(args.from_key, args.to_key, args.type, args.rationale,
+              args.confidence)],
+            "from_id string, to_id string, rel_type string, "
+            "rationale string, confidence_score int",
+        )
+        try:
+            add_relationships(spark, args.store, edges, strategic=args.strategic)
+        except ValueError as e:
+            print(f"Error: {e}")
+            return 1
+        print("Relationship created successfully")
+        return 0
+
+    if args.graph_cmd == "list":
+        import json as _json
+
+        from .operators.relationships import get_relationships, relationships_of
+
+        try:
+            full = get_relationships(spark, args.store)
+        except FileNotFoundError:
+            # store exists but every bucket is empty (all edges deleted)
+            # or was never initialized — same render as "no edges"
+            print(f"Relationships for document {args.doc_key} (0 found):")
+            print("  No relationships found")
+            return 0
+        edges = full.select(
+            F.col("from_id").alias("_from"),
+            F.col("to_id").alias("_to"),
+            F.col("rel_type").alias("type"),
+            "rationale",
+            "confidence_score",
+        )
+        rels = relationships_of(
+            edges, args.doc_key, direction=args.direction
+        ).orderBy("_from", "_to").collect()
+        if args.format == "json":
+            print(_json.dumps([r.asDict() for r in rels], indent=2))
+            return 0
+        # cli_extensions.py:130-142 table rendering
+        print(f"Relationships for document {args.doc_key} ({len(rels)} found):")
+        if not rels:
+            print("  No relationships found")
+            return 0
+        for i, rel in enumerate(rels, 1):
+            print(
+                f"  {i}. {rel['_from']} --[{rel['type']} "
+                f"({rel['confidence_score']})]-> {rel['_to']}"
+            )
+            print(f"     Rationale: {(rel['rationale'] or '')[:50]}...")
+        return 0
+
+    if args.graph_cmd == "delete":
+        from .operators.relationships import delete_relationships
+
+        pairs = spark.createDataFrame(
+            [(args.from_key, args.to_key)], "from_id string, to_id string"
+        )
+        delete_relationships(spark, args.store, pairs)
+        print(
+            f"Relationship {args.from_key}->{args.to_key} deleted successfully"
+        )
+        return 0
+
+    if args.graph_cmd == "evaluate-need":
+        from .analytics.solve import relationship_need_score
+
+        row = relationship_need_score(spark, args.sf_dir).first()
+        # cli_extensions.py:180-183 rendering (our score is 0..1)
+        print(f"Relationship need score: {row['need_score']}")
+        print(f"Search results count: {row['n_results']}")
+        return 0
+
+    if args.graph_cmd == "suggest":
+        from .analytics.solve import relationship_candidates
+
+        rows = relationship_candidates(spark, args.sf_dir).collect()
+        print(f"Found {len(rows)} potential relationships:")
+        for i, s in enumerate(rows[: args.limit], 1):
+            print(
+                f"  {i}. {s['from_doc_id']} --[{s['suggested_type']} "
+                f"({s['score']:.2f})]-> {s['to_doc_id']}"
+            )
+        return 0
+
+    if args.graph_cmd == "query":
+        from .analytics.solve import solve_query_escalation
+
+        rows = solve_query_escalation(
+            spark, args.sf_dir, use_relationships=not args.no_relationships
+        ).collect()
+        print(f"Query results (count: {len(rows)}):")
+        for i, r in enumerate(rows, 1):
+            d = r.asDict()
+            if d.get("strategy") == "graph_traversal":
+                print(
+                    f"  {i}. {d['doc_id']} (via {d.get('rel_type')} "
+                    f"from {d.get('seed_doc_id')})"
+                )
+            else:
+                print(f"  {i}. {d['doc_id']} ({d.get('strategy')})")
+        return 0
+
+    raise AssertionError(f"unknown graph cmd {args.graph_cmd}")
+
+
+def _cmd_messages(args) -> int:
+    """Message-history maintenance — the reference's
+    ``message-history delete-conversation`` (cli_extensions.py:300-340
+    → crud.py:474-515 delete_conversation: remove every message of one
+    conversation). Here the conversation lives in a keyed store and
+    the bulk removal is ONE predicate-driven DELETE WHERE commit
+    instead of the reference's per-key loop; deleting a conversation
+    with no messages succeeds (reference returns True on empty)."""
+    from pyspark.sql import functions as F
+
+    from .lineage import delete_where, read_output
+    from .session import get_spark
+
+    spark = get_spark("pdf_extractor_spark.messages", master=args.master)
+    if args.messages_cmd == "delete-conversation":
+        cond = F.col("conversation_id") == args.conversation_id
+        n_before = read_output(spark, args.store).filter(cond).count()
+        if n_before:
+            delete_where(spark, args.store, cond)
+        print(
+            f"Conversation {args.conversation_id} deleted "
+            f"({n_before} messages)"
+        )
+        return 0
+    raise AssertionError(f"unknown messages cmd {args.messages_cmd}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pdf_extractor_spark")
     p.add_argument("--master", default=None, help="spark master override")
@@ -133,6 +284,58 @@ def build_parser() -> argparse.ArgumentParser:
         help="SF dir whose benchmark slice builds the decon bitset",
     )
     g.set_defaults(fn=_cmd_quality_gate)
+
+    gr = sub.add_parser("graph", help="relationship CRUD + agent decisions")
+    gsub = gr.add_subparsers(dest="graph_cmd", required=True)
+
+    ga = gsub.add_parser("add", help="add a relationship edge")
+    ga.add_argument("from_key")
+    ga.add_argument("to_key")
+    ga.add_argument("--store", required=True, help="edge store dir")
+    ga.add_argument("--type", "-t", default="SIMILAR")
+    ga.add_argument("--rationale", "-r", default="")
+    ga.add_argument("--confidence", "-c", type=int, default=3)
+    ga.add_argument("--strategic", action="store_true",
+                    help="apply the agent path's stricter rationale bar")
+    ga.set_defaults(fn=_cmd_graph)
+
+    gl = gsub.add_parser("list", help="list relationships for a document")
+    gl.add_argument("doc_key")
+    gl.add_argument("--store", required=True)
+    gl.add_argument("--direction", "-d", default="ANY",
+                    help="INBOUND, OUTBOUND, ANY")
+    gl.add_argument("--format", "-f", default="table",
+                    help="table or json")
+    gl.set_defaults(fn=_cmd_graph)
+
+    gd = gsub.add_parser("delete", help="delete a relationship edge")
+    gd.add_argument("from_key")
+    gd.add_argument("to_key")
+    gd.add_argument("--store", required=True)
+    gd.set_defaults(fn=_cmd_graph)
+
+    ge = gsub.add_parser("evaluate-need",
+                         help="relationship-need score for the solve query")
+    ge.add_argument("--sf-dir", required=True)
+    ge.set_defaults(fn=_cmd_graph)
+
+    gs = gsub.add_parser("suggest", help="suggest potential relationships")
+    gs.add_argument("--sf-dir", required=True)
+    gs.add_argument("--limit", "-n", type=int, default=5)
+    gs.set_defaults(fn=_cmd_graph)
+
+    gq = gsub.add_parser("query", help="relationship-aware escalation query")
+    gq.add_argument("--sf-dir", required=True)
+    gq.add_argument("--no-relationships", action="store_true")
+    gq.set_defaults(fn=_cmd_graph)
+
+    ms = sub.add_parser("messages", help="message-history maintenance")
+    msub = ms.add_subparsers(dest="messages_cmd", required=True)
+    md = msub.add_parser("delete-conversation",
+                         help="remove every message of one conversation")
+    md.add_argument("conversation_id")
+    md.add_argument("--store", required=True, help="message store dir")
+    md.set_defaults(fn=_cmd_messages)
     return p
 
 
