@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -305,3 +305,151 @@ def write_label_studio_tasks(
     tasks.select(
         F.to_json(F.struct("data", "meta")).alias("value")
     ).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# load_corpus_from_source dispatch
+# (reference llm_integration/utils/corpus_utils.py:67-215 — per-task
+#  corpus routing over string / file / directory sources with
+#  validation_options; the last uncovered loader surface, SURVEY §2 /
+#  VERDICT r3 missing #5. Every individual format loader it routes to
+#  already exists (S3-S6): this is the dispatch contract itself.)
+# ---------------------------------------------------------------------------
+
+CORPUS_JOIN_SEP = "\n\n---\n\n"  # corpus_utils.py:214 file separator
+
+
+def _load_corpus_file(path) -> Optional[str]:
+    """One file → text, by suffix (corpus_utils.py:117-166):
+    .pdf via the byte-stream parser (page texts joined with '\\n',
+    the reference's get_text concatenation), .json re-stringified
+    with indent=2, .html/.htm through the boilerplate stripper (the
+    documented html2text+bleach stand-in), .txt/.md/no-suffix as
+    utf-8 text, anything else utf-8-then-latin-1 (decode_with_fallback
+    is exactly that ladder). Missing/unreadable → None (skip)."""
+    import json as _json
+    from pathlib import Path
+
+    from .textproc import html_to_text
+
+    p = Path(path)
+    if not p.is_file():
+        return None
+    suffix = p.suffix.lower()
+    try:
+        if suffix == ".pdf":
+            pages = parse_pdf_bytes(p.read_bytes())
+            return "".join(t + "\n" for t in pages)
+        if suffix == ".json":
+            return _json.dumps(_json.loads(p.read_text("utf-8")), indent=2)
+        if suffix in (".html", ".htm"):
+            return html_to_text(p.read_text("utf-8"))
+        if suffix in (".txt", ".md", ""):
+            return p.read_text("utf-8")
+        return decode_with_fallback(p.read_bytes())
+    except Exception:
+        return None  # corpus_utils.py:167-168: log-and-skip
+
+
+def _corpus_file_list(validation_options: dict) -> Optional[list]:
+    """Resolve validation_options to the ordered unit list:
+    [("string", text)] or [("file", path), ...]. None → nothing."""
+    from pathlib import Path
+
+    source = validation_options.get("corpus_source")
+    if not source:
+        return None
+    # default-type inference (corpus_utils.py:92-94): a string that is
+    # not an existing path is a direct string corpus
+    default_type = (
+        "string"
+        if isinstance(source, str)
+        and not Path(source).exists()
+        and not Path(source).is_dir()
+        else "file"
+    )
+    corpus_type = validation_options.get("corpus_type", default_type)
+    if corpus_type == "string":
+        return [("string", source)] if isinstance(source, str) else None
+    if corpus_type == "file":
+        return [("file", source)] if isinstance(source, str) else None
+    if corpus_type == "directory":
+        if not isinstance(source, str) or not Path(source).is_dir():
+            return None
+        recursive = validation_options.get("recursive", False)
+        patterns = validation_options.get("file_patterns", ["*"])
+        if not isinstance(patterns, list):
+            patterns = ["*"]
+        d = Path(source)
+        units = []
+        for pattern in patterns:
+            glob_method = d.rglob if recursive else d.glob
+            for fp in sorted(glob_method(pattern)):
+                if fp.is_file():
+                    units.append(("file", str(fp)))
+        return units
+    return None  # unknown corpus_type (corpus_utils.py:209-210)
+
+
+def load_corpus_from_source(
+    validation_options: dict, task_id: str = ""
+) -> Optional[str]:
+    """The reference contract verbatim: one combined corpus string
+    (units joined with ``\\n\\n---\\n\\n``), None when nothing loads.
+    Driver-side by design — validation corpora are small; the
+    distributed twin for real corpora is
+    :func:`corpus_docs_from_source`."""
+    units = _corpus_file_list(validation_options)
+    if not units:
+        return None
+    texts = []
+    for kind, val in units:
+        text = val if kind == "string" else _load_corpus_file(val)
+        if text:
+            texts.append(text)
+    return CORPUS_JOIN_SEP.join(texts) if texts else None
+
+
+def corpus_docs_from_source(
+    spark: SparkSession, validation_options: dict, task_id: str = ""
+) -> Optional[DataFrame]:
+    """Distributed twin of :func:`load_corpus_from_source`: the same
+    routing, but each loaded unit becomes a (doc_id, text) row and the
+    per-file decode runs on executors (mapInPandas over the file
+    list), so a directory corpus scales with the cluster instead of
+    the driver. doc_id is the file path ('corpus:<task_id>' for a
+    direct string)."""
+    import pandas as pd
+
+    units = _corpus_file_list(validation_options)
+    if not units:
+        return None
+    strings = [(f"corpus:{task_id}", v) for k, v in units if k == "string"]
+    files = [v for k, v in units if k == "file"]
+    parts = []
+    if strings:
+        parts.append(
+            spark.createDataFrame(strings, "doc_id string, text string")
+        )
+    if files:
+        def gen(batches):
+            for pdf in batches:
+                rows = [
+                    (p, _load_corpus_file(p)) for p in pdf["path"].tolist()
+                ]
+                kept = [(p, t) for p, t in rows if t]
+                yield pd.DataFrame(
+                    {"doc_id": [p for p, _ in kept],
+                     "text": [t for _, t in kept]}
+                )
+
+        fdf = spark.createDataFrame(
+            [(f,) for f in files], "path string"
+        ).repartition(min(len(files), 32))
+        parts.append(
+            fdf.mapInPandas(gen, schema="doc_id string, text string")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
