@@ -20,9 +20,12 @@ Scale shape (the 100 TB story):
   whose keys are uniformly distributed md5s → no skew.
 * SimHash — signature histogram; a single groupBy on a 16-bit key.
 * connected components — iterated min-label propagation over collision
-  pairs (bounded small-step joins + anti-join convergence check), so a
+  edges (bounded small-step joins + anti-join convergence check), so a
   chain a~b~c collapses to ONE survivor even though a and c never
-  collide directly.
+  collide directly. Edges are per-bucket SPANNING STARS (member →
+  bucket minimum), not all pairs: identical components at O(width)
+  instead of O(width²) per bucket (r4; the 48× scale stress OOM'd the
+  all-pairs form).
 
 All hashing is md5 (identical in Spark and DuckDB) so every operator
 here has an exact SQL oracle (connected components via DuckDB's
@@ -345,30 +348,39 @@ def _survivors_from_pool(pool: DataFrame) -> DataFrame:
     each text's survivor candidate is its group minimum, and it
     survives iff no band-colliding text has a smaller group minimum.
 
-    The skew fix (r3): collapse byte-identical texts BEFORE the band
-    self-join. Identical docs share every band; joining them directly
-    makes one hot (band_id, band_hash) bucket quadratic — a corpus of
-    n identical docs costs n²/2 join rows that AQE can split but not
-    shrink. Collapsing first sends ONE representative per distinct
-    text into the join, so a million-copy spam document contributes a
-    single band row; group minima are recovered by hash-aggregation
-    (map-side combinable, no skew). Band-bucket width is bounded by
-    DISTINCT colliding texts, never by duplication factor.
+    The skew fix (r3): collapse byte-identical texts BEFORE any band
+    work. Identical docs share every band; a corpus of n identical
+    docs would otherwise cost n²/2 collision rows that AQE can split
+    but not shrink. Collapsing first sends ONE representative per
+    distinct text into the band table, so a million-copy spam document
+    contributes a single band row; group minima are recovered by
+    hash-aggregation (map-side combinable, no skew).
+
+    The quadratic fix (r4, surfaced by the 48× scale stress OOMing in
+    this stage): the smaller-id collider check needs no pair self-join
+    at all. Within one (band_id, band_hash) bucket, the minimum
+    smaller-id collider of every member IS the bucket minimum — so
+    ``nb_min(d) = min over d's buckets of (bucket_min WHERE
+    bucket_min < d)``, exactly the self-join's answer, computed as one
+    hash-aggregate per bucket plus a fan-out-1 join back to the band
+    rows. Cost is linear in band rows where the self-join was
+    quadratic in bucket width (a 10k-wide bucket: 10k rows vs 50M
+    pairs). The pair-emitting ops (`minhash_lsh_pairs`,
+    `ngram_jaccard_pairs`, containment, threshold curve) keep the
+    bucket join because the pair list IS their output contract.
     """
     groups = pool.groupBy("text").agg(F.min("doc_id").alias("rep"))
     bands = _with_bands(
         groups.select(F.col("rep").alias("doc_id"), "text")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    bmin = bands.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("bucket_min")
+    )
     nb_min = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("rep"))
-        .agg(F.min(F.col("b.doc_id")).alias("nb_min"))
+        bands.join(bmin, ["band_id", "band_hash"])
+        .filter(F.col("bucket_min") < F.col("doc_id"))
+        .groupBy(F.col("doc_id").alias("rep"))
+        .agg(F.min("bucket_min").alias("nb_min"))
     )
     return (
         groups.join(nb_min, "rep", "left")
@@ -453,6 +465,32 @@ SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp ORDER BY doc_id
 CC_MAX_ITERS = 20
 
 
+def _band_star_edges(bands: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) → (a_id, b_id) star edges, a_id < b_id.
+
+    A band bucket is a clique in the collision graph; for CONNECTED
+    COMPONENTS a spanning star — every member linked to the bucket
+    minimum — yields the identical components with O(width) edges
+    instead of the all-pairs join's O(width²/2). The r4 scale stress
+    (48× bench, ~240k docs) OOM'd the all-pairs form at the edge
+    materialization (one wide bucket → tens of millions of pairs in a
+    single task); the star form is linear in band rows, its join back
+    to the bucket minima is fan-out-1, and no task ever owns more than
+    a bucket's width. Use this for CC/survivor reachability; the
+    pair-EMITTING queries keep the bucket self-join because the pair
+    list is their output contract.
+    """
+    bmin = bands.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("a_id")
+    )
+    return (
+        bands.join(bmin, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") > F.col("a_id"))
+        .select("a_id", F.col("doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
 def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     """(doc_id) nodes + (a_id, b_id) undirected pairs → (doc_id, survivor)
     where survivor = the component's minimum doc_id.
@@ -504,20 +542,12 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # star edges, not all pairs: identical components (a bucket is a
+    # clique; its spanning star reaches every member), linear cost —
+    # see _band_star_edges. The recursive-CTE oracle keeps the
+    # all-pairs edge set; components are the same fixpoint.
     pool = _docs_with_injected_dups(spark, sf_dir)
-    bands = _with_bands(pool)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
-    return connected_components(pool, pairs)
+    return connected_components(pool, _band_star_edges(_with_bands(pool)))
 
 
 # DuckDB's WITH RECURSIVE rejects a bare WITH as a sibling CTE *body*
@@ -662,15 +692,19 @@ def _statuses_from_reps(
         .distinct()
         .withColumn("store_hit", F.lit(True))
     )
-    a, b = rep_bands.alias("a"), rep_bands.alias("b")
+    # smaller-id-collider existence via bucket minima (the r4 star
+    # reduction — see _band_star_edges): a rep has a smaller batch
+    # collider iff any of its buckets has a smaller minimum. Linear in
+    # band rows; the old rep×rep self-join was quadratic in bucket
+    # width (degenerate micro-batches: one near-dup template fanned
+    # out across the batch collapses to distinct-but-colliding reps).
+    bmin = rep_bands.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("bucket_min")
+    )
     in_batch = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("rep"))
+        rep_bands.join(bmin, ["band_id", "band_hash"])
+        .filter(F.col("bucket_min") < F.col("doc_id"))
+        .select(F.col("doc_id").alias("rep"))
         .distinct()
         .withColumn("batch_hit", F.lit(True))
     )

@@ -91,6 +91,7 @@ def main() -> int:
     app_id = spark.sparkContext.applicationId
 
     from pdf_extractor_spark.analytics.dedup import (
+        _band_star_edges,
         _survivors_from_pool,
         _with_bands,
         band_store_init,
@@ -199,17 +200,10 @@ def main() -> int:
 
     # --- 5. connected components ----------------------------------------
     def run_cc():
-        a, b = bands.alias("a"), bands.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-            .distinct()
-        )
+        # the production edge generation: per-bucket spanning stars
+        # (identical components to the all-pairs clique at O(width) —
+        # the all-pairs form OOM'd this phase at 240k docs)
+        pairs = _band_star_edges(bands)
         labels = connected_components(groups.select(F.col("rep").alias("doc_id")), pairs)
         return labels.select("survivor").distinct().count()
 
