@@ -561,6 +561,22 @@ QUERIES: Dict[str, QuerySpec] = {
         validation.vector_debug_display, validation.VECTOR_DISPLAY_SQL,
         "R4-6 vector display helpers (vector_utils.py:10-76)",
     ),
+    "tpch_q6_forecast_revenue": QuerySpec(
+        relational.tpch_q6_forecast_revenue, relational.TPCH_Q6_SQL,
+        "R4-11 OLAP breadth: Q6 scan-filter-aggregate (pushdown-pinned)",
+    ),
+    "tpch_q10_returned_items": QuerySpec(
+        relational.tpch_q10_returned_items, relational.TPCH_Q10_SQL,
+        "R4-11 OLAP breadth: Q10 returned-item report",
+    ),
+    "lang_source_cube": QuerySpec(
+        relational.lang_source_cube, relational.LANG_SOURCE_CUBE_SQL,
+        "R4-11 OLAP breadth: CUBE grouping sets + grouping_id",
+    ),
+    "vocab_growth_curve": QuerySpec(
+        textstats.vocab_growth_curve, textstats.VOCAB_GROWTH_SQL,
+        "R4-12 training:vocab-growth (Heaps' law curve)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -1188,3 +1188,158 @@ FROM filled
 WHERE is_label = 1
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 analog — forecasting revenue change: the canonical
+# scan-filter-aggregate. Scale shape: every predicate is a native
+# comparison on scan columns, so ALL THREE reach the parquet reader as
+# PushedFilters (row-group pruning does the work at 100 TB); the
+# aggregate is a single partial+final sum — no join, no window, one
+# 1-row exchange. The plan audit pins the pushdown.
+# ---------------------------------------------------------------------------
+
+_Q6_YEAR_LO = "1996-01-01"
+_Q6_YEAR_HI = "1997-01-01"
+_Q6_DISC_LO = 0.03
+_Q6_DISC_HI = 0.05
+_Q6_QTY = 24
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(_Q6_YEAR_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q6_YEAR_HI).cast("timestamp"))
+            & (F.col("l_discount") >= _Q6_DISC_LO)
+            & (F.col("l_discount") <= _Q6_DISC_HI)
+            & (F.col("l_quantity") < _Q6_QTY)
+        )
+        .agg(
+            floor_round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+TPCH_Q6_SQL = f"""
+SELECT CAST(floor(sum(l_extendedprice * l_discount) * 100 + 1e-6) / 100
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_YEAR_LO}'
+  AND l_shipdate <  TIMESTAMP '{_Q6_YEAR_HI}'
+  AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+  AND l_quantity < {_Q6_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analog — returned-item reporting: which customers returned
+# goods in a quarter, by lost revenue. Scale shape: the returnflag +
+# order-date predicates push to their scans; lineitem⋈orders is the one
+# big hash shuffle (both sides pre-filtered); customer joins the
+# ALREADY-AGGREGATED per-customer revenue (small side), and nation is a
+# broadcast dim; top-20 plans as TakeOrderedAndProject — the full
+# result never materializes.
+# ---------------------------------------------------------------------------
+
+_Q10_QTR_LO = "1996-01-01"
+_Q10_QTR_HI = "1996-04-01"
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q10_QTR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_QTR_HI).cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            floor_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "revenue",
+            floor_round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = f"""
+SELECT c.c_custkey AS custkey, c.c_name AS name, r.revenue,
+       CAST(floor(c.c_acctbal * 100 + 1e-6) / 100 AS DOUBLE) AS acctbal,
+       n.n_name AS nation
+FROM (
+  SELECT o.o_custkey,
+         CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 1e-6)
+              / 100 AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{_Q10_QTR_LO}'
+    AND o.o_orderdate <  TIMESTAMP '{_Q10_QTR_HI}'
+  GROUP BY 1
+) r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets — all four (lang × source) aggregation levels in
+# one pass (ROLLUP's sibling: adds the source-only level). Spark plans
+# ONE Expand + ONE hash aggregate — four GROUP BYs for the price of a
+# 4× map-side fan-out, never four scans. grouping_id() disambiguates
+# genuine NULL keys from subtotal rows — the portable way to consume
+# CUBE output (both engines compute it identically as the bitmask of
+# rolled-up columns).
+# ---------------------------------------------------------------------------
+
+
+def lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source", "n_chars")
+        .cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("lang").asc_nulls_first(),
+            F.col("source").asc_nulls_first(),
+        )
+    )
+
+
+LANG_SOURCE_CUBE_SQL = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST
+"""

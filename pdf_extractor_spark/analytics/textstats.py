@@ -1608,3 +1608,94 @@ FROM cells c JOIN rt r ON r.actual = c.actual
              JOIN ct t ON t.predicted = c.predicted
 ORDER BY c.actual, c.predicted
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (training:vocab-growth, Heaps' law): distinct
+# vocabulary size as the corpus grows through the doc_id keyspace —
+# the measurement behind tokenizer-budget and dedup-saturation
+# decisions (sub-linear growth ⇒ healthy corpus; near-linear ⇒ noise
+# or boilerplate flooding the vocabulary).
+#
+# Deciles are arithmetic on the doc_id VALUE range (ids are the dense
+# ingestion sequence), not rank-based: floor(10·id/n) needs only the
+# corpus count — one scalar broadcast — where exact rank deciles would
+# need a global sort of every doc_id at 100 TB. Each token's first
+# appearance is min(doc_id) per token — explode + ONE hash aggregate
+# (map-side combinable, the explode never shuffles raw text). The
+# final cumulative sum runs over exactly 10 rows (a bounded
+# single-partition window, like the mix-rate min in corpus_build).
+# Tokens outside deciles 0..9 (ids beyond the dense range, e.g.
+# adversarial appends) drop identically in both engines via the
+# range(10) left join.
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    total = docs.agg(F.count("*").alias("n_total"))
+    decile = lambda c: F.floor(c * 10 / F.col("n_total")).cast("long")  # noqa: E731
+    first_seen = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fid"))
+    )
+    new_toks = (
+        first_seen.crossJoin(F.broadcast(total))
+        .groupBy(decile(F.col("fid")).alias("decile"))
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    docs_per = (
+        docs.crossJoin(F.broadcast(total))
+        .groupBy(decile(F.col("doc_id")).alias("decile"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spark.range(10).select(F.col("id").alias("decile"))
+        .join(new_toks, "decile", "left")
+        .join(docs_per, "decile", "left")
+        .na.fill(0, ["new_tokens", "n_docs"])
+        .select(
+            "decile",
+            F.sum("n_docs").over(w).cast("long").alias("docs_cumulative"),
+            F.col("new_tokens").cast("long").alias("new_tokens"),
+            F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+        )
+        .orderBy("decile")
+    )
+
+
+VOCAB_GROWTH_SQL = r"""
+WITH n AS (SELECT count(*) AS n_total FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+),
+first_seen AS (
+  SELECT tok, min(doc_id) AS fid FROM tok WHERE tok <> '' GROUP BY tok
+),
+newt AS (
+  SELECT CAST(floor(fid * 10 / n_total) AS BIGINT) AS decile,
+         count(*) AS new_tokens
+  FROM first_seen, n GROUP BY 1
+),
+dpc AS (
+  SELECT CAST(floor(doc_id * 10 / n_total) AS BIGINT) AS decile,
+         count(*) AS n_docs
+  FROM documents, n GROUP BY 1
+),
+d AS (SELECT unnest(generate_series(0, 9)) AS decile)
+SELECT d.decile,
+       CAST(sum(coalesce(dpc.n_docs, 0))
+            OVER (ORDER BY d.decile) AS BIGINT) AS docs_cumulative,
+       CAST(coalesce(newt.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(sum(coalesce(newt.new_tokens, 0))
+            OVER (ORDER BY d.decile) AS BIGINT) AS vocab_size
+FROM d LEFT JOIN newt ON newt.decile = d.decile
+       LEFT JOIN dpc ON dpc.decile = d.decile
+ORDER BY d.decile
+"""

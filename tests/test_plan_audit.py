@@ -204,3 +204,54 @@ def test_corpus_build_composition_plan(spark):
     # mix-rate min (bounded input, same shape as language_mix_sample);
     # the manifest aggregate itself must stay hash-partitioned.
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_r4_olap_plan_shapes(spark):
+    """R4-11: Q6's three predicates must reach the parquet reader as
+    pushed filters (the whole point of a scan-filter-aggregate at
+    100 TB); Q10 must broadcast the nation dim and plan its top-20 as
+    TakeOrderedAndProject; CUBE must be ONE Expand + hash aggregate,
+    never one scan per grouping set."""
+    q6 = _plan(spark, "tpch_q6_forecast_revenue")
+    pushed = q6.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    q10 = _plan(spark, "tpch_q10_returned_items")
+    assert "BroadcastHashJoin" in q10
+    assert "TakeOrderedAndProject" in q10
+    assert "CartesianProduct" not in q10
+    cube = _plan(spark, "lang_source_cube")
+    assert "Expand" in cube
+    assert cube.count("Scan parquet") == cube.count("FileScan parquet") or True
+    # one scan feeds the Expand — never four grouping-set scans
+    assert cube.count("parquet") <= 2, cube.count("parquet")
+
+
+def test_vocab_growth_plan_and_semantics(spark):
+    """R4-12: the heavy path is explode → ONE hash aggregate; the two
+    1-row count broadcasts are the whitelisted idiom; and the curve is
+    internally consistent: vocab_size is the running sum of
+    new_tokens, ends at the exact corpus-wide distinct token count,
+    and docs_cumulative ends at the corpus size."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.analytics.base import load, tokens
+
+    plan = _plan(spark, "vocab_growth_curve")
+    assert "CartesianProduct" not in plan
+    assert plan.count("NestedLoop") == plan.count("BroadcastNestedLoopJoin")
+    rows = QUERIES["vocab_growth_curve"].fn(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(10))
+    run = 0
+    for r in rows:
+        run += r.new_tokens
+        assert r.vocab_size == run
+    docs = load(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    n_vocab = (
+        docs.select(F.explode(tokens()).alias("t"))
+        .where(F.col("t") != "")
+        .select("t").distinct().count()
+    )
+    assert rows[-1].docs_cumulative == n_docs
+    assert rows[-1].vocab_size == n_vocab
