@@ -577,6 +577,14 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.vocab_growth_curve, textstats.VOCAB_GROWTH_SQL,
         "R4-12 training:vocab-growth (Heaps' law curve)",
     ),
+    "zipf_rank_frequency": QuerySpec(
+        textstats.zipf_rank_frequency, textstats.ZIPF_SQL,
+        "R4-13 training:zipf-fit (rank-frequency slope)",
+    ),
+    "events_moving_average": QuerySpec(
+        relational.events_moving_average, relational.EVENTS_MOVING_AVG_SQL,
+        "R4-14 W-frame breadth: trailing ROWS-frame mean",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -1343,3 +1343,49 @@ FROM documents
 GROUP BY CUBE (lang, source)
 ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST
 """
+
+
+# ---------------------------------------------------------------------------
+# Moving average over an event stream (W-frame breadth: an explicit
+# ROWS frame, where the suite's other windows are rank/lag/unbounded
+# running forms). Per user, the trailing-3-event mean of `value` in
+# (ts, event_id) order. Scale shape: ONE window whose partitions are
+# per-user event histories (bounded by user activity; a pathological
+# hot user would sessionize first — the PIT/sessionize note applies);
+# the frame is O(1) per row. Deterministic under ts ties via the
+# event_id tie-break; microsecond epochs stay exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+
+def events_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", "t_us",
+            floor_round(F.avg("value").over(w), 4).alias("mov_avg"),
+            F.count("*").over(w).cast("long").alias("n_in_frame"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_MOVING_AVG_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       CAST(floor(avg(value) OVER w * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS mov_avg,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

@@ -1699,3 +1699,81 @@ FROM d LEFT JOIN newt ON newt.decile = d.decile
        LEFT JOIN dpc ON dpc.decile = d.decile
 ORDER BY d.decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (training:zipf-fit — Heaps' companion): the
+# top-K term frequencies with their Zipf rank, plus the least-squares
+# slope of log10(tf) on log10(rank) — the one-number corpus-health
+# check (natural text ≈ -1; boilerplate/template floods flatten it,
+# OCR noise steepens the tail). Scale shape: term frequencies are ONE
+# explode + hash aggregate (map-side combinable); top-K plans as
+# TakeOrderedAndProject (the full term table never sorts); ranking and
+# the regression run over exactly K rows (bounded single-partition
+# window + aggregate, the corpus_build mix-min idiom). The slope is
+# repeated per row via a 1-row broadcast — the whitelisted pattern.
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 50
+
+
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(ZIPF_TOP_K)
+    )
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("term"))),
+    ).select(
+        "rank", "term", F.col("tf").cast("long").alias("tf"),
+        F.log10("rank").alias("x"), F.log10("tf").alias("y"),
+    )
+    # k = the ACTUAL point count (a small vocabulary yields < TOP_K
+    # terms; a constant k would silently bias the fit)
+    k = F.count("*").cast("double")
+    slope = ranked.agg(
+        _floor_round(
+            (k * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (k * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            4,
+        ).alias("zipf_slope")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(slope))
+        .select("rank", "term", "tf", "zipf_slope")
+        .orderBy("rank")
+    )
+
+
+ZIPF_SQL = rf"""
+WITH tf AS (
+  SELECT tok AS term, count(*) AS tf
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+top AS (
+  SELECT term, tf,
+         row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+  FROM tf ORDER BY tf DESC, term ASC LIMIT {ZIPF_TOP_K}
+),
+pts AS (SELECT rank, term, tf, log10(rank) AS x, log10(tf) AS y FROM top),
+fit AS (
+  SELECT CAST(floor(
+           (CAST(count(*) AS DOUBLE) * sum(x * y) - sum(x) * sum(y))
+           / (CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x))
+           * 10000 + 1e-6) / 10000 AS DOUBLE) AS zipf_slope
+  FROM pts
+)
+SELECT p.rank, p.term, CAST(p.tf AS BIGINT) AS tf, f.zipf_slope
+FROM pts p, fit f
+ORDER BY p.rank
+"""

@@ -255,3 +255,40 @@ def test_vocab_growth_plan_and_semantics(spark):
     )
     assert rows[-1].docs_cumulative == n_docs
     assert rows[-1].vocab_size == n_vocab
+
+
+def test_zipf_and_moving_avg_shapes(spark):
+    """R4-13/R4-14: zipf's top-K must plan as TakeOrderedAndProject
+    (the full term table never globally sorts) with the slope as a
+    1-row broadcast; the fit must be negative and identical on every
+    row (rank-frequency curves decrease by construction: tf is sorted
+    desc while rank ascends). The moving average's ROWS frame must
+    never exceed 3 and must equal a hand-recomputed frame mean."""
+    plan = _plan(spark, "zipf_rank_frequency")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    rows = QUERIES["zipf_rank_frequency"].fn(spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    tfs = [r.tf for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    slopes = {r.zipf_slope for r in rows}
+    assert len(slopes) == 1 and rows[0].zipf_slope < 0
+
+    mov = QUERIES["events_moving_average"].fn(spark, SF_DIR).collect()
+    assert all(1 <= r.n_in_frame <= 3 for r in mov)
+    # recompute one user's trailing means
+    uid = mov[0].user_id
+    hist = sorted(
+        [r for r in mov if r.user_id == uid], key=lambda r: (r.t_us, r.event_id)
+    )
+    import math
+    from pdf_extractor_spark.analytics.base import load
+    vals = {
+        (r.event_id): r.value
+        for r in load(spark, SF_DIR, "events").where(f"user_id = {uid}").collect()
+    }
+    seq = [vals[r.event_id] for r in hist]
+    for i, r in enumerate(hist):
+        frame = seq[max(0, i - 2): i + 1]
+        expect = math.floor(sum(frame) / len(frame) * 10000 + 1e-6) / 10000
+        assert abs(r.mov_avg - expect) < 1e-9, (r.event_id, r.mov_avg, expect)
