@@ -1471,16 +1471,16 @@ WHERE greatest(containment_a, containment_b) >= {CONTAIN_THRESHOLD}
 # provably keeps the original over its +DUP_ID_OFFSET copy.
 #
 # Scale shape: the label table (one row per doc) joins the pool on
-# doc_id (equi), then ONE window over component — components are
-# near-dup clusters, bounded by the LSH band width, so no window
-# partition is hot. The CC labels come from the iterated
+# doc_id (equi), then the per-component argmax is ONE hash aggregate
+# (max of a (len, -doc_id) struct — map-side combinable, one struct of
+# state per component per task), so even a mega duplicate-cluster
+# never concentrates its members in one task the way the former
+# row_number window did. The CC labels come from the iterated
 # min-propagation above (localCheckpoint-bounded lineage).
 # ---------------------------------------------------------------------------
 
 
 def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     labels = dedup_connected_components(spark, sf_dir)
     pool = _docs_with_injected_dups(spark, sf_dir).select(
         "doc_id", F.length("text").alias("len")
@@ -1488,19 +1488,24 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = labels.join(pool, "doc_id").select(
         F.col("survivor").alias("component"), "doc_id", "len"
     )
-    w = Window.partitionBy("component").orderBy(
-        F.desc("len"), F.asc("doc_id")
-    )
-    wc = Window.partitionBy("component")
+    # argmax by (len DESC, doc_id ASC) as max(struct(len, -doc_id)) —
+    # ONE map-side-combinable hash aggregate. The former row_number
+    # window sorted each component's members inside one task, which a
+    # mega duplicate-cluster (a million-copy spam text) makes hot; an
+    # aggregate carries one struct per component per task instead
+    # (r4, same family as the _band_star_edges lesson).
+    best = F.max(F.struct(F.col("len"), (-F.col("doc_id")).alias("nid")))
     return (
-        staged.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count("*").over(wc))
-        .where(F.col("rn") == 1)
+        staged.groupBy("component")
+        .agg(
+            best.alias("b"),
+            F.count("*").cast("long").alias("n_members"),
+        )
         .select(
             "component",
-            F.col("doc_id").alias("survivor_q"),
-            F.col("len").cast("long").alias("survivor_len"),
-            F.col("n_members").cast("long").alias("n_members"),
+            (-F.col("b.nid")).cast("long").alias("survivor_q"),
+            F.col("b.len").cast("long").alias("survivor_len"),
+            "n_members",
         )
         .orderBy("component")
     )

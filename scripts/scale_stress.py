@@ -225,6 +225,77 @@ def main() -> int:
 
     phase("incremental_ingest", run_ingest)
 
+    # --- 7. corpus-build composition at 48x -------------------------------
+    # The span corpus's texts legitimately fail the Gopher gate
+    # (markdown/table tokens sink alpha_frac; no stoplist words), so
+    # the composition is stressed over a documents-SHAPED corpus
+    # synthesized natively: n_docs rows of 60-179 deterministic
+    # xxhash-picked words from an alphabetic vocab that includes the
+    # stoplist (so the gate passes the way web text does), exact-dup
+    # tails injected for the dedup stage. All native expressions —
+    # generation itself is map-only and never a UDF.
+    from pdf_extractor_spark.analytics.corpus_build import corpus_build_from_docs
+    from pdf_extractor_spark.analytics.quality_rules import GOPHER_STOPWORDS
+
+    langs = ["en", "de", "fr", "es", "zh"]
+    base_vocab = [
+        f"{c1}{c2}term" for c1 in "abcdefgh" for c2 in "aeiou"
+    ] + ["corpus", "signal", "window", "stream", "vector", "filter",
+         "sample", "bucket"] + GOPHER_STOPWORDS
+    vocab_arr = F.array(*[F.lit(w) for w in base_vocab])
+    fresh = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    build_dups = fresh.filter(F.col("doc_id") < N_INJECTED).select(
+        (F.col("doc_id") + 20_000_000).alias("src_id"),
+        F.col("doc_id").alias("text_of"),
+    )
+    gen = fresh.select(
+        "doc_id", F.col("doc_id").alias("text_of")
+    ).unionByName(
+        build_dups.select(F.col("src_id").alias("doc_id"), "text_of")
+    )
+    # text derives from text_of so injected ids are byte-identical dups
+    docs_tbl = gen.select(
+        F.col("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(l) for l in langs]),
+            (F.pmod(F.col("doc_id"), F.lit(len(langs))) + 1).cast("int"),
+        ).alias("lang"),
+        F.col("text_of").alias("_tid"),
+    ).select(
+        "doc_id", "lang",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    (F.pmod(F.xxhash64(F.col("_tid"), F.lit("n")), F.lit(120)) + 60)
+                    .cast("int"),
+                ),
+                lambda i: F.element_at(
+                    vocab_arr,
+                    (F.pmod(F.xxhash64(F.col("_tid"), i), F.lit(len(base_vocab))) + 1)
+                    .cast("int"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    build_path = f"/tmp/stress_builddocs_{n_docs}_{fp}.parquet"
+    if not os.path.exists(os.path.join(build_path, "_SUCCESS")):
+        docs_tbl.repartition(int(cpus) * 4).write.mode("overwrite").parquet(build_path)
+    docs_tbl = spark.read.parquet(build_path)
+
+    def run_build():
+        rows = corpus_build_from_docs(spark, docs_tbl).collect()  # ≤48 rows
+        return {
+            "manifest_rows": len(rows),
+            "n_docs_sampled": sum(r.n_docs for r in rows),
+            "total_tokens": sum(r.total_tokens for r in rows),
+        }
+
+    build_out = phase("corpus_build", run_build)
+    if build_out["n_docs_sampled"] == 0:
+        failures.append("corpus_build sampled zero docs")
+
     # --- driver growth ----------------------------------------------------
     growth = rss_mb() - rss_start
     report["asserts"]["driver_rss_growth_mb"] = round(growth, 1)
