@@ -585,6 +585,14 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.events_moving_average, relational.EVENTS_MOVING_AVG_SQL,
         "R4-14 W-frame breadth: trailing ROWS-frame mean",
     ),
+    "tpch_q18_large_volume": QuerySpec(
+        relational.tpch_q18_large_volume, relational.TPCH_Q18_SQL,
+        "R4-17 OLAP breadth: Q18 HAVING-gated join chain",
+    ),
+    "event_funnel": QuerySpec(
+        relational.event_funnel, relational.EVENT_FUNNEL_SQL,
+        "R4-18 ordered view->click->purchase funnel",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -1389,3 +1389,133 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog — large-volume customers: HAVING over a big
+# aggregate feeding a join chain. Scale shape: the HAVING collapses
+# lineitem to qualifying orderkeys FIRST (one hash agg + filter on the
+# aggregate — never a join before the reduction), orders joins that
+# small survivor set, customer joins the result; top-100 plans as
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 250
+
+
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(floor_round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            floor_round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_SQL = f"""
+SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(floor(o.o_totalprice * 100 + 1e-6) / 100 AS DOUBLE) AS totalprice,
+       b.total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(floor(sum(l_quantity) * 100 + 1e-6) / 100 AS DOUBLE)
+           AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(floor(sum(l_quantity) * 100 + 1e-6) / 100 AS DOUBLE)
+         > {_Q18_MIN_QTY}
+) b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice DESC, orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered event funnel (view → first later click → first later
+# purchase, per user): the product-analytics staple whose correctness
+# trap is ordering (a click BEFORE the first view must not count).
+# Scale shape: three hash aggregates with conditional mins + two
+# equi-joins on user_id — never a window over a user's whole history
+# and never a self-join on inequality alone (each join's inequality
+# rides the user_id equi-key). Epochs exact BIGINT microseconds.
+# ---------------------------------------------------------------------------
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    viewed = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_view_us"))
+    )
+    clicked = (
+        ev.where(F.col("event_type") == "click")
+        .join(viewed, "user_id")
+        .where(F.col("t_us") > F.col("t_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_click_us"))
+    )
+    bought = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .where(F.col("t_us") > F.col("t_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_buy_us"))
+    )
+    return (
+        viewed.join(clicked, "user_id", "left")
+        .join(bought, "user_id", "left")
+        .select(
+            "user_id", "t_view_us", "t_click_us", "t_buy_us",
+            (F.col("t_click_us").isNotNull()).alias("reached_click"),
+            (F.col("t_buy_us").isNotNull()).alias("reached_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view_us
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click_us
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view_us
+  GROUP BY 1
+),
+b AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy_us
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click_us
+  GROUP BY 1
+)
+SELECT v.user_id, v.t_view_us, c.t_click_us, b.t_buy_us,
+       c.user_id IS NOT NULL AS reached_click,
+       b.user_id IS NOT NULL AS reached_purchase
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN b ON b.user_id = v.user_id
+ORDER BY v.user_id
+"""
