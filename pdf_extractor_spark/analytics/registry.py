@@ -593,6 +593,34 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.event_funnel, relational.EVENT_FUNNEL_SQL,
         "R4-18 ordered view->click->purchase funnel",
     ),
+    "tpch_q14_promo_share": QuerySpec(
+        relational.tpch_q14_promo_share, relational.TPCH_Q14_SQL,
+        "R4-19 OLAP breadth 2: Q14 conditional-aggregation share",
+    ),
+    "tpch_q15_top_supplier": QuerySpec(
+        relational.tpch_q15_top_supplier, relational.TPCH_Q15_SQL,
+        "R4-19 OLAP breadth 2: Q15 argmax-vs-scalar-subquery",
+    ),
+    "tpch_q17_small_qty_revenue": QuerySpec(
+        relational.tpch_q17_small_qty_revenue, relational.TPCH_Q17_SQL,
+        "R4-19 OLAP breadth 2: Q17 correlated-avg threshold join",
+    ),
+    "tpch_q19_disjunctive": QuerySpec(
+        relational.tpch_q19_disjunctive, relational.TPCH_Q19_SQL,
+        "R4-19 OLAP breadth 2: Q19 OR-of-ANDs on an equi-key",
+    ),
+    "tpch_q22_idle_rich": QuerySpec(
+        relational.tpch_q22_idle_rich, relational.TPCH_Q22_SQL,
+        "R4-19 OLAP breadth 2: Q22 scalar-subquery + anti-join",
+    ),
+    "tpch_q2_min_cost_supplier": QuerySpec(
+        relational.tpch_q2_min_cost_supplier, relational.TPCH_Q2_SQL,
+        "R4-19 OLAP breadth 2: Q2 per-key argmin join",
+    ),
+    "tpch_q16_supplier_variety": QuerySpec(
+        relational.tpch_q16_supplier_variety, relational.TPCH_Q16_SQL,
+        "R4-19 OLAP breadth 2: Q16 distinct-count with exclusion",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

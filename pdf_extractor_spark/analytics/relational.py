@@ -1519,3 +1519,373 @@ FROM v LEFT JOIN c ON c.user_id = v.user_id
        LEFT JOIN b ON b.user_id = v.user_id
 ORDER BY v.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth, round-4 batch 2 (R4-19): the remaining TPC-H shapes the
+# suite lacked, adapted to the synthetic schema (no partsupp /
+# l_shipmode / c_phone — stand-ins documented per query). Shapes, not
+# numbers, are the point: conditional aggregation, argmax-vs-scalar,
+# correlated-avg threshold join, disjunctive pushdown, scalar-subquery
+# anti-join, per-key argmin, and distinct-count-with-exclusion.
+# ---------------------------------------------------------------------------
+
+
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 analog — promo revenue share as ONE conditional aggregation.
+
+    p_type has no 'PROMO%' values in the synthetic dims, so ECONOMY
+    plays the promo class. Scale shape: part is the small dim →
+    explicit broadcast; the share is a single pass over the fact with
+    two conditional sums (map-side partial), output is one row."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            floor_round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT CAST(floor(
+         100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 1e-6
+       ) / 10000 AS DOUBLE) AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analog — top supplier(s) by quarterly revenue.
+
+    The reference formulation is a view + HAVING revenue = (SELECT
+    max(revenue)): here the per-supplier revenue aggregates once
+    (floor-rounded BEFORE the max so both engines compare identical
+    doubles), the scalar max is a 1-row broadcast equality join
+    (BroadcastNestedLoopJoin on one row — the whitelisted idiom), and
+    ties all surface, ordered by suppkey."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            floor_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+TPCH_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 1e-6)
+              / 100 AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY suppkey
+"""
+
+
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 analog — revenue lost to small-quantity orders.
+
+    The correlated subquery (0.2 * avg(l_quantity) per part) becomes a
+    per-part hash aggregate joined back on partkey — at 100 TB both
+    sides shuffle on l_partkey once and AQE picks the join strategy;
+    nothing is windowed. The avg is floor-rounded to 4dp before the
+    threshold multiply so the comparison sees identical doubles in
+    both engines (CLAUDE.md oracle-parity rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    avgq = (
+        li.groupBy("l_partkey")
+        .agg(floor_round(F.avg("l_quantity"), 4).alias("avg_qty"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        li.join(avgq, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("p_brand") == "Brand#1")
+        .agg(
+            floor_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+WITH t AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(floor(avg(l_quantity) * 10000 + 1e-6) / 10000 AS DOUBLE)
+           AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(floor(sum(l.l_extendedprice) / 7.0 * 100 + 1e-6) / 100
+       AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN t ON l.l_partkey = t.t_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.2 * t.avg_qty
+  AND p.p_brand = 'Brand#1'
+"""
+
+
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 analog — OR-of-ANDs discount revenue.
+
+    The classic disjunctive-predicate stress: three (brand, size-range,
+    quantity-range) conjunctions OR'd together. Every disjunct shares
+    the l_partkey = p_partkey equi-key, so Catalyst still plans a hash
+    join (broadcast here — part is the small dim) with the disjunction
+    evaluated as the join's residual filter; no disjunct forces a
+    Cartesian. One conditional sum, one output row."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(floor_round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 1e-6)
+            / 100 AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analog — rich customers with no orders, per nation.
+
+    The schema has no c_phone, so the country-code GROUP BY becomes
+    c_nationkey; and because every synthetic customer has SOME order,
+    "idle" means no order since 1999 (the filter pushes to the orders
+    scan before the anti-join, same as Q22's 7-year window). Shape
+    parity with Q22 is intact: a scalar AVG subquery (1-row broadcast —
+    floor-rounded so both engines filter on the same double), a LEFT
+    ANTI join against orders (plans as BroadcastHashJoin/SortMergeJoin
+    LeftAnti, never NOT IN's null-trap), then a small hash aggregate."""
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        floor_round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            floor_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .withColumnRenamed("c_nationkey", "nationkey")
+        .orderBy("nationkey")
+    )
+
+
+TPCH_Q22_SQL = """
+WITH a AS (
+  SELECT CAST(floor(avg(c_acctbal) * 10000 + 1e-6) / 10000 AS DOUBLE)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+       CAST(floor(sum(c.c_acctbal) * 100 + 1e-6) / 100 AS DOUBLE)
+         AS totacctbal
+FROM customer c, a
+WHERE c.c_acctbal > a.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY 1
+ORDER BY nationkey
+"""
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog — cheapest supplier per part (argmin join).
+
+    No partsupp table: the observed part-supplier relation is distilled
+    from lineitem as min unit price per (partkey, suppkey) — min, not
+    avg, because min is summation-order-independent and therefore
+    bit-identical cross-engine. The correlated MIN subquery becomes the
+    PLANS.md §18 extremum idiom: min(struct(cost, suppkey)) per part —
+    ONE map-side-combinable hash aggregate, never a window — then a
+    broadcast join to the supplier/part dims. Top 20 by retail price."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pairs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            floor_round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    best = (
+        pairs.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("b"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("b.unit_cost").alias("min_cost"),
+            F.col("b.l_suppkey").alias("best_suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(part), best.partkey == part.p_partkey)
+        .join(F.broadcast(sup), best.best_suppkey == sup.s_suppkey)
+        .select(
+            "partkey",
+            F.col("p_name").alias("part_name"),
+            floor_round(F.col("p_retailprice"), 2).alias("retailprice"),
+            F.col("s_name").alias("supplier_name"),
+            "min_cost",
+        )
+        .orderBy(F.desc("retailprice"), F.asc("partkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q2_SQL = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(min(l_extendedprice / l_quantity) * 10000 + 1e-6)
+              / 10000 AS DOUBLE) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey AS partkey, unit_cost AS min_cost,
+         l_suppkey AS best_suppkey
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey
+    ) AS rn
+    FROM pairs
+  )
+  WHERE rn = 1
+)
+SELECT b.partkey, p.p_name AS part_name,
+       CAST(floor(p.p_retailprice * 100 + 1e-6) / 100 AS DOUBLE)
+         AS retailprice,
+       s.s_name AS supplier_name, b.min_cost
+FROM best b
+JOIN part p ON p.p_partkey = b.partkey
+JOIN supplier s ON s.s_suppkey = b.best_suppkey
+ORDER BY retailprice DESC, partkey ASC
+LIMIT 20
+"""
+
+
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 analog — supplier variety per part class, with exclusions.
+
+    partsupp stand-in: DISTINCT (l_partkey, l_suppkey) from lineitem.
+    The customer-complaints exclusion (Q16's NOT IN over a LIKE scan)
+    becomes negative-balance suppliers, planned as a LEFT ANTI join
+    against the (tiny, broadcast) excluded set — the null-safe shape
+    NOT IN compiles to when the subquery can yield NULLs. Then one
+    count(DISTINCT suppkey) per (brand, type, size-class) hash
+    aggregate; Spark expands distinct aggs map-side, no window."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.distinct()
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("p_size") <= 25)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .withColumnsRenamed(
+            {"p_brand": "brand", "p_type": "type", "p_size": "size"}
+        )
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+        .limit(100)
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_size <= 25
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier s
+    WHERE s.s_suppkey = ps.l_suppkey AND s.s_acctbal < 0.0
+  )
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, brand, type, size
+LIMIT 100
+"""

@@ -292,3 +292,34 @@ def test_zipf_and_moving_avg_shapes(spark):
         frame = seq[max(0, i - 2): i + 1]
         expect = math.floor(sum(frame) / len(frame) * 10000 + 1e-6) / 10000
         assert abs(r.mov_avg - expect) < 1e-9, (r.event_id, r.mov_avg, expect)
+
+
+def test_r4_olap_batch2_plan_shapes(spark):
+    """R4-19: the seven remaining TPC-H shapes. Q14/Q19 broadcast the
+    part dim with the disjunction riding the equi-key (no nested loop
+    beyond the whitelisted 1-row idiom); Q15/Q22's scalar subqueries
+    are 1-row broadcasts; Q22/Q16 anti-joins plan as LeftAnti with the
+    date filter pushed to the orders scan; Q2's argmin is a hash
+    aggregate (min(struct)), never a window sort of every supplier."""
+    q14 = _plan(spark, "tpch_q14_promo_share")
+    assert "BroadcastHashJoin" in q14
+    assert "CartesianProduct" not in q14 and "NestedLoop" not in q14
+    q19 = _plan(spark, "tpch_q19_disjunctive")
+    assert "BroadcastHashJoin" in q19
+    assert "CartesianProduct" not in q19 and "NestedLoop" not in q19
+    for name in ("tpch_q15_top_supplier", "tpch_q22_idle_rich"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert p.count("NestedLoop") == p.count("BroadcastNestedLoopJoin"), name
+    q22 = _plan(spark, "tpch_q22_idle_rich")
+    assert "LeftAnti" in q22
+    assert "o_orderdate" in q22.split("PushedFilters")[1][:400]
+    q16 = _plan(spark, "tpch_q16_supplier_variety")
+    assert "LeftAnti" in q16
+    assert "CartesianProduct" not in q16 and "NestedLoop" not in q16
+    q2 = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert "CartesianProduct" not in q2 and "NestedLoop" not in q2
+    assert "Window" not in q2  # argmin is min(struct) hash agg
+    assert "TakeOrderedAndProject" in q2
+    q17 = _plan(spark, "tpch_q17_small_qty_revenue")
+    assert "CartesianProduct" not in q17 and "NestedLoop" not in q17
