@@ -1456,3 +1456,194 @@ FROM staged
 ORDER BY priority DESC, doc_id
 LIMIT {WS_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/test overlap severity (training:overlap-audit, R4-20)
+#
+# decontaminate answers "is this doc contaminated at all?" (binary);
+# model-eval hygiene also needs the SEVERITY — what fraction of a
+# document's distinct N-grams appear in the held-out benchmark set
+# (the GPT-3 appendix-C "dirtiness" measure that decides between
+# dropping a document and merely masking the overlapping span).
+#
+# Scale shape: identical to decontaminate's — the corpus side explodes
+# once to DISTINCT (doc_id, gram), the small benchmark gram set
+# broadcasts, and the severity is ONE map-side-combinable hash
+# aggregate (count + conditional sum per doc). The re-anchor join onto
+# documents restores gram-less docs (< N tokens) at ratio 0 instead of
+# silently dropping them.
+# ---------------------------------------------------------------------------
+
+
+def train_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", F.explode(_grams(F.col("toks"), DECON_N)).alias("g"))
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        grams.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+        .join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        docs.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            floor_round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_hit", F.lit(0))
+                    / F.coalesce("n_grams", F.lit(0)),
+                ).otherwise(0.0),
+                4,
+            ).alias("overlap_ratio"),
+        )
+    )
+
+
+TRAIN_TEST_OVERLAP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {DECON_N - 1}, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_BENCH_MAX_ID}),
+per_doc AS (
+  SELECT c.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM grams c LEFT JOIN bench b USING (g)
+  WHERE c.doc_id >= {DECON_BENCH_MAX_ID}
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(
+         (CASE WHEN coalesce(p.n_grams, 0) > 0
+               THEN CAST(p.n_hit AS DOUBLE) / p.n_grams
+               ELSE 0.0 END) * 10000 + 1e-6
+       ) / 10000 AS DOUBLE) AS overlap_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id >= {DECON_BENCH_MAX_ID}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k hash sample (training:uniform-sample, R4-21)
+#
+# The mergeable uniform sample: keep the K documents with the smallest
+# md5(doc_id). Unlike rand()-based sampling this is deterministic,
+# engine-portable, and MERGEABLE — bottom-k of a union is the bottom-k
+# of the per-partition bottom-ks, so each executor ships at most K rows
+# and the plan is TakeOrderedAndProject (no global sort, no shuffle of
+# the corpus). The same property makes the sample incrementally
+# maintainable: new data merges by re-taking bottom-k of old-sample ∪
+# new-batch. (The KMV/bottom-k sketch construction — Bar-Yossef 2002.)
+# ---------------------------------------------------------------------------
+
+BOTTOMK_K = 100
+
+
+def bottomk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("bk|"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(BOTTOMK_K)
+    )
+
+
+BOTTOMK_SAMPLE_SQL = f"""
+SELECT doc_id, md5('bk|' || CAST(doc_id AS VARCHAR)) AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT {BOTTOMK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed sequence packing audit (training:length-buckets,
+# R4-22)
+#
+# Training loaders pad every sequence in a batch to the batch max, so
+# batching docs of mixed length burns FLOPs on pad tokens. The standard
+# fix is power-of-2 length bucketing; this audit computes, per bucket,
+# how efficient that packing is (sum of real tokens / padded slots) —
+# the number that decides whether a finer bucket ladder is worth it.
+#
+# Scale shape: map-only token count (the split stays inside codegen) →
+# ONE hash aggregate on ~log2(max_len) keys. ceil(log2(n)) is exact at
+# the only points where ceil could flip (exact powers of two are
+# representable doubles and libm log2 is exact on them), so the bucket
+# boundary is engine-portable without rounding guards.
+# ---------------------------------------------------------------------------
+
+
+def length_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(_tokens(), lambda t: t != ""))
+    staged = docs.select("doc_id", ntok.alias("ntok")).where(F.col("ntok") > 0)
+    bucket = (
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("ntok")))).cast("long")
+    )
+    return (
+        staged.select("ntok", bucket.alias("seq_bucket"))
+        .groupBy("seq_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("sum_tokens"),
+        )
+        .select(
+            "seq_bucket", "n_docs", "sum_tokens",
+            floor_round(
+                F.col("sum_tokens")
+                / (F.col("n_docs") * F.greatest(F.col("seq_bucket"), F.lit(1))),
+                4,
+            ).alias("pad_efficiency"),
+        )
+        .orderBy("seq_bucket")
+    )
+
+
+LENGTH_BUCKET_SQL = r"""
+WITH staged AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '')) AS ntok
+  FROM documents
+),
+b AS (
+  SELECT CAST(pow(2.0, ceil(log2(ntok))) AS BIGINT) AS seq_bucket,
+         ntok
+  FROM staged WHERE ntok > 0
+)
+SELECT seq_bucket, count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+       CAST(floor(
+         CAST(sum(ntok) AS DOUBLE)
+         / (count(*) * greatest(seq_bucket, 1)) * 10000 + 1e-6
+       ) / 10000 AS DOUBLE) AS pad_efficiency
+FROM b
+GROUP BY 1
+ORDER BY seq_bucket
+"""

@@ -621,6 +621,18 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q16_supplier_variety, relational.TPCH_Q16_SQL,
         "R4-19 OLAP breadth 2: Q16 distinct-count with exclusion",
     ),
+    "train_test_overlap": QuerySpec(
+        curation.train_test_overlap, curation.TRAIN_TEST_OVERLAP_SQL,
+        "R4-20 training:overlap-audit (GPT-3 appx-C dirtiness)",
+    ),
+    "bottomk_hash_sample": QuerySpec(
+        curation.bottomk_hash_sample, curation.BOTTOMK_SAMPLE_SQL,
+        "R4-21 training:uniform-sample (mergeable bottom-k)",
+    ),
+    "length_bucket_pack": QuerySpec(
+        curation.length_bucket_pack, curation.LENGTH_BUCKET_SQL,
+        "R4-22 training:length-buckets (padding-efficiency audit)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

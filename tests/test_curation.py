@@ -290,3 +290,90 @@ def test_weighted_sample_es_recompute(spark):
     mean_all = sum(lens.values()) / len(lens)
     mean_sample = sum(lens[d] for d in got) / len(got)
     assert mean_sample > mean_all
+
+
+def test_bottomk_sample_is_mergeable(spark):
+    """R4-21: bottom-k of a union equals bottom-k of per-partition
+    bottom-ks — the property that makes the sample maintainable without
+    reshuffling the corpus (each executor ships at most K rows)."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.analytics.curation import (
+        BOTTOMK_K,
+        bottomk_hash_sample,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    full = [r["doc_id"] for r in bottomk_hash_sample(spark, sf_dir).collect()]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    h = F.md5(F.concat(F.lit("bk|"), F.col("doc_id").cast("string")))
+    hashed = docs.select("doc_id", h.alias("h"))
+    parts = []
+    for m in (0, 1, 2):  # three disjoint "partitions"
+        parts.append(
+            hashed.where(F.col("doc_id") % 3 == m)
+            .orderBy("h", "doc_id").limit(BOTTOMK_K)
+        )
+    merged = parts[0].union(parts[1]).union(parts[2])
+    remerged = [
+        r["doc_id"]
+        for r in merged.orderBy("h", "doc_id").limit(BOTTOMK_K).collect()
+    ]
+    assert remerged == full
+    # deterministic: same sample on a re-run
+    again = [r["doc_id"] for r in bottomk_hash_sample(spark, sf_dir).collect()]
+    assert again == full
+
+
+def test_train_test_overlap_consistent_with_decontaminate(spark):
+    """R4-20: severity degrades to decontaminate's binary flag —
+    overlap_ratio > 0 exactly when the doc is flagged contaminated —
+    and the ratio is a valid fraction of the doc's distinct grams."""
+    from pdf_extractor_spark.analytics.curation import (
+        decontaminate,
+        train_test_overlap,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(spark, sf_dir).collect()
+    }
+    rows = train_test_overlap(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == set(flags)
+    saw_hit = saw_clean = False
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_grams"]
+        assert (r["n_hit"] > 0) == flags[r["doc_id"]]
+        assert (r["overlap_ratio"] > 0) == flags[r["doc_id"]]
+        saw_hit |= r["n_hit"] > 0
+        saw_clean |= r["n_hit"] == 0
+    assert saw_hit and saw_clean  # fixture exercises both branches
+
+
+def test_length_buckets_cover_and_bound(spark):
+    """R4-22: every doc lands in the unique power-of-2 bucket with
+    bucket/2 < ntok <= bucket, totals add up, and pad_efficiency is in
+    (0.5, 1] by construction (tokens always exceed half the bucket)."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.analytics.curation import length_bucket_pack
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = length_bucket_pack(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntoks = [
+        r["n"]
+        for r in docs.select(
+            F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n")
+        ).collect()
+        if r["n"] > 0
+    ]
+    assert sum(r["n_docs"] for r in rows) == len(ntoks)
+    assert sum(r["sum_tokens"] for r in rows) == sum(ntoks)
+    for r in rows:
+        b = r["seq_bucket"]
+        assert b & (b - 1) == 0  # power of two
+        members = [n for n in ntoks if (b // 2 if b > 1 else 0) < n <= b]
+        assert r["n_docs"] == len(members)
+        assert 0.5 < r["pad_efficiency"] <= 1.0
