@@ -757,3 +757,146 @@ FROM cand
 WHERE hamming <= {PHASH_HAM_MAX}
 ORDER BY a_id, b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Caption-pair mining over interleaved spans (training:caption-pairs,
+# R4-25)
+#
+# The CLIP/LAION-style alignment step: an interleaved document's media
+# spans pair with the nearest PRECEDING text anchor (the alt-text /
+# caption heuristic). The interleaved structure is synthesized
+# deterministically from documents in BOTH engines — doc_id % 3 media
+# spans per doc at md5-derived token offsets, caption anchors at
+# md5-derived sentence boundaries (position 1 always anchors) — so the
+# pairing itself is what the oracle grades.
+#
+# Scale shape: the anchor side explodes once (map-only md5 per token);
+# the pairing is the docs/PLANS.md §18 extremum idiom — the
+# cap_pos <= media_offset inequality rides the doc_id equi-key
+# (hash join, never a per-doc window or cartesian), and the
+# nearest-anchor pick is max(cap_pos) — ONE map-side-combinable hash
+# aggregate per (doc, media) key — with the caption token joined back
+# on the (doc_id, cap_pos) equi-key.
+# ---------------------------------------------------------------------------
+
+CAPTION_BOUNDARY_MOD = 4  # ~1/4 of positions start a caption anchor
+
+
+def _md5_long(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def caption_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("toks")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    anchors = toks.where(
+        (F.col("tok") != "")
+        & (
+            (F.col("p") == 1)
+            | (
+                _md5_long(
+                    F.concat(
+                        F.lit("b|"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("p").cast("string"),
+                    )
+                )
+                % CAPTION_BOUNDARY_MOD
+                == 0
+            )
+        )
+    ).select("doc_id", F.col("p").alias("cap_pos"), F.col("tok").alias("cap_tok"))
+    media = (
+        # the %3==0 pre-filter is load-bearing: Spark's sequence(1, 0)
+        # infers step=-1 and yields [1, 0] (not empty) — zero-media
+        # docs must never reach the explode
+        docs.where((F.size("toks") >= 1) & (F.col("doc_id") % 3 >= 1))
+        .select(
+            "doc_id",
+            F.size("toks").alias("ntok"),
+            F.explode(F.sequence(F.lit(1), (F.col("doc_id") % 3).cast("int"))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("media://"), F.col("doc_id").cast("string"),
+                F.lit("/"), F.col("j").cast("string"),
+            ).alias("media_ref"),
+            (
+                _md5_long(
+                    F.concat(
+                        F.lit("cap|"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("ntok")
+                + 1
+            ).alias("media_offset"),
+        )
+    )
+    # nearest anchor = max(cap_pos) — a pure-int aggregate so the
+    # aggregation stays a HashAggregate (a struct carrying the STRING
+    # cap_tok would demote it to SortAggregate — docs/PLANS.md §14);
+    # the token rides back on a (doc_id, cap_pos) equi-join (anchor
+    # positions are unique within a doc, so the join is 1:1).
+    nearest = (
+        media.join(anchors, "doc_id")
+        .where(F.col("cap_pos") <= F.col("media_offset"))
+        .groupBy("doc_id", "media_ref", "media_offset")
+        .agg(F.max("cap_pos").alias("cap_pos"))
+    )
+    return (
+        nearest.join(anchors, ["doc_id", "cap_pos"])
+        .select("doc_id", "media_ref", "media_offset", "cap_pos", "cap_tok")
+        .orderBy("doc_id", "media_ref")
+    )
+
+
+CAPTION_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p,
+         len(t) AS ntok
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+),
+anchors AS (
+  SELECT doc_id, p AS cap_pos, tok AS cap_tok
+  FROM toks
+  WHERE tok <> '' AND (
+    p = 1 OR
+    CAST('0x' || substr(md5('b|' || CAST(doc_id AS VARCHAR) || '|'
+                             || CAST(p AS VARCHAR)), 1, 8) AS BIGINT)
+      % {CAPTION_BOUNDARY_MOD} = 0
+  )
+),
+media AS (
+  SELECT d.doc_id,
+         'media://' || CAST(d.doc_id AS VARCHAR) || '/'
+           || CAST(u.j AS VARCHAR) AS media_ref,
+         CAST('0x' || substr(md5('cap|' || CAST(d.doc_id AS VARCHAR) || '|'
+                                  || CAST(u.j AS VARCHAR)), 1, 8) AS BIGINT)
+           % len(string_split_regex(d.text, '\s+')) + 1 AS media_offset
+  FROM documents d,
+       unnest(generate_series(1, CAST(d.doc_id % 3 AS INT))) AS u(j)
+  WHERE len(string_split_regex(d.text, '\s+')) >= 1
+)
+SELECT doc_id, media_ref, media_offset, cap_pos, cap_tok
+FROM (
+  SELECT m.doc_id, m.media_ref, m.media_offset, a.cap_pos, a.cap_tok,
+         row_number() OVER (
+           PARTITION BY m.doc_id, m.media_ref
+           ORDER BY a.cap_pos DESC
+         ) AS rn
+  FROM media m
+  JOIN anchors a ON a.doc_id = m.doc_id AND a.cap_pos <= m.media_offset
+)
+WHERE rn = 1
+ORDER BY doc_id, media_ref
+"""

@@ -633,6 +633,18 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.length_bucket_pack, curation.LENGTH_BUCKET_SQL,
         "R4-22 training:length-buckets (padding-efficiency audit)",
     ),
+    "tokenizer_fertility": QuerySpec(
+        textstats.tokenizer_fertility, textstats.TOKENIZER_FERTILITY_SQL,
+        "R4-23 training:tokenizer-fertility (chars/BPE-token by lang)",
+    ),
+    "topk_per_group_tournament": QuerySpec(
+        relational.topk_per_group_tournament, relational.TOPK_PER_GROUP_SQL,
+        "R4-24 window-free per-group top-k (k-round extremum tournament)",
+    ),
+    "caption_pair_mining": QuerySpec(
+        multimodal.caption_pair_mining, multimodal.CAPTION_PAIRS_SQL,
+        "R4-25 training:caption-pairs (interleaved media-text alignment)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

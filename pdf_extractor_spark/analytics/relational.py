@@ -1889,3 +1889,66 @@ GROUP BY 1, 2, 3
 ORDER BY supplier_cnt DESC, brand, type, size
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group as a k-round tournament (R4-24)
+#
+# "Top 3 documents per language" is usually written as a row_number
+# window — which sorts EVERY member of a group inside one task and
+# melts under a hot key (the docs/PLANS.md §18 failure mode; the
+# window is fine for balanced groups, fatal for skewed ones). For
+# small fixed k, k rounds of the extremum idiom do the same job with
+# ONLY map-side-combinable hash aggregates: round r takes each group's
+# argmax via max(struct(n_chars, -doc_id)) (one struct of state per
+# group per task), anti-joins the winners out, repeats. O(k) passes —
+# the right trade when k is small and skew is real; the oracle is the
+# window formulation, proving equivalence.
+# ---------------------------------------------------------------------------
+
+TOPK_PER_GROUP_K = 3
+
+
+def topk_per_group_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    remaining = docs
+    rounds = []
+    for rank in range(1, TOPK_PER_GROUP_K + 1):
+        best = (
+            remaining.groupBy("lang")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                    )
+                ).alias("b")
+            )
+            .select(
+                "lang",
+                F.lit(rank).alias("rank"),
+                (-F.col("b.neg_id")).alias("doc_id"),
+                F.col("b.n_chars").alias("n_chars"),
+            )
+        )
+        rounds.append(best)
+        remaining = remaining.join(
+            best.select("lang", "doc_id"), ["lang", "doc_id"], "left_anti"
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("lang", "rank")
+
+
+TOPK_PER_GROUP_SQL = f"""
+SELECT lang, CAST(rn AS INT) AS rank, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {TOPK_PER_GROUP_K}
+ORDER BY lang, rank
+"""

@@ -1777,3 +1777,78 @@ SELECT p.rank, p.term, CAST(p.tf AS BIGINT) AS tf, f.zipf_slope
 FROM pts p, fit f
 ORDER BY p.rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (training:tokenizer-fertility, R4-23)
+#
+# chars-per-BPE-token is the tokenizer-efficiency number multilingual
+# corpus work tracks per language (a language with low chars/token
+# "spends" more sequence budget per character — the UniMax/fertility
+# trade-off). Reuses the pinned-BPE kernel of doc_token_count_bpe;
+# same oracle layering (VALUES lookup over the finite corpus
+# vocabulary, OOV fails loudly via the count(*)=count(n) CASE).
+#
+# Scale shape: one Arrow-batched pandas UDF pass (map-only) → ONE hash
+# aggregate on the language key. The divide guards sum(tokens)=0 (a
+# language whose docs are all empty) identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang", "n_chars", _bpe_count_udf()(F.col("text")).alias("nt")
+    )
+    agg = counted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("nt").cast("long").alias("sum_bpe_tokens"),
+    )
+    return agg.select(
+        "lang", "n_docs", "sum_chars", "sum_bpe_tokens",
+        F.when(
+            F.col("sum_bpe_tokens") > 0,
+            _floor_round(F.col("sum_chars") / F.col("sum_bpe_tokens"), 4),
+        ).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+def _fertility_sql() -> str:
+    from ..textproc import bpe_token_count
+
+    values = ", ".join(
+        f"('{w}', {bpe_token_count(w)})" for w in _CORPUS_VOCAB
+    )
+    return rf"""
+WITH bpe_counts(tok, n) AS (SELECT * FROM (VALUES {values})),
+tok_rows AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(CASE WHEN count(*) = count(m.n) THEN sum(m.n) END AS INT)
+           AS n_bpe_tokens
+  FROM tok_rows t LEFT JOIN bpe_counts m ON t.tok = m.tok
+  WHERE t.tok <> ''
+  GROUP BY t.doc_id
+),
+anchored AS (
+  SELECT d.lang, d.n_chars,
+         CASE WHEN p.doc_id IS NULL THEN 0 ELSE p.n_bpe_tokens END AS nt
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(nt) AS BIGINT) AS sum_bpe_tokens,
+       CAST(floor(
+         CAST(sum(n_chars) AS DOUBLE) / nullif(sum(nt), 0) * 10000 + 1e-6
+       ) / 10000 AS DOUBLE) AS chars_per_token
+FROM anchored
+GROUP BY 1
+ORDER BY lang
+"""
+
+
+TOKENIZER_FERTILITY_SQL = _fertility_sql()

@@ -135,3 +135,49 @@ def test_media_phash_neardup_recall_and_recompute(spark):
         want = sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
         assert h == want and h <= PHASH_HAM_MAX
         assert any(x == y for x, y in zip(ba, bb))  # came via a band
+
+
+def test_caption_pairs_match_python_recompute(spark):
+    """R4-25: every (media, caption) pair equals a pure-Python walk of
+    the same synthesized interleaved structure — media at md5-derived
+    offsets pair with the greatest anchor position <= offset."""
+    import hashlib
+    import re
+
+    from pdf_extractor_spark.analytics.multimodal import (
+        CAPTION_BOUNDARY_MOD,
+        caption_pair_mining,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = {}
+    for doc_id, text in docs.items():
+        toks = re.split(r"\s+", text or "")
+        n = len(toks)
+        if n < 1 or doc_id % 3 < 1:
+            continue
+        anchors = [
+            (p, t)
+            for p, t in enumerate(toks, start=1)
+            if t != "" and (p == 1 or h(f"b|{doc_id}|{p}") % CAPTION_BOUNDARY_MOD == 0)
+        ]
+        for j in range(1, doc_id % 3 + 1):
+            off = h(f"cap|{doc_id}|{j}") % n + 1
+            cands = [(p, t) for p, t in anchors if p <= off]
+            if cands:
+                p, t = max(cands)
+                want[(doc_id, f"media://{doc_id}/{j}")] = (off, p, t)
+    got = {
+        (r["doc_id"], r["media_ref"]): (r["media_offset"], r["cap_pos"], r["cap_tok"])
+        for r in caption_pair_mining(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

@@ -323,3 +323,21 @@ def test_r4_olap_batch2_plan_shapes(spark):
     assert "TakeOrderedAndProject" in q2
     q17 = _plan(spark, "tpch_q17_small_qty_revenue")
     assert "CartesianProduct" not in q17 and "NestedLoop" not in q17
+
+
+def test_r4_training_batch_plan_shapes(spark):
+    """R4-23..25: the tournament top-k must contain NO window node
+    (that's its whole point — k extremum hash aggregates instead);
+    caption-pair mining's inequality must ride the doc_id equi-key
+    (hash join, no cartesian/nested-loop) with the nearest-anchor pick
+    as a hash aggregate, not a window."""
+    tk = _plan(spark, "topk_per_group_tournament")
+    assert "Window" not in tk
+    assert "CartesianProduct" not in tk and "NestedLoop" not in tk
+    cp = _plan(spark, "caption_pair_mining")
+    assert "Window" not in cp
+    assert "CartesianProduct" not in cp and "NestedLoop" not in cp
+    assert "HashAggregate" in cp
+    tf = _plan(spark, "tokenizer_fertility")
+    assert "BatchEvalPython" not in tf  # ArrowEvalPython only
+    assert "CartesianProduct" not in tf

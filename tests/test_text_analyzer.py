@@ -384,3 +384,37 @@ def test_perplexity_score_matches_hand_recompute(spark):
         ).collect()
     }
     assert got == {row["doc_id"]: want}
+
+
+def test_tokenizer_fertility_recompute(spark):
+    """R4-23: per-language chars/BPE-token equals a pure-Python
+    recompute through the same pinned bpe_token_count kernel."""
+    import math
+    from collections import defaultdict
+
+    from pdf_extractor_spark.analytics.textstats import tokenizer_fertility
+    from pdf_extractor_spark.textproc import bpe_token_count
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "n_chars", "text"
+    ).collect()
+    chars = defaultdict(int)
+    toks = defaultdict(int)
+    n = defaultdict(int)
+    for r in docs:
+        chars[r["lang"]] += r["n_chars"]
+        toks[r["lang"]] += bpe_token_count(r["text"] or "")
+        n[r["lang"]] += 1
+    got = {r["lang"]: r for r in tokenizer_fertility(spark, sf_dir).collect()}
+    assert set(got) == set(n)
+    for lang in n:
+        row = got[lang]
+        assert row["n_docs"] == n[lang]
+        assert row["sum_chars"] == chars[lang]
+        assert row["sum_bpe_tokens"] == toks[lang]
+        want = (
+            math.floor(chars[lang] / toks[lang] * 10000 + 1e-6) / 10000
+            if toks[lang] else None
+        )
+        assert row["chars_per_token"] == want
