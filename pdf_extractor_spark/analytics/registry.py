@@ -645,6 +645,18 @@ QUERIES: Dict[str, QuerySpec] = {
         multimodal.caption_pair_mining, multimodal.CAPTION_PAIRS_SQL,
         "R4-25 training:caption-pairs (interleaved media-text alignment)",
     ),
+    "events_range_join": QuerySpec(
+        relational.events_range_join, relational.EVENTS_RANGE_JOIN_SQL,
+        "R4-26 bucketized interval range join",
+    ),
+    "token_entropy": QuerySpec(
+        textstats.token_entropy, textstats.TOKEN_ENTROPY_SQL,
+        "R4-27 training:token-entropy (repetitiveness signal)",
+    ),
+    "global_rank_offset": QuerySpec(
+        relational.global_rank_offset, relational.GLOBAL_RANK_SQL,
+        "R4-28 global ranking without a global window",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -1952,3 +1952,163 @@ FROM (
 WHERE rn <= {TOPK_PER_GROUP_K}
 ORDER BY lang, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Bucketized interval range join (R4-26)
+#
+# "Which events fall inside each purchase's 1-hour attribution
+# window?" — the classic range/interval join. The naive formulation
+# (join on user_id + BETWEEN) degrades when one user is hot; the
+# general scale shape used here is BUCKETIZATION: each window explodes
+# into the hour buckets it overlaps (≤2 here, since the window equals
+# the bucket width), each probe event computes its single bucket, and
+# the join becomes a pure (user_id, bucket) equi-join with the exact
+# containment check as the residual predicate. Any window pairs with
+# a probe in exactly one shared bucket, so no dedup pass is needed.
+# The oracle is the plain BETWEEN formulation.
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    win = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("t_us").alias("w_start"),
+        (F.col("t_us") + RANGE_WINDOW_US).alias("w_end"),
+    )
+    win_b = win.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("w_start") / RANGE_WINDOW_US),
+                F.floor((F.col("w_end") - 1) / RANGE_WINDOW_US),
+            )
+        ),
+    )
+    probe = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "t_us",
+        F.floor(F.col("t_us") / RANGE_WINDOW_US).alias("bkt"),
+    )
+    counts = (
+        win_b.join(probe, ["user_id", "bkt"])
+        .where((F.col("t_us") >= F.col("w_start")) & (F.col("t_us") < F.col("w_end")))
+        .groupBy("window_id")
+        .agg(F.count("*").alias("n_in_window"))
+    )
+    return (
+        win.select("window_id", "user_id", F.col("w_start").alias("w_start_us"))
+        .join(counts, "window_id", "left")
+        .select(
+            "window_id", "user_id", "w_start_us",
+            F.coalesce("n_in_window", F.lit(0)).alias("n_in_window"),
+        )
+        .orderBy("window_id")
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events
+),
+win AS (
+  SELECT user_id, event_id AS window_id, t_us AS w_start,
+         t_us + {RANGE_WINDOW_US} AS w_end
+  FROM ev WHERE event_type = 'purchase'
+),
+counts AS (
+  SELECT w.window_id, count(*) AS n_in_window
+  FROM win w
+  JOIN ev e ON e.user_id = w.user_id
+           AND e.event_type <> 'purchase'
+           AND e.t_us >= w.w_start AND e.t_us < w.w_end
+  GROUP BY 1
+)
+SELECT w.window_id, w.user_id, w.w_start AS w_start_us,
+       CAST(coalesce(c.n_in_window, 0) AS BIGINT) AS n_in_window
+FROM win w LEFT JOIN counts c USING (window_id)
+ORDER BY window_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global ranking without a global window (R4-27)
+#
+# percent_rank over an entire corpus is the textbook single-partition
+# trap: Window.orderBy(...) with no partitionBy funnels every row
+# through ONE task. The scale-clean construction (the classic
+# distributed-ranking two-pass) used here:
+#   1. repartitionByRange on the sort key → balanced, ORDERED ranges
+#      (localCheckpoint pins the sampled range boundaries so the
+#      offsets collected in pass 1 describe the same partitioning the
+#      ranking runs on — same idiom as the CC fixpoint);
+#   2. per-partition row counts → driver (BOUNDED: one row per
+#      partition, the whitelisted metadata collect);
+#   3. per-partition row_number (each window partition is one range
+#      partition — balanced by construction, never a hot key) plus the
+#      broadcast prefix offset = exact global rank.
+# The oracle is the single-window formulation, proving equivalence.
+# ---------------------------------------------------------------------------
+
+GLOBAL_RANK_PARTS = 32
+
+
+def global_rank_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = (
+        docs.repartitionByRange(
+            GLOBAL_RANK_PARTS, F.col("n_chars"), F.col("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    n = acc
+    off = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("pid").orderBy("n_chars", "doc_id")
+    ranked = parts.withColumn(
+        "global_rank", off[F.col("pid")] + F.row_number().over(w)
+    )
+    pctl = (
+        F.when(
+            F.lit(n > 1),
+            floor_round((F.col("global_rank") - 1) / F.lit(max(n - 1, 1)), 4),
+        ).otherwise(0.0)
+    )
+    return ranked.select(
+        "doc_id", "n_chars",
+        F.col("global_rank").cast("long").alias("global_rank"),
+        pctl.alias("percentile"),
+    )
+
+
+GLOBAL_RANK_SQL = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(global_rank AS BIGINT) AS global_rank,
+       CASE WHEN n > 1 THEN
+         CAST(floor(
+           CAST(global_rank - 1 AS DOUBLE) / (n - 1) * 10000 + 1e-6
+         ) / 10000 AS DOUBLE)
+       ELSE 0.0 END AS percentile
+FROM ranked
+"""

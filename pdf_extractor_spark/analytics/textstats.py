@@ -1852,3 +1852,75 @@ ORDER BY lang
 
 
 TOKENIZER_FERTILITY_SQL = _fertility_sql()
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality signal (training:token-entropy, R4-26 batch)
+#
+# Shannon entropy of the within-document token distribution — the
+# repetitiveness detector that catches keyword-stuffed / templated
+# documents quality classifiers miss (low entropy = few tokens carry
+# the mass). H = log2(n) − Σ c·log2(c) / n, computed from term
+# frequencies so the heavy explode aggregates IMMEDIATELY into
+# (doc, token) counts (map-side combine) and then into one row per
+# doc — two hash aggregates, no window, no re-scan. Docs with zero
+# tokens anchor at entropy NULL (both engines).
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.when(
+                F.col("n_tokens") > 0,
+                _floor_round(
+                    F.log2("n_tokens") - F.col("clogc") / F.col("n_tokens"), 4
+                ),
+            ).alias("entropy"),
+        )
+    )
+
+
+TOKEN_ENTROPY_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         sum(c * log2(c)) AS clogc
+  FROM tf GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN
+         CAST(floor(
+           (log2(p.n_tokens) - p.clogc / p.n_tokens) * 10000 + 1e-6
+         ) / 10000 AS DOUBLE)
+       END AS entropy
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""

@@ -377,3 +377,80 @@ def test_length_buckets_cover_and_bound(spark):
         members = [n for n in ntoks if (b // 2 if b > 1 else 0) < n <= b]
         assert r["n_docs"] == len(members)
         assert 0.5 < r["pad_efficiency"] <= 1.0
+
+
+def test_token_entropy_recompute_and_bounds(spark):
+    """R4-27: entropy equals a pure-Python recompute and sits in
+    [0, log2(n_distinct)]; constant-token docs (if any) score 0."""
+    import math
+    import re
+    from collections import Counter
+
+    from pdf_extractor_spark.analytics.textstats import token_entropy
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = token_entropy(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows:
+        toks = [t for t in re.split(r"\s+", docs[r["doc_id"]] or "") if t != ""]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(set(toks))
+        if not toks:
+            assert r["entropy"] is None
+            continue
+        n = len(toks)
+        clogc = sum(c * math.log2(c) for c in Counter(toks).values())
+        want = math.floor((math.log2(n) - clogc / n) * 10000 + 1e-6) / 10000
+        assert abs(r["entropy"] - want) < 1e-9
+        assert -1e-9 <= r["entropy"] <= math.log2(max(r["n_distinct"], 1)) + 1e-9
+
+
+def test_global_rank_matches_single_window_and_range_join_recompute(spark):
+    """R4-28: offset ranking equals the naive global sort's ranks.
+    R4-26: window counts equal a pure-Python interval scan."""
+    from pdf_extractor_spark.analytics.relational import (
+        RANGE_WINDOW_US,
+        events_range_join,
+        global_rank_offset,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["global_rank"], r["percentile"])
+        for r in global_rank_offset(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    order = sorted(docs, key=lambda r: (r["n_chars"], r["doc_id"]))
+    assert len(got) == len(order)
+    for i, r in enumerate(order, start=1):
+        assert got[r["doc_id"]][0] == i
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    import datetime as dt
+
+    def us(ts):
+        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    want = {}
+    for e in ev:
+        if e["event_type"] != "purchase":
+            continue
+        t0 = us(e["ts"])
+        want[e["event_id"]] = sum(
+            1
+            for o in by_user[e["user_id"]]
+            if o["event_type"] != "purchase" and t0 <= us(o["ts"]) < t0 + RANGE_WINDOW_US
+        )
+    rows = {r["window_id"]: r["n_in_window"] for r in events_range_join(spark, sf_dir).collect()}
+    assert rows == want and len(want) > 0

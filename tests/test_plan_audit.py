@@ -341,3 +341,15 @@ def test_r4_training_batch_plan_shapes(spark):
     tf = _plan(spark, "tokenizer_fertility")
     assert "BatchEvalPython" not in tf  # ArrowEvalPython only
     assert "CartesianProduct" not in tf
+
+
+def test_range_join_and_global_rank_shapes(spark):
+    """R4-26/28: the interval join must ride its (user_id, bucket)
+    equi-keys — no NestedLoop/Cartesian anywhere; the global ranking
+    must contain NO single-partition exchange (the whole point — the
+    window runs per range-partition, offsets bridge them)."""
+    rj = _plan(spark, "events_range_join")
+    assert "NestedLoop" not in rj and "CartesianProduct" not in rj
+    gr = _plan(spark, "global_rank_offset")
+    assert "Exchange SinglePartition" not in gr
+    assert "CartesianProduct" not in gr
