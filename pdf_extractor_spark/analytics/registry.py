@@ -657,6 +657,18 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.global_rank_offset, relational.GLOBAL_RANK_SQL,
         "R4-28 global ranking without a global window",
     ),
+    "tpch_q7_volume_shipping": QuerySpec(
+        relational.tpch_q7_volume_shipping, relational.TPCH_Q7_SQL,
+        "R4-29 OLAP breadth 3: Q7 bilateral dim-chain volume",
+    ),
+    "tpch_q8_market_share": QuerySpec(
+        relational.tpch_q8_market_share, relational.TPCH_Q8_SQL,
+        "R4-29 OLAP breadth 3: Q8 share-of-group in one pass",
+    ),
+    "tpch_q9_product_profit": QuerySpec(
+        relational.tpch_q9_product_profit, relational.TPCH_Q9_SQL,
+        "R4-29 OLAP breadth 3: Q9 profit by nation-year",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

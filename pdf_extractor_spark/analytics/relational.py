@@ -1534,8 +1534,7 @@ ORDER BY v.user_id
 def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 analog — promo revenue share as ONE conditional aggregation.
 
-    p_type has no 'PROMO%' values in the synthetic dims, so ECONOMY
-    plays the promo class. Scale shape: part is the small dim →
+    Scale shape: part is the small dim →
     explicit broadcast; the share is a single pass over the fact with
     two conditional sums (map-side partial), output is one row."""
     li = load(spark, sf_dir, "lineitem")
@@ -1550,7 +1549,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             floor_round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
                 / F.sum(rev),
                 4,
             ).alias("promo_share_pct")
@@ -1560,7 +1559,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q14_SQL = """
 SELECT CAST(floor(
-         100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                           THEN l.l_extendedprice * (1 - l.l_discount)
                           ELSE 0.0 END)
          / sum(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 1e-6
@@ -2111,4 +2110,209 @@ SELECT doc_id, n_chars, CAST(global_rank AS BIGINT) AS global_rank,
          ) / 10000 AS DOUBLE)
        ELSE 0.0 END AS percentile
 FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth, round-4 batch 3 (R4-29): Q7/Q8/Q9 — the multi-dim
+# star-chain shapes. With these the suite covers every TPC-H query
+# expressible over the synthetic schema (18 of 22; Q11/Q12/Q20/Q21
+# need partsupp / l_shipmode / commit+receipt dates, which the
+# generator does not emit).
+# ---------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — bilateral trade volume by year. Shape: the fact joins two
+    independent dimension CHAINS (supplier→nation, orders→customer→
+    nation); every dim chain broadcasts (nation is 25 rows, supplier/
+    customer are the small sides pre-projected to key+nationkey), and
+    the bilateral OR-pair predicate evaluates as a residual on the
+    joined row — never a join condition that breaks the equi-key."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+        | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).alias("l_year"),
+        )
+        .agg(floor_round(F.sum(rev), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 1e-6)
+            / 100 AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+    OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_3"
+_Q8_TYPE = "STANDARD"
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — national market share inside one region's market. The
+    share-of-group is a conditional sum over the SAME aggregate pass
+    (never a self-join of two aggregates); the nation→region chain
+    broadcasts twice with independent aliases (customer's region gates
+    the market, supplier's nation is the share numerator)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    cust_nat = (
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+        .where(F.col("r_name") == _Q8_REGION)
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("p_type") == _Q8_TYPE)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year")
+        )
+        .agg(
+            floor_round(
+                F.sum(F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = f"""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(floor(
+         sum(CASE WHEN n2.n_name = '{_Q8_NATION}'
+                  THEN l.l_extendedprice * (1 - l.l_discount)
+                  ELSE 0.0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 1e-6
+       ) / 10000 AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+WHERE p.p_type = '{_Q8_TYPE}'
+  AND r.r_name = '{_Q8_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+_Q9_NAME_FRAGMENT = "red"
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — profit by supplier nation and year, for parts whose name
+    contains a fragment. No partsupp table, so profit omits the
+    ps_supplycost*quantity term (disclosed stand-in: gross margin
+    proxy). The LIKE gate reduces part BEFORE it broadcasts; year
+    derives once in the aggregate key."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(_Q9_NAME_FRAGMENT))
+        .select("p_partkey")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation",
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year"),
+        )
+        .agg(floor_round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 1e-6)
+            / 100 AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_partkey IN (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%{_Q9_NAME_FRAGMENT}%'
+)
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
 """

@@ -353,3 +353,15 @@ def test_range_join_and_global_rank_shapes(spark):
     gr = _plan(spark, "global_rank_offset")
     assert "Exchange SinglePartition" not in gr
     assert "CartesianProduct" not in gr
+
+
+def test_tpch_q7_q8_q9_plan_shapes(spark):
+    """R4-29: every dimension chain must broadcast; the bilateral pair
+    predicate and share-of-group CASE stay residuals on hash joins —
+    no NestedLoop/Cartesian anywhere in the three star chains."""
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share",
+                 "tpch_q9_product_profit"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "NestedLoop" not in p and "CartesianProduct" not in p, name
+    assert "LeftSemi" in _plan(spark, "tpch_q9_product_profit")
