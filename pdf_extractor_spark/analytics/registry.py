@@ -669,6 +669,14 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q9_product_profit, relational.TPCH_Q9_SQL,
         "R4-29 OLAP breadth 3: Q9 profit by nation-year",
     ),
+    "cohort_retention": QuerySpec(
+        relational.cohort_retention, relational.COHORT_RETENTION_SQL,
+        "R4-30 weekly cohort retention matrix",
+    ),
+    "pmi_collocations": QuerySpec(
+        textstats.pmi_collocations, textstats.PMI_COLLOCATIONS_SQL,
+        "R4-31 training:collocations (bigram PMI, Church-Hanks 1990)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -2316,3 +2316,84 @@ WHERE l.l_partkey IN (
 GROUP BY 1, 2
 ORDER BY nation, o_year DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (R4-30). The product-analytics staple the
+# reference's event log implies but never ships: bucket users into
+# weekly cohorts by first-seen week, then for each (cohort, week
+# offset) report how many cohort members were still active.
+#
+# Scale shape: three hash aggregates and ONE user_id-keyed shuffle
+# join. First-seen is groupBy(user_id).min(ts) (map-side partial);
+# activity is distinct (user_id, week) — also a hash agg that shrinks
+# the event stream to at most users×weeks BEFORE the join; the final
+# rollup groups by (cohort_week, offset) where each user contributes
+# one row per active week, so count(*) IS the distinct-user count —
+# no countDistinct state. No windows, no self-join on the raw stream.
+# Weeks are Monday-truncated in both engines; cohort_week is emitted
+# as a yyyy-MM-dd string (timestamps diverge in the value hash).
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.datediff(F.col("week"), F.col("cohort_week"))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("active_users"))
+        .join(
+            cohort.groupBy("cohort_week").agg(
+                F.count("*").cast("long").alias("cohort_size")
+            ),
+            "cohort_week",
+        )
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.col("week_offset") / 7).cast("int").alias("week_offset"),
+            "cohort_size",
+            "active_users",
+            floor_round(F.col("active_users") / F.col("cohort_size"), 4)
+            .alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cells AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT)
+           AS week_offset,
+         CAST(count(*) AS BIGINT) AS active_users
+  FROM active a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY 1
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.week_offset, s.cohort_size, c.active_users,
+       CAST(floor(CAST(c.active_users AS DOUBLE) / s.cohort_size * 10000
+                  + 1e-6) / 10000 AS DOUBLE) AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""

@@ -1924,3 +1924,106 @@ SELECT d.doc_id,
        END AS entropy
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (R4-31, training:collocations). Pointwise mutual
+# information over adjacent-token bigrams — the classic phrase-mining
+# signal (Church & Hanks 1990) used to pick tokenizer merge candidates
+# and to spot boilerplate n-grams in web corpora.
+#
+# Scale shape: tokens are materialized ONCE into a real column, then
+# bigrams come from zip_with over two F.slice windows of that column
+# (never element_at fan-outs, never a re-evaluated capture — CLAUDE.md
+# HOF rules). Unigram and bigram counts are plain explode→hash-agg;
+# the two frequency joins key on the token itself (vocab-sized sides,
+# AQE broadcasts them when small); corpus totals ride in via 1-row
+# broadcast crossJoins (whitelisted plan shape). A min-count floor
+# bounds the output the same way a real phrase miner would.
+PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(_tokens(), lambda t: t != "").alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    t_total = uni.agg(F.sum("c_tok").alias("t_total"))
+    b_total = bg.agg(F.sum("c_pair").alias("b_total"))
+    scored = (
+        bg.filter(F.col("c_pair") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c2")), "w2")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(b_total))
+    )
+    pmi = F.log2(
+        (F.col("c_pair") / F.col("b_total"))
+        / ((F.col("c1") / F.col("t_total")) * (F.col("c2") / F.col("t_total")))
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        F.col("c_pair").cast("long").alias("c_pair"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        _floor_round(pmi, 4).alias("pmi"),
+    ).orderBy(F.desc("pmi"), "w1", "w2")
+
+
+PMI_COLLOCATIONS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE len(toks) >= 2),
+bigrams AS (
+  SELECT u.bg.w1 AS w1, u.bg.w2 AS w2
+  FROM (
+    SELECT unnest(list_transform(
+             range(1, len(toks)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+           )) AS bg
+    FROM toks2
+  ) u
+),
+uni AS (
+  SELECT tok, count(*) AS c_tok
+  FROM (SELECT unnest(toks) AS tok FROM toks2)
+  GROUP BY 1
+),
+bg AS (SELECT w1, w2, count(*) AS c_pair FROM bigrams GROUP BY 1, 2),
+tot AS (SELECT sum(c_tok) AS t_total FROM uni),
+btot AS (SELECT sum(c_pair) AS b_total FROM bg)
+SELECT b.w1, b.w2,
+       CAST(b.c_pair AS BIGINT) AS c_pair,
+       CAST(u1.c_tok AS BIGINT) AS c1,
+       CAST(u2.c_tok AS BIGINT) AS c2,
+       CAST(floor(log2(
+         (CAST(b.c_pair AS DOUBLE) / btot.b_total)
+         / ((CAST(u1.c_tok AS DOUBLE) / tot.t_total)
+            * (CAST(u2.c_tok AS DOUBLE) / tot.t_total))
+       ) * 10000 + 1e-6) / 10000 AS DOUBLE) AS pmi
+FROM bg b
+JOIN uni u1 ON u1.tok = b.w1
+JOIN uni u2 ON u2.tok = b.w2, tot, btot
+WHERE b.c_pair >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+"""

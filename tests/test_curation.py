@@ -454,3 +454,93 @@ def test_global_rank_matches_single_window_and_range_join_recompute(spark):
         )
     rows = {r["window_id"]: r["n_in_window"] for r in events_range_join(spark, sf_dir).collect()}
     assert rows == want and len(want) > 0
+
+
+def test_cohort_retention_recompute(spark):
+    """R4-30: the retention matrix equals a pure-Python cohort scan;
+    offset-0 retention is 1.0 by construction (first week is active)."""
+    import math
+
+    from pdf_extractor_spark.analytics.relational import cohort_retention
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+
+    def week(ts):
+        d = ts.date()
+        monday = d.fromordinal(d.toordinal() - d.weekday())
+        return monday
+
+    first = {}
+    weeks = set()
+    for e in ev:
+        w = week(e["ts"])
+        weeks.add((e["user_id"], w))
+        if e["user_id"] not in first or w < first[e["user_id"]]:
+            first[e["user_id"]] = w
+    sizes = {}
+    for c in first.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    cells = {}
+    for u, w in weeks:
+        key = (first[u], (w - first[u]).days // 7)
+        cells[key] = cells.get(key, 0) + 1
+    rows = cohort_retention(spark, sf_dir).collect()
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["cohort_size"], r["active_users"], r["retention"]
+        )
+        for r in rows
+    }
+    assert len(got) == len(cells) > 0
+    for (cw, off), n in cells.items():
+        size, active, ret = got[(cw.strftime("%Y-%m-%d"), off)]
+        assert size == sizes[cw] and active == n
+        want = math.floor(n / sizes[cw] * 10000 + 1e-6) / 10000
+        assert abs(ret - want) < 1e-9
+        if off == 0:
+            assert abs(ret - 1.0) < 1e-9  # every user is active in week 0
+
+
+def test_pmi_collocations_recompute(spark):
+    """R4-31: PMI scores equal a pure-Python bigram recompute and the
+    min-count floor holds."""
+    import math
+    import re
+    from collections import Counter
+
+    from pdf_extractor_spark.analytics.textstats import (
+        PMI_MIN_COUNT,
+        pmi_collocations,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    uni, bg = Counter(), Counter()
+    for t in texts:
+        toks = [x for x in re.split(r"\s+", t or "") if x != ""]
+        if len(toks) < 2:
+            continue
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    t_total, b_total = sum(uni.values()), sum(bg.values())
+    rows = pmi_collocations(spark, sf_dir).collect()
+    want_keys = {k for k, c in bg.items() if c >= PMI_MIN_COUNT}
+    assert {(r["w1"], r["w2"]) for r in rows} == want_keys and want_keys
+    for r in rows:
+        c = bg[(r["w1"], r["w2"])]
+        assert r["c_pair"] == c >= PMI_MIN_COUNT
+        assert r["c1"] == uni[r["w1"]] and r["c2"] == uni[r["w2"]]
+        pmi = math.log2(
+            (c / b_total)
+            / ((uni[r["w1"]] / t_total) * (uni[r["w2"]] / t_total))
+        )
+        want = math.floor(pmi * 10000 + 1e-6) / 10000
+        assert abs(r["pmi"] - want) < 1e-9
