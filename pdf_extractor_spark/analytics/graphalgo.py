@@ -255,3 +255,132 @@ GROUP BY 1
 ORDER BY n_triangles DESC, doc_id ASC
 LIMIT {TRI_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (R4-32, Kleinberg 1999) — the bipartite
+# companion to PageRank: a page is a good AUTHORITY if good hubs link
+# to it, and a good HUB if it links to good authorities. On web-corpus
+# link graphs the hub score flags link farms / directory pages
+# (candidates for exclusion) while authority complements PageRank as a
+# quality prior. Same deterministic link fixture as pagerank_fixed.
+#
+# Semantics: h_0 = 1 for every vertex; K iterations of
+#   a(v) = Σ_{u→v} h(u),  then L1-normalize a;
+#   h(u) = Σ_{u→v} a(v),  then L1-normalize h.
+# L1 (not L2) normalization keeps the update linear so the fixed
+# number of iterations unrolls into plain SQL; the cross-engine fp
+# divergence of a differently-ordered double sum is ~1e-15 relative,
+# eight orders below the 8-decimal floor.
+#
+# Scale shape: per half-iteration ONE edge-keyed join plus ONE
+# map-side-combinable hash aggregate (keyed dst for the authority
+# pass, src for the hub pass) and a 1-row broadcast for the norm —
+# identical exchange profile to PageRank, reusing the same edge
+# table; K is constant so lineage stays bounded.
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+
+
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    edges = _edges(docs, n)
+    hubs = docs.select(F.col("doc_id").alias("v"), F.lit(1.0).alias("h"))
+    auths = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hubs, edges.src == F.col("v"))
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_norm = a_raw.agg(F.sum("a_raw").alias("a_tot"))
+        auths = (
+            docs.join(a_raw, docs.doc_id == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                F.col("doc_id").alias("v"),
+                (F.coalesce("a_raw", F.lit(0.0)) / F.col("a_tot")).alias("a"),
+            )
+        )
+        # Pin each half-iteration's scores (same pattern as dedup CC):
+        # the norm aggregate and the downstream join BOTH consume the
+        # raw-score subtree, so without a checkpoint the plan doubles
+        # per normalization — exponential in K.
+        auths = auths.localCheckpoint()
+        h_raw = (
+            edges.join(auths, edges.dst == F.col("v"))
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_norm = h_raw.agg(F.sum("h_raw").alias("h_tot"))
+        hubs = (
+            docs.join(h_raw, docs.doc_id == h_raw.src, "left")
+            .crossJoin(F.broadcast(h_norm))
+            .select(
+                F.col("doc_id").alias("v"),
+                (F.coalesce("h_raw", F.lit(0.0)) / F.col("h_tot")).alias("h"),
+            )
+        )
+        hubs = hubs.localCheckpoint()
+    return (
+        auths.join(hubs, "v")
+        .select(
+            F.col("v").alias("doc_id"),
+            floor_round(F.col("a"), 8).alias("authority"),
+            floor_round(F.col("h"), 8).alias("hub"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _hits_iter_sql(prev_h: str, out_a: str, out_h: str) -> str:
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    # score CTE here is consumed twice (norm subquery + join) — the
+    # oracle's analog of the Spark side's localCheckpoint.
+    return f"""{out_a}_raw AS MATERIALIZED (
+  SELECT e.dst AS v, sum(p.h) AS a_raw
+  FROM edges e JOIN {prev_h} p ON p.v = e.src
+  GROUP BY e.dst
+),
+{out_a} AS MATERIALIZED (
+  SELECT d.doc_id AS v,
+         coalesce(r.a_raw, 0.0)
+           / (SELECT sum(a_raw) FROM {out_a}_raw) AS a
+  FROM documents d LEFT JOIN {out_a}_raw r ON r.v = d.doc_id
+),
+{out_h}_raw AS MATERIALIZED (
+  SELECT e.src AS v, sum(p.a) AS h_raw
+  FROM edges e JOIN {out_a} p ON p.v = e.dst
+  GROUP BY e.src
+),
+{out_h} AS MATERIALIZED (
+  SELECT d.doc_id AS v,
+         coalesce(r.h_raw, 0.0)
+           / (SELECT sum(h_raw) FROM {out_h}_raw) AS h
+  FROM documents d LEFT JOIN {out_h}_raw r ON r.v = d.doc_id
+)"""
+
+
+HITS_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           unnest([(doc_id * 7 + 1) % (SELECT n FROM nn),
+                   (doc_id * doc_id + 3) % (SELECT n FROM nn),
+                   CAST(floor(doc_id / 2.0) AS BIGINT)]) AS dst
+    FROM documents
+  )
+),
+h0 AS (SELECT doc_id AS v, 1.0 AS h FROM documents),
+{_hits_iter_sql("h0", "a1", "h1")},
+{_hits_iter_sql("h1", "a2", "h2")},
+{_hits_iter_sql("h2", "a3", "h3")}
+SELECT a3.v AS doc_id,
+       floor(a3.a * 100000000 + 1e-6) / 100000000 AS authority,
+       floor(h3.h * 100000000 + 1e-6) / 100000000 AS hub
+FROM a3 JOIN h3 ON h3.v = a3.v
+ORDER BY doc_id
+"""

@@ -677,6 +677,10 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.pmi_collocations, textstats.PMI_COLLOCATIONS_SQL,
         "R4-31 training:collocations (bigram PMI, Church-Hanks 1990)",
     ),
+    "hits_scores": QuerySpec(
+        graphalgo.hits_scores, graphalgo.HITS_SQL,
+        "R4-32 training:link-hits (Kleinberg 1999 hubs/authorities)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -71,3 +71,51 @@ def test_triangle_count_matches_brute_force(spark):
     want = sorted(per_v.items(), key=lambda kv: (-kv[1], kv[0]))[:TRI_TOP]
     assert rows == want
     assert seen  # the fixture graph actually contains triangles
+
+
+def test_hits_matches_power_iteration(spark):
+    """R4-32: HITS authority/hub scores equal a dense pure-Python
+    L1-normalized power iteration on the same deterministic graph."""
+    import math
+
+    from pdf_extractor_spark.analytics.graphalgo import (
+        HITS_ITERS,
+        hits_scores,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = hits_scores(spark, sf_dir).collect()
+    out = {r["doc_id"]: (r["authority"], r["hub"]) for r in rows}
+    n = len(out)
+    assert set(out) == set(range(n))
+
+    edges = set()
+    for s in range(n):
+        edges.add((s, (7 * s + 1) % n))
+        edges.add((s, (s * s + 3) % n))
+        edges.add((s, s // 2))
+    h = [1.0] * n
+    a = [0.0] * n
+    for _ in range(HITS_ITERS):
+        a = [0.0] * n
+        for s, d in edges:
+            a[d] += h[s]
+        tot = sum(a)
+        a = [x / tot for x in a]
+        h = [0.0] * n
+        for s, d in edges:
+            h[s] += a[d]
+        tot = sum(h)
+        h = [x / tot for x in h]
+    for v in range(n):
+        wa = math.floor(a[v] * 1e8 + 1e-6) / 1e8
+        wh = math.floor(h[v] * 1e8 + 1e-6) / 1e8
+        assert abs(out[v][0] - wa) < 1e-12, (v, out[v][0], wa)
+        assert abs(out[v][1] - wh) < 1e-12, (v, out[v][1], wh)
+    # scores are probability vectors with genuine spread (each floored
+    # value loses up to 1e-8, so the L1 sum drifts by up to n*1e-8)
+    assert abs(sum(x for x, _ in out.values()) - 1.0) < n * 1.1e-8
+    assert abs(sum(y for _, y in out.values()) - 1.0) < n * 1.1e-8
+    assert max(x for x, _ in out.values()) > 3 * min(
+        x for x, _ in out.values()
+    )
