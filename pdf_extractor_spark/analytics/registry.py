@@ -681,6 +681,14 @@ QUERIES: Dict[str, QuerySpec] = {
         graphalgo.hits_scores, graphalgo.HITS_SQL,
         "R4-32 training:link-hits (Kleinberg 1999 hubs/authorities)",
     ),
+    "mmr_rerank": QuerySpec(
+        similarity.mmr_rerank, similarity.MMR_RERANK_SQL,
+        "R4-33 training:retrieval-mmr (Carbonell-Goldstein 1998)",
+    ),
+    "hard_negative_mining": QuerySpec(
+        similarity.hard_negative_mining, similarity.HARD_NEGATIVE_SQL,
+        "R4-34 training:hard-negatives (DPR/ANCE mining from the LSH index)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

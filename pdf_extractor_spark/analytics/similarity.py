@@ -1728,3 +1728,240 @@ FROM topk k LEFT JOIN truth t ON t.vec_id = k.vec_id
 GROUP BY n_probe
 ORDER BY n_probe
 """
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (R4-33, Carbonell & Goldstein
+# 1998) — the diversity-aware re-rank every RAG/retrieval stack runs
+# on top of cosine top-k: greedily pick the candidate maximizing
+# λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so near-duplicate hits
+# don't crowd the result list.
+#
+# Scale shape: the DISTRIBUTED part is the candidate pool (TakeOrdered
+# top-N over the full scan — the same plan as cosine_topk). The greedy
+# selection is inherently sequential in K, but every step works on the
+# BOUNDED pool: a ≤K-row broadcast of the selected set against the
+# ≤N-row pool (the SemDeDup-whitelisted K-row broadcast seed-join
+# idiom), one hash-agg max-sim per step, localCheckpoint pinning each
+# step's pick so the K-step lineage stays flat. All comparisons happen
+# on floor4-rounded values with a vec_id tiebreak, so the greedy
+# DECISIONS are engine-exact, not just the scores.
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    rel = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    pool = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "embedding", _floor4(rel).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .localCheckpoint()
+    )
+    lam, mu = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
+    selected = None
+    for step in range(1, MMR_K + 1):
+        if selected is None:
+            cand = pool.withColumn("max_sim", F.lit(0.0))
+        else:
+            sel = selected.select(
+                F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+            )
+            sims = (
+                pool.join(
+                    selected.select("vec_id"), "vec_id", "left_anti"
+                )
+                .crossJoin(F.broadcast(sel))
+                .select(
+                    "vec_id",
+                    _floor4(
+                        _cosine(
+                            _as_double(F.col("embedding")),
+                            _as_double(F.col("s_emb")),
+                        )
+                    ).alias("sim"),
+                )
+                .groupBy("vec_id")
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            cand = pool.join(sims, "vec_id")
+        pick = (
+            cand.select(
+                "vec_id",
+                "embedding",
+                "rel",
+                _floor4(lam * F.col("rel") - mu * F.col("max_sim")).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("rank", F.lit(step))
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint()
+    return selected.select(
+        F.col("rank").cast("int").alias("rank"), "vec_id", "rel", "mmr"
+    ).orderBy("rank")
+
+
+def _mmr_floor4_sql(x: str) -> str:
+    return f"CAST(floor(({x}) * 10000 + 1e-6) / 10000 AS DOUBLE) "
+
+
+def _mmr_step_sql(step: int, prev: list[str]) -> str:
+    prev_union = " UNION ALL ".join(f"SELECT * FROM {p}" for p in prev)
+    sim = _mmr_floor4_sql(_cosine_sql("p.embedding", "s.embedding"))
+    mmr = _mmr_floor4_sql(
+        f"{MMR_LAMBDA!r} * rel - {1.0 - MMR_LAMBDA!r} * max_sim"
+    )
+    return f"""sel{step} AS MATERIALIZED (
+  SELECT {step} AS rank, vec_id, rel, embedding, {mmr} AS mmr
+  FROM (
+    SELECT p.vec_id, p.rel, p.embedding, max({sim}) AS max_sim
+    FROM pool p CROSS JOIN ({prev_union}) s
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM ({prev_union}))
+    GROUP BY p.vec_id, p.rel, p.embedding
+  )
+  ORDER BY mmr DESC, vec_id ASC
+  LIMIT 1
+)"""
+
+
+_MMR_STEPS_SQL = ",\n".join(
+    _mmr_step_sql(i, [f"sel{j}" for j in range(1, i)])
+    for i in range(2, MMR_K + 1)
+)
+_MMR_UNION_SQL = " UNION ALL ".join(
+    f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1)
+)
+
+MMR_RERANK_SQL = f"""
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+pool AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {_mmr_floor4_sql(_cosine_sql('embedding', 'q_embedding'))} AS rel
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id != {QUERY_VEC_ID}
+  ORDER BY rel DESC, vec_id ASC
+  LIMIT {MMR_POOL}
+),
+sel1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, rel, embedding,
+         {_mmr_floor4_sql(f'{MMR_LAMBDA!r} * rel')} AS mmr
+  FROM pool ORDER BY mmr DESC, vec_id ASC LIMIT 1
+),
+{_MMR_STEPS_SQL}
+SELECT CAST(rank AS INT) AS rank, vec_id, rel, mmr
+FROM ({_MMR_UNION_SQL})
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (R4-34) — the contrastive-training companion to
+# contrastive_pairs (which salts RANDOM negatives): retrieval encoders
+# (DPR, ANCE) train far better on negatives that are similar-but-not-
+# duplicate, i.e. the top-scoring neighbors BELOW the positive
+# threshold. Anchors are a deterministic modulus of vec_id (scales
+# with the corpus); negatives come from the SAME hyperplane-LSH band
+# buckets the near-dup path uses — exactly the "mine negatives from
+# the ANN index" recipe.
+#
+# Scale shape: candidates ride the (band_id, band_key) equi-join (no
+# all-pairs), exact cosine runs on candidates only, positives are cut
+# by threshold, and the per-anchor top-k window is bounded by the LSH
+# bucket width (the SemDeDup boundedness argument — never a window
+# over the raw corpus).
+# ---------------------------------------------------------------------------
+
+HARD_NEG_ANCHOR_MOD = 20
+HARD_NEG_POS_TH = 0.95
+HARD_NEG_K = 3
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bands = emb.select(
+        "vec_id", F.explode(_hp_band_structs(F.col("embedding"))).alias("bb")
+    ).select(
+        "vec_id",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    anchors = bands.filter(F.col("vec_id") % HARD_NEG_ANCHOR_MOD == 0)
+    cand = (
+        anchors.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("b.vec_id").alias("neg_id"),
+        )
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"))
+    vb = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("b_emb"))
+    cos = _cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb")))
+    scored = (
+        cand.join(va, "anchor_id")
+        .join(vb, "neg_id")
+        .select("anchor_id", "neg_id", _floor4(cos).alias("cos"))
+        .filter(F.col("cos") < HARD_NEG_POS_TH)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("anchor_id", "neg_id", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("anchor_id", "rank")
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH bands AS MATERIALIZED (
+  SELECT vec_id, 0 AS band_id,
+         {_hp_band_key_sql('embedding', 0)} AS band_key FROM embeddings
+  UNION ALL
+  SELECT vec_id, 1 AS band_id,
+         {_hp_band_key_sql('embedding', 1)} AS band_key FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.vec_id != b.vec_id
+  WHERE a.vec_id % {HARD_NEG_ANCHOR_MOD} = 0
+),
+scored AS (
+  SELECT c.anchor_id, c.neg_id,
+         CAST(floor(({_cosine_sql('a.embedding', 'b.embedding')})
+              * 10000 + 1e-6) / 10000 AS DOUBLE) AS cos
+  FROM cand c
+  JOIN embeddings a ON c.anchor_id = a.vec_id
+  JOIN embeddings b ON c.neg_id = b.vec_id
+)
+SELECT anchor_id, neg_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT anchor_id, neg_id, cos,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cos DESC, neg_id ASC) AS rank
+  FROM scored WHERE cos < {HARD_NEG_POS_TH}
+)
+WHERE rank <= {HARD_NEG_K}
+ORDER BY anchor_id, rank
+"""

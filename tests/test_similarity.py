@@ -223,3 +223,133 @@ def test_ann_recall_audit_monotone_and_exact_at_full_probe(spark):
         assert r["n_hits"] <= TOP_K
     if RECALL_MAX_PROBE >= n_labels:
         assert rows[max(rows)]["recall_at_k"] == 1.0
+
+
+def test_mmr_rerank_greedy_recompute(spark):
+    """R4-33: the distributed greedy selection equals a pure-Python
+    MMR walk over the same floored pool; ranks are a permutation
+    prefix and the first pick is the relevance argmax."""
+    import math
+
+    from pdf_extractor_spark.analytics.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        QUERY_VEC_ID,
+        mmr_rerank,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def f4(x):
+        return math.floor(x * 10000 + 1e-6) / 10000
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    q = vecs[QUERY_VEC_ID]
+    pool = sorted(
+        ((f4(cos(v, q)), vid) for vid, v in vecs.items() if vid != QUERY_VEC_ID),
+        key=lambda t: (-t[0], t[1]),
+    )[:MMR_POOL]
+    selected, want = [], []
+    remaining = {vid: rel for rel, vid in pool}
+    for step in range(1, MMR_K + 1):
+        best = None
+        for vid, rel in remaining.items():
+            ms = max(
+                (f4(cos(vecs[vid], vecs[s])) for s in selected), default=0.0
+            )
+            mmr = f4(MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * ms)
+            key = (-mmr, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel, mmr)
+        selected.append(best[1])
+        want.append((step, best[1], best[2], best[3]))
+        del remaining[best[1]]
+
+    rows = mmr_rerank(spark, sf_dir).collect()
+    got = [(r["rank"], r["vec_id"], r["rel"], r["mmr"]) for r in rows]
+    assert got == want
+    assert got[0][1] == pool[0][1]  # first pick is the rel argmax
+    assert len({v for _, v, _, _ in got}) == MMR_K  # no repeats
+
+
+def test_hard_negative_mining_recompute(spark):
+    """R4-34: per-anchor hard negatives equal a pure-Python pass over
+    the same LSH candidates; every emitted cos is below the positive
+    threshold and ranks are dense per anchor."""
+    import math
+
+    from pdf_extractor_spark.analytics.similarity import (
+        DIMS,
+        HARD_NEG_ANCHOR_MOD,
+        HARD_NEG_K,
+        HARD_NEG_POS_TH,
+        HP_BANDS,
+        HP_BITS,
+        hard_negative_mining,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def f4(x):
+        return math.floor(x * 10000 + 1e-6) / 10000
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    def band_key(v, band):
+        key = 0
+        for r in range(HP_BITS):
+            j = band * HP_BITS + r
+            dot = sum(
+                v[i] * math.sin((j + 1) * (i + 1)) for i in range(DIMS)
+            )
+            if dot >= 0:
+                key += 2**r
+        return key
+
+    buckets = {}
+    for vid, v in vecs.items():
+        for b in range(HP_BANDS):
+            buckets.setdefault((b, band_key(v, b)), []).append(vid)
+    want = {}
+    for (b, k), ids in buckets.items():
+        for a in ids:
+            if a % HARD_NEG_ANCHOR_MOD != 0:
+                continue
+            for o in ids:
+                if o != a:
+                    want.setdefault(a, set()).add(o)
+    expect = []
+    for a in sorted(want):
+        scored = sorted(
+            (
+                (f4(cos(vecs[a], vecs[o])), o)
+                for o in want[a]
+                if f4(cos(vecs[a], vecs[o])) < HARD_NEG_POS_TH
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:HARD_NEG_K]
+        for rank, (c, o) in enumerate(scored, start=1):
+            expect.append((a, o, c, rank))
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    got = [(r["anchor_id"], r["neg_id"], r["cos"], r["rank"]) for r in rows]
+    assert got == expect and len(got) > 0
+    assert all(c < HARD_NEG_POS_TH for _, _, c, _ in got)
