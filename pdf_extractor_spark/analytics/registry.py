@@ -689,6 +689,18 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.hard_negative_mining, similarity.HARD_NEGATIVE_SQL,
         "R4-34 training:hard-negatives (DPR/ANCE mining from the LSH index)",
     ),
+    "exact_group_median": QuerySpec(
+        relational.exact_group_median, relational.EXACT_MEDIAN_SQL,
+        "R4-35 exact per-group median/p90 via value histogram",
+    ),
+    "skipgram_pairs": QuerySpec(
+        textstats.skipgram_pairs, textstats.SKIPGRAM_PAIRS_SQL,
+        "R4-36 training:skipgram (Mikolov 2013, closed-form subsample)",
+    ),
+    "source_lang_unpivot": QuerySpec(
+        relational.source_lang_unpivot, relational.SOURCE_LANG_UNPIVOT_SQL,
+        "R4-37 OLAP breadth: UNPIVOT/melt (inverse of the PIVOT)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -2397,3 +2397,114 @@ SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
 FROM cells c JOIN sizes s USING (cohort_week)
 ORDER BY cohort_week, week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group median/percentile via value histogram (R4-35). The
+# scalable EXACT quantile shape: percentile_approx diverges across
+# engines and a per-group sort window funnels every row of a hot group
+# through one task. Instead the corpus collapses to a (group, value)
+# histogram FIRST — one map-side-combinable hash agg, state bounded by
+# the VALUE DOMAIN (n_chars cardinality), not the corpus — and the
+# rank walk runs over that bounded histogram (a window over ≤|domain|
+# rows per group). Median = mean of the values at ranks ⌊(n+1)/2⌋ and
+# ⌈(n+1)/2⌉; p90 = nearest-rank value at ⌈0.9·n⌉ — both exact and
+# engine-portable (no interpolation-mode divergence).
+def exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    lo_pos = F.floor((F.col("n") + 1) / 2)
+    hi_pos = F.ceil((F.col("n") + 1) / 2)
+    p90_pos = F.ceil(F.col("n") * 0.9)
+    picks = cum.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min(F.when(F.col("cum") >= lo_pos, F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_pos, F.col("n_chars"))).alias("hi"),
+        F.min(F.when(F.col("cum") >= p90_pos, F.col("n_chars")))
+        .cast("long")
+        .alias("p90"),
+    )
+    return picks.select(
+        "lang",
+        "n_docs",
+        floor_round((F.col("lo") + F.col("hi")) / 2.0, 4).alias("median"),
+        "p90",
+    ).orderBy("lang")
+
+
+EXACT_MEDIAN_SQL = """
+WITH hist AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, n_chars, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(floor((min(CASE WHEN cum >= floor((n + 1) / 2.0)
+                        THEN n_chars END)
+                   + min(CASE WHEN cum >= ceil((n + 1) / 2.0)
+                          THEN n_chars END)) / 2.0 * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS median,
+       CAST(min(CASE WHEN cum >= ceil(n * 0.9) THEN n_chars END)
+            AS BIGINT) AS p90
+FROM cum
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (R4-37) — the inverse of source_lang_pivot and the
+# last relational reshape missing next to PIVOT/ROLLUP/CUBE/GROUPING
+# SETS: the wide (source × n_<lang> columns) matrix melts back to long
+# (source, lang, n) rows via DataFrame.unpivot (Spark's native melt,
+# ids/values/variable/value signature). Zero-count cells are kept —
+# unpivot emits every (id, value-column) pair, which is exactly what
+# makes the round trip with the pivot lossless.
+#
+# Scale shape: the wide input is one hash aggregate (the pivot);
+# unpivot itself is a map-only Expand (no shuffle, no UDF).
+def source_lang_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = source_lang_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["source"],
+            values=[f"n_{l}" for l in _PIVOT_LANGS],
+            variableColumnName="lang",
+            valueColumnName="n",
+        )
+        .select(
+            "source",
+            F.expr("substring(lang, 3)").alias("lang"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SOURCE_LANG_UNPIVOT_SQL = f"""
+WITH langs AS (
+  SELECT unnest([{', '.join(repr(l) for l in _PIVOT_LANGS)}]) AS lang
+),
+counts AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+)
+SELECT s.source, l.lang,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT source FROM documents) s
+CROSS JOIN langs l
+LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+ORDER BY s.source, l.lang
+"""

@@ -2027,3 +2027,149 @@ JOIN uni u2 ON u2.tok = b.w2, tot, btot
 WHERE b.c_pair >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, w1, w2
 """
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram pair mining with closed-form subsampling (R4-36,
+# training:skipgram — the word2vec/fastText co-occurrence table,
+# Mikolov et al. 2013). Pairs are every (center, context) within a
+# ±SKIPGRAM_WINDOW token window; instead of per-occurrence coin flips
+# (nondeterministic, engine-divergent), the word2vec frequency
+# subsample is applied as its EXPECTATION: keep_prob(w) =
+# min(1, sqrt(t / f(w))), expected_count = n_pairs · p(center) ·
+# p(context) — deterministic, exact, and what you'd materialize at
+# 100 TB anyway (sampling happens at training time from the weighted
+# table).
+#
+# Scale shape: tokens materialize once; each window offset d is a
+# zip_with over two F.slice views of that column (HOF rules: no
+# element_at fan-out, no captured expressions); pair counts and the
+# vocab table are explode→hash-agg; the two frequency joins are
+# vocab-sized; corpus total rides a 1-row broadcast.
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_T = 1e-3
+SKIPGRAM_MIN_PAIRS = 5
+
+
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(_tokens(), lambda t: t != "").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    offset_pairs = []
+    for d in range(1, SKIPGRAM_WINDOW + 1):
+        pair = F.zip_with(
+            F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - d, F.lit(0))),
+            F.slice(F.col("toks"), 1 + d, F.greatest(F.size("toks") - d, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        offset_pairs.append(pair)
+    both_dirs = F.flatten(F.array(*offset_pairs))
+    pairs = (
+        toks.select(F.explode(both_dirs).alias("p"))
+        .select("p.w1", "p.w2")
+        # symmetric window: emit both (center, context) directions
+        .withColumn("dir", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select(
+            F.when(F.col("dir") == 0, F.col("w1")).otherwise(F.col("w2"))
+            .alias("center"),
+            F.when(F.col("dir") == 0, F.col("w2")).otherwise(F.col("w1"))
+            .alias("context"),
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= SKIPGRAM_MIN_PAIRS)
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    total = uni.agg(F.sum("c_tok").alias("t_total"))
+    keep = lambda c: F.least(  # noqa: E731
+        F.lit(1.0), F.sqrt(F.lit(SKIPGRAM_T) / (c / F.col("t_total")))
+    )
+    return (
+        pairs.join(
+            uni.select(F.col("tok").alias("center"), F.col("c_tok").alias("c1")),
+            "center",
+        )
+        .join(
+            uni.select(F.col("tok").alias("context"), F.col("c_tok").alias("c2")),
+            "context",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "center",
+            "context",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            _floor_round(
+                F.col("n_pairs") * keep(F.col("c1")) * keep(F.col("c2")), 4
+            ).alias("expected_count"),
+        )
+        .orderBy("center", "context")
+    )
+
+
+def _sg_keep_sql(c: str) -> str:
+    return (
+        f"least(1.0, sqrt({SKIPGRAM_T!r} / "
+        f"(CAST({c} AS DOUBLE) / tot.t_total)))"
+    )
+
+
+SKIPGRAM_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE len(toks) >= 2),
+onedir AS (
+  SELECT u.p.w1 AS w1, u.p.w2 AS w2
+  FROM (
+    SELECT unnest(flatten([
+      list_transform(range(1, greatest(len(toks) - {{d}} + 1, 1)),
+                     i -> struct_pack(w1 := toks[i], w2 := toks[i + {{d}}]))
+      FOR_EACH_D
+    ])) AS p
+    FROM toks2
+  ) u
+),
+pairs AS (
+  SELECT center, context, count(*) AS n_pairs FROM (
+    SELECT w1 AS center, w2 AS context FROM onedir
+    UNION ALL
+    SELECT w2 AS center, w1 AS context FROM onedir
+  )
+  GROUP BY 1, 2
+  HAVING count(*) >= {SKIPGRAM_MIN_PAIRS}
+),
+uni AS (
+  SELECT tok, count(*) AS c_tok
+  FROM (SELECT unnest(toks) AS tok FROM toks2)
+  GROUP BY 1
+),
+tot AS (SELECT sum(c_tok) AS t_total FROM uni)
+SELECT p.center, p.context,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(floor(p.n_pairs * {_sg_keep_sql('u1.c_tok')}
+                  * {_sg_keep_sql('u2.c_tok')} * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS expected_count
+FROM pairs p
+JOIN uni u1 ON u1.tok = p.center
+JOIN uni u2 ON u2.tok = p.context, tot
+ORDER BY center, context
+"""
+
+_SG_OFFSETS = ",\n      ".join(
+    "list_transform(range(1, greatest(len(toks) - %d + 1, 1)), "
+    "i -> struct_pack(w1 := toks[i], w2 := toks[i + %d]))" % (d, d)
+    for d in range(1, SKIPGRAM_WINDOW + 1)
+)
+SKIPGRAM_PAIRS_SQL = SKIPGRAM_PAIRS_SQL.replace(
+    """list_transform(range(1, greatest(len(toks) - {d} + 1, 1)),
+                     i -> struct_pack(w1 := toks[i], w2 := toks[i + {d}]))
+      FOR_EACH_D""",
+    _SG_OFFSETS,
+)

@@ -544,3 +544,81 @@ def test_pmi_collocations_recompute(spark):
         )
         want = math.floor(pmi * 10000 + 1e-6) / 10000
         assert abs(r["pmi"] - want) < 1e-9
+
+
+def test_exact_group_median_recompute(spark):
+    """R4-35: histogram-walk median/p90 equal a pure-Python sort."""
+    import math
+
+    from pdf_extractor_spark.analytics.relational import exact_group_median
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "n_chars"
+    ).collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    rows = exact_group_median(spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        vals = sorted(by_lang[r["lang"]])
+        n = len(vals)
+        assert r["n_docs"] == n
+        lo = vals[math.floor((n + 1) / 2) - 1]
+        hi = vals[math.ceil((n + 1) / 2) - 1]
+        want_med = math.floor((lo + hi) / 2.0 * 10000 + 1e-6) / 10000
+        assert abs(r["median"] - want_med) < 1e-9
+        assert r["p90"] == vals[math.ceil(n * 0.9) - 1]
+
+
+def test_skipgram_pairs_recompute(spark):
+    """R4-36: pair counts and subsampling expectations equal a
+    pure-Python window walk; the table is symmetric in (center,
+    context) counts."""
+    import math
+    import re
+    from collections import Counter
+
+    from pdf_extractor_spark.analytics.textstats import (
+        SKIPGRAM_MIN_PAIRS,
+        SKIPGRAM_T,
+        SKIPGRAM_WINDOW,
+        skipgram_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    uni, pairs = Counter(), Counter()
+    for t in texts:
+        toks = [x for x in re.split(r"\s+", t or "") if x != ""]
+        if len(toks) < 2:
+            continue
+        uni.update(toks)
+        for i, w in enumerate(toks):
+            for d in range(1, SKIPGRAM_WINDOW + 1):
+                if i + d < len(toks):
+                    pairs[(w, toks[i + d])] += 1
+                    pairs[(toks[i + d], w)] += 1
+    t_total = sum(uni.values())
+
+    def keep(w):
+        return min(1.0, math.sqrt(SKIPGRAM_T / (uni[w] / t_total)))
+
+    rows = skipgram_pairs(spark, sf_dir).collect()
+    want_keys = {k for k, c in pairs.items() if c >= SKIPGRAM_MIN_PAIRS}
+    got = {(r["center"], r["context"]): (r["n_pairs"], r["expected_count"])
+           for r in rows}
+    assert set(got) == want_keys and want_keys
+    for (c, x), (n, e) in got.items():
+        assert n == pairs[(c, x)]
+        want = math.floor(n * keep(c) * keep(x) * 10000 + 1e-6) / 10000
+        assert abs(e - want) < 1e-9
+        # symmetry of the raw counts
+        if (x, c) in got:
+            assert got[(x, c)][0] == n
