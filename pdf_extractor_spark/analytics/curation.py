@@ -1647,3 +1647,99 @@ FROM b
 GROUP BY 1
 ORDER BY seq_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (R4-39, training:cdc-chunks — the
+# FastCDC/rsync/Borg storage-dedup primitive): chunk boundaries fall
+# AFTER any token whose content hash gates to zero, so identical text
+# produces identical chunks regardless of where it sits in a document
+# — insertions only perturb the one chunk they land in, which is what
+# makes chunk-level dedup of shifted/edited near-copies work where
+# fixed-size chunking (chunk_documents) resyncs never. Expected chunk
+# length = the gate modulus.
+#
+# Scale shape: tokenize → posexplode → boundary flag from the
+# engine-portable md5 gate → chunk ids via ONE prefix-sum window per
+# doc (the sessionize shape; the extraction layer splits megadocs
+# before any per-doc window) → one hash agg per chunk. The chunk
+# fingerprint orders tokens by position inside a chunk-bounded
+# collect (state bounded by the gate's geometric tail, not the doc).
+CDC_GATE = 8  # expected tokens per chunk
+
+
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(_tokens(), lambda t: t != "").alias("toks")
+    ).filter(F.size("toks") >= 1)
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn(
+        "boundary",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+            .cast("long")
+            % CDC_GATE
+            == 0
+        ).cast("int"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.withColumn(
+        "chunk_idx", F.coalesce(F.sum("boundary").over(w), F.lit(0)).cast("int")
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("fingerprint"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CDC_CHUNKS_SQL = rf"""
+WITH pos AS (
+  SELECT doc_id, u.tok, CAST(u.pos AS INT) - 1 AS pos,
+         CASE WHEN CAST('0x' || substr(md5(u.tok), 1, 8) AS BIGINT)
+                   % {CDC_GATE} = 0 THEN 1 ELSE 0 END AS boundary
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'),
+                              t -> t <> '')) AS tok,
+           generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+                                           t -> t <> ''), 1) AS pos
+    FROM documents
+  ) u
+),
+chunked AS (
+  SELECT doc_id, tok, pos,
+         CAST(coalesce(sum(boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS INT) AS chunk_idx
+  FROM pos
+)
+SELECT doc_id, chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS fingerprint
+FROM chunked
+GROUP BY doc_id, chunk_idx
+ORDER BY doc_id, chunk_idx
+"""

@@ -701,6 +701,18 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.source_lang_unpivot, relational.SOURCE_LANG_UNPIVOT_SQL,
         "R4-37 OLAP breadth: UNPIVOT/melt (inverse of the PIVOT)",
     ),
+    "cluster_silhouette": QuerySpec(
+        similarity.cluster_silhouette, similarity.CLUSTER_SILHOUETTE_SQL,
+        "R4-38 training:cluster-silhouette (simplified silhouette audit)",
+    ),
+    "content_defined_chunks": QuerySpec(
+        curation.content_defined_chunks, curation.CDC_CHUNKS_SQL,
+        "R4-39 training:cdc-chunks (FastCDC-style content-defined chunking)",
+    ),
+    "vocab_half_setops": QuerySpec(
+        relational.vocab_half_setops, relational.VOCAB_SETOPS_SQL,
+        "R4-40 OLAP breadth: INTERSECT/EXCEPT vocabulary diff",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -2508,3 +2508,67 @@ CROSS JOIN langs l
 LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
 ORDER BY s.source, l.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Set-operation breadth (R4-40): INTERSECT / EXCEPT — the two ANSI set
+# operators not yet exercised (UNION and its dedup live in U3/U4).
+# The corpus splits by doc_id into halves; the distinct (lang, token)
+# vocabulary of each half is compared: INTERSECT = shared vocabulary,
+# EXCEPT each way = half-exclusive combos — the wave-over-wave
+# vocabulary diff a corpus-drift monitor runs (the set-arithmetic
+# companion to corpus_drift_kl).
+#
+# Scale shape: Spark plans INTERSECT/EXCEPT as left-semi/left-anti
+# hash joins over pre-aggregated distincts — same exchange profile as
+# the semi/anti-join queries, no new shapes.
+def vocab_half_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n)).select(
+        (F.col("doc_id") < F.col("n") / 2).alias("first_half"),
+        "lang",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    va = base.filter("first_half").select("lang", "tok").distinct()
+    vb = base.filter(~F.col("first_half")).select("lang", "tok").distinct()
+    return (
+        va.intersect(vb).select("lang", "tok", F.lit("both").alias("side"))
+        .unionByName(
+            va.exceptAll(vb).select(
+                "lang", "tok", F.lit("first_only").alias("side")
+            )
+        )
+        .unionByName(
+            vb.exceptAll(va).select(
+                "lang", "tok", F.lit("second_only").alias("side")
+            )
+        )
+        .orderBy("side", "lang", "tok")
+    )
+
+
+VOCAB_SETOPS_SQL = r"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT doc_id < (SELECT n FROM nn) / 2 AS first_half, lang,
+         unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+),
+va AS (SELECT DISTINCT lang, tok FROM base WHERE first_half AND tok <> ''),
+vb AS (SELECT DISTINCT lang, tok FROM base WHERE NOT first_half AND tok <> '')
+SELECT lang, tok, side FROM (
+  SELECT lang, tok, 'both' AS side FROM (
+    SELECT lang, tok FROM va INTERSECT SELECT lang, tok FROM vb
+  )
+  UNION ALL
+  SELECT lang, tok, 'first_only' AS side FROM (
+    SELECT lang, tok FROM va EXCEPT SELECT lang, tok FROM vb
+  )
+  UNION ALL
+  SELECT lang, tok, 'second_only' AS side FROM (
+    SELECT lang, tok FROM vb EXCEPT SELECT lang, tok FROM va
+  )
+)
+ORDER BY side, lang, tok
+"""

@@ -1965,3 +1965,88 @@ SELECT anchor_id, neg_id, cos, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= {HARD_NEG_K}
 ORDER BY anchor_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Centroid-based silhouette (R4-38, training:cluster-silhouette —
+# simplified silhouette, Hruschka et al. 2004): the clustering-health
+# audit next to cluster_profile/ann_recall_audit. For each vector,
+# a = cosine distance to its OWN label centroid, b = min distance to
+# any OTHER centroid, s = (b−a)/max(a,b); per-cluster mean s near 1 ⇒
+# tight well-separated clusters, near/below 0 ⇒ the IVF partitioning
+# is routing probes badly.
+#
+# Scale shape: centroids are ONE hash aggregate (DIMS avg columns →
+# K rows), broadcast everywhere after; own-centroid join is an equi-
+# join on label; the min-other pass is a K-row broadcast against the
+# scan (the whitelisted bounded seed-join idiom — exactly SemDeDup's
+# shape). Simplified silhouette is THE scalable variant: full
+# silhouette needs all-pairs within-cluster distances.
+# ---------------------------------------------------------------------------
+
+
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.groupBy("label").agg(
+        *[
+            F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+            for i in range(DIMS)
+        ]
+    ).select(
+        F.col("label").alias("c_label"),
+        F.array(*[F.col(f"c{i}") for i in range(DIMS)]).alias("centroid"),
+    )
+    dist = F.lit(1.0) - _cosine(_as_double(F.col("embedding")), F.col("centroid"))
+    own = emb.join(
+        F.broadcast(cent), F.col("label") == F.col("c_label")
+    ).select("vec_id", "label", dist.alias("a"))
+    other = (
+        emb.join(F.broadcast(cent), F.col("label") != F.col("c_label"))
+        .select("vec_id", dist.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("b"))
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    return (
+        own.join(other, "vec_id")
+        .select("label", s.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            _floor4(F.avg("s")).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+_CENTROID_AVG_SQL = ", ".join(
+    f"avg(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(DIMS)
+)
+
+CLUSTER_SILHOUETTE_SQL = f"""
+WITH cent AS MATERIALIZED (
+  SELECT label AS c_label, [{_CENTROID_AVG_SQL}] AS centroid
+  FROM embeddings GROUP BY label
+),
+own AS (
+  SELECT e.vec_id, e.label,
+         1.0 - ({_cosine_sql('e.embedding', 'c.centroid')}) AS a
+  FROM embeddings e JOIN cent c ON c.c_label = e.label
+),
+other AS (
+  SELECT e.vec_id,
+         min(1.0 - ({_cosine_sql('e.embedding', 'c.centroid')})) AS b
+  FROM embeddings e JOIN cent c ON c.c_label != e.label
+  GROUP BY e.vec_id
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(floor(avg(CASE WHEN greatest(a, b) > 0
+                       THEN (b - a) / greatest(a, b) ELSE 0.0 END)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_silhouette
+FROM own JOIN other USING (vec_id)
+GROUP BY label
+ORDER BY label
+"""

@@ -622,3 +622,55 @@ def test_skipgram_pairs_recompute(spark):
         # symmetry of the raw counts
         if (x, c) in got:
             assert got[(x, c)][0] == n
+
+
+def test_content_defined_chunks_recompute_and_shift_invariance(spark):
+    """R4-39: chunks equal a pure-Python boundary walk, and the CDC
+    property holds — the same token sequence yields the same interior
+    chunk fingerprints wherever it appears."""
+    import hashlib
+    import re
+
+    from pdf_extractor_spark.analytics.curation import (
+        CDC_GATE,
+        content_defined_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def boundary(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % CDC_GATE == 0
+
+    want = []
+    for did in sorted(docs):
+        toks = [t for t in re.split(r"\s+", docs[did] or "") if t != ""]
+        if not toks:
+            continue
+        chunks, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if boundary(t):
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        for i, ch in enumerate(chunks):
+            want.append(
+                (did, i, len(ch),
+                 hashlib.md5(" ".join(ch).encode()).hexdigest())
+            )
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["fingerprint"])
+        for r in content_defined_chunks(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want) and want
+    # shift invariance: a boundary-terminated chunk's fingerprint is a
+    # pure function of its content — identical fingerprints must carry
+    # identical token counts wherever (and in whichever doc) they occur
+    sizes = {}
+    for _, _, n, fp in got:
+        assert sizes.setdefault(fp, n) == n

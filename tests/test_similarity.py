@@ -353,3 +353,53 @@ def test_hard_negative_mining_recompute(spark):
     got = [(r["anchor_id"], r["neg_id"], r["cos"], r["rank"]) for r in rows]
     assert got == expect and len(got) > 0
     assert all(c < HARD_NEG_POS_TH for _, _, c, _ in got)
+
+
+def test_cluster_silhouette_recompute(spark):
+    """R4-38: per-cluster simplified silhouette equals a pure-Python
+    centroid recompute; values live in [-1, 1]."""
+    import math
+
+    from pdf_extractor_spark.analytics.similarity import cluster_silhouette
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            [float(x) for x in r["embedding"]]
+        )
+    cents = {
+        lab: [sum(col) / len(vs) for col in zip(*vs)]
+        for lab, vs in by_label.items()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    want = {}
+    for lab, vs in by_label.items():
+        ss = []
+        for v in vs:
+            a = 1.0 - cos(v, cents[lab])
+            b = min(
+                1.0 - cos(v, c) for l2, c in cents.items() if l2 != lab
+            )
+            m = max(a, b)
+            ss.append((b - a) / m if m > 0 else 0.0)
+        mean = sum(ss) / len(ss)
+        want[lab] = (
+            len(vs), math.floor(mean * 10000 + 1e-6) / 10000
+        )
+    got = {
+        r["label"]: (r["n_vecs"], r["mean_silhouette"])
+        for r in cluster_silhouette(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for lab in want:
+        assert got[lab][0] == want[lab][0]
+        assert abs(got[lab][1] - want[lab][1]) < 1e-9
+        assert -1.0 - 1e-9 <= got[lab][1] <= 1.0 + 1e-9
