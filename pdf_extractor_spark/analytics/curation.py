@@ -1743,3 +1743,82 @@ FROM chunked
 GROUP BY doc_id, chunk_idx
 ORDER BY doc_id, chunk_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Document novelty score (R4-43, training:novelty — the inverse of
+# dup detection: what fraction of a doc's 5-gram shingles appears in
+# NO other document?). High-novelty docs carry unique content worth
+# upweighting; near-zero novelty flags boilerplate/templates even when
+# no single pair crosses a dup threshold — the corpus-level signal the
+# per-pair queries can't see.
+#
+# Scale shape: within-doc DISTINCT shingles first (hash agg keyed on
+# (doc, md5(gram)) — gram text is hashed immediately so shuffle rows
+# stay fixed-width), then document frequency per gram (second hash
+# agg), then one join back on the gram hash and a per-doc ratio. Two
+# map-side-combinable aggregates + one equi-join; no windows.
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", F.explode(_grams(F.col("toks"), DECON_N)).alias("g"))
+        .select("doc_id", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    df = grams.groupBy("gh").agg(F.count("*").alias("gram_df"))
+    per_doc = (
+        grams.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("gram_df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(
+                F.col("n_grams") > 0,
+                floor_round(F.col("n_unique") / F.col("n_grams"), 4),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[i:i+{DECON_N - 1}], ' ')) AS gh
+  FROM toks,
+       unnest(generate_series(1, greatest(len(t) - {DECON_N - 1}, 0))) AS u(i)
+),
+df AS (SELECT gh, count(*) AS gram_df FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique
+  FROM grams g JOIN df f USING (gh)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+       CASE WHEN coalesce(p.n_grams, 0) > 0 THEN
+         CAST(floor(CAST(p.n_unique AS DOUBLE) / p.n_grams * 10000 + 1e-6)
+              / 10000 AS DOUBLE)
+       END AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""

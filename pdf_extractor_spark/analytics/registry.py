@@ -713,6 +713,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.vocab_half_setops, relational.VOCAB_SETOPS_SQL,
         "R4-40 OLAP breadth: INTERSECT/EXCEPT vocabulary diff",
     ),
+    "last_touch_attribution": QuerySpec(
+        relational.last_touch_attribution, relational.LAST_TOUCH_SQL,
+        "R4-41 last-touch attribution (windowed forward fill)",
+    ),
+    "event_trigram_paths": QuerySpec(
+        relational.event_trigram_paths, relational.EVENT_TRIGRAM_SQL,
+        "R4-42 session path mining (top in-session event trigrams)",
+    ),
+    "doc_novelty_score": QuerySpec(
+        curation.doc_novelty_score, curation.DOC_NOVELTY_SQL,
+        "R4-43 training:novelty (unique-shingle fraction per doc)",
+    ),
+    "length_token_correlation": QuerySpec(
+        textstats.length_token_correlation, textstats.LENGTH_TOKEN_CORR_SQL,
+        "R4-44 statistical aggregates (corr/covar/stddev per group)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

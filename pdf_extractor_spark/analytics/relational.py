@@ -2572,3 +2572,168 @@ SELECT lang, tok, side FROM (
 )
 ORDER BY side, lang, tok
 """
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (R4-41) — the marketing-analytics staple the
+# event log supports: each purchase is credited to the most recent
+# preceding touch ('view' or 'click') by the same user within the
+# attribution window, else 'none'. Same leakage-safe forward-fill
+# shape as pit_feature_join (one window per user over the merged
+# stream — never a per-purchase inequality probe), with the window
+# cutoff applied AFTER the fill: a stale touch outside the window
+# degrades to 'none' rather than scanning further back (true
+# last-touch semantics).
+ATTR_WINDOW_US = 72 * 3600 * 1_000_000
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_type",
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    stream = ev.select(
+        "event_id", "user_id", "t_us",
+        (F.col("event_type") == "purchase").cast("int").alias("is_label"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type"))
+        .alias("touch_type"),
+        F.when(F.col("event_type") != "purchase", F.col("t_us"))
+        .alias("touch_t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_label", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = stream.select(
+        "event_id", "t_us", "is_label",
+        F.last("touch_type", ignorenulls=True).over(w).alias("touch_type"),
+        F.last("touch_t", ignorenulls=True).over(w).alias("touch_t"),
+    ).where(F.col("is_label") == 1)
+    lag_us = F.col("t_us") - F.col("touch_t")
+    channel = F.when(
+        F.col("touch_t").isNotNull() & (lag_us <= ATTR_WINDOW_US),
+        F.col("touch_type"),
+    ).otherwise(F.lit("none"))
+    return (
+        filled.select(channel.alias("channel"), lag_us.alias("lag_us"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            floor_round(
+                F.avg(
+                    F.when(
+                        F.col("channel") != "none",
+                        F.col("lag_us") / 60_000_000.0,
+                    )
+                ),
+                4,
+            ).alias("avg_lag_min"),
+        )
+        .orderBy("channel")
+    )
+
+
+LAST_TOUCH_SQL = f"""
+WITH stream AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_label,
+         CASE WHEN event_type != 'purchase' THEN event_type END AS touch_type,
+         CASE WHEN event_type != 'purchase' THEN epoch_us(ts) END AS touch_t
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+filled AS (
+  SELECT event_id, t_us, is_label,
+         last_value(touch_type IGNORE NULLS) OVER w AS touch_type,
+         last_value(touch_t IGNORE NULLS) OVER w AS touch_t
+  FROM stream
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, is_label, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+attributed AS (
+  SELECT CASE WHEN touch_t IS NOT NULL
+                   AND t_us - touch_t <= {ATTR_WINDOW_US}
+              THEN touch_type ELSE 'none' END AS channel,
+         t_us - touch_t AS lag_us
+  FROM filled WHERE is_label = 1
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(floor(avg(CASE WHEN channel != 'none'
+                       THEN lag_us / 60000000.0 END)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS avg_lag_min
+FROM attributed
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (R4-42): top event trigrams within sessions —
+# the "common journeys" report product analytics builds on top of
+# sessionization. Sessions reuse events_sessionize's gap rule; paths
+# come from two lead() steps INSIDE the (user, session) partition (the
+# same bounded window sessionize itself needs — no new shapes), then
+# one hash agg + TakeOrdered for the global top-k.
+PATH_TOP_K = 15
+
+
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum("new_s").over(w).alias("session_seq"),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(ws).alias("e2"),
+        F.lead("event_type", 2).over(ws).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(PATH_TOP_K)
+    )
+
+
+EVENT_TRIGRAM_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_seq
+  FROM flagged
+),
+tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT {PATH_TOP_K}
+"""

@@ -2173,3 +2173,54 @@ SKIPGRAM_PAIRS_SQL = SKIPGRAM_PAIRS_SQL.replace(
       FOR_EACH_D""",
     _SG_OFFSETS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Correlation aggregates (R4-44): Pearson corr / sample covariance /
+# stddev of (n_chars, whitespace token count) per language — the
+# builtin statistical-aggregate family (corr, covar_samp, stddev_samp)
+# not yet exercised. One map-side-combinable hash aggregate; both
+# engines compute the same closed forms over the same doubles, with
+# floor4 absorbing summation-order noise.
+def length_token_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.filter(_tokens(), lambda t: t != ""))
+        .cast("double")
+        .alias("y"),
+    )
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            _floor_round(F.corr("x", "y"), 4).alias("corr_chars_tokens"),
+            _floor_round(F.covar_samp("x", "y"), 4).alias("covar"),
+            _floor_round(F.stddev_samp("x"), 4).alias("sd_chars"),
+            _floor_round(F.stddev_samp("y"), 4).alias("sd_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+LENGTH_TOKEN_CORR_SQL = r"""
+WITH stats AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              t -> t <> '')) AS DOUBLE) AS y
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(corr(x, y) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS corr_chars_tokens,
+       CAST(floor(covar_samp(x, y) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS covar,
+       CAST(floor(stddev_samp(x) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS sd_chars,
+       CAST(floor(stddev_samp(y) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS sd_tokens
+FROM stats
+GROUP BY lang
+ORDER BY lang
+"""

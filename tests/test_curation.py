@@ -674,3 +674,94 @@ def test_content_defined_chunks_recompute_and_shift_invariance(spark):
     sizes = {}
     for _, _, n, fp in got:
         assert sizes.setdefault(fp, n) == n
+
+
+def test_last_touch_attribution_recompute(spark):
+    """R4-41: channel credit equals a pure-Python stream walk with the
+    same tie rule (same-timestamp touch attributes to the purchase)."""
+    import math
+
+    from pdf_extractor_spark.analytics.relational import (
+        ATTR_WINDOW_US,
+        last_touch_attribution,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    import datetime as dt
+
+    def us(ts):
+        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    by_user = {}
+    for e in ev:
+        if e["event_type"] in ("view", "click", "purchase"):
+            by_user.setdefault(e["user_id"], []).append(e)
+    credit, lags = {}, {}
+    for u, es in by_user.items():
+        es.sort(key=lambda e: (us(e["ts"]),
+                               e["event_type"] == "purchase", e["event_id"]))
+        last = None
+        for e in es:
+            if e["event_type"] != "purchase":
+                last = e
+            else:
+                if last is not None and us(e["ts"]) - us(last["ts"]) <= ATTR_WINDOW_US:
+                    ch = last["event_type"]
+                    lags.setdefault(ch, []).append(
+                        (us(e["ts"]) - us(last["ts"])) / 60_000_000.0
+                    )
+                else:
+                    ch = "none"
+                credit[ch] = credit.get(ch, 0) + 1
+    rows = last_touch_attribution(spark, sf_dir).collect()
+    got = {r["channel"]: (r["n_purchases"], r["avg_lag_min"]) for r in rows}
+    assert {c: n for c, n in credit.items()} == {
+        c: v[0] for c, v in got.items()
+    }
+    for ch, ls in lags.items():
+        want = math.floor(sum(ls) / len(ls) * 10000 + 1e-6) / 10000
+        assert abs(got[ch][1] - want) < 1e-9
+
+
+def test_doc_novelty_bounds_and_duplicate_docs_not_novel(spark):
+    """R4-43: novelty ∈ [0, 1]; docs sharing every shingle with another
+    doc (if any exact text dup exists) score 0; short docs are NULL."""
+    import re
+
+    from pdf_extractor_spark.analytics.curation import (
+        DECON_N,
+        doc_novelty_score,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = {r["doc_id"]: r for r in doc_novelty_score(spark, sf_dir).collect()}
+    assert set(rows) == set(docs)
+    # recompute exactly
+    shingles = {}
+    for did, t in docs.items():
+        toks = re.split(r"\s+", t or "")
+        gs = {
+            " ".join(toks[i:i + DECON_N])
+            for i in range(max(len(toks) - DECON_N + 1, 0))
+        }
+        shingles[did] = gs
+    df = {}
+    for gs in shingles.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    for did, gs in shingles.items():
+        r = rows[did]
+        assert r["n_grams"] == len(gs)
+        if not gs:
+            assert r["novelty"] is None
+            continue
+        uniq = sum(1 for g in gs if df[g] == 1)
+        assert r["n_unique"] == uniq
+        assert 0.0 <= r["novelty"] <= 1.0
