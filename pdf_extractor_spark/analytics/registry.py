@@ -729,6 +729,10 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.length_token_correlation, textstats.LENGTH_TOKEN_CORR_SQL,
         "R4-44 statistical aggregates (corr/covar/stddev per group)",
     ),
+    "bitext_margin_mining": QuerySpec(
+        similarity.bitext_margin_mining, similarity.BITEXT_MARGIN_SQL,
+        "R4-45 training:bitext (Artetxe-Schwenk 2019 margin criterion)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

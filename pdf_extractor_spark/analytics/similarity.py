@@ -2050,3 +2050,189 @@ FROM own JOIN other USING (vec_id)
 GROUP BY label
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Bitext margin mining (R4-45, training:bitext — Artetxe & Schwenk
+# 2019, the LASER/CCMatrix recipe): mine cross-lingual sentence pairs
+# by the RATIO margin score(x, y) = cos(x, y) / ((avgk(x) + avgk(y))/2)
+# where avgk(v) is the mean cosine of v's k nearest neighbors — raw
+# cosine thresholds fail because some embeddings sit in dense hubs;
+# the margin normalizes by local density.
+#
+# Scale shape: EVERYTHING rides the hyperplane-LSH band buckets —
+# candidate pairs AND each vector's k-NN neighborhood come from the
+# same (band_id, band_key) equi-join (one undirected cosine pass,
+# exploded to both directions for the k-NN aggregate). The per-vector
+# top-k window is bounded by LSH bucket width (SemDeDup argument).
+# Languages come from the aligned documents table (vec_id = doc_id).
+# Neighborhoods with fewer than k candidates average what exists (the
+# paper's fixed 2k denominator assumes dense ANN indexes; disclosed).
+# Decisions are engine-exact: neighbor ranking on floor4(cos) with id
+# tiebreaks, margin thresholded on floor4 values.
+# ---------------------------------------------------------------------------
+
+BITEXT_NN_K = 4
+BITEXT_MARGIN_TH = 1.02
+BITEXT_SRC_LANG = "en"
+
+
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    langs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    base = emb.join(langs, "vec_id")
+    bands = base.select(
+        "vec_id", F.explode(_hp_band_structs(F.col("embedding"))).alias("bb")
+    ).select(
+        "vec_id",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("lang").alias("a_lang"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("lang").alias("b_lang"),
+    )
+    scored = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id", "b_id", "a_lang", "b_lang",
+            _floor4(
+                _cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb")))
+            ).alias("cos"),
+        )
+        .localCheckpoint()  # one cosine pass feeds both k-NN and pairs
+    )
+    directed = scored.select(
+        F.col("a_id").alias("v"), F.col("b_id").alias("nbr"), "cos"
+    ).unionByName(
+        scored.select(
+            F.col("b_id").alias("v"), F.col("a_id").alias("nbr"), "cos"
+        )
+    )
+    wk = Window.partitionBy("v").orderBy(F.desc("cos"), F.asc("nbr"))
+    avgk = (
+        directed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= BITEXT_NN_K)
+        .groupBy("v")
+        .agg(F.avg("cos").alias("avg_k"))
+    )
+    cross = scored.filter(
+        (
+            (F.col("a_lang") == BITEXT_SRC_LANG)
+            & (F.col("b_lang") != BITEXT_SRC_LANG)
+        )
+        | (
+            (F.col("b_lang") == BITEXT_SRC_LANG)
+            & (F.col("a_lang") != BITEXT_SRC_LANG)
+        )
+    ).select(
+        F.when(F.col("a_lang") == BITEXT_SRC_LANG, F.col("a_id"))
+        .otherwise(F.col("b_id"))
+        .alias("x_id"),
+        F.when(F.col("a_lang") == BITEXT_SRC_LANG, F.col("b_id"))
+        .otherwise(F.col("a_id"))
+        .alias("y_id"),
+        F.when(F.col("a_lang") == BITEXT_SRC_LANG, F.col("b_lang"))
+        .otherwise(F.col("a_lang"))
+        .alias("y_lang"),
+        "cos",
+    )
+    ax = avgk.select(F.col("v").alias("x_id"), F.col("avg_k").alias("avg_x"))
+    ay = avgk.select(F.col("v").alias("y_id"), F.col("avg_k").alias("avg_y"))
+    margin = F.col("cos") / ((F.col("avg_x") + F.col("avg_y")) / 2)
+    return (
+        cross.join(ax, "x_id")
+        .join(ay, "y_id")
+        .select(
+            "x_id", "y_id", "y_lang", "cos", _floor4(margin).alias("margin")
+        )
+        .filter(F.col("margin") >= BITEXT_MARGIN_TH)
+        .orderBy(F.desc("margin"), "x_id", "y_id")
+    )
+
+
+BITEXT_MARGIN_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, d.lang
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+bands AS MATERIALIZED (
+  SELECT vec_id, 0 AS band_id,
+         {_hp_band_key_sql('embedding', 0)} AS band_key FROM base
+  UNION ALL
+  SELECT vec_id, 1 AS band_id,
+         {_hp_band_key_sql('embedding', 1)} AS band_key FROM base
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+),
+scored AS MATERIALIZED (
+  SELECT c.a_id, c.b_id, a.lang AS a_lang, b.lang AS b_lang,
+         CAST(floor(({_cosine_sql('a.embedding', 'b.embedding')})
+              * 10000 + 1e-6) / 10000 AS DOUBLE) AS cos
+  FROM cand c
+  JOIN base a ON c.a_id = a.vec_id
+  JOIN base b ON c.b_id = b.vec_id
+),
+directed AS (
+  SELECT a_id AS v, b_id AS nbr, cos FROM scored
+  UNION ALL
+  SELECT b_id AS v, a_id AS nbr, cos FROM scored
+),
+avgk AS MATERIALIZED (
+  SELECT v, avg(cos) AS avg_k FROM (
+    SELECT v, cos,
+           row_number() OVER (PARTITION BY v
+                              ORDER BY cos DESC, nbr ASC) AS rk
+    FROM directed
+  ) WHERE rk <= {BITEXT_NN_K}
+  GROUP BY v
+),
+cross_pairs AS (
+  SELECT CASE WHEN a_lang = '{BITEXT_SRC_LANG}' THEN a_id ELSE b_id END
+           AS x_id,
+         CASE WHEN a_lang = '{BITEXT_SRC_LANG}' THEN b_id ELSE a_id END
+           AS y_id,
+         CASE WHEN a_lang = '{BITEXT_SRC_LANG}' THEN b_lang ELSE a_lang END
+           AS y_lang,
+         cos
+  FROM scored
+  WHERE (a_lang = '{BITEXT_SRC_LANG}' AND b_lang != '{BITEXT_SRC_LANG}')
+     OR (b_lang = '{BITEXT_SRC_LANG}' AND a_lang != '{BITEXT_SRC_LANG}')
+)
+SELECT x_id, y_id, y_lang, cos, margin FROM (
+  SELECT p.x_id, p.y_id, p.y_lang, p.cos,
+         CAST(floor(p.cos / ((x.avg_k + y.avg_k) / 2) * 10000 + 1e-6)
+              / 10000 AS DOUBLE) AS margin
+  FROM cross_pairs p
+  JOIN avgk x ON x.v = p.x_id
+  JOIN avgk y ON y.v = p.y_id
+)
+WHERE margin >= {BITEXT_MARGIN_TH}
+ORDER BY margin DESC, x_id, y_id
+"""

@@ -403,3 +403,89 @@ def test_cluster_silhouette_recompute(spark):
         assert got[lab][0] == want[lab][0]
         assert abs(got[lab][1] - want[lab][1]) < 1e-9
         assert -1.0 - 1e-9 <= got[lab][1] <= 1.0 + 1e-9
+
+
+def test_bitext_margin_recompute(spark):
+    """R4-45: margin-mined pairs equal a pure-Python LSH walk; every
+    pair is cross-lingual from the source language and margins clear
+    the threshold."""
+    import math
+
+    from pdf_extractor_spark.analytics.similarity import (
+        BITEXT_MARGIN_TH,
+        BITEXT_NN_K,
+        BITEXT_SRC_LANG,
+        DIMS,
+        HP_BANDS,
+        HP_BITS,
+        bitext_margin_mining,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def f4(x):
+        return math.floor(x * 10000 + 1e-6) / 10000
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    def band_key(v, band):
+        key = 0
+        for r in range(HP_BITS):
+            j = band * HP_BITS + r
+            if sum(v[i] * math.sin((j + 1) * (i + 1)) for i in range(DIMS)) >= 0:
+                key += 2**r
+        return key
+
+    buckets = {}
+    for vid in vecs:
+        if vid not in langs:
+            continue
+        for b in range(HP_BANDS):
+            buckets.setdefault((b, band_key(vecs[vid], b)), []).append(vid)
+    pairs = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    pairs.add((a, b))
+    cosmap = {(a, b): f4(cos(vecs[a], vecs[b])) for a, b in pairs}
+    nbrs = {}
+    for (a, b), c in cosmap.items():
+        nbrs.setdefault(a, []).append((c, b))
+        nbrs.setdefault(b, []).append((c, a))
+    avgk = {
+        v: sum(c for c, _ in sorted(ns, key=lambda t: (-t[0], t[1]))[:BITEXT_NN_K])
+        / min(len(ns), BITEXT_NN_K)
+        for v, ns in nbrs.items()
+    }
+    expect = set()
+    for (a, b), c in cosmap.items():
+        la, lb = langs[a], langs[b]
+        if la == BITEXT_SRC_LANG and lb != BITEXT_SRC_LANG:
+            x, y = a, b
+        elif lb == BITEXT_SRC_LANG and la != BITEXT_SRC_LANG:
+            x, y = b, a
+        else:
+            continue
+        margin = f4(c / ((avgk[x] + avgk[y]) / 2))
+        if margin >= BITEXT_MARGIN_TH:
+            expect.add((x, y, langs[y], c, margin))
+    got = {
+        (r["x_id"], r["y_id"], r["y_lang"], r["cos"], r["margin"])
+        for r in bitext_margin_mining(spark, sf_dir).collect()
+    }
+    assert got == expect and got
+    assert all(yl != BITEXT_SRC_LANG for _, _, yl, _, _ in got)
+    assert all(m >= BITEXT_MARGIN_TH for _, _, _, _, m in got)
