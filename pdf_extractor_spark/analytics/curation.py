@@ -1822,3 +1822,111 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced weights (R4-46, training:class-weights — Cui et al.
+# 2019 "effective number of samples"): weight_l ∝ (1−β)/(1−β^{n_l}),
+# normalized to sum to the class count. The loss-reweighting table a
+# trainer loads next to the language-mix/UniMax allocations; β→1
+# approaches inverse-frequency, β=0 is uniform.
+#
+# Scale shape: one hash aggregate (lang counts) + a 1-row broadcast
+# normalizer. β^n computed as exp(n·ln β) in BOTH engines so the
+# closed form evaluates identically.
+CB_BETA = 0.999
+
+
+def class_balanced_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    raw = (F.lit(1.0 - CB_BETA)) / (
+        F.lit(1.0) - F.exp(F.col("n_docs") * F.lit(_math.log(CB_BETA)))
+    )
+    scored = counts.select("lang", "n_docs", raw.alias("raw"))
+    norm = scored.agg(
+        F.sum("raw").alias("raw_sum"), F.count("*").alias("k")
+    )
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            floor_round(
+                F.col("raw") / F.col("raw_sum") * F.col("k"), 6
+            ).alias("weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+CLASS_BALANCED_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+),
+scored AS (
+  SELECT lang, n_docs,
+         (1.0 - {CB_BETA}) / (1.0 - exp(n_docs * ln({CB_BETA}))) AS raw
+  FROM counts
+),
+norm AS (SELECT sum(raw) AS raw_sum, count(*) AS k FROM scored)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(floor(raw / norm.raw_sum * norm.k * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS weight
+FROM scored, norm
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (R4-47, training:temperature-mix
+# — the mC4/XLM-R multilingual sampling rule, Conneau et al. 2020
+# §3.1): sampling probability p_l ∝ n_l^α with α < 1 upsampling tail
+# languages; reported next to the raw share so the table shows exactly
+# how much each language moves. Same one-agg + 1-row-broadcast shape
+# as the class-balanced table.
+MIX_ALPHA = 0.3
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    scored = counts.select(
+        "lang", "n_docs",
+        F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA)).alias("pw"),
+    )
+    norm = scored.agg(
+        F.sum("pw").alias("pw_sum"), F.sum("n_docs").alias("n_total")
+    )
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            floor_round(F.col("n_docs") / F.col("n_total"), 6)
+            .alias("raw_share"),
+            floor_round(F.col("pw") / F.col("pw_sum"), 6).alias("p_sample"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+),
+scored AS (
+  SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), {MIX_ALPHA}) AS pw
+  FROM counts
+),
+norm AS (SELECT sum(pw) AS pw_sum, sum(n_docs) AS n_total FROM scored)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(floor(CAST(n_docs AS DOUBLE) / norm.n_total * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS raw_share,
+       CAST(floor(pw / norm.pw_sum * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS p_sample
+FROM scored, norm
+ORDER BY lang
+"""

@@ -733,6 +733,14 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.bitext_margin_mining, similarity.BITEXT_MARGIN_SQL,
         "R4-45 training:bitext (Artetxe-Schwenk 2019 margin criterion)",
     ),
+    "class_balanced_weights": QuerySpec(
+        curation.class_balanced_weights, curation.CLASS_BALANCED_SQL,
+        "R4-46 training:class-weights (Cui 2019 effective number)",
+    ),
+    "temperature_mix_weights": QuerySpec(
+        curation.temperature_mix_weights, curation.TEMPERATURE_MIX_SQL,
+        "R4-47 training:temperature-mix (mC4/XLM-R alpha sampling)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -765,3 +765,31 @@ def test_doc_novelty_bounds_and_duplicate_docs_not_novel(spark):
         uniq = sum(1 for g in gs if df[g] == 1)
         assert r["n_unique"] == uniq
         assert 0.0 <= r["novelty"] <= 1.0
+
+
+def test_mixture_weight_tables_properties(spark):
+    """R4-46/47: class-balanced weights average to 1 over classes and
+    order inversely with counts; temperature sampling sums to 1 and
+    upsamples tail languages (p_sample > raw_share iff below-average
+    count)."""
+    from pdf_extractor_spark.analytics.curation import (
+        class_balanced_weights,
+        temperature_mix_weights,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cb = class_balanced_weights(spark, sf_dir).collect()
+    k = len(cb)
+    assert abs(sum(r["weight"] for r in cb) - k) < k * 1e-5
+    by_n = sorted(cb, key=lambda r: r["n_docs"])
+    for a, b in zip(by_n, by_n[1:]):
+        if a["n_docs"] < b["n_docs"]:
+            assert a["weight"] >= b["weight"]  # rarer class, larger weight
+
+    tm = temperature_mix_weights(spark, sf_dir).collect()
+    assert abs(sum(r["p_sample"] for r in tm) - 1.0) < 1e-4
+    assert abs(sum(r["raw_share"] for r in tm) - 1.0) < 1e-4
+    mean_n = sum(r["n_docs"] for r in tm) / len(tm)
+    for r in tm:
+        if r["n_docs"] < mean_n:
+            assert r["p_sample"] >= r["raw_share"]  # tail upsampled
