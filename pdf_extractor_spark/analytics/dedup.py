@@ -1754,3 +1754,146 @@ LEFT JOIN jac j ON j.anchor_id = a.anchor_id
 CROSS JOIN nn
 ORDER BY a.anchor_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-N pair scores over LSH candidates (R4-48, training:rouge —
+# Lin 2004): the summarization/overlap eval metric, computed between
+# near-dup CANDIDATES (the MinHash band pairs) rather than all pairs —
+# at corpus scale ROUGE is what a dedup triage report attaches to each
+# candidate pair so a reviewer sees clipped-overlap precision/recall,
+# not just a Jaccard number. Injected exact dups anchor the scale:
+# their pairs must score exactly 1.0.
+#
+# Semantics: multiset (clipped) n-gram overlap. recall = clip/|ref|,
+# precision = clip/|cand|, F1 = 2·clip/(|ref|+|cand|) (the count-level
+# closed form of 2PR/(P+R)). Long format, one row per (pair, n),
+# n ∈ {1, 2}; a (pair, n) row exists only when BOTH sides have ≥1
+# n-gram.
+#
+# Scale shape: gram multisets are explode→hash-agg keyed (doc, gram);
+# the overlap join rides (doc_id, n, gram) equi-keys with fan-out
+# bounded by candidate count × doc length; totals join back on doc_id.
+# No windows, no all-pairs.
+# ---------------------------------------------------------------------------
+
+ROUGE_NS = (1, 2)
+
+
+def rouge_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _grams
+
+    docs = _docs_with_injected_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    toks = docs.select(
+        "doc_id", F.filter(_tokens(), lambda t: t != "").alias("toks")
+    )
+    gram_counts = None
+    for n in ROUGE_NS:
+        g = (
+            toks.select(
+                "doc_id", F.lit(n).alias("n"),
+                F.explode(_grams(F.col("toks"), n)).alias("g"),
+            )
+            .groupBy("doc_id", "n", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        gram_counts = g if gram_counts is None else gram_counts.unionByName(g)
+    totals = gram_counts.groupBy("doc_id", "n").agg(F.sum("c").alias("tot"))
+    ga = gram_counts.select(
+        F.col("doc_id").alias("a_id"), "n", "g", F.col("c").alias("ca")
+    )
+    gb = gram_counts.select(
+        F.col("doc_id").alias("b_id"), "n", "g", F.col("c").alias("cb")
+    )
+    clip = (
+        pairs.join(ga, "a_id")
+        .join(gb, ["b_id", "n", "g"])
+        .groupBy("a_id", "b_id", "n")
+        .agg(F.sum(F.least("ca", "cb")).alias("clip"))
+    )
+    ta = totals.select(
+        F.col("doc_id").alias("a_id"), "n", F.col("tot").alias("tot_a")
+    )
+    tb = totals.select(
+        F.col("doc_id").alias("b_id"), "n", F.col("tot").alias("tot_b")
+    )
+    base = (
+        pairs.join(ta, "a_id")
+        .join(tb, ["b_id", "n"])
+        .join(clip, ["a_id", "b_id", "n"], "left")
+        .select(
+            "a_id", "b_id", F.col("n").cast("int").alias("n"),
+            F.coalesce("clip", F.lit(0)).cast("long").alias("clip"),
+            F.col("tot_a").cast("long").alias("tot_a"),
+            F.col("tot_b").cast("long").alias("tot_b"),
+        )
+    )
+    return base.select(
+        "a_id", "b_id", "n", "clip", "tot_a", "tot_b",
+        floor_round(F.col("clip") / F.col("tot_a"), 4).alias("recall"),
+        floor_round(F.col("clip") / F.col("tot_b"), 4).alias("precision"),
+        floor_round(
+            2.0 * F.col("clip") / (F.col("tot_a") + F.col("tot_b")), 4
+        ).alias("f1"),
+    ).orderBy("a_id", "b_id", "n")
+
+
+def _rouge_grams_sql(n: int) -> str:
+    return (
+        f"SELECT doc_id, {n} AS n, "
+        f"array_to_string(t[i:i+{n - 1}], ' ') AS g "
+        "FROM toks, unnest(generate_series(1, "
+        f"greatest(len(t) - {n - 1}, 0))) AS u(i)"
+    )
+
+
+ROUGE_PAIRS_SQL = rf"""
+WITH src AS ({_DUP_SOURCE_SQL}),
+bands AS ({_minhash_sql('SELECT doc_id, text FROM src')}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+  FROM src
+),
+gram_counts AS (
+  SELECT doc_id, n, g, count(*) AS c FROM (
+    {_rouge_grams_sql(1)}
+    UNION ALL
+    {_rouge_grams_sql(2)}
+  )
+  GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT doc_id, n, sum(c) AS tot FROM gram_counts GROUP BY 1, 2
+),
+clip AS (
+  SELECT p.a_id, p.b_id, ga.n, sum(least(ga.c, gb.c)) AS clip
+  FROM pairs p
+  JOIN gram_counts ga ON ga.doc_id = p.a_id
+  JOIN gram_counts gb ON gb.doc_id = p.b_id
+                     AND gb.n = ga.n AND gb.g = ga.g
+  GROUP BY 1, 2, 3
+)
+SELECT p.a_id, p.b_id, CAST(ta.n AS INT) AS n,
+       CAST(coalesce(c.clip, 0) AS BIGINT) AS clip,
+       CAST(ta.tot AS BIGINT) AS tot_a,
+       CAST(tb.tot AS BIGINT) AS tot_b,
+       CAST(floor(CAST(coalesce(c.clip, 0) AS DOUBLE) / ta.tot
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS recall,
+       CAST(floor(CAST(coalesce(c.clip, 0) AS DOUBLE) / tb.tot
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS precision,
+       CAST(floor(2.0 * coalesce(c.clip, 0) / (ta.tot + tb.tot)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS f1
+FROM pairs p
+JOIN totals ta ON ta.doc_id = p.a_id
+JOIN totals tb ON tb.doc_id = p.b_id AND tb.n = ta.n
+LEFT JOIN clip c ON c.a_id = p.a_id AND c.b_id = p.b_id AND c.n = ta.n
+ORDER BY p.a_id, p.b_id, ta.n
+"""

@@ -741,6 +741,10 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.temperature_mix_weights, curation.TEMPERATURE_MIX_SQL,
         "R4-47 training:temperature-mix (mC4/XLM-R alpha sampling)",
     ),
+    "rouge_pair_scores": QuerySpec(
+        dedup.rouge_pair_scores, dedup.ROUGE_PAIRS_SQL,
+        "R4-48 training:rouge (Lin 2004 clipped n-gram P/R/F on candidates)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

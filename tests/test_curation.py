@@ -793,3 +793,70 @@ def test_mixture_weight_tables_properties(spark):
     for r in tm:
         if r["n_docs"] < mean_n:
             assert r["p_sample"] >= r["raw_share"]  # tail upsampled
+
+
+def test_rouge_pair_scores_recompute_and_dup_anchor(spark):
+    """R4-48: clipped-overlap P/R/F equal a pure-Python recompute over
+    the same candidate pairs; injected exact-dup pairs score 1.0."""
+    import math
+    import re
+    from collections import Counter
+
+    from pdf_extractor_spark.analytics.base import DUP_ID_OFFSET
+    from pdf_extractor_spark.analytics.dedup import (
+        ROUGE_NS,
+        minhash_lsh_pairs,
+        rouge_pair_scores,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    from pdf_extractor_spark.analytics.base import N_INJECTED_DUPS
+
+    for d in list(docs):
+        if d < N_INJECTED_DUPS:
+            docs[d + DUP_ID_OFFSET] = docs[d]
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+
+    def grams(text, n):
+        toks = [t for t in re.split(r"\s+", text or "") if t != ""]
+        return Counter(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    rows = rouge_pair_scores(spark, sf_dir).collect()
+    got = {
+        (r["a_id"], r["b_id"], r["n"]): r for r in rows
+    }
+    for (a, b) in pairs:
+        for n in ROUGE_NS:
+            ga, gb = grams(docs[a], n), grams(docs[b], n)
+            if not ga or not gb:
+                assert (a, b, n) not in got
+                continue
+            clip = sum(min(c, gb[g]) for g, c in ga.items() if g in gb)
+            r = got[(a, b, n)]
+            assert r["clip"] == clip
+            assert r["tot_a"] == sum(ga.values())
+            assert r["tot_b"] == sum(gb.values())
+            for name, want in (
+                ("recall", clip / sum(ga.values())),
+                ("precision", clip / sum(gb.values())),
+                ("f1", 2 * clip / (sum(ga.values()) + sum(gb.values()))),
+            ):
+                assert abs(
+                    r[name] - math.floor(want * 10000 + 1e-6) / 10000
+                ) < 1e-9
+            # exact-dup anchor
+            if b == a + DUP_ID_OFFSET:
+                assert r["f1"] == 1.0
+    assert len(got) == sum(
+        1 for (a, b) in pairs for n in ROUGE_NS
+        if grams(docs[a], n) and grams(docs[b], n)
+    )
