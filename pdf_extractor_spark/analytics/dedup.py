@@ -1897,3 +1897,110 @@ JOIN totals tb ON tb.doc_id = p.b_id AND tb.n = ta.n
 LEFT JOIN clip c ON c.a_id = p.a_id AND c.b_id = p.b_id AND c.n = ta.n
 ORDER BY p.a_id, p.b_id, ta.n
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF lexical cosine on LSH candidates (R4-49, training:lexical-
+# cosine): the sparse-vector twin of the dense embedding cosine — the
+# second opinion a dedup triage wants when embeddings disagree with
+# surface text. Weights are the same smoothed scheme as tfidf_keywords
+# (tf · (ln((N+1)/(df+1)) + 1)); cosine = dot/(‖a‖·‖b‖) over the
+# sparse term vectors.
+#
+# Scale shape: per-doc sparse vectors and norms are hash aggs; the dot
+# product joins candidate pairs to term weights on (doc, term)
+# equi-keys (fan-out bounded by candidates × doc length); pairs with
+# zero term overlap keep a 0.0 row via left join. Injected exact dups
+# anchor cosine 1.0.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_injected_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    terms = docs.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    wa = w.select(F.col("doc_id").alias("a_id"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("b_id"), "term", F.col("w").alias("wb"))
+    dots = (
+        pairs.join(wa, "a_id")
+        .join(wb, ["b_id", "term"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a_id"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b_id"), F.col("norm").alias("nb"))
+    return (
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
+        .join(dots, ["a_id", "b_id"], "left")
+        .select(
+            "a_id", "b_id",
+            floor_round(
+                F.coalesce("dot", F.lit(0.0)) / (F.col("na") * F.col("nb")), 4
+            ).alias("lex_cos"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+TFIDF_PAIR_COSINE_SQL = rf"""
+WITH src AS ({_DUP_SOURCE_SQL}),
+bands AS ({_minhash_sql('SELECT doc_id, text FROM src')}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+terms AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM src
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n_docs FROM src),
+w AS MATERIALIZED (
+  SELECT t.doc_id, t.term,
+         t.tf * (ln((nn.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS w
+  FROM tf t JOIN df d USING (term), nn
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1
+),
+dots AS (
+  SELECT p.a_id, p.b_id, sum(wa.w * wb.w) AS dot
+  FROM pairs p
+  JOIN w wa ON wa.doc_id = p.a_id
+  JOIN w wb ON wb.doc_id = p.b_id AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id,
+       CAST(floor(coalesce(d.dot, 0.0) / (na.norm * nb.norm)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS lex_cos
+FROM pairs p
+JOIN norms na ON na.doc_id = p.a_id
+JOIN norms nb ON nb.doc_id = p.b_id
+LEFT JOIN dots d ON d.a_id = p.a_id AND d.b_id = p.b_id
+ORDER BY p.a_id, p.b_id
+"""

@@ -745,6 +745,19 @@ QUERIES: Dict[str, QuerySpec] = {
         dedup.rouge_pair_scores, dedup.ROUGE_PAIRS_SQL,
         "R4-48 training:rouge (Lin 2004 clipped n-gram P/R/F on candidates)",
     ),
+    "tfidf_pair_cosine": QuerySpec(
+        dedup.tfidf_pair_cosine, dedup.TFIDF_PAIR_COSINE_SQL,
+        "R4-49 training:lexical-cosine (sparse tf-idf twin of dense cosine)",
+    ),
+    "hapax_ratio": QuerySpec(
+        textstats.hapax_ratio, textstats.HAPAX_RATIO_SQL,
+        "R4-50 training:hapax (lexical richness / Good-Turing mass)",
+    ),
+    "event_transition_entropy": QuerySpec(
+        relational.event_transition_entropy,
+        relational.EVENT_TRANSITION_ENTROPY_SQL,
+        "R4-51 next-event conditional entropy (stream predictability)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

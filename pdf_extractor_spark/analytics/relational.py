@@ -2737,3 +2737,52 @@ GROUP BY e1, e2, e3
 ORDER BY n DESC, e1, e2, e3
 LIMIT {PATH_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Event transition entropy (R4-51): conditional next-event entropy
+# H(next | current) per event type — the predictability audit of the
+# event stream (near-zero entropy after 'view' means the product
+# funnel is deterministic; high entropy flags exploratory behavior).
+# Transitions come from one lead() in the per-user window the
+# sessionize family already uses; entropy is two hash aggregates over
+# the 5×5 transition matrix.
+def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type", 1).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = trans.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    per_cur = counts.groupBy("cur").agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+    )
+    return per_cur.select(
+        "cur", "n_transitions",
+        floor_round(
+            F.log2("n_transitions") - F.col("clogc") / F.col("n_transitions"),
+            4,
+        ).alias("entropy"),
+    ).orderBy("cur")
+
+
+EVENT_TRANSITION_ENTROPY_SQL = """
+WITH trans AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+counts AS (
+  SELECT cur, nxt, count(*) AS c FROM trans
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, CAST(sum(c) AS BIGINT) AS n_transitions,
+       CAST(floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS entropy
+FROM counts
+GROUP BY cur
+ORDER BY cur
+"""

@@ -2224,3 +2224,56 @@ FROM stats
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio per language (R4-50, training:hapax — the
+# lexical-richness signal next to Heaps' growth and the Zipf fit):
+# share of a language's vocabulary seen exactly once. Low hapax share
+# on a web crawl flags template/boilerplate floods; it is also the
+# Good-Turing mass estimate for unseen vocabulary. Two hash
+# aggregates, no joins.
+def hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("vocab"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang", "vocab", "hapax", "n_tokens",
+            _floor_round(F.col("hapax") / F.col("vocab"), 4)
+            .alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+HAPAX_RATIO_SQL = r"""
+WITH counts AS (
+  SELECT lang, tok, count(*) AS c FROM (
+    SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS hapax_share
+FROM counts
+GROUP BY lang
+ORDER BY lang
+"""

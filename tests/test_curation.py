@@ -860,3 +860,66 @@ def test_rouge_pair_scores_recompute_and_dup_anchor(spark):
         1 for (a, b) in pairs for n in ROUGE_NS
         if grams(docs[a], n) and grams(docs[b], n)
     )
+
+
+def test_tfidf_pair_cosine_anchors_and_bounds(spark):
+    """R4-49: lexical cosine ∈ [0, 1]; injected exact-dup pairs score
+    exactly 1.0; pair set matches the MinHash candidates."""
+    from pdf_extractor_spark.analytics.base import DUP_ID_OFFSET
+    from pdf_extractor_spark.analytics.dedup import (
+        minhash_lsh_pairs,
+        tfidf_pair_cosine,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = tfidf_pair_cosine(spark, sf_dir).collect()
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert {(r["a_id"], r["b_id"]) for r in rows} == pairs and pairs
+    n_dup_anchor = 0
+    for r in rows:
+        assert -1e-9 <= r["lex_cos"] <= 1.0 + 1e-9
+        if r["b_id"] == r["a_id"] + DUP_ID_OFFSET:
+            assert r["lex_cos"] == 1.0
+            n_dup_anchor += 1
+    assert n_dup_anchor > 0
+
+
+def test_transition_entropy_recompute(spark):
+    """R4-51: per-state conditional entropy equals a pure-Python
+    transition walk and is bounded by log2(#next states)."""
+    import math
+
+    from pdf_extractor_spark.analytics.relational import (
+        event_transition_entropy,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    counts = {}
+    for es in by_user.values():
+        es.sort(key=lambda e: (e["ts"], e["event_id"]))
+        for a, b in zip(es, es[1:]):
+            counts.setdefault(a["event_type"], {}).setdefault(
+                b["event_type"], 0
+            )
+            counts[a["event_type"]][b["event_type"]] += 1
+    got = {
+        r["cur"]: (r["n_transitions"], r["entropy"])
+        for r in event_transition_entropy(spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for cur, nxts in counts.items():
+        n = sum(nxts.values())
+        clogc = sum(c * math.log2(c) for c in nxts.values())
+        want = math.floor((math.log2(n) - clogc / n) * 10000 + 1e-6) / 10000
+        assert got[cur][0] == n
+        assert abs(got[cur][1] - want) < 1e-9
+        assert got[cur][1] <= math.log2(len(nxts)) + 1e-9
