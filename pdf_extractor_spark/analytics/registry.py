@@ -758,6 +758,10 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.EVENT_TRANSITION_ENTROPY_SQL,
         "R4-51 next-event conditional entropy (stream predictability)",
     ),
+    "ann_ndcg_audit": QuerySpec(
+        similarity.ann_ndcg_audit, similarity.ANN_NDCG_SQL,
+        "R4-52 training:ann-ndcg (graded ranking quality vs probe depth)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

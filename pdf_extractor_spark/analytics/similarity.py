@@ -2236,3 +2236,173 @@ SELECT x_id, y_id, y_lang, cos, margin FROM (
 WHERE margin >= {BITEXT_MARGIN_TH}
 ORDER BY margin DESC, x_id, y_id
 """
+
+
+# ---------------------------------------------------------------------------
+# NDCG@K vs IVF probe depth (R4-52, training:ann-ndcg): the graded
+# companion to ann_recall_audit — recall says WHETHER the true
+# neighbors came back, NDCG says whether they came back IN ORDER
+# (a probe depth can hit 100% recall yet rank the best neighbor last).
+# Relevance is graded by exact rank: rel(v) = K − truth_rank(v) + 1
+# for the exact top-K, 0 otherwise; DCG = Σ rel/log2(pos+1); the ideal
+# DCG is a pure function of K, computed once in Python and interpolated
+# into BOTH engines as the same literal.
+#
+# Scale shape: identical to ann_recall_audit (centroid affinities over
+# the K-row label table, TakeOrdered truth, per-probe bounded top-k
+# windows); the only addition is a K-row rank join.
+# ---------------------------------------------------------------------------
+
+_IDCG_AT_K = sum(
+    (TOP_K - i + 1) / math.log2(i + 1) for i in range(1, TOP_K + 1)
+)
+
+
+def ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("i", "cx")
+    ).groupBy("label", "i").agg(F.avg("cx").alias("cx"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "qx")
+    )
+    aff = (
+        comp.join(F.broadcast(q), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("cx") * F.col("qx")).alias("dot"),
+            F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn"),
+            F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qn"),
+        )
+        .select(
+            "label",
+            floor_round(F.col("dot") / (F.col("cn") * F.col("qn")), 4)
+            .alias("aff"),
+        )
+        .withColumn(
+            "label_rank",
+            F.row_number().over(Window.orderBy(F.desc("aff"), F.asc("label"))),
+        )
+    )
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", _floor4(cos).alias("cos"))
+    )
+    truth_ranked = (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        # K-row bounded window (the label_rank exception)
+        .withColumn(
+            "truth_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+        .select("vec_id", "truth_rank")
+    )
+    probes = spark.range(1, RECALL_MAX_PROBE + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    cand = (
+        scored.join(F.broadcast(aff), "label")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("label_rank") <= F.col("n_probe"))
+    )
+    topk = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("n_probe").orderBy(F.desc("cos"), F.asc("vec_id"))
+        ),
+    ).where(F.col("rk") <= TOP_K)
+    rel = F.coalesce(
+        F.lit(TOP_K) - F.col("truth_rank") + 1, F.lit(0)
+    ).cast("double")
+    return (
+        topk.join(F.broadcast(truth_ranked), "vec_id", "left")
+        .groupBy("n_probe")
+        .agg(
+            F.sum(rel / F.log2(F.col("rk") + 1.0)).alias("dcg"),
+        )
+        .select(
+            "n_probe",
+            floor_round(F.col("dcg"), 4).alias("dcg"),
+            floor_round(F.col("dcg") / F.lit(_IDCG_AT_K), 4).alias("ndcg"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+ANN_NDCG_SQL = f"""
+WITH q AS (
+  SELECT i, CAST(x AS DOUBLE) AS qx
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+),
+comp AS (
+  SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY 1, 2
+),
+aff AS (
+  SELECT label,
+         floor(sum(cx * qx) / (sqrt(sum(cx * cx)) * sqrt(sum(qx * qx)))
+               * 10000 + 1e-6) / 10000 AS aff
+  FROM comp JOIN q USING (i)
+  GROUP BY label
+),
+ranked_labels AS (
+  SELECT label,
+         row_number() OVER (ORDER BY aff DESC, label ASC) AS label_rank
+  FROM aff
+),
+qv AS (SELECT embedding AS q_embedding FROM embeddings
+       WHERE vec_id = {QUERY_VEC_ID}),
+scored AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000
+                    + 1e-6) / 10000 AS DOUBLE) AS cos
+  FROM embeddings, qv WHERE vec_id != {QUERY_VEC_ID}
+),
+truth AS (
+  SELECT vec_id, t_rank AS truth_rank FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS t_rank
+    FROM scored
+  ) WHERE t_rank <= {TOP_K}
+),
+cand AS (
+  SELECT s.vec_id, s.cos, p.n_probe
+  FROM scored s
+  JOIN ranked_labels r ON r.label = s.label
+  JOIN (SELECT unnest([{", ".join(str(i) for i in range(1, RECALL_MAX_PROBE + 1))}]) AS n_probe) p
+    ON r.label_rank <= p.n_probe
+),
+topk AS (
+  SELECT * FROM (
+    SELECT vec_id, n_probe,
+           row_number() OVER (PARTITION BY n_probe
+                              ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {TOP_K}
+)
+SELECT CAST(n_probe AS INT) AS n_probe,
+       CAST(floor(sum(coalesce({TOP_K} - t.truth_rank + 1, 0)
+                      / log2(k.rk + 1.0)) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS dcg,
+       CAST(floor(sum(coalesce({TOP_K} - t.truth_rank + 1, 0)
+                      / log2(k.rk + 1.0)) / {_IDCG_AT_K!r}
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS ndcg
+FROM topk k LEFT JOIN truth t ON t.vec_id = k.vec_id
+GROUP BY n_probe
+ORDER BY n_probe
+"""

@@ -489,3 +489,23 @@ def test_bitext_margin_recompute(spark):
     assert got == expect and got
     assert all(yl != BITEXT_SRC_LANG for _, _, yl, _, _ in got)
     assert all(m >= BITEXT_MARGIN_TH for _, _, _, _, m in got)
+
+
+def test_ann_ndcg_monotone_and_saturates(spark):
+    """R4-52: NDCG is in (0, 1], non-decreasing in probe depth, and at
+    full probe depth the IVF ranking IS the exact ranking (ndcg=1)."""
+    from pdf_extractor_spark.analytics.similarity import (
+        RECALL_MAX_PROBE,
+        ann_ndcg_audit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = sorted(
+        ann_ndcg_audit(spark, sf_dir).collect(), key=lambda r: r["n_probe"]
+    )
+    assert [r["n_probe"] for r in rows] == list(range(1, RECALL_MAX_PROBE + 1))
+    last = 0.0
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        assert r["ndcg"] >= last - 1e-9  # deeper probes never hurt
+        last = r["ndcg"]
