@@ -1592,12 +1592,18 @@ def vector_debug_display(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("embedding"))
     )
     staged = emb.select("vec_id", "label", vec.alias("vec"))
-    head = F.transform(
-        F.slice("vec", 1, VEC_MAX_ITEMS),
-        lambda x: F.format_string(
-            f"%.{VEC_PRECISION}f", floor_round(x.cast("double"), VEC_PRECISION)
-        ),
-    )
+    # LONG-overflow guard (docs/PLANS.md §14, similarity._floor4_safe):
+    # Spark floor() lands in LONG and saturates at 2^63 after the ×10^4
+    # scaling, while DuckDB floors in double — above the cutoff format
+    # the RAW value in both engines (a 1e-4 grid is sub-ulp there).
+    def _fmt(x):
+        xd = x.cast("double")
+        guarded = F.when(
+            F.abs(xd) < 9e14, floor_round(xd, VEC_PRECISION)
+        ).otherwise(xd)
+        return F.format_string(f"%.{VEC_PRECISION}f", guarded)
+
+    head = F.transform(F.slice("vec", 1, VEC_MAX_ITEMS), _fmt)
     remaining = F.size("vec") - VEC_MAX_ITEMS
     display = (
         F.when(F.col("vec").isNull(), F.lit("None"))
@@ -1645,16 +1651,20 @@ WITH staged AS (
                 '[' || array_to_string(
                         list_transform(vec[1:{VEC_MAX_ITEMS}],
                           x -> printf('%.{VEC_PRECISION}f',
-                                      floor(CAST(x AS DOUBLE) * 10000 + 1e-6)
-                                      / 10000)),
+                                      CASE WHEN abs(CAST(x AS DOUBLE)) < 9e14
+                                      THEN floor(CAST(x AS DOUBLE) * 10000
+                                                 + 1e-6) / 10000
+                                      ELSE CAST(x AS DOUBLE) END)),
                         ', ')
                     || ', ... +' || (len(vec) - {VEC_MAX_ITEMS}) || ' more]'
               ELSE
                 '[' || array_to_string(
                         list_transform(vec[1:{VEC_MAX_ITEMS}],
                           x -> printf('%.{VEC_PRECISION}f',
-                                      floor(CAST(x AS DOUBLE) * 10000 + 1e-6)
-                                      / 10000)),
+                                      CASE WHEN abs(CAST(x AS DOUBLE)) < 9e14
+                                      THEN floor(CAST(x AS DOUBLE) * 10000
+                                                 + 1e-6) / 10000
+                                      ELSE CAST(x AS DOUBLE) END)),
                         ', ')
                     || ']'
          END AS vec_display

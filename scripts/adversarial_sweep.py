@@ -137,6 +137,13 @@ EXCLUDED = {
         "there while the real BPE kernel counts any input — kernel "
         "adversarial behavior is unit-tested directly"
     ),
+    "tokenizer_fertility": (
+        "same class as doc_token_count_bpe: the per-language fertility "
+        "oracle anchors BPE counts in the identical generator-pinned "
+        "VALUES table, so OOV adversarial docs contribute NULL there "
+        "while the real kernel counts them; the kernel's adversarial "
+        "behavior is covered by tests/test_text_analyzer.py"
+    ),
 }
 
 
