@@ -762,6 +762,22 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.ann_ndcg_audit, similarity.ANN_NDCG_SQL,
         "R4-52 training:ann-ndcg (graded ranking quality vs probe depth)",
     ),
+    "rfm_segments": QuerySpec(
+        relational.rfm_segments, relational.RFM_SEGMENTS_SQL,
+        "R4-53 RFM quartile segmentation (histogram cutpoints, no global window)",
+    ),
+    "market_basket_lift": QuerySpec(
+        relational.market_basket_lift, relational.MARKET_BASKET_SQL,
+        "R4-54 market-basket association rules (support/confidence/lift)",
+    ),
+    "scd2_state_intervals": QuerySpec(
+        relational.scd2_state_intervals, relational.SCD2_INTERVALS_SQL,
+        "R4-55 SCD-2 change compression (validity intervals per state)",
+    ),
+    "daily_trend_anomaly": QuerySpec(
+        relational.daily_trend_anomaly, relational.DAILY_TREND_SQL,
+        "R4-56 OLS daily trend fit + residual z anomaly flags",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -2786,3 +2786,500 @@ FROM counts
 GROUP BY cur
 ORDER BY cur
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (R4-53). Classic warehouse segmentation:
+# recency / frequency / monetary quartiles per customer. The textbook
+# ntile(4) is a GLOBAL sort window — every customer through one task —
+# so this uses the exact-histogram cutpoint shape instead (R4-35):
+# customer metrics collapse to a (metric, value) histogram whose state
+# is bounded by the VALUE DOMAIN (days, order counts, whole dollars),
+# the quartile cutpoints fall out of a cumulative walk over that
+# bounded histogram, and every customer is bucketed by comparing to
+# three broadcast scalars. Semantics: nearest-rank quantiles (value at
+# rank ceil(q*n)), bucket = 1 + #cutpoints strictly below the value —
+# deterministic and identical in both engines, unlike ntile whose tie
+# handling is row-order-dependent. r_bucket 1 = most recent quartile;
+# f/m_bucket 4 = top quartile.
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    m = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").cast("long").alias("r_days"),
+            "freq",
+            "monetary",
+            F.floor("monetary").cast("long").alias("mon_fl"),
+        )
+    )
+    unp = m.select(
+        "o_custkey",
+        F.expr(
+            "stack(3, 'r', r_days, 'f', freq, 'm', mon_fl) AS (metric, value)"
+        ),
+    )
+    hist = unp.groupBy("metric", "value").agg(F.count("*").alias("c"))
+    tot = hist.groupBy("metric").agg(F.sum("c").alias("n"))
+    wcum = (
+        Window.partitionBy("metric")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).join(
+        F.broadcast(tot), "metric"
+    )
+    cuts = cum.groupBy("metric").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.col("n") * q), F.col("value"))
+            ).alias(f"q{i + 1}")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+    cutrow = cuts.agg(
+        *[
+            F.max(F.when(F.col("metric") == mt, F.col(f"q{i}"))).alias(
+                f"{mt}q{i}"
+            )
+            for mt in ("r", "f", "m")
+            for i in (1, 2, 3)
+        ]
+    )
+
+    def bucket(v: str, mt: str):
+        b = F.lit(1)
+        for i in (1, 2, 3):
+            b = b + F.when(F.col(v) > F.col(f"{mt}q{i}"), 1).otherwise(0)
+        return b.cast("int")
+
+    seg = m.crossJoin(F.broadcast(cutrow)).select(
+        "o_custkey",
+        "mon_fl",
+        bucket("r_days", "r").alias("r_bucket"),
+        bucket("freq", "f").alias("f_bucket"),
+        bucket("mon_fl", "m").alias("m_bucket"),
+    )
+    return (
+        seg.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            # mean over the whole-dollar BIGINTs: the sum is exact in
+            # both engines, so one integer division (not a float sum
+            # whose order differs) feeds the floor — boundary-safe at
+            # any monetary magnitude
+            floor_round(F.sum("mon_fl") / F.count("*"), 4).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH anchor AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders
+),
+m AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                        (SELECT anchor FROM anchor)) AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         sum(o_totalprice) AS monetary,
+         CAST(floor(sum(o_totalprice)) AS BIGINT) AS mon_fl
+  FROM orders GROUP BY o_custkey
+),
+unp AS (
+  SELECT o_custkey, 'r' AS metric, r_days AS value FROM m
+  UNION ALL SELECT o_custkey, 'f', freq FROM m
+  UNION ALL SELECT o_custkey, 'm', mon_fl FROM m
+),
+hist AS (SELECT metric, value, count(*) AS c FROM unp GROUP BY 1, 2),
+tot AS (SELECT metric, sum(c) AS n FROM hist GROUP BY 1),
+cum AS (
+  SELECT metric, value,
+         sum(c) OVER (PARTITION BY metric ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+cuts AS (
+  SELECT c.metric,
+         min(CASE WHEN cum >= ceil(n * 0.25) THEN value END) AS q1,
+         min(CASE WHEN cum >= ceil(n * 0.5)  THEN value END) AS q2,
+         min(CASE WHEN cum >= ceil(n * 0.75) THEN value END) AS q3
+  FROM cum c JOIN tot USING (metric) GROUP BY 1
+),
+cutrow AS (
+  SELECT
+    max(CASE WHEN metric = 'r' THEN q1 END) AS rq1,
+    max(CASE WHEN metric = 'r' THEN q2 END) AS rq2,
+    max(CASE WHEN metric = 'r' THEN q3 END) AS rq3,
+    max(CASE WHEN metric = 'f' THEN q1 END) AS fq1,
+    max(CASE WHEN metric = 'f' THEN q2 END) AS fq2,
+    max(CASE WHEN metric = 'f' THEN q3 END) AS fq3,
+    max(CASE WHEN metric = 'm' THEN q1 END) AS mq1,
+    max(CASE WHEN metric = 'm' THEN q2 END) AS mq2,
+    max(CASE WHEN metric = 'm' THEN q3 END) AS mq3
+  FROM cuts
+),
+seg AS (
+  SELECT m.mon_fl,
+         CAST(1 + (CASE WHEN r_days > rq1 THEN 1 ELSE 0 END)
+                + (CASE WHEN r_days > rq2 THEN 1 ELSE 0 END)
+                + (CASE WHEN r_days > rq3 THEN 1 ELSE 0 END) AS INT)
+           AS r_bucket,
+         CAST(1 + (CASE WHEN freq > fq1 THEN 1 ELSE 0 END)
+                + (CASE WHEN freq > fq2 THEN 1 ELSE 0 END)
+                + (CASE WHEN freq > fq3 THEN 1 ELSE 0 END) AS INT)
+           AS f_bucket,
+         CAST(1 + (CASE WHEN mon_fl > mq1 THEN 1 ELSE 0 END)
+                + (CASE WHEN mon_fl > mq2 THEN 1 ELSE 0 END)
+                + (CASE WHEN mon_fl > mq3 THEN 1 ELSE 0 END) AS INT)
+           AS m_bucket
+  FROM m, cutrow
+)
+SELECT r_bucket, f_bucket, m_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(floor(CAST(sum(mon_fl) AS DOUBLE) / count(*) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS avg_monetary
+FROM seg
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (R4-54): part pairs co-occurring in
+# orders, scored by support / confidence / lift. The candidate join is
+# a basket self-join on l_orderkey — fan-out bounded by ORDER WIDTH
+# squared (TPC-H orders hold ≤7 distinct parts; at 100 TB the bound is
+# the max basket size, not the corpus), never an all-pairs product
+# over parts. Item and pair frequencies are map-side-combinable hash
+# aggregates; n_orders rides along as a 1-row broadcast. Output is
+# top-k by lift with a total (a,b) tiebreak → TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+MB_MIN_PAIR = 2
+MB_TOP_K = 50
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()  # consumed 3×: both self-join sides + item counts
+    )
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    items = basket.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_item")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("a_part"),
+            F.col("b.l_partkey").alias("b_part"),
+        )
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= MB_MIN_PAIR)
+    )
+    scored = (
+        pairs.join(items.withColumnRenamed("l_partkey", "a_part"), "a_part")
+        .withColumnRenamed("n_item", "n_a")
+        .join(items.withColumnRenamed("l_partkey", "b_part"), "b_part")
+        .withColumnRenamed("n_item", "n_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        scored.select(
+            "a_part",
+            "b_part",
+            "pair_cnt",
+            floor_round(F.col("pair_cnt") / F.col("n_orders"), 4).alias(
+                "support"
+            ),
+            floor_round(F.col("pair_cnt") / F.col("n_a"), 4).alias(
+                "confidence"
+            ),
+            floor_round(
+                F.col("pair_cnt") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "a_part", "b_part")
+        .limit(MB_TOP_K)
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_ord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM basket),
+items AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+  FROM basket GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+         CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MB_MIN_PAIR}
+)
+SELECT p.a_part, p.b_part, p.pair_cnt,
+       CAST(floor(CAST(p.pair_cnt AS DOUBLE) / n.n_orders * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS support,
+       CAST(floor(CAST(p.pair_cnt AS DOUBLE) / ia.n_item * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS confidence,
+       CAST(floor(CAST(p.pair_cnt AS DOUBLE) * n.n_orders
+                  / (ia.n_item * ib.n_item) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS lift
+FROM pairs p
+JOIN items ia ON ia.l_partkey = p.a_part
+JOIN items ib ON ib.l_partkey = p.b_part
+CROSS JOIN n_ord n
+ORDER BY lift DESC, a_part, b_part
+LIMIT {MB_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 change compression (R4-55): the warehouse slowly-changing-
+# dimension build — per-user event_type streams compress to validity
+# intervals [valid_from, valid_to) at state-change points, then roll
+# up per state. Two window steps inside the SAME bounded per-user
+# partition the sessionize family already uses (lag to flag changes,
+# lead over the surviving change rows to close intervals) — no global
+# window, no self-join. Durations are exact epoch-microsecond BIGINT
+# arithmetic in both engines; the open interval (a user's last state)
+# is counted, never extrapolated.
+# ---------------------------------------------------------------------------
+
+
+def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ch.select(
+        "event_type",
+        F.unix_micros("ts").alias("from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("to_us"),
+    )
+    closed = F.col("to_us").isNotNull()
+    agg = iv.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum(F.when(~closed, 1).otherwise(0)).cast("long").alias("n_open"),
+        F.sum(F.when(closed, F.col("to_us") - F.col("from_us"))).alias(
+            "dur_us"
+        ),
+    )
+    n_closed = F.col("n_intervals") - F.col("n_open")
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        "n_open",
+        floor_round(F.coalesce(F.col("dur_us"), F.lit(0)) / 1e6, 4).alias(
+            "total_closed_s"
+        ),
+        F.when(
+            n_closed > 0,
+            floor_round(F.col("dur_us") / 1e6 / n_closed, 4),
+        )
+        .otherwise(0.0)
+        .alias("avg_closed_s"),
+    ).orderBy("event_type")
+
+
+SCD2_INTERVALS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+ch AS (
+  SELECT user_id, ts, event_id, event_type FROM flagged
+  WHERE prev IS NULL OR prev <> event_type
+),
+iv AS (
+  SELECT event_type, epoch_us(ts) AS from_us,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) AS to_us
+  FROM ch
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_open,
+         sum(CASE WHEN to_us IS NOT NULL THEN to_us - from_us END) AS dur_us
+  FROM iv GROUP BY 1
+)
+SELECT event_type, n_intervals, n_open,
+       CAST(floor(coalesce(dur_us, 0) / 1e6 * 10000 + 1e-6) / 10000
+            AS DOUBLE) AS total_closed_s,
+       CASE WHEN n_intervals - n_open > 0 THEN
+         CAST(floor(dur_us / 1e6 / (n_intervals - n_open) * 10000 + 1e-6)
+              / 10000 AS DOUBLE)
+       ELSE 0.0 END AS avg_closed_s
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume trend fit + residual anomaly flags (R4-56): ordinary
+# least squares over (day_index, n_events) via the closed-form sums —
+# NOT regr_slope(), whose null/ordering semantics differ per engine —
+# then z-scores against the RMS residual. Two 1-row aggregates ride
+# broadcast crossJoins; the per-day table is bounded by the CALENDAR
+# (value-domain bound, independent of event volume), so every step
+# after the first hash agg is effectively free at any scale. Anomaly
+# compares the FLOORED z to the threshold so the flag can never flip
+# on 1-ulp cross-engine noise while the printed z stays boundary-safe.
+# ---------------------------------------------------------------------------
+
+TREND_Z_THR = 2.0
+
+
+def daily_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    d0 = daily.agg(F.min("d").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "d",
+        "n_events",
+        F.datediff("d", "d0").cast("double").alias("x"),
+        F.col("n_events").cast("double").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+    ).otherwise(0.0)
+    fit_df = (
+        xy.crossJoin(F.broadcast(s))
+        .withColumn("slope", slope)
+        .withColumn(
+            "icept", (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")
+        )
+        .withColumn(
+            "resid",
+            F.col("y") - (F.col("slope") * F.col("x") + F.col("icept")),
+        )
+    )
+    rms = fit_df.agg(
+        F.sqrt(F.avg(F.col("resid") * F.col("resid"))).alias("rms")
+    )
+    z = F.when(F.col("rms") > 0, F.col("resid") / F.col("rms")).otherwise(0.0)
+    out = fit_df.crossJoin(F.broadcast(rms)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        floor_round(F.col("slope") * F.col("x") + F.col("icept"), 4).alias(
+            "fit"
+        ),
+        floor_round(z, 4).alias("z"),
+    )
+    return out.select(
+        "day",
+        "n_events",
+        "fit",
+        "z",
+        (F.abs(F.col("z")) >= TREND_Z_THR).alias("anomaly"),
+    ).orderBy("day")
+
+
+DAILY_TREND_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+xy AS (
+  SELECT d, n_events,
+         CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS DOUBLE)
+           AS x,
+         CAST(n_events AS DOUBLE) AS y
+  FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+),
+fit AS (
+  SELECT d, n_events, x, y,
+         CASE WHEN n * sxx - sx * sx > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+              ELSE 0.0 END AS slope,
+         n, sx, sy
+  FROM xy, s
+),
+fit2 AS (
+  SELECT d, n_events, x, y, slope,
+         (sy - slope * sx) / n AS icept
+  FROM fit
+),
+resid AS (
+  SELECT d, n_events, x, slope, icept,
+         y - (slope * x + icept) AS resid
+  FROM fit2
+),
+rms AS (SELECT sqrt(avg(resid * resid)) AS rms FROM resid)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_events,
+       CAST(floor((slope * x + icept) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS fit,
+       CAST(floor(CASE WHEN rms > 0 THEN resid / rms ELSE 0.0 END
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS z,
+       abs(CAST(floor(CASE WHEN rms > 0 THEN resid / rms ELSE 0.0 END
+                      * 10000 + 1e-6) / 10000 AS DOUBLE))
+         >= {TREND_Z_THR} AS anomaly
+FROM resid, rms
+ORDER BY day
+"""

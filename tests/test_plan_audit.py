@@ -405,3 +405,28 @@ def test_r4_session_additions_have_scale_clean_plans(spark):
     # only single-partition exchange allowed is the final tiny ORDER BY
     plan = _plan(spark, "exact_group_median")
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_r4_warehouse_batch_plan_shapes(spark):
+    """R4-53..56: RFM's quartiles come from a metric-partitioned
+    histogram walk plus broadcast scalar joins (never a global ntile
+    window); the basket self-join rides the l_orderkey equi-key; SCD-2
+    stays inside the bounded per-user window with zero joins; the
+    trend fit's only nested loops are its two 1-row broadcasts."""
+    rfm = _plan(spark, "rfm_segments")
+    assert "CartesianProduct" not in rfm
+    assert rfm.count("NestedLoop") == rfm.count("BroadcastNestedLoopJoin")
+
+    mb = _plan(spark, "market_basket_lift")
+    assert "CartesianProduct" not in mb
+    assert mb.count("NestedLoop") == mb.count("BroadcastNestedLoopJoin")
+    assert "TakeOrderedAndProject" in mb
+
+    scd = _plan(spark, "scd2_state_intervals")
+    assert "CartesianProduct" not in scd and "NestedLoop" not in scd
+    assert "Window" in scd  # per-user lag/lead, bounded partitions
+
+    tr = _plan(spark, "daily_trend_anomaly")
+    assert "CartesianProduct" not in tr
+    assert tr.count("NestedLoop") == tr.count("BroadcastNestedLoopJoin")
+    assert "Window" not in tr  # calendar-bounded closed forms only
