@@ -778,6 +778,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.daily_trend_anomaly, relational.DAILY_TREND_SQL,
         "R4-56 OLS daily trend fit + residual z anomaly flags",
     ),
+    "benford_first_digit": QuerySpec(
+        relational.benford_first_digit, relational.BENFORD_SQL,
+        "R4-57 Benford first-digit forensic audit (string digit, no log10)",
+    ),
+    "monthly_revenue_growth": QuerySpec(
+        relational.monthly_revenue_growth, relational.MONTHLY_GROWTH_SQL,
+        "R4-58 MoM revenue growth + cumulative share (calendar-bounded window)",
+    ),
+    "pareto_abc": QuerySpec(
+        relational.pareto_abc, relational.PARETO_ABC_SQL,
+        "R4-59 Pareto/ABC revenue classification over the part dimension",
+    ),
+    "flesch_readability": QuerySpec(
+        textstats.flesch_readability, textstats.FLESCH_SQL,
+        "R4-60 training:readability (Flesch reading ease per language)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

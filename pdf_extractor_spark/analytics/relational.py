@@ -15,6 +15,8 @@ top-k plan as TakeOrderedAndProject instead of a global sort.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3282,4 +3284,276 @@ SELECT strftime(d, '%Y-%m-%d') AS day, n_events,
          >= {TREND_Z_THR} AS anomaly
 FROM resid, rms
 ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (R4-57): the classic forensic data-quality
+# check — does the leading digit of order totals follow log10(1+1/d)?
+# The digit is extracted from the DECIMAL STRING of floor(price)
+# (substring of a bigint cast), never via log10, whose libm rounding
+# differs between the JVM and DuckDB near digit boundaries. One 9-key
+# hash aggregate + a 1-row broadcast total + a 9-row broadcast of the
+# expected shares (Python-interpolated literals, so both engines
+# compare against the SAME doubles). Pearson chi-square contribution
+# n*(p_obs - p_exp)^2 / p_exp per digit; all shares are one division
+# of exact integers, deterministic cross-engine. Map-only before the
+# single aggregate — scale-free at any corpus size.
+# ---------------------------------------------------------------------------
+
+_BENFORD_EXPECTED = {
+    d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    expected = spark.createDataFrame(
+        [(d, e) for d, e in _BENFORD_EXPECTED.items()],
+        "digit int, expected double",
+    )
+    joined = (
+        expected.join(counts, "digit", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    p_obs = F.col("n") / F.col("total")
+    chi = (
+        F.col("total")
+        * (p_obs - F.col("expected"))
+        * (p_obs - F.col("expected"))
+        / F.col("expected")
+    )
+    return joined.select(
+        "digit",
+        "n",
+        floor_round(p_obs, 4).alias("observed_share"),
+        floor_round(F.col("expected"), 4).alias("benford_share"),
+        floor_round(chi, 4).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+expected AS (
+  SELECT * FROM (VALUES
+    {", ".join(
+        f"({d}, CAST({_BENFORD_EXPECTED[d]!r} AS DOUBLE))"
+        for d in range(1, 10)
+    )}
+  ) AS t(digit, expected)
+)
+SELECT e.digit,
+       coalesce(c.n, 0) AS n,
+       CAST(floor(coalesce(c.n, 0) / CAST(total AS DOUBLE) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS observed_share,
+       CAST(floor(expected * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS benford_share,
+       CAST(floor(total * (coalesce(c.n, 0) / CAST(total AS DOUBLE) - expected)
+                  * (coalesce(c.n, 0) / CAST(total AS DOUBLE) - expected)
+                  / expected * 10000 + 1e-6) / 10000 AS DOUBLE) AS chi2_term
+FROM expected e LEFT JOIN counts c ON e.digit = c.digit, total
+ORDER BY e.digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth (R4-58): the period-over-period KPI
+# report. The corpus collapses to ONE hash aggregate keyed by month;
+# everything after runs on a table bounded by the CALENDAR (~80 rows
+# here, ~1200 for a century), so the unpartitioned lag/cumsum window
+# is dimension-bounded — the same value-domain argument as the exact
+# histogram quantiles (R4-35), not a corpus-sized global window.
+# Revenue is summed as exact whole CENTS (floor(price*100 + 1e-6)
+# BIGINT), so cross-engine float-summation-order noise cannot reach
+# the growth ratios; each ratio is one division of exact integers.
+# ---------------------------------------------------------------------------
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    monthly = orders.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")),
+            "yyyy-MM",
+        ).alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+        ).cast("long").alias("rev_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = monthly.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    out = (
+        monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .withColumn("cum_cents", F.sum("rev_cents").over(wcum))
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "month",
+        "n_orders",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.when(
+            F.col("prev_cents").isNotNull() & (F.col("prev_cents") > 0),
+            floor_round(
+                (F.col("rev_cents") - F.col("prev_cents"))
+                / F.col("prev_cents"),
+                4,
+            ),
+        ).alias("mom_growth"),
+        floor_round(F.col("cum_cents") / F.col("total_cents"), 4).alias(
+            "cum_share"
+        ),
+    ).orderBy("month")
+
+
+MONTHLY_GROWTH_SQL = r"""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m')
+           AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+total AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM monthly),
+seq AS (
+  SELECT month, n_orders, rev_cents,
+         lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+         sum(rev_cents) OVER (ORDER BY month
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_cents
+  FROM monthly
+)
+SELECT month, n_orders,
+       rev_cents / 100.0 AS revenue,
+       CASE WHEN prev_cents IS NOT NULL AND prev_cents > 0 THEN
+         CAST(floor((rev_cents - prev_cents) / CAST(prev_cents AS DOUBLE)
+                    * 10000 + 1e-6) / 10000 AS DOUBLE)
+       END AS mom_growth,
+       CAST(floor(cum_cents / CAST(total_cents AS DOUBLE) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS cum_share
+FROM seq, total
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC revenue classification (R4-59): parts ranked by revenue
+# with cumulative-share class cuts (A <= 80 %, B <= 95 %, C rest) —
+# the inventory-analysis staple. The corpus (lineitem) collapses to
+# ONE hash aggregate keyed by partkey; the ranking window then runs
+# over the PART DIMENSION, not the fact table — dimension-bounded by
+# the same argument as the calendar windows, and beyond dim scale the
+# two-pass global_rank_offset construction (R4-28) swaps in for the
+# same semantics. Per-row revenue floors to exact cents BEFORE any
+# sum, so class boundaries compare one deterministic division of
+# exact integers; ties order by (revenue DESC, partkey) totally.
+# ---------------------------------------------------------------------------
+
+
+def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + 1e-6
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    total = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = (
+        rev.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share", F.col("cum_cents") / F.col("total_cents")
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.80, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("class_cents"),
+            F.max("total_cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            (F.col("class_cents") / 100.0).alias("class_revenue"),
+            floor_round(
+                F.col("class_cents") / F.col("total_cents"), 4
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+PARETO_ABC_SQL = r"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 1e-6) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM rev),
+classed AS (
+  SELECT rev_cents,
+         CASE
+           WHEN sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                / CAST(total_cents AS DOUBLE) <= 0.80 THEN 'A'
+           WHEN sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                / CAST(total_cents AS DOUBLE) <= 0.95 THEN 'B'
+           ELSE 'C'
+         END AS abc_class,
+         total_cents
+  FROM rev, total
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       sum(rev_cents) / 100.0 AS class_revenue,
+       CAST(floor(sum(rev_cents) / CAST(max(total_cents) AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS revenue_share
+FROM classed
+GROUP BY 1
+ORDER BY 1
 """

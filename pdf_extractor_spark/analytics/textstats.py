@@ -2277,3 +2277,130 @@ FROM counts
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease per language (R4-60, training:readability): the
+# classic document-quality prior (Flesch 1948) — FRE = 206.835 −
+# 1.015·(words/sentences) − 84.6·(syllables/words), with the standard
+# deterministic syllable heuristic (count of [aeiouy]+ vowel groups,
+# min 1 per word). Entirely map-only inside whole-stage codegen: the
+# word array materializes ONCE per row, the syllable sum is a single
+# HOF aggregate whose lambda touches only its own element (no captured
+# expression — the HOF rule), then one hash aggregate per language.
+# Cross-engine exactness: each doc's FRE floors to integer 1e-4 units
+# BEFORE the per-language sum, so the average is one division of exact
+# integers — float summation order never reaches the output. Docs with
+# zero words are excluded (disclosed; an empty doc has no readability).
+# ---------------------------------------------------------------------------
+
+
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.col("text")).alias("t")
+    )
+    per_doc = (
+        docs.withColumn(
+            "_words",
+            F.filter(F.split("t", r"\s+"), lambda x: x != F.lit("")),
+        )
+        .withColumn("n_words", F.size("_words").cast("long"))
+        .where(F.col("n_words") > 0)
+        .withColumn(
+            "n_sent",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.regexp_count("t", F.lit(r"[.!?]+")).cast("long"),
+            ),
+        )
+        .withColumn(
+            "n_syll",
+            F.aggregate(
+                "_words",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.greatest(
+                    F.lit(1).cast("long"),
+                    F.regexp_count(x, F.lit("[aeiouy]+")).cast("long"),
+                ),
+            ),
+        )
+        .withColumn(
+            "fre",
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sent"))
+            - F.lit(84.6)
+            * (F.col("n_syll").cast("double") / F.col("n_words")),
+        )
+        .withColumn(
+            "fre_i", F.floor(F.col("fre") * 10000 + 1e-6).cast("long")
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_sent").cast("long").alias("n_sents"),
+            F.sum("n_syll").cast("long").alias("n_sylls"),
+            F.sum("fre_i").cast("long").alias("fre_i_sum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            _floor_round(
+                F.col("n_words") / F.col("n_sents").cast("double"), 4
+            ).alias("avg_words_per_sentence"),
+            _floor_round(
+                F.col("n_sylls") / F.col("n_words").cast("double"), 4
+            ).alias("avg_syllables_per_word"),
+            _floor_round(
+                F.col("fre_i_sum") / (F.col("n_docs") * 10000.0), 4
+            ).alias("avg_flesch"),
+        )
+        .orderBy("lang")
+    )
+
+
+FLESCH_SQL = r"""
+WITH w AS (
+  SELECT lang, lower(text) AS t,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+d AS (
+  SELECT lang,
+         CAST(len(words) AS BIGINT) AS n_words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT))
+           AS n_sent,
+         CAST(list_sum(list_transform(words,
+                x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+              AS BIGINT) AS n_syll
+  FROM w
+  WHERE len(words) > 0
+),
+f AS (
+  SELECT lang, n_words, n_sent, n_syll,
+         CAST(floor((206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+                    * 10000 + 1e-6) AS BIGINT) AS fre_i
+  FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(sum(n_words) / CAST(sum(n_sent) AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS avg_words_per_sentence,
+       CAST(floor(sum(n_syll) / CAST(sum(n_words) AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS avg_syllables_per_word,
+       CAST(floor(sum(fre_i) / (count(*) * 10000.0) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS avg_flesch
+FROM f
+GROUP BY lang
+ORDER BY lang
+"""
