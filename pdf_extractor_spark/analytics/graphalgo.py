@@ -384,3 +384,96 @@ SELECT a3.v AS doc_id,
 FROM a3 JOIN h3 ON h3.v = a3.v
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (R4-61, training:graph-kcore): the density filter next to
+# PageRank/HITS/triangles — vertices surviving iterated removal of
+# degree < K endpoints form the K-core (Seidman 1983), the standard
+# "dense neighborhood" prior for link-farm and community detection.
+# Same deterministic link fixture as pagerank_fixed, symmetrized to an
+# undirected self-loop-free edge set. KCORE_ROUNDS peel rounds run as
+# one degree hash aggregate + two LeftSemi hash joins each; the edge
+# set is localCheckpoint-pinned per round because BOTH the next degree
+# aggregate and the next semi-joins consume it (unpinned, the plan
+# doubles per round — the HITS/CC lesson). Fixed rounds keep the two
+# engines unrolled identically; the unit suite proves the fixture
+# converges inside the budget, so the output IS the exact 4-core.
+# Scale: every step is an equi-key hash op; per-round work shrinks
+# monotonically (edges only ever get removed).
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    directed = _edges(docs, n).filter(F.col("src") != F.col("dst"))
+    und = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    e = und.localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("src").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    return f"""k{out} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS deg FROM e{prev} GROUP BY 1)
+  WHERE deg >= {KCORE_K}
+),
+e{out} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{prev} e
+  JOIN k{out} a ON a.src = e.src
+  JOIN k{out} b ON b.src = e.dst
+)"""
+
+
+KCORE_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+directed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           unnest([(doc_id * 7 + 1) % (SELECT n FROM nn),
+                   (doc_id * doc_id + 3) % (SELECT n FROM nn),
+                   CAST(floor(doc_id / 2.0) AS BIGINT)]) AS dst
+    FROM documents
+  )
+  WHERE src <> dst
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM directed
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM directed
+  )
+),
+{_kcore_round_sql("0", "1")},
+{_kcore_round_sql("1", "2")},
+{_kcore_round_sql("2", "3")},
+{_kcore_round_sql("3", "4")}
+SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM e4
+GROUP BY 1
+ORDER BY 1
+"""

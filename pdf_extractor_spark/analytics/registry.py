@@ -794,6 +794,14 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.flesch_readability, textstats.FLESCH_SQL,
         "R4-60 training:readability (Flesch reading ease per language)",
     ),
+    "kcore_peel": QuerySpec(
+        graphalgo.kcore_peel, graphalgo.KCORE_SQL,
+        "R4-61 training:graph-kcore (iterated degree peel, pinned per round)",
+    ),
+    "event_debounce": QuerySpec(
+        relational.event_debounce, relational.EVENT_DEBOUNCE_SQL,
+        "R4-62 burst debounce via lag-gap flags (keep-first retention)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

