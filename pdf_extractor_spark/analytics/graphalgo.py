@@ -477,3 +477,94 @@ FROM e4
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (R4-66): Pearson correlation of endpoint
+# degrees over the undirected edge list (Newman 2002) — one scalar
+# that separates hub-attached topologies (r < 0, link farms, webby
+# graphs) from peer-meshes (r > 0, social/citation cores); the natural
+# companion statistic to pagerank/HITS/k-core over the same fixture.
+# Both edge orientations contribute (the standard undirected
+# convention), so Sx == Sy by construction and the formula reduces to
+# integer sums only: degrees are ints, every accumulator is a sum of
+# int products — engine-exact up to the final floor, no FP-order
+# sensitivity. Scale shape: one degree hash aggregate, one fan-out-1
+# join per endpoint (degree table is corpus-bounded, broadcastable at
+# dim scale), one global aggregate. No window, no sort.
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    directed = _edges(docs, n).filter(F.col("src") != F.col("dst"))
+    und = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    ends = (
+        und.join(deg, "src")
+        .select("dst", F.col("deg").alias("dx"))
+        .join(deg.select(F.col("src").alias("dst"),
+                         F.col("deg").alias("dy")), "dst")
+    )
+    s = ends.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "m",
+        floor_round(F.col("sx") / F.col("m"), 6).alias("mean_end_degree"),
+        floor_round(num / den, 6).alias("assortativity"),
+    )
+
+
+ASSORTATIVITY_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+directed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           unnest([(doc_id * 7 + 1) % (SELECT n FROM nn),
+                   (doc_id * doc_id + 3) % (SELECT n FROM nn),
+                   CAST(floor(doc_id / 2.0) AS BIGINT)]) AS dst
+    FROM documents
+  )
+  WHERE src <> dst
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM directed
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM directed
+  )
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+ends AS (
+  SELECT a.deg AS dx, b.deg AS dy
+  FROM und e
+  JOIN deg a ON a.src = e.src
+  JOIN deg b ON b.src = e.dst
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM ends
+)
+SELECT m,
+       CAST(floor(CAST(sx AS DOUBLE) / m * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS mean_end_degree,
+       CAST(floor((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                  / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS assortativity
+FROM s
+"""

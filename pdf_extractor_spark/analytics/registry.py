@@ -802,6 +802,23 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.event_debounce, relational.EVENT_DEBOUNCE_SQL,
         "R4-62 burst debounce via lag-gap flags (keep-first retention)",
     ),
+    "proximity_phrase_search": QuerySpec(
+        textstats.proximity_phrase_search, textstats.PROXIMITY_SEARCH_SQL,
+        "R4-63 search:proximity (A NEAR/k B positional-index self-join)",
+    ),
+    "term_burstiness": QuerySpec(
+        textstats.term_burstiness, textstats.TERM_BURSTINESS_SQL,
+        "R4-64 training:term-burstiness (Fisher VMR, zeros included)",
+    ),
+    "repurchase_interval_quantiles": QuerySpec(
+        relational.repurchase_interval_quantiles,
+        relational.REPURCHASE_QUANTILES_SQL,
+        "R4-65 inter-order gap nearest-rank quantiles (histogram exact)",
+    ),
+    "degree_assortativity": QuerySpec(
+        graphalgo.degree_assortativity, graphalgo.ASSORTATIVITY_SQL,
+        "R4-66 Newman degree assortativity (integer-sum Pearson r)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

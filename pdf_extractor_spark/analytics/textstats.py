@@ -2404,3 +2404,171 @@ FROM f
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Proximity phrase search (R4-63, search:proximity): "A NEAR/k B" — the
+# positional-index query every search engine layers over the inverted
+# index (Lucene SpanNearQuery, reference's keyword search is
+# whole-field only — search_api.py cites the gap). Tokenize once,
+# posexplode to (doc_id, pos) for JUST the two query terms (filter
+# pushed inside the generator input, so the exploded relation is
+# ~2 rows/doc, not len(text)), then a per-doc equi-join pairs every A
+# position with every B position within PROX_WINDOW. The join key is
+# doc_id: co-partitioned hash join, no cross-doc fan-out, and per-doc
+# term frequencies bound the pair blow-up. Scale: identical plan at
+# 100 TB — the filtered positional relation is tiny relative to the
+# corpus and the join never leaves the doc_id partition.
+# ---------------------------------------------------------------------------
+
+PROX_TERM_A = "hash"
+PROX_TERM_B = "join"
+PROX_WINDOW = 3
+
+
+def proximity_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # materialize the token array before any HOF references it
+    # (docs/PLANS.md HOF-capture rule), zip with 1-based positions,
+    # and filter to the two query terms BEFORE the generator runs —
+    # the exploded relation is O(tf_a + tf_b) per doc, not O(len)
+    toks = docs.withColumn("toks", _tokens()).withColumn(
+        "hits",
+        F.filter(
+            F.arrays_zip(
+                F.col("toks"),
+                F.sequence(F.lit(1), F.size(F.col("toks"))),
+            ),
+            lambda s: s["toks"].isin(PROX_TERM_A, PROX_TERM_B),
+        ),
+    )
+    pos = toks.select(
+        "doc_id", F.explode("hits").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s")["toks"].alias("tok"),
+        F.col("s")["1"].alias("pos"),
+    )
+    a = pos.filter(F.col("tok") == PROX_TERM_A).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = pos.filter(F.col("tok") == PROX_TERM_B).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    pairs = a.join(b, "doc_id").filter(
+        F.abs(F.col("pa") - F.col("pb")) <= PROX_WINDOW
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb")))
+            .cast("long")
+            .alias("min_dist"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PROXIMITY_SEARCH_SQL = rf"""
+WITH pos AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id,
+           unnest(t) AS tok,
+           generate_subscripts(t, 1) AS pos
+    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+          FROM documents)
+  )
+  WHERE tok IN ('{PROX_TERM_A}', '{PROX_TERM_B}')
+)
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id
+ AND a.tok = '{PROX_TERM_A}' AND b.tok = '{PROX_TERM_B}'
+ AND abs(a.pos - b.pos) <= {PROX_WINDOW}
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (R4-64, training:term-burstiness): variance-to-mean
+# ratio (Fisher's index of dispersion) of a term's per-document count,
+# zeros included — VMR 1 is Poisson background; bursty content words
+# score high, function words low (Church & Gale 1995). Everything
+# reduces to three integer sums per token (sum c, sum c^2, N docs), so
+# the statistic is engine-exact before the final floor: a single
+# map-side-combinable hash aggregate over the exploded token relation,
+# then a broadcast of the scalar doc count. Output: top BURSTY_TOP by
+# VMR among terms with >= BURSTY_MIN_TOTAL occurrences (the support
+# filter keeps rare-token noise out and bounds the sort input).
+# ---------------------------------------------------------------------------
+
+BURSTY_TOP = 20
+BURSTY_MIN_TOTAL = 100
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = (
+        per_doc.groupBy("tok")
+        .agg(
+            F.sum("c").cast("long").alias("total"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+            F.count("*").cast("long").alias("n_docs_with"),
+        )
+        .filter(F.col("total") >= BURSTY_MIN_TOTAL)
+        .crossJoin(F.broadcast(n))
+    )
+    mean = F.col("total") / F.col("n_docs")
+    var = F.col("sum_sq") / F.col("n_docs") - mean * mean
+    return (
+        stats.select(
+            "tok",
+            "total",
+            "n_docs_with",
+            _floor_round(var / mean, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "tok")
+        .limit(BURSTY_TOP)
+    )
+
+
+TERM_BURSTINESS_SQL = rf"""
+WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+per_doc AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT tok,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq,
+         CAST(count(*) AS BIGINT) AS n_docs_with
+  FROM per_doc
+  GROUP BY 1
+  HAVING sum(c) >= {BURSTY_MIN_TOTAL}
+)
+SELECT tok, total, n_docs_with,
+       CAST(floor((CAST(sum_sq AS DOUBLE) / n_docs
+                   - (CAST(total AS DOUBLE) / n_docs)
+                     * (CAST(total AS DOUBLE) / n_docs))
+                  / (CAST(total AS DOUBLE) / n_docs)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS vmr
+FROM stats, nn
+ORDER BY vmr DESC, tok
+LIMIT {BURSTY_TOP}
+"""

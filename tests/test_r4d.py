@@ -94,3 +94,135 @@ def test_event_debounce_recompute(spark):
         assert abs(r["retention_ratio"] - want) < 1e-12
     # the fixture contains real bursts (something was actually dropped)
     assert sum(n_kept.values()) < sum(n_raw.values())
+
+
+def test_proximity_search_recompute(spark):
+    """R4-63: per-doc qualifying (A,B) position pairs equal a brute
+    scan over whitespace tokens with 1-based positions."""
+    from pdf_extractor_spark.analytics.textstats import (
+        PROX_TERM_A,
+        PROX_TERM_B,
+        PROX_WINDOW,
+        proximity_phrase_search,
+    )
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    want = {}
+    for r in docs:
+        toks = re.split(r"\s+", r["text"])
+        pa = [i + 1 for i, t in enumerate(toks) if t == PROX_TERM_A]
+        pb = [i + 1 for i, t in enumerate(toks) if t == PROX_TERM_B]
+        dists = [abs(x - y) for x in pa for y in pb
+                 if abs(x - y) <= PROX_WINDOW]
+        if dists:
+            want[r["doc_id"]] = (len(dists), min(dists))
+    got = {r["doc_id"]: (r["n_pairs"], r["min_dist"])
+           for r in proximity_phrase_search(spark, SF).collect()}
+    assert got == want
+    assert want  # fixture has real proximity hits
+
+
+def test_term_burstiness_recompute(spark):
+    """R4-64: VMR(tok) from integer sums matches, and known bursty
+    fixture behavior holds (every VMR >= the Poisson floor minus the
+    floor-rounding epsilon)."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from pdf_extractor_spark.analytics.textstats import (
+        BURSTY_MIN_TOTAL,
+        BURSTY_TOP,
+        term_burstiness,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n_docs = len(docs)
+    tot = defaultdict(int)
+    ssq = defaultdict(int)
+    nwith = defaultdict(int)
+    for r in docs:
+        c = Counter(t for t in re.split(r"\s+", r["text"]) if t)
+        for t, k in c.items():
+            tot[t] += k
+            ssq[t] += k * k
+            nwith[t] += 1
+    rows = []
+    for t in tot:
+        if tot[t] < BURSTY_MIN_TOTAL:
+            continue
+        mean = tot[t] / n_docs
+        vmr = (ssq[t] / n_docs - mean * mean) / mean
+        rows.append((t, tot[t], nwith[t],
+                     math.floor(vmr * 1e6 + 1e-6) / 1e6))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    want = rows[:BURSTY_TOP]
+    got = [(r["tok"], r["total"], r["n_docs_with"], r["vmr"])
+           for r in term_burstiness(spark, SF).collect()]
+    assert got == want
+
+
+def test_repurchase_quantiles_recompute(spark):
+    """R4-65: histogram nearest-rank picks equal a direct sorted-list
+    nearest-rank walk per market segment."""
+    import math
+    from collections import defaultdict
+
+    from pdf_extractor_spark.analytics.relational import (
+        REPURCHASE_QS,
+        repurchase_interval_quantiles,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    seg_of = {r["c_custkey"]: r["c_mktsegment"]
+              for r in spark.read.parquet(f"{SF}/customer.parquet").collect()}
+    by_cust = defaultdict(list)
+    for r in orders:
+        by_cust[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    gaps = defaultdict(list)
+    for ck, lst in by_cust.items():
+        lst.sort()
+        for (d0, _), (d1, _) in zip(lst, lst[1:]):
+            gaps[seg_of[ck]].append((d1 - d0).days)
+    got = {r["c_mktsegment"]: r
+           for r in repurchase_interval_quantiles(spark, SF).collect()}
+    assert set(got) == set(gaps)
+    for seg, g in gaps.items():
+        g.sort()
+        r = got[seg]
+        assert r["n_gaps"] == len(g)
+        for q in REPURCHASE_QS:
+            pos = math.ceil(len(g) * q / 100.0)
+            assert r[f"p{q}_days"] == g[pos - 1], (seg, q)
+
+
+def test_degree_assortativity_recompute(spark):
+    """R4-66: the Spark integer-sum Pearson r equals the closed form
+    on the brute-built undirected edge list, both orientations."""
+    import math
+
+    from pdf_extractor_spark.analytics.graphalgo import degree_assortativity
+
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    und = set()
+    for s in range(n):
+        for d in ((7 * s + 1) % n, (s * s + 3) % n, s // 2):
+            if d != s:
+                und.add((s, d))
+                und.add((d, s))
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    m = len(und)
+    sx = sum(deg[a] for a, _ in und)
+    sxx = sum(deg[a] * deg[a] for a, _ in und)
+    sxy = sum(deg[a] * deg[b] for a, b in und)
+    r_want = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    row = degree_assortativity(spark, SF).collect()[0]
+    assert row["m"] == m
+    assert row["mean_end_degree"] == math.floor(sx / m * 1e6 + 1e-6) / 1e6
+    assert row["assortativity"] == math.floor(r_want * 1e6 + 1e-6) / 1e6
+    # the fixture is measurably disassortative (hub-attached), so the
+    # statistic is exercised away from the trivial 0
+    assert row["assortativity"] < -0.05
