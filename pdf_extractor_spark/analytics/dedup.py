@@ -2004,3 +2004,73 @@ JOIN norms nb ON nb.doc_id = p.b_id
 LEFT JOIN dots d ON d.a_id = p.a_id AND d.b_id = p.b_id
 ORDER BY p.a_id, p.b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein pair scores over LSH candidates (R4-67,
+# training:edit-distance triage): exact edit distance is the
+# strictest near-dup confirmation — ROUGE/Jaccard are bag metrics and
+# miss reorderings; edit distance is positional. O(len_a * len_b) per
+# pair makes it unthinkable all-pairs, so it rides the SAME MinHash
+# band candidates every other pair metric here uses: candidate count,
+# not corpus size, bounds the quadratic kernel, and both engines run
+# their native implementation (Spark's JVM `levenshtein`, DuckDB's
+# `levenshtein`) — no UDF. Injected exact dups anchor the scale at
+# distance 0 / similarity 1. lev_sim = 1 - d / max(len_a, len_b)
+# (integer inputs, engine-exact before the floor).
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_injected_dups(spark, sf_dir).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    ta = docs.select(
+        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    scored = (
+        pairs.join(ta, "a_id")
+        .join(tb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("a_text", "b_text").cast("long").alias("lev_dist"),
+            F.length("a_text").cast("long").alias("len_a"),
+            F.length("b_text").cast("long").alias("len_b"),
+        )
+    )
+    return scored.select(
+        "a_id",
+        "b_id",
+        "lev_dist",
+        "len_a",
+        "len_b",
+        floor_round(
+            1.0 - F.col("lev_dist") / F.greatest("len_a", "len_b"), 4
+        ).alias("lev_sim"),
+    ).orderBy("a_id", "b_id")
+
+
+LEVENSHTEIN_PAIRS_SQL = f"""
+WITH src AS ({_DUP_SOURCE_SQL}),
+bands AS ({_minhash_sql('SELECT doc_id, text FROM src')}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+       CAST(levenshtein(sa.text, sb.text) AS BIGINT) AS lev_dist,
+       CAST(length(sa.text) AS BIGINT) AS len_a,
+       CAST(length(sb.text) AS BIGINT) AS len_b,
+       CAST(floor((1.0 - CAST(levenshtein(sa.text, sb.text) AS DOUBLE)
+                         / greatest(length(sa.text), length(sb.text)))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS lev_sim
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.a_id
+JOIN src sb ON sb.doc_id = p.b_id
+ORDER BY p.a_id, p.b_id
+"""

@@ -616,3 +616,98 @@ SELECT doc_id, score,
 FROM scored
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Score-decile lift table (R4-69, training:classifier-lift): the
+# standard eval readout for a filtering classifier — rank the corpus
+# by score, cut into ten equal index slices, and report each slice's
+# size, mean score, and keep share. Deciles are assigned on the
+# 4-dp-floored INTEGER score grid with a doc_id tiebreak (the repo's
+# rounded-grid decision rule), so slice membership is engine-exact:
+# decile = floor(rank0 * 10 / N) over (s_i, doc_id) order, which both
+# engines compute identically (no NTILE remainder-mode dependence).
+# Scale shape: N and the per-score-value cumulative offsets come from
+# a histogram over the BOUNDED score domain (<= 20001 distinct 4-dp
+# values in [-1, 1]) — the only per-row window is a row_number inside
+# each score-value partition; no global sort.
+# ---------------------------------------------------------------------------
+
+LIFT_DECILES = 10
+
+
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("s_i"),
+        F.col("keep").cast("long").alias("kept"),
+    )
+    hist = scored.groupBy("s_i").agg(F.count("*").alias("c"))
+    hw = Window.orderBy("s_i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = hist.select(
+        "s_i",
+        (F.sum("c").over(hw) - F.col("c")).alias("off"),
+        F.sum("c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    rn = Window.partitionBy("s_i").orderBy("doc_id")
+    rows = scored.withColumn("rn", F.row_number().over(rn)).join(
+        F.broadcast(offs), "s_i"
+    )
+    decile = F.floor(
+        (F.col("off") + F.col("rn") - 1) * F.lit(LIFT_DECILES) / F.col("n")
+    ).cast("int")
+    return (
+        rows.select(decile.alias("decile"), "s_i", "kept")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            floor_round(F.sum("s_i") / (10000.0 * F.count("*")), 4)
+            .alias("mean_score"),
+            floor_round(F.sum("kept") / F.count("*"), 4).alias("keep_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+SCORE_DECILE_LIFT_SQL = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_SQL.replace(chr(10), chr(10) + '  ')}
+),
+ints AS (
+  SELECT doc_id,
+         CAST(round(score * 10000) AS BIGINT) AS s_i,
+         CAST(keep AS BIGINT) AS kept
+  FROM scored
+),
+hist AS (SELECT s_i, count(*) AS c FROM ints GROUP BY 1),
+offs AS (
+  SELECT s_i,
+         sum(c) OVER (ORDER BY s_i) - c AS off,
+         sum(c) OVER () AS n
+  FROM hist
+),
+rows_d AS (
+  SELECT CAST(floor((o.off + row_number() OVER (
+                       PARTITION BY i.s_i ORDER BY i.doc_id) - 1)
+                    * {LIFT_DECILES} / CAST(o.n AS DOUBLE)) AS INT)
+           AS decile,
+         i.s_i, i.kept
+  FROM ints i JOIN offs o ON o.s_i = i.s_i
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(sum(s_i) / (10000.0 * count(*)) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS mean_score,
+       CAST(floor(sum(kept) / CAST(count(*) AS DOUBLE) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS keep_rate
+FROM rows_d
+GROUP BY 1
+ORDER BY 1
+"""

@@ -819,6 +819,22 @@ QUERIES: Dict[str, QuerySpec] = {
         graphalgo.degree_assortativity, graphalgo.ASSORTATIVITY_SQL,
         "R4-66 Newman degree assortativity (integer-sum Pearson r)",
     ),
+    "levenshtein_pair_scores": QuerySpec(
+        dedup.levenshtein_pair_scores, dedup.LEVENSHTEIN_PAIRS_SQL,
+        "R4-67 exact edit distance over LSH candidates (native both sides)",
+    ),
+    "gini_revenue_concentration": QuerySpec(
+        relational.gini_revenue_concentration, relational.GINI_REVENUE_SQL,
+        "R4-68 per-nation Gini over integer-cent customer revenue",
+    ),
+    "score_decile_lift": QuerySpec(
+        quality_rules.score_decile_lift, quality_rules.SCORE_DECILE_LIFT_SQL,
+        "R4-69 classifier decile lift on the floored-score grid",
+    ),
+    "embedding_outlier_zscore": QuerySpec(
+        similarity.embedding_outlier_zscore, similarity.EMBEDDING_OUTLIER_SQL,
+        "R4-70 within-label centroid-distance z outliers (var-guarded)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

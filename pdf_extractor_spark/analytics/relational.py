@@ -3633,3 +3633,200 @@ FROM flagged
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Repurchase-interval quantiles (R4-65): per-customer consecutive
+# order gaps (days), summarized as exact nearest-rank p25/p50/p75/p90
+# per market segment — the standard inter-purchase-time input to churn
+# and next-order models, complementing rfm_segments' recency snapshot.
+# Scale shape: the gap relation reduces FIRST to a (segment, gap_days)
+# histogram (map-side-combinable; state bounded by the day-gap domain,
+# not the order count — the R4-35 exact-quantile pattern), so the only
+# per-customer window is the lag over each customer's own orders,
+# partitioned on the natural key. Nearest-rank (ceil(q*n)) quantiles
+# are integers, so the output is engine-exact with no interpolation
+# mode to reconcile. Customer is a dim: broadcast into the gap side.
+# ---------------------------------------------------------------------------
+
+REPURCHASE_QS = (25, 50, 75, 90)
+
+
+def repurchase_interval_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_d", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev_d")).alias(
+                "gap_days"
+            ),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    hist = gaps.groupBy("c_mktsegment", "gap_days").agg(
+        F.count("*").alias("c")
+    )
+    cw = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("gap_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(cw)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("c_mktsegment"))
+    )
+    aggs = [F.max("n").cast("long").alias("n_gaps")]
+    for q in REPURCHASE_QS:
+        pos = F.ceil(F.col("n") * q / 100.0)
+        aggs.append(
+            F.min(F.when(F.col("cum") >= pos, F.col("gap_days")))
+            .cast("long")
+            .alias(f"p{q}_days")
+        )
+    return (
+        cum.groupBy("c_mktsegment")
+        .agg(*aggs)
+        .orderBy("c_mktsegment")
+    )
+
+
+_REPURCHASE_PICKS = ",\n       ".join(
+    f"CAST(min(CASE WHEN cum >= ceil(n * {q} / 100.0) THEN gap_days END) "
+    f"AS BIGINT) AS p{q}_days"
+    for q in REPURCHASE_QS
+)
+
+REPURCHASE_QUANTILES_SQL = f"""
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+),
+seg AS (
+  SELECT c.c_mktsegment, g.gap_days
+  FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.gap_days IS NOT NULL
+),
+hist AS (
+  SELECT c_mktsegment, gap_days, count(*) AS c FROM seg GROUP BY 1, 2
+),
+cum AS (
+  SELECT c_mktsegment, gap_days, c,
+         sum(c) OVER (PARTITION BY c_mktsegment ORDER BY gap_days) AS cum,
+         sum(c) OVER (PARTITION BY c_mktsegment) AS n
+  FROM hist
+)
+SELECT c_mktsegment,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       {_REPURCHASE_PICKS}
+FROM cum
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini revenue concentration per nation (R4-68): the inequality
+# statistic behind "top 1% of customers drive X% of revenue" — the
+# scalar complement to pareto_abc's class table. Per customer, total
+# order revenue IN INTEGER CENTS (round(o_totalprice * 100)): every
+# downstream sum is then exact in both engines, so rank order, the
+# rank-weighted sum, and the closed form
+#   G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n    (x sorted asc)
+# are all engine-deterministic before the final floor. Customers with
+# zero orders are included at revenue 0 (left join) — concentration
+# over the full customer base, not just purchasers. Scale shape: one
+# hash aggregate per customer, broadcast nation dim, and ONE rank
+# window partitioned by nation (group size = customers per nation;
+# at extreme scale swap in the R4-35 histogram-rank walk over the
+# cents domain — same numbers, bounded state).
+# ---------------------------------------------------------------------------
+
+
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents")
+    )
+    base = (
+        cust.join(rev, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    ranked = base.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).cast("long").alias("iws"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            "total_cents",
+            floor_round(
+                2.0 * F.col("iws")
+                / (F.col("n_customers") * F.col("total_cents"))
+                - (F.col("n_customers") + 1) / F.col("n_customers"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+GINI_REVENUE_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT n.n_name, c.c_custkey, coalesce(r.cents, 0) AS cents
+  FROM customer c
+  LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+ranked AS (
+  SELECT n_name, cents,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY cents, c_custkey) AS i
+  FROM base
+)
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(floor((2.0 * sum(i * cents)
+                   / (count(*) * CAST(sum(cents) AS DOUBLE))
+                   - (count(*) + 1) / CAST(count(*) AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS gini
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""

@@ -2406,3 +2406,111 @@ FROM topk k LEFT JOIN truth t ON t.vec_id = k.vec_id
 GROUP BY n_probe
 ORDER BY n_probe
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection (R4-70, training:embedding-outliers —
+# the SemDeDup/SSL-prototype hygiene pass): vectors far from their own
+# label centroid are mislabeled points, encoder failures, or junk
+# inputs; flag the global top OUT_TOP by within-label z-score of the
+# SQUARED Euclidean distance to the centroid. d² instead of d keeps
+# the whole statistic polynomial in the inputs (no per-row sqrt
+# divergence surface) and is rank-equivalent for fixed label. z uses
+# the population std; a label whose vectors are all equidistant
+# (std 0) yields NULL z via try_divide and drops from the ranking in
+# both engines. Ranking runs on the 4-dp-floored z grid with a vec_id
+# tiebreak (rounded-grid decision rule) so the top-k cut is
+# engine-exact. Scale shape: centroids + moments are TWO hash
+# aggregates (K×DIMS state), broadcast back; the global top-k is a
+# TakeOrderedAndProject — no full sort, no window.
+# ---------------------------------------------------------------------------
+
+OUT_TOP = 25
+
+
+def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.groupBy("label")
+        .agg(
+            *[
+                F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+                for i in range(DIMS)
+            ]
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.array(*[F.col(f"c{i}") for i in range(DIMS)]).alias("centroid"),
+        )
+    )
+    diff = F.zip_with(
+        _as_double(F.col("embedding")),
+        F.col("centroid"),
+        lambda x, y: (x - y) * (x - y),
+    )
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    scored = emb.join(
+        F.broadcast(cent), F.col("label") == F.col("c_label")
+    ).select("vec_id", "label", d2.alias("d2"))
+    moments = scored.groupBy("label").agg(
+        F.avg("d2").alias("mu"),
+        F.avg(F.col("d2") * F.col("d2")).alias("m2"),
+        F.count("*").cast("long").alias("n_label"),
+    )
+    # variance guard: a degenerate label (all d2 equal) has var ~ 0,
+    # and FP cancellation can land slightly NEGATIVE — sqrt would give
+    # NaN, which sorts FIRST under desc in Spark. Gate on var > 0 so
+    # degenerate labels yield NULL z (drops via NULLS LAST) in both
+    # engines. (adversarial-corpus defense)
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    z = F.when(
+        var > 0, (F.col("d2") - F.col("mu")) / F.sqrt(var)
+    )
+    return (
+        scored.join(F.broadcast(moments), "label")
+        .select(
+            "vec_id",
+            "label",
+            "n_label",
+            _floor4_safe(F.col("d2")).alias("d2"),
+            _floor4(z).alias("z"),
+        )
+        .orderBy(F.desc_nulls_last("z"), "vec_id")
+        .limit(OUT_TOP)
+    )
+
+
+_OUT_CENTROID_SQL = ", ".join(
+    f"avg(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(DIMS)
+)
+
+_OUT_D2_SQL = (
+    "list_sum(list_transform(generate_series(1, "
+    f"{DIMS}), i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+    " * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])))"
+)
+
+EMBEDDING_OUTLIER_SQL = f"""
+WITH cent AS MATERIALIZED (
+  SELECT label AS c_label, [{_OUT_CENTROID_SQL}] AS centroid
+  FROM embeddings GROUP BY label
+),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, e.label, {_OUT_D2_SQL} AS d2
+  FROM embeddings e JOIN cent c ON c.c_label = e.label
+),
+moments AS MATERIALIZED (
+  SELECT label, avg(d2) AS mu, avg(d2 * d2) AS m2,
+         CAST(count(*) AS BIGINT) AS n_label
+  FROM scored GROUP BY 1
+)
+SELECT s.vec_id, s.label, m.n_label,
+       {_floor4_safe_sql('s.d2')} AS d2,
+       CASE WHEN m.m2 - m.mu * m.mu > 0
+            THEN CAST(floor((s.d2 - m.mu) / sqrt(m.m2 - m.mu * m.mu)
+                            * 10000 + 1e-6) / 10000 AS DOUBLE)
+            END AS z
+FROM scored s JOIN moments m USING (label)
+ORDER BY z DESC NULLS LAST, s.vec_id
+LIMIT {OUT_TOP}
+"""

@@ -226,3 +226,158 @@ def test_degree_assortativity_recompute(spark):
     # the fixture is measurably disassortative (hub-attached), so the
     # statistic is exercised away from the trivial 0
     assert row["assortativity"] < -0.05
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_pairs_recompute(spark):
+    """R4-67: native engine levenshtein equals a textbook DP on every
+    LSH candidate pair; injected exact dups anchor at distance 0."""
+    import math
+
+    from pdf_extractor_spark.analytics.dedup import (
+        _docs_with_injected_dups,
+        levenshtein_pair_scores,
+    )
+
+    texts = {r["doc_id"]: r["text"]
+             for r in _docs_with_injected_dups(spark, SF).collect()}
+    rows = levenshtein_pair_scores(spark, SF).collect()
+    assert rows
+    saw_exact = False
+    for r in rows:
+        a, b = texts[r["a_id"]], texts[r["b_id"]]
+        d = _lev(a, b)
+        assert r["lev_dist"] == d
+        assert (r["len_a"], r["len_b"]) == (len(a), len(b))
+        want = math.floor((1 - d / max(len(a), len(b))) * 1e4 + 1e-6) / 1e4
+        assert r["lev_sim"] == want
+        if d == 0:
+            saw_exact = True
+            assert r["lev_sim"] == 1.0
+    assert saw_exact  # the injected exact dups must surface
+
+
+def test_gini_recompute(spark):
+    """R4-68: the rank closed form equals a direct sorted-walk Gini on
+    integer cents, idle customers included at 0."""
+    import math
+    from collections import defaultdict
+
+    from pdf_extractor_spark.analytics.relational import (
+        gini_revenue_concentration,
+    )
+
+    cents = defaultdict(int)
+    for r in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        cents[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+    nation_of = {r["n_nationkey"]: r["n_name"]
+                 for r in spark.read.parquet(f"{SF}/nation.parquet").collect()}
+    per_nation = defaultdict(list)
+    for r in spark.read.parquet(f"{SF}/customer.parquet").collect():
+        per_nation[nation_of[r["c_nationkey"]]].append(
+            cents.get(r["c_custkey"], 0))
+    got = {r["nation"]: r
+           for r in gini_revenue_concentration(spark, SF).collect()}
+    assert set(got) == set(per_nation)
+    for nat, xs in per_nation.items():
+        xs.sort()
+        n, tot = len(xs), sum(xs)
+        g = 2 * sum(i * x for i, x in enumerate(xs, 1)) / (n * tot) \
+            - (n + 1) / n
+        r = got[nat]
+        assert r["n_customers"] == n and r["total_cents"] == tot
+        assert r["gini"] == math.floor(g * 1e6 + 1e-6) / 1e6
+        # a valid Gini with genuine spread (fixture has no idle
+        # customers at any SF, so the left-join zero path is covered
+        # by construction, not data)
+        assert 0.0 < r["gini"] < 1.0
+
+
+def test_score_decile_lift_recompute(spark):
+    """R4-69: decile membership, mean score, and keep rate equal a
+    direct sorted walk on the (floored-score, doc_id) grid."""
+    import math
+
+    from pdf_extractor_spark.analytics.quality_rules import (
+        LIFT_DECILES,
+        quality_classifier_linear,
+        score_decile_lift,
+    )
+
+    scored = sorted(
+        (round(r["score"] * 10000), r["doc_id"], bool(r["keep"]))
+        for r in quality_classifier_linear(spark, SF).collect()
+    )
+    n = len(scored)
+    per = {}
+    for idx, (s_i, _, keep) in enumerate(scored):
+        d = idx * LIFT_DECILES // n
+        t = per.setdefault(d, [0, 0, 0])
+        t[0] += 1
+        t[1] += s_i
+        t[2] += keep
+    got = {r["decile"]: r for r in score_decile_lift(spark, SF).collect()}
+    assert set(got) == set(per)
+    for d, (c, ssum, k) in per.items():
+        r = got[d]
+        assert r["n_docs"] == c
+        assert r["mean_score"] == math.floor(
+            ssum / (10000.0 * c) * 1e4 + 1e-6) / 1e4
+        assert r["keep_rate"] == math.floor(k / c * 1e4 + 1e-6) / 1e4
+    # ten populated deciles with near-equal sizes (the index cut)
+    sizes = [per[d][0] for d in sorted(per)]
+    assert len(sizes) == LIFT_DECILES
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_embedding_outlier_recompute(spark):
+    """R4-70: the flagged top-k equals a pure-Python centroid + moment
+    walk, same floored-z / vec_id ordering."""
+    import math
+    from collections import defaultdict
+
+    from pdf_extractor_spark.analytics.similarity import (
+        OUT_TOP,
+        embedding_outlier_zscore,
+    )
+
+    vecs = [(r["vec_id"], r["label"], [float(x) for x in r["embedding"]])
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()]
+    by_label = defaultdict(list)
+    for vid, lab, v in vecs:
+        by_label[lab].append((vid, v))
+    rows = []
+    for lab, members in by_label.items():
+        dims = len(members[0][1])
+        cent = [sum(v[i] for _, v in members) / len(members)
+                for i in range(dims)]
+        d2s = {vid: sum((x - c) * (x - c) for x, c in zip(v, cent))
+               for vid, v in members}
+        mu = sum(d2s.values()) / len(members)
+        m2 = sum(d * d for d in d2s.values()) / len(members)
+        var = m2 - mu * mu
+        for vid, d2 in d2s.items():
+            z = (math.floor((d2 - mu) / math.sqrt(var) * 1e4 + 1e-6) / 1e4
+                 if var > 0 else None)
+            rows.append((vid, lab, len(members), d2, z))
+    rows.sort(key=lambda r: (-(r[4] if r[4] is not None else -1e18), r[0]))
+    want = rows[:OUT_TOP]
+    got = embedding_outlier_zscore(spark, SF).collect()
+    assert [(r["vec_id"], r["label"], r["n_label"], r["z"]) for r in got] \
+        == [(vid, lab, nl, z) for vid, lab, nl, _, z in want]
+    for g, (_, _, _, d2, _) in zip(got, want):
+        w = math.floor(d2 * 1e4 + 1e-6) / 1e4 if abs(d2) < 9e14 else d2
+        assert abs(g["d2"] - w) < 1e-9
+    assert got[0]["z"] > 2.0  # a real outlier exists in the fixture
