@@ -2074,3 +2074,148 @@ JOIN src sa ON sa.doc_id = p.a_id
 JOIN src sb ON sb.doc_id = p.b_id
 ORDER BY p.a_id, p.b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-vs-exact audit (R4-74, Broder 1997) — completes the
+# sketch-audit family (HLL distinct, CMS heavy hitters, histogram
+# quantiles): the LSH pipeline TRUSTS that matching signature positions
+# estimate Jaccard; this query measures that estimator's error on the
+# live band candidates, pairing est = |{k : sig_a[k] = sig_b[k]}| / K
+# with the exact shingle-set Jaccard the verifier computes anyway.
+# Production reading: if abs_err drifts up, MINHASH_K is too small for
+# the corpus's shingle diversity and the band thresholds need retuning.
+#
+# Exactness: the match count is an integer, so est is an exact dyadic
+# rational (multiples of 1/8); exact Jaccard is ONE division of exact
+# set cardinalities — both engines evaluate identical doubles, the
+# error is their difference pre-floor, floor4 on all three outputs.
+# Candidates ride the SAME injected-dup band self-join as
+# minhash_lsh_pairs (the injected exact dups anchor est = exact = 1,
+# err = 0); signatures are the same explode → min-md5 hash aggregate
+# the band table is built from — a second bounded read of the
+# signature table a 100 TB run would have materialized anyway.
+# ---------------------------------------------------------------------------
+
+
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = _docs_with_injected_dups(spark, sf_dir)
+    per_sh = pool.select(
+        "doc_id", "text", _tokens().alias("toks")
+    ).select(
+        "doc_id", F.explode(_shingles(F.col("toks"), F.col("text"))).alias("s")
+    )
+    sigs = per_sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{k}")))).alias(f"sig{k}")
+            for k in range(MINHASH_K)
+        ]
+    ).persist()
+    bands = _with_bands(pool)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sh = pool.select(
+        "doc_id", "text", _tokens().alias("toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(_shingles(F.col("toks"), F.col("text"))).alias(
+            "shset"
+        ),
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"sig{k}").alias(f"a{k}") for k in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"sig{k}").alias(f"b{k}") for k in range(MINHASH_K)],
+    )
+    xa = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("shset").alias("a_sh")
+    )
+    xb = sh.select(
+        F.col("doc_id").alias("b_id"), F.col("shset").alias("b_sh")
+    )
+    n_match = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    est = F.col("n_match").cast("double") / MINHASH_K
+    exact = inter.cast("double") / union
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("n_match", n_match)
+        .join(xa, "a_id")
+        .join(xb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_match",
+            floor_round(est, 4).alias("est_jaccard"),
+            floor_round(exact, 4).alias("exact_jaccard"),
+            floor_round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.sig{k} = sb.sig{k} THEN 1 ELSE 0 END"
+    for k in range(MINHASH_K)
+)
+
+MINHASH_ESTIMATE_SQL = rf"""
+WITH base AS ({_DUP_SOURCE_SQL}),
+toksrc AS (
+  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM base
+),
+shing AS MATERIALIZED (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM toksrc
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, {_SIG_SQL} FROM shing
+),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+shset AS MATERIALIZED (
+  SELECT doc_id, list_distinct(sh) AS shset FROM shing
+),
+scored AS (
+  SELECT c.a_id, c.b_id,
+         CAST({_MATCH_SQL} AS BIGINT) AS n_match,
+         CAST(len(list_intersect(xa.shset, xb.shset)) AS DOUBLE)
+           / len(list_distinct(list_concat(xa.shset, xb.shset))) AS exact,
+         CAST({_MATCH_SQL} AS DOUBLE) / {MINHASH_K} AS est
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.a_id
+  JOIN sigs sb ON sb.doc_id = c.b_id
+  JOIN shset xa ON xa.doc_id = c.a_id
+  JOIN shset xb ON xb.doc_id = c.b_id
+)
+SELECT a_id, b_id, n_match,
+       CAST(floor(est * 10000 + 1e-6) / 10000 AS DOUBLE) AS est_jaccard,
+       CAST(floor(exact * 10000 + 1e-6) / 10000 AS DOUBLE) AS exact_jaccard,
+       CAST(floor(abs(est - exact) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS abs_err
+FROM scored
+ORDER BY a_id, b_id
+"""

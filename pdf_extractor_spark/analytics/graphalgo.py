@@ -155,9 +155,11 @@ ORDER BY doc_id
 TRI_TOP = 10
 
 
-def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.agg(F.count("*").alias("n"))
+def _und_deg_tris(docs: DataFrame, n: DataFrame):
+    """(undirected edges, degree table, per-vertex triangle counts).
+
+    Shared by triangle_count (R3) and local_clustering_coeff (R4-73) so
+    both ride the identical degree-ordered-orientation plan."""
     und = (
         _edges(docs, n)
         .where(F.col("src") != F.col("dst"))
@@ -201,6 +203,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+    return und, deg, per_vertex
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    _, _, per_vertex = _und_deg_tris(docs, n)
     return (
         per_vertex.select(
             F.col("v").alias("doc_id"), "n_triangles"
@@ -567,4 +576,113 @@ SELECT m,
                   / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS assortativity
 FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (R4-73, Watts-Strogatz 1998) — the
+# per-vertex refinement of triangle_count: C(v) = 2·T(v)/(d(v)·(d(v)−1)),
+# the fraction of a page's neighbor pairs that also link each other.
+# On link graphs high C with low PageRank flags cliquish link farms;
+# C = 0 on a high-degree vertex flags a pure directory/hub. Completes
+# the cohesion family (triangles = global, k-core = peel depth,
+# assortativity = mixing, clustering = local density).
+#
+# Same deterministic link fixture and the same degree-ordered
+# orientation as triangle_count (shared _und_deg_tris helper — one
+# wedge join bounded by oriented out-degree, never a hub fan-out);
+# per-vertex T and d then meet in two left joins from the vertex
+# table, so isolated vertices keep degree 0 and coefficient 0.0.
+# Exactness: T and d are exact integers; the coefficient is ONE
+# division of exact integers, floored at 6.
+# ---------------------------------------------------------------------------
+
+
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    und, deg, per_vertex = _und_deg_tris(docs, n)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        floor_round(
+            2.0
+            * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.join(
+            deg.select(F.col("v").alias("doc_id"), F.col("d").alias("degree")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            per_vertex.select(F.col("v").alias("doc_id"), "n_triangles"),
+            "doc_id",
+            "left",
+        )
+        .na.fill({"degree": 0, "n_triangles": 0})
+        .select(
+            "doc_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            coeff.alias("clustering"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LOCAL_CLUSTERING_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw_edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 3) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, CAST(floor(doc_id / 2.0) AS BIGINT) FROM documents, nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst
+),
+deg AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY 1
+),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS w
+  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+),
+tris AS (
+  SELECT e1.u AS x, e1.w AS y, e2.w AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.w
+  JOIN oriented e3 ON e3.u = e1.u AND e3.w = e2.w
+),
+pv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT x AS v FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+  )
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(g.d, 0) AS BIGINT) AS degree,
+       CAST(coalesce(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN coalesce(g.d, 0) >= 2
+            THEN CAST(floor(2.0 * coalesce(pv.n_triangles, 0)
+                            / (g.d * (g.d - 1)) * 1000000 + 1e-6)
+                      / 1000000 AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM documents d
+LEFT JOIN deg g ON g.v = d.doc_id
+LEFT JOIN pv ON pv.v = d.doc_id
+ORDER BY d.doc_id
 """

@@ -835,6 +835,22 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.embedding_outlier_zscore, similarity.EMBEDDING_OUTLIER_SQL,
         "R4-70 within-label centroid-distance z outliers (var-guarded)",
     ),
+    "ks_length_drift": QuerySpec(
+        textstats.ks_length_drift, textstats.KS_LENGTH_DRIFT_SQL,
+        "R4-71 two-sample KS drift on doc length (integer CDF gap)",
+    ),
+    "chi2_lang_source": QuerySpec(
+        textstats.chi2_lang_source, textstats.CHI2_LANG_SOURCE_SQL,
+        "R4-72 chi-square lang x source independence (full grid)",
+    ),
+    "local_clustering_coeff": QuerySpec(
+        graphalgo.local_clustering_coeff, graphalgo.LOCAL_CLUSTERING_SQL,
+        "R4-73 Watts-Strogatz local clustering (oriented wedge join)",
+    ),
+    "minhash_estimate_audit": QuerySpec(
+        dedup.minhash_estimate_audit, dedup.MINHASH_ESTIMATE_SQL,
+        "R4-74 MinHash estimate vs exact Jaccard on band candidates",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

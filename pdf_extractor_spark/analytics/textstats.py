@@ -2572,3 +2572,195 @@ FROM stats, nn
 ORDER BY vmr DESC, tok
 LIMIT {BURSTY_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test on document length (R4-71,
+# training:ks-drift) — the distribution-level companion to
+# corpus_drift_kl: KL names WHICH tokens drifted, KS answers whether
+# the LENGTH distribution itself moved between crawl waves (same
+# deterministic doc_id-midpoint wave split). A parser regression that
+# truncates pages or a boilerplate flood shifts the CDF long before
+# any single token dominates the KL report.
+#
+# Exactness: the statistic is computed on INTEGERS end to end. The
+# corpus collapses to a per-length histogram (c_old, c_new); cumulative
+# counts come from one window over that histogram (bounded by the VALUE
+# DOMAIN of n_chars, the R4-35 argument — never a corpus-sized window);
+# the CDF gap at value v is |cum_new·n_old − cum_old·n_new|, an exact
+# BIGINT cross-multiplication, so the argmax row is engine-exact and
+# only the final single division is floored. Ties broken by the
+# smallest length achieving the max gap (ORDER BY gap DESC, value ASC
+# LIMIT 1 → TakeOrderedAndProject in Spark).
+#
+# Scale shape: one map-side-combinable hash aggregate over the corpus,
+# a domain-bounded window, a 1-row totals broadcast, a top-1.
+# ---------------------------------------------------------------------------
+
+
+def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mid = docs.agg(((F.min("doc_id") + F.max("doc_id")) / 2).alias("mid"))
+    hist = (
+        docs.crossJoin(F.broadcast(mid))
+        .select(
+            F.col("n_chars").alias("value"),
+            (F.col("doc_id") >= F.col("mid")).alias("new_wave"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(~F.col("new_wave"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_old"),
+            F.sum(F.when(F.col("new_wave"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_new"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "value",
+        F.sum("c_old").over(w).cast("long").alias("cum_old"),
+        F.sum("c_new").over(w).cast("long").alias("cum_new"),
+    ).crossJoin(F.broadcast(totals))
+    gap = F.abs(
+        F.col("cum_new") * F.col("n_old") - F.col("cum_old") * F.col("n_new")
+    ).cast("long")
+    return (
+        cum.select(
+            F.col("value").alias("ks_at_chars"),
+            gap.alias("gap_num"),
+            "n_old",
+            "n_new",
+            _floor_round(
+                gap.cast("double") / (F.col("n_old") * F.col("n_new")), 6
+            ).alias("ks_stat"),
+        )
+        .orderBy(F.desc("gap_num"), F.asc("ks_at_chars"))
+        .limit(1)
+    )
+
+
+KS_LENGTH_DRIFT_SQL = """
+WITH mid AS (
+  SELECT (min(doc_id) + max(doc_id)) / 2.0 AS mid FROM documents
+),
+hist AS (
+  SELECT n_chars AS value,
+         CAST(sum(CASE WHEN NOT new_wave THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_old,
+         CAST(sum(CASE WHEN new_wave THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+  FROM (
+    SELECT n_chars, doc_id >= (SELECT mid FROM mid) AS new_wave
+    FROM documents
+  )
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+         CAST(sum(c_new) AS BIGINT) AS n_new
+  FROM hist
+),
+cum AS (
+  SELECT value,
+         CAST(sum(c_old) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_old,
+         CAST(sum(c_new) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_new
+  FROM hist
+)
+SELECT value AS ks_at_chars,
+       CAST(abs(cum_new * n_old - cum_old * n_new) AS BIGINT) AS gap_num,
+       n_old, n_new,
+       CAST(floor(CAST(abs(cum_new * n_old - cum_old * n_new) AS DOUBLE)
+                  / (n_old * n_new) * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS ks_stat
+FROM cum, tot
+ORDER BY gap_num DESC, ks_at_chars ASC
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test, language × source (R4-72) — the
+# categorical companion to the Benford audit (R4-57): is the language
+# mix independent of the ingestion source? A source whose cells carry
+# outsized chi² contributions is over- or under-delivering a language
+# (a crawler routing bug or a labeling regression); the per-cell report
+# names the offender, the statistic is the sum of the chi2_term column.
+#
+# Exactness: observed counts and the row/column/n totals are exact
+# integers; expected = row_total·col_total/n is ONE division of exact
+# integers and the chi² term ONE arithmetic expression over it, so both
+# engines evaluate identical doubles and floor4 guards the boundary.
+# The full lang × source grid is emitted (zero cells included — they
+# carry expected > 0 and a real contribution), built from the two
+# distinct dimension tables, each tiny and broadcast.
+#
+# Scale shape: one hash aggregate over the corpus for the cells, two
+# dimension-bounded aggregates for the margins, a 1-row broadcast n.
+# ---------------------------------------------------------------------------
+
+
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rowt = docs.groupBy("lang").agg(F.count("*").cast("long").alias("rt"))
+    colt = docs.groupBy("source").agg(F.count("*").cast("long").alias("ct"))
+    tot = docs.agg(F.count("*").cast("long").alias("n_total"))
+    grid = (
+        rowt.crossJoin(F.broadcast(colt))
+        .join(cells, ["lang", "source"], "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (
+        F.col("rt").cast("double") * F.col("ct") / F.col("n_total")
+    )
+    chi = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    return grid.select(
+        "lang",
+        "source",
+        "n",
+        _floor_round(expected, 4).alias("expected"),
+        _floor_round(chi, 4).alias("chi2_term"),
+    ).orderBy("lang", "source")
+
+
+CHI2_LANG_SOURCE_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+rowt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS rt FROM documents GROUP BY 1
+),
+colt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ct FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+SELECT r.lang, c.source,
+       coalesce(x.n, 0) AS n,
+       CAST(floor(CAST(r.rt AS DOUBLE) * c.ct / n_total * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS expected,
+       CAST(floor((coalesce(x.n, 0) - CAST(r.rt AS DOUBLE) * c.ct / n_total)
+                  * (coalesce(x.n, 0) - CAST(r.rt AS DOUBLE) * c.ct / n_total)
+                  / (CAST(r.rt AS DOUBLE) * c.ct / n_total)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS chi2_term
+FROM rowt r
+CROSS JOIN colt c
+LEFT JOIN cells x ON x.lang = r.lang AND x.source = c.source, tot
+ORDER BY r.lang, c.source
+"""
