@@ -2219,3 +2219,98 @@ SELECT a_id, b_id, n_match,
 FROM scored
 ORDER BY a_id, b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-fold leakage audit (R4-77, training:fold-leakage): a k-fold /
+# train-test split drawn uniformly over documents silently puts
+# near-duplicates on both sides — the eval-contamination mode
+# train_test_overlap measures for a FIXED split; this audit measures
+# it for the deterministic k-fold assignment itself, reporting the
+# near-dup candidate-pair count for every unordered fold pair. Off-
+# diagonal mass = leakage pressure; the mitigation (assign folds per
+# CONNECTED COMPONENT, not per doc) is exactly what dedup_survivors'
+# component machinery provides.
+#
+# Fold = md5('fold|' || doc_id) first-8-hex mod K — the salted-hash
+# uniform the sampling family uses (engine-exact integers). Candidate
+# pairs ride the SAME injected-dup MinHash band join as
+# minhash_lsh_pairs, so the injected exact dups guarantee off-diagonal
+# rows exist whenever a dup and its source land in different folds.
+# The full K(K+1)/2 grid is emitted (zeros kept) from a generated
+# fold dimension. Scale shape: the bounded band self-join + one
+# ≤K²-key hash aggregate; assignment is map-only.
+# ---------------------------------------------------------------------------
+
+N_FOLDS = 5
+
+
+def fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+
+    def fold(col: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold|"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % N_FOLDS
+        )
+
+    assigned = pairs.select(
+        fold(F.col("a_id")).alias("fa"), fold(F.col("b_id")).alias("fb")
+    ).select(
+        F.least("fa", "fb").alias("fold_a"),
+        F.greatest("fa", "fb").alias("fold_b"),
+    )
+    counts = assigned.groupBy("fold_a", "fold_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    folds = spark.range(N_FOLDS).select(F.col("id").alias("f"))
+    grid = (
+        folds.select(F.col("f").alias("fold_a"))
+        .crossJoin(folds.select(F.col("f").alias("fold_b")))
+        .where(F.col("fold_a") <= F.col("fold_b"))
+    )
+    return (
+        grid.join(counts, ["fold_a", "fold_b"], "left")
+        .na.fill({"n_pairs": 0})
+        .select(
+            "fold_a",
+            "fold_b",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            (F.col("fold_a") != F.col("fold_b")).alias("is_leak"),
+        )
+        .orderBy("fold_a", "fold_b")
+    )
+
+
+FOLD_LEAKAGE_SQL = f"""
+WITH pairs AS ({MINHASH_LSH_PAIRS_SQL.replace(chr(10), chr(10) + '  ')}
+),
+assigned AS (
+  SELECT least(fa, fb) AS fold_a, greatest(fa, fb) AS fold_b
+  FROM (
+    SELECT CAST('0x' || substr(md5('fold|' || CAST(a_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % {N_FOLDS} AS fa,
+           CAST('0x' || substr(md5('fold|' || CAST(b_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % {N_FOLDS} AS fb
+    FROM pairs
+  )
+),
+counts AS (
+  SELECT fold_a, fold_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM assigned GROUP BY 1, 2
+),
+folds AS (SELECT unnest(generate_series(0, {N_FOLDS - 1})) AS f)
+SELECT a.f AS fold_a, b.f AS fold_b,
+       coalesce(c.n_pairs, 0) AS n_pairs,
+       a.f <> b.f AS is_leak
+FROM folds a
+JOIN folds b ON a.f <= b.f
+LEFT JOIN counts c ON c.fold_a = a.f AND c.fold_b = b.f
+ORDER BY fold_a, fold_b
+"""

@@ -711,3 +711,83 @@ FROM rows_d
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Calibration reliability table (R4-75, training:calibration — the
+# reliability-diagram/ECE readout, Guo et al. 2017): the rejection
+# sampler keeps docs with probability p_keep, so over any score bucket
+# the realized keep RATE should track the mean predicted probability;
+# a bucket where they diverge is miscalibration (here: finite-sample
+# deviation of the deterministic md5 coin — the audit's test power is
+# that both engines must agree on every bucket's exact counts).
+#
+# Exactness: p_keep lands on the 1e-4 grid as the INTEGER p_i =
+# floor(p·10⁴ + 1e-6); bins are p_i div 1000 (integer division, no
+# float boundary), confidence = Σp_i / (10⁴·n) is ONE division of
+# exact integers, accuracy = kept/n likewise, and the gap numerator
+# |Σp_i − 10⁴·kept| is an exact BIGINT so |conf − acc| cannot pick up
+# summation noise. ECE = Σ n_b/N·gap_b is left to the reader/unit (a
+# weighted sum of the emitted columns).
+#
+# Scale shape: map-only scoring (the sampler) + one ≤10-key hash agg.
+# ---------------------------------------------------------------------------
+
+
+def calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = classifier_rejection_sample(spark, sf_dir)
+    p_i = F.floor(F.col("p_keep") * 10000 + 1e-6).cast("long")
+    binned = scored.select(
+        F.least(F.floor(p_i / 1000).cast("long"), F.lit(9)).alias("bin"),
+        p_i.alias("p_i"),
+        F.col("kept").cast("long").alias("k"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("kept_n"),
+        F.sum("p_i").cast("long").alias("sum_p_i"),
+    )
+    conf = F.col("sum_p_i").cast("double") / (10000.0 * F.col("n"))
+    acc = F.col("kept_n").cast("double") / F.col("n")
+    gap = (
+        F.abs(F.col("sum_p_i") - 10000 * F.col("kept_n")).cast("double")
+        / (10000.0 * F.col("n"))
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "kept_n",
+        floor_round(conf, 4).alias("mean_p_keep"),
+        floor_round(acc, 4).alias("keep_rate"),
+        floor_round(gap, 4).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+CALIBRATION_SQL = f"""
+WITH sampled AS ({REJECTION_SAMPLE_SQL.replace(chr(10), chr(10) + '  ')}
+),
+binned AS (
+  SELECT least(CAST(floor(p_keep * 10000 + 1e-6) AS BIGINT) // 1000, 9)
+           AS bin,
+         CAST(floor(p_keep * 10000 + 1e-6) AS BIGINT) AS p_i,
+         CASE WHEN kept THEN 1 ELSE 0 END AS k
+  FROM sampled
+),
+agg AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS kept_n,
+         CAST(sum(p_i) AS BIGINT) AS sum_p_i
+  FROM binned GROUP BY 1
+)
+SELECT bin, n, kept_n,
+       CAST(floor(CAST(sum_p_i AS DOUBLE) / (10000.0 * n) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS mean_p_keep,
+       CAST(floor(CAST(kept_n AS DOUBLE) / n * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS keep_rate,
+       CAST(floor(CAST(abs(sum_p_i - 10000 * kept_n) AS DOUBLE)
+                  / (10000.0 * n) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS abs_gap
+FROM agg
+ORDER BY bin
+"""

@@ -851,6 +851,22 @@ QUERIES: Dict[str, QuerySpec] = {
         dedup.minhash_estimate_audit, dedup.MINHASH_ESTIMATE_SQL,
         "R4-74 MinHash estimate vs exact Jaccard on band candidates",
     ),
+    "calibration_reliability": QuerySpec(
+        quality_rules.calibration_reliability, quality_rules.CALIBRATION_SQL,
+        "R4-75 training:calibration (reliability bins on exact integers)",
+    ),
+    "dq_referential_audit": QuerySpec(
+        relational.dq_referential_audit, relational.DQ_AUDIT_SQL,
+        "R4-76 warehouse DQ constraint audit (FK/PK/domain/temporal)",
+    ),
+    "fold_leakage_audit": QuerySpec(
+        dedup.fold_leakage_audit, dedup.FOLD_LEAKAGE_SQL,
+        "R4-77 training:fold-leakage (near-dup pairs across k-folds)",
+    ),
+    "concurrent_sessions_peak": QuerySpec(
+        relational.concurrent_sessions_peak, relational.CONCURRENT_PEAK_SQL,
+        "R4-78 per-day peak concurrency (day-partitioned sweep line)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

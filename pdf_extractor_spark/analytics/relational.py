@@ -3830,3 +3830,324 @@ FROM ranked
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity / constraint audit (R4-76, the dbt-test /
+# Deequ-style warehouse DQ pass): one row per declared constraint with
+# its checked population and violation count — orphan foreign keys
+# (anti-joins), primary-key uniqueness (count vs count-distinct),
+# domain ranges, and the cross-table temporal rule ship ≥ order date.
+# On synthetic data most violations are zero; the graded content is
+# that BOTH engines agree on every check's exact (n_checked,
+# n_violations) — i.e. the anti-join/distinct/domain semantics match.
+#
+# Scale shape: each check is one scan + hash aggregate or one
+# equi-key anti/inner join (orders→customer broadcasts the dim); the
+# union is of 1-row aggregates. No windows, no sorts.
+# ---------------------------------------------------------------------------
+
+
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    okeys = orders.select("o_orderkey")
+
+    def one(name: str, checked, violations) -> DataFrame:
+        return checked.crossJoin(violations).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    li_orphan = one(
+        "lineitem_orderkey_fk",
+        li.agg(F.count("*").alias("n_checked")),
+        li.join(F.broadcast(okeys), li.l_orderkey == okeys.o_orderkey,
+                "left_anti").agg(F.count("*").alias("n_violations")),
+    )
+    ord_orphan = one(
+        "orders_custkey_fk",
+        orders.agg(F.count("*").alias("n_checked")),
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey,
+                    "left_anti").agg(F.count("*").alias("n_violations")),
+    )
+    ord_pk = one(
+        "orders_orderkey_pk",
+        orders.agg(F.count("*").alias("n_checked")),
+        orders.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias(
+                "n_violations"
+            )
+        ),
+    )
+    li_pk = one(
+        "lineitem_line_pk",
+        li.agg(F.count("*").alias("n_checked")),
+        li.agg(
+            (
+                F.count("*")
+                - F.countDistinct("l_orderkey", "l_linenumber")
+            ).alias("n_violations")
+        ),
+    )
+    disc_dom = one(
+        "lineitem_discount_domain",
+        li.agg(F.count("*").alias("n_checked")),
+        li.agg(
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                ).otherwise(0)
+            ).alias("n_violations")
+        ),
+    )
+    qty_dom = one(
+        "lineitem_quantity_positive",
+        li.agg(F.count("*").alias("n_checked")),
+        li.agg(
+            F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+                "n_violations"
+            )
+        ),
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    ship_rule = one(
+        "ship_on_or_after_order",
+        joined.agg(F.count("*").alias("n_checked")),
+        joined.agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
+                .otherwise(0)
+            ).alias("n_violations")
+        ),
+    )
+    out = li_orphan
+    for part in (ord_orphan, ord_pk, li_pk, disc_dom, qty_dom, ship_rule):
+        out = out.unionByName(part)
+    return out.orderBy("check_name")
+
+
+DQ_AUDIT_SQL = """
+SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 'lineitem_orderkey_fk' AS check_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey))
+           AS n_violations
+  UNION ALL
+  SELECT 'orders_custkey_fk',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'orders_orderkey_pk',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders)
+  UNION ALL
+  SELECT 'lineitem_line_pk',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                      AS BIGINT) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem_discount_domain',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                               THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem_quantity_positive',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM lineitem)
+  UNION ALL
+  SELECT 'ship_on_or_after_order',
+         (SELECT CAST(count(*) AS BIGINT)
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         (SELECT CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                               THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+)
+ORDER BY check_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions per day (R4-78): the classic interval
+# sweep-line — occupancy/capacity reporting ("how many sessions were
+# live at once, and when") over the sessionized event stream; the
+# interval-overlap shape none of the window family covers yet.
+# Sessions are the lag-method gap sessions (same flag rule and
+# (t_us, new_s DESC, event_id) deterministic cumulative order as
+# SESSION_WINDOWS_SQL), occupying [first event, last event] inclusive
+# in integer microseconds.
+#
+# Sweep semantics: each session contributes +1 at start_us and −1 at
+# end_us + 1; deltas are SUMMED PER DISTINCT INSTANT first (so
+# concurrency is measured after all events at an instant — no
+# intra-instant ordering surface), then one cumulative sum per day
+# gives the running occupancy. Cross-midnight sessions are clipped
+# into per-day segments (explode over the calendar span), so the
+# cumulative window is partitioned BY DAY — bounded state, the
+# distributed-prefix-sum answer to "the sweep needs a global sort".
+# peak_at_us is the EARLIEST instant attaining the day's max (exact
+# integers throughout; group-final cumulative values are
+# order-independent). Scale shape: sessionize windows on the natural
+# user key, one day-partitioned cumulative window over boundary
+# instants (≤ 2 per session-day), hash joins for the peak lookup.
+# ---------------------------------------------------------------------------
+
+
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    t_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = t_us - F.lag(t_us).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        t_us.alias("t_us"),
+        F.when(gap.isNull() | (gap >= SESSION_GAP_S * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", F.desc("new_s"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        flagged.select(
+            "user_id", "t_us", F.sum("new_s").over(wc).alias("session_seq")
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("t_us").alias("start_us"), F.max("t_us").alias("end_us")
+        )
+    )
+    day = F.explode(
+        F.sequence(
+            F.to_date(F.timestamp_micros(F.col("start_us"))),
+            F.to_date(F.timestamp_micros(F.col("end_us"))),
+        )
+    ).alias("day_d")
+    segs = sessions.select("start_us", "end_us", day).select(
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        F.greatest(
+            F.col("start_us"),
+            F.unix_micros(F.col("day_d").cast("timestamp")),
+        ).alias("s"),
+        (
+            F.least(
+                F.col("end_us"),
+                F.unix_micros(F.date_add(F.col("day_d"), 1).cast("timestamp"))
+                - 1,
+            )
+            + 1
+        ).alias("e"),
+    ).persist()
+    bounds = segs.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        segs.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = bounds.groupBy("day", "t").agg(F.sum("delta").alias("net"))
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = net.select(
+        "day", "t", F.sum("net").over(wd).cast("long").alias("cum")
+    )
+    peaks = cum.groupBy("day").agg(F.max("cum").alias("peak"))
+    peak_at = (
+        cum.join(peaks, "day")
+        .where(F.col("cum") == F.col("peak"))
+        .groupBy("day")
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("long").alias("peak_at_us"),
+        )
+    )
+    n_sess = segs.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_day_sessions")
+    )
+    return (
+        n_sess.join(peak_at, "day")
+        .select("day", "n_day_sessions", "peak_concurrency", "peak_at_us")
+        .orderBy("day")
+    )
+
+
+CONCURRENT_PEAK_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= {SESSION_GAP_S} * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, t_us,
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY t_us, new_s DESC, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         min(t_us) AS start_us, max(t_us) AS end_us
+  FROM sess GROUP BY 1, 2
+),
+segs AS MATERIALIZED (
+  SELECT strftime(day_d, '%Y-%m-%d') AS day,
+         greatest(start_us, epoch_us(CAST(day_d AS TIMESTAMP))) AS s,
+         least(end_us,
+               epoch_us(CAST(day_d + INTERVAL 1 DAY AS TIMESTAMP)) - 1) + 1
+           AS e
+  FROM (
+    SELECT start_us, end_us,
+           unnest(generate_series(CAST(make_timestamp(start_us) AS DATE),
+                                  CAST(make_timestamp(end_us) AS DATE),
+                                  INTERVAL 1 DAY)) AS day_d
+    FROM sessions
+  )
+),
+net AS (
+  SELECT day, t, sum(delta) AS net FROM (
+    SELECT day, s AS t, 1 AS delta FROM segs
+    UNION ALL
+    SELECT day, e AS t, -1 AS delta FROM segs
+  )
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT day, t,
+         CAST(sum(net) OVER (PARTITION BY day ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM net
+),
+peaks AS (SELECT day, max(cum) AS peak FROM cum GROUP BY 1)
+SELECT n.day,
+       n.n_day_sessions,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       CAST(pa.peak_at_us AS BIGINT) AS peak_at_us
+FROM (SELECT day, CAST(count(*) AS BIGINT) AS n_day_sessions
+      FROM segs GROUP BY 1) n
+JOIN peaks p ON p.day = n.day
+JOIN (SELECT c.day, min(c.t) AS peak_at_us
+      FROM cum c JOIN peaks pk ON pk.day = c.day AND c.cum = pk.peak
+      GROUP BY 1) pa ON pa.day = n.day
+ORDER BY n.day
+"""
