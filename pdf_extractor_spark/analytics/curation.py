@@ -1930,3 +1930,155 @@ SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
 FROM scored, norm
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM cross-entropy of the new crawl wave under the old wave's
+# model (R4-81, training:bigram-xent — the sequence-level companion to
+# the unigram perplexity_score and the drift family: a wave whose
+# cross-entropy under the previous wave's bigram LM jumps has shifted
+# STYLE, not just vocabulary). Model: add-one conditional
+# p(w2|w1) = (c12 + 1) / (c1 + V) with c1 = Σ_w2 c12 (bigram-left
+# counts, a proper conditional) and V = the old wave's unigram
+# vocabulary; unseen w1 degrades to the uniform 1/V via the same
+# formula (nulls → 0).
+#
+# Exactness: each bigram's ln p is floored to an INTEGER 1e-6 grid
+# BEFORE the per-doc sum (the Flesch pattern) — the sum is then exact
+# BIGINT in any order; ln's cross-engine 1-ulp (~1e-16 relative) is
+# eight orders below the 1e-6 floor slack. Final per-doc entropy and
+# unseen-rate are single divisions.
+#
+# Scale shape: bigram/unigram counts are map-side-combinable hash
+# aggregates over the train wave (vocabulary-bounded state); scoring
+# is two equi-joins from the eval wave's bigram relation + one per-doc
+# hash agg. The wave split is the deterministic doc_id midpoint.
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(((F.min("doc_id") + F.max("doc_id")) / 2).alias("mid"))
+    toks = (
+        docs.crossJoin(F.broadcast(mid))
+        .select(
+            "doc_id",
+            (F.col("doc_id") >= F.col("mid")).alias("new_wave"),
+            F.filter(_tokens(), lambda t: t != "").alias("toks"),
+        )
+    )
+    big = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        "new_wave",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "new_wave", "bg.w1", "bg.w2")
+    c12 = (
+        big.filter(~F.col("new_wave"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = (
+        toks.filter(~F.col("new_wave"))
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    scored = (
+        big.filter(F.col("new_wave"))
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                )
+                * 1000000
+                + 1e-6
+            )
+            .cast("long")
+            .alias("lp_i"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("unseen"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp_i").cast("long").alias("s"),
+            F.sum("unseen").cast("long").alias("n_unseen"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            floor_round(
+                -F.col("s").cast("double") / (1000000.0 * F.col("n_bigrams")),
+                4,
+            ).alias("cross_entropy"),
+            floor_round(
+                F.col("n_unseen").cast("double") / F.col("n_bigrams"), 4
+            ).alias("unseen_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_XENT_SQL = r"""
+WITH mid AS (
+  SELECT (min(doc_id) + max(doc_id)) / 2.0 AS mid FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         doc_id >= (SELECT mid FROM mid) AS new_wave,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+big AS (
+  SELECT doc_id, new_wave, u.bg.w1 AS w1, u.bg.w2 AS w2
+  FROM (
+    SELECT doc_id, new_wave,
+           unnest(list_transform(
+             range(1, len(toks)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+           )) AS bg
+    FROM toks WHERE len(toks) >= 2
+  ) u
+),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM big WHERE NOT new_wave GROUP BY 1, 2
+),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(toks) AS tok FROM toks WHERE NOT new_wave)
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(ln((coalesce(p.c12, 0) + 1.0)
+                       / (coalesce(u.c1, 0) + vocab.v))
+                    * 1000000 + 1e-6) AS BIGINT) AS lp_i,
+         CASE WHEN p.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM big b
+  LEFT JOIN c12 p ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN c1 u ON u.w1 = b.w1, vocab
+  WHERE b.new_wave
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(floor(-CAST(sum(lp_i) AS DOUBLE) / (1000000.0 * count(*))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS cross_entropy,
+       CAST(floor(CAST(sum(unseen) AS DOUBLE) / count(*) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS unseen_rate
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""

@@ -2314,3 +2314,81 @@ JOIN folds b ON a.f <= b.f
 LEFT JOIN counts c ON c.fold_a = a.f AND c.fold_b = b.f
 ORDER BY fold_a, fold_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication accounting (R4-82, the CCNet-style ingest
+# health report): for each ingestion source, how much of what it
+# delivers is internally duplicated (same md5 text fingerprint), and
+# how much of its content also arrives via ANOTHER source (the
+# cross-source overlap that decides which feed to deprecate). Pure
+# hash-aggregate algebra over the fingerprint relation: a per-(source,
+# fp) distinct collapse, a per-fp distinct-source count, one equi-join
+# back — no pairs, no windows, mergeable at any scale.
+# ---------------------------------------------------------------------------
+
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("fp")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_texts"),
+    )
+    src_fp = docs.select("source", "fp").distinct()
+    multi = (
+        src_fp.groupBy("fp")
+        .agg(F.count("*").alias("n_sources"))
+        .where(F.col("n_sources") >= 2)
+        .select("fp")
+    )
+    cross = (
+        src_fp.join(multi, "fp")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_cross_source_texts"))
+    )
+    return (
+        per_source.join(cross, "source", "left")
+        .na.fill({"n_cross_source_texts": 0})
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            floor_round(
+                (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("dup_rate"),
+            F.col("n_cross_source_texts").cast("long").alias(
+                "n_cross_source_texts"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DUP_RATE_BY_SOURCE_SQL = """
+WITH docs AS (SELECT source, md5(text) AS fp FROM documents),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts
+  FROM docs GROUP BY 1
+),
+src_fp AS (SELECT DISTINCT source, fp FROM docs),
+multi AS (
+  SELECT fp FROM src_fp GROUP BY fp HAVING count(*) >= 2
+),
+cross_src AS (
+  SELECT s.source, CAST(count(*) AS BIGINT) AS n_cross_source_texts
+  FROM src_fp s JOIN multi m ON m.fp = s.fp
+  GROUP BY 1
+)
+SELECT p.source, p.n_docs, p.n_distinct_texts,
+       CAST(floor(CAST(p.n_docs - p.n_distinct_texts AS DOUBLE) / p.n_docs
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS dup_rate,
+       coalesce(c.n_cross_source_texts, 0) AS n_cross_source_texts
+FROM per_source p LEFT JOIN cross_src c ON c.source = p.source
+ORDER BY p.source
+"""

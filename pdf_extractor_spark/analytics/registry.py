@@ -867,6 +867,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.concurrent_sessions_peak, relational.CONCURRENT_PEAK_SQL,
         "R4-78 per-day peak concurrency (day-partitioned sweep line)",
     ),
+    "ewma_user_score": QuerySpec(
+        relational.ewma_user_score, relational.EWMA_SQL,
+        "R4-79 exponential time-decay score (exact dyadic weights)",
+    ),
+    "trimmed_mean_robust": QuerySpec(
+        relational.trimmed_mean_robust, relational.TRIMMED_MEAN_SQL,
+        "R4-80 per-segment trimmed mean via histogram rank spans",
+    ),
+    "bigram_lm_crossentropy": QuerySpec(
+        curation.bigram_lm_crossentropy, curation.BIGRAM_XENT_SQL,
+        "R4-81 training:bigram-xent (new wave under old wave's LM)",
+    ),
+    "dup_rate_by_source": QuerySpec(
+        dedup.dup_rate_by_source, dedup.DUP_RATE_BY_SOURCE_SQL,
+        "R4-82 per-source duplication + cross-source overlap accounting",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

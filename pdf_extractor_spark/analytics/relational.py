@@ -4151,3 +4151,234 @@ JOIN (SELECT c.day, min(c.t) AS peak_at_us
       GROUP BY 1) pa ON pa.day = n.day
 ORDER BY n.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay engagement score per user (R4-79, the EWMA /
+# recency-weighted feature every churn, ranking, and fraud model keeps
+# online): each event's value counts at weight 2^-k, k = whole hours
+# between the event and the USER'S OWN most recent event. The dyadic
+# construction makes the whole statistic EXACT-INTEGER (the HLL trick):
+# value lands as integer cents v_c (≈2^20), weights are scaled to
+# w = 2^(H_MAX - k) BIGINTs (≤2^30), so every contribution v_c·w and
+# the per-user sums are exact BIGINT arithmetic — no pow(), no float
+# summation order, no transcendental divergence surface. Events older
+# than EWMA_MAX_HOURS from the user's anchor carry weight 0
+# (disclosed cutoff: 2^-30 ≈ 1e-9 is noise for any downstream model).
+# The final decayed sum and decay-weighted mean are ONE division each.
+#
+# Scale shape: one per-user max (hash agg) joined back on the natural
+# key, map-only weighting, one per-user hash agg. No windows.
+# ---------------------------------------------------------------------------
+
+EWMA_MAX_HOURS = 30
+
+
+def ewma_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.floor(F.col("value") * 100 + 1e-6).cast("long").alias("v_c"),
+    )
+    anchor = base.groupBy("user_id").agg(F.max("t_us").alias("max_us"))
+    weighted = (
+        base.join(anchor, "user_id")
+        .withColumn(
+            "k", F.expr("(max_us - t_us) div 3600000000")
+        )
+        .withColumn(
+            "w",
+            F.when(
+                F.col("k") <= EWMA_MAX_HOURS,
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), "
+                    f"cast({EWMA_MAX_HOURS} - k as int))"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    agg = weighted.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("v_c") * F.col("w")).cast("long").alias("dec_scaled"),
+        F.sum("w").cast("long").alias("w_scaled"),
+    )
+    scale = float(100 * (1 << EWMA_MAX_HOURS))
+    return agg.select(
+        "user_id",
+        "n_events",
+        floor_round(F.col("dec_scaled") / scale, 4).alias("decayed_sum"),
+        floor_round(
+            F.col("dec_scaled") / (100.0 * F.col("w_scaled")), 4
+        ).alias("ewma_value"),
+    ).orderBy("user_id")
+
+
+EWMA_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CAST(floor(value * 100 + 1e-6) AS BIGINT) AS v_c
+  FROM events
+),
+anchor AS (SELECT user_id, max(t_us) AS max_us FROM base GROUP BY 1),
+weighted AS (
+  SELECT b.user_id, b.v_c,
+         CASE WHEN (a.max_us - b.t_us) // 3600000000 <= {EWMA_MAX_HOURS}
+              THEN CAST(1 AS BIGINT)
+                   << CAST({EWMA_MAX_HOURS}
+                           - (a.max_us - b.t_us) // 3600000000 AS INT)
+              ELSE CAST(0 AS BIGINT) END AS w
+  FROM base b JOIN anchor a ON a.user_id = b.user_id
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(v_c * w) AS BIGINT) AS dec_scaled,
+         CAST(sum(w) AS BIGINT) AS w_scaled
+  FROM weighted GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST(floor(dec_scaled / {float(100 * (1 << EWMA_MAX_HOURS))!r}
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS decayed_sum,
+       CAST(floor(dec_scaled / (100.0 * w_scaled) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS ewma_value
+FROM agg
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean per market segment (R4-80, the robust-statistics
+# companion to exact_group_median): drop the lowest and highest 10% of
+# order totals per segment, mean the middle — the outlier-insensitive
+# KPI a revenue dashboard shows next to the raw mean. Same exact-
+# histogram construction as R4-35: the corpus collapses to a
+# (segment, cents) histogram, one segment-partitioned cumulative walk
+# over the VALUE DOMAIN assigns each distinct value its rank span
+# [cum_prev+1, cum], and the trimmed sum takes each value times its
+# span's overlap with the kept rank interval [k+1, n-k] (k =
+# floor(n/10)) — exact integer cents end to end, ONE floored division
+# per output column, no percentile interpolation mode anywhere.
+# ---------------------------------------------------------------------------
+
+TRIM_PCT_NUM = 1  # trim 1/10 from each side
+TRIM_PCT_DEN = 10
+
+
+def trimmed_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cents = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .select(
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100 + 1e-6)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    hist = cents.groupBy("c_mktsegment", "cents").agg(
+        F.count("*").cast("long").alias("n_v")
+    )
+    tot = hist.groupBy("c_mktsegment").agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum(F.col("n_v") * F.col("cents")).cast("long").alias("sum_all"),
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "c_mktsegment",
+        "cents",
+        "n_v",
+        F.sum("n_v").over(w).cast("long").alias("cum"),
+    ).join(tot, "c_mktsegment")
+    k = F.floor(F.col("n") * TRIM_PCT_NUM / TRIM_PCT_DEN).cast("long")
+    lo_rank = (F.col("cum") - F.col("n_v") + 1)
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(lo_rank, k + 1)
+        + 1,
+    )
+    per_seg = (
+        cum.withColumn("k", k)
+        .withColumn("contrib", ov * F.col("cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max("k").cast("long").alias("trim_k"),
+            F.sum("contrib").cast("long").alias("sum_kept"),
+            F.max("sum_all").alias("sum_all"),
+        )
+    )
+    return per_seg.select(
+        "c_mktsegment",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "trim_k",
+        floor_round(
+            F.col("sum_kept")
+            / (100.0 * (F.col("n_orders") - 2 * F.col("trim_k"))),
+            4,
+        ).alias("trimmed_mean"),
+        floor_round(
+            F.col("sum_all") / (100.0 * F.col("n_orders")), 4
+        ).alias("raw_mean"),
+    ).orderBy("c_mktsegment")
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH cents AS (
+  SELECT c.c_mktsegment,
+         CAST(floor(o.o_totalprice * 100 + 1e-6) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+hist AS (
+  SELECT c_mktsegment, cents, CAST(count(*) AS BIGINT) AS n_v
+  FROM cents GROUP BY 1, 2
+),
+tot AS (
+  SELECT c_mktsegment,
+         CAST(sum(n_v) AS BIGINT) AS n,
+         CAST(sum(n_v * cents) AS BIGINT) AS sum_all
+  FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT h.c_mktsegment, h.cents, h.n_v, t.n, t.sum_all,
+         CAST(sum(h.n_v) OVER (PARTITION BY h.c_mktsegment ORDER BY h.cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(floor(t.n * {TRIM_PCT_NUM} / {TRIM_PCT_DEN}.0) AS BIGINT) AS k
+  FROM hist h JOIN tot t ON t.c_mktsegment = h.c_mktsegment
+),
+per_seg AS (
+  SELECT c_mktsegment,
+         max(n) AS n_orders,
+         max(k) AS trim_k,
+         CAST(sum(greatest(CAST(0 AS BIGINT),
+                           least(cum, n - k)
+                           - greatest(cum - n_v + 1, k + 1) + 1)
+                  * cents) AS BIGINT) AS sum_kept,
+         max(sum_all) AS sum_all
+  FROM cum GROUP BY 1
+)
+SELECT c_mktsegment,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(trim_k AS BIGINT) AS trim_k,
+       CAST(floor(sum_kept / (100.0 * (n_orders - 2 * trim_k))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS trimmed_mean,
+       CAST(floor(sum_all / (100.0 * n_orders) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS raw_mean
+FROM per_seg
+ORDER BY c_mktsegment
+"""
