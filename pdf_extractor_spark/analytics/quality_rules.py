@@ -791,3 +791,200 @@ SELECT bin, n, kept_n,
 FROM agg
 ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact classifier AUC against the rule-based label (R4-83,
+# training:classifier-auc): ROC-AUC of the linear quality classifier's
+# score using the INDEPENDENT Gopher verdict as ground truth — the
+# standard "does the cheap model reproduce the rulebook" eval before a
+# classifier replaces rules in the ingest gate. Computed as the exact
+# Mann-Whitney rank statistic over the BOUNDED score histogram (the
+# score already lives on the 1e-4 integer grid, ≤20001 distinct
+# values): AUC·2PN = Σ_v pos_v·(2·neg_below(v) + neg_at(v)) — ties
+# count half — which is exact BIGINT arithmetic; one division at the
+# end. The only window is the cumulative walk over the score DOMAIN
+# (R4-35 argument), never the corpus.
+# ---------------------------------------------------------------------------
+
+
+def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("score") * 10000 + 1e-6).cast("long").alias("s_i"),
+    )
+    labels = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("pos")
+    )
+    hist = (
+        scored.join(labels, "doc_id")
+        .groupBy("s_i")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+        )
+    )
+    w = Window.orderBy("s_i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_pos",
+        "n_neg",
+        (F.sum("n_neg").over(w) - F.col("n_neg")).cast("long").alias(
+            "neg_below"
+        ),
+    )
+    agg = cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        )
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        floor_round(
+            F.col("auc_num2")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+CLASSIFIER_AUC_SQL = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_SQL.replace(chr(10), chr(10) + '  ')}
+),
+labels AS ({GOPHER_QUALITY_SQL.replace(chr(10), chr(10) + '  ')}
+),
+hist AS (
+  SELECT CAST(floor(s.score * 10000 + 1e-6) AS BIGINT) AS s_i,
+         CAST(sum(CASE WHEN l.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN l.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM scored s JOIN labels l ON l.doc_id = s.doc_id
+  GROUP BY 1
+),
+cum AS (
+  SELECT n_pos, n_neg,
+         CAST(sum(n_neg) OVER (ORDER BY s_i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_neg AS BIGINT) AS neg_below
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS auc_num2
+  FROM cum
+)
+SELECT n_pos, n_neg, auc_num2,
+       CAST(floor(auc_num2 / (2.0 * n_pos * n_neg) * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS auc
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# KS separation of the classifier score (R4-84, the credit-scoring /
+# scorecard separation statistic): max CDF gap between the score
+# distributions of Gopher-keep and Gopher-reject documents — the
+# threshold-free twin of AUC above (AUC integrates the separation, KS
+# reports its strongest point AND the score where it happens, i.e.
+# where the ingest gate's cutoff buys the most). Same exact-integer
+# CDF-gap construction as ks_length_drift (R4-71), over the same
+# bounded score histogram as the AUC: gap = |cum_pos·N_neg −
+# cum_neg·N_pos| is exact BIGINT, argmax ties break to the smallest
+# score, one final division.
+# ---------------------------------------------------------------------------
+
+
+def classifier_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("score") * 10000 + 1e-6).cast("long").alias("s_i"),
+    )
+    labels = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("pos")
+    )
+    hist = (
+        scored.join(labels, "doc_id")
+        .groupBy("s_i")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("n_pos").cast("long").alias("tp"),
+        F.sum("n_neg").cast("long").alias("tn"),
+    )
+    w = Window.orderBy("s_i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "s_i",
+        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+        F.sum("n_neg").over(w).cast("long").alias("cum_neg"),
+    ).crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        F.col("cum_pos") * F.col("tn") - F.col("cum_neg") * F.col("tp")
+    ).cast("long")
+    return (
+        cum.select(
+            (F.col("s_i") / 10000.0).alias("ks_at_score"),
+            gap.alias("gap_num"),
+            F.col("tp").alias("n_pos"),
+            F.col("tn").alias("n_neg"),
+            floor_round(
+                gap.cast("double") / (F.col("tp") * F.col("tn")), 6
+            ).alias("ks_stat"),
+        )
+        .orderBy(F.desc("gap_num"), F.asc("ks_at_score"))
+        .limit(1)
+    )
+
+
+CLASSIFIER_KS_SQL = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_SQL.replace(chr(10), chr(10) + '  ')}
+),
+labels AS ({GOPHER_QUALITY_SQL.replace(chr(10), chr(10) + '  ')}
+),
+hist AS (
+  SELECT CAST(floor(s.score * 10000 + 1e-6) AS BIGINT) AS s_i,
+         CAST(sum(CASE WHEN l.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN l.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM scored s JOIN labels l ON l.doc_id = s.doc_id
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+         CAST(sum(n_neg) AS BIGINT) AS tn
+  FROM hist
+),
+cum AS (
+  SELECT s_i,
+         CAST(sum(n_pos) OVER (ORDER BY s_i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_pos,
+         CAST(sum(n_neg) OVER (ORDER BY s_i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_neg
+  FROM hist
+)
+SELECT s_i / 10000.0 AS ks_at_score,
+       CAST(abs(cum_pos * tn - cum_neg * tp) AS BIGINT) AS gap_num,
+       tp AS n_pos, tn AS n_neg,
+       CAST(floor(CAST(abs(cum_pos * tn - cum_neg * tp) AS DOUBLE)
+                  / (tp * tn) * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS ks_stat
+FROM cum, tot
+ORDER BY gap_num DESC, ks_at_score ASC
+LIMIT 1
+"""

@@ -883,6 +883,23 @@ QUERIES: Dict[str, QuerySpec] = {
         dedup.dup_rate_by_source, dedup.DUP_RATE_BY_SOURCE_SQL,
         "R4-82 per-source duplication + cross-source overlap accounting",
     ),
+    "classifier_auc_exact": QuerySpec(
+        quality_rules.classifier_auc_exact, quality_rules.CLASSIFIER_AUC_SQL,
+        "R4-83 exact Mann-Whitney AUC vs the Gopher rule label",
+    ),
+    "classifier_ks_separation": QuerySpec(
+        quality_rules.classifier_ks_separation,
+        quality_rules.CLASSIFIER_KS_SQL,
+        "R4-84 scorecard KS separation (integer CDF gap + argmax score)",
+    ),
+    "langid_cohens_kappa": QuerySpec(
+        textstats.langid_cohens_kappa, textstats.LANGID_KAPPA_SQL,
+        "R4-85 chance-corrected language-ID agreement (exact integers)",
+    ),
+    "embedding_fisher_ratio": QuerySpec(
+        similarity.embedding_fisher_ratio, similarity.EMBEDDING_FISHER_SQL,
+        "R4-86 LDA-criterion per-label separation audit",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

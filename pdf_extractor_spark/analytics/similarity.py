@@ -2514,3 +2514,104 @@ FROM scored s JOIN moments m USING (label)
 ORDER BY z DESC NULLS LAST, s.vec_id
 LIMIT {OUT_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Fisher separation audit per label (R4-86, training:embedding-fisher
+# — the LDA-criterion health check on a labeled embedding space):
+# between-class scatter n_l·‖µ_l − µ‖² against within-class scatter
+# Σ‖x − µ_l‖² per label. A label whose between-term is small relative
+# to its within-term is not linearly separable in this space — the
+# signal that decides whether labels can drive IVF routing / stratified
+# sampling, complementing cluster_silhouette (assignment quality) and
+# embedding_outlier_zscore (per-point hygiene).
+#
+# Everything reduces to per-label Σx_d and Σx_d² (2·DIMS aggregate
+# columns, K-row state) plus the 1-row global reduction over those
+# label sums: between = n_l·Σ_d(µ_l,d − µ_d)², within =
+# Σ_d(q_l,d − s_l,d²/n_l) — closed forms over pre-aggregated sums,
+# evaluated identically in both engines; floor4 absorbs the per-dim
+# float-summation ulp (the embedding-family convention). No windows,
+# no pairs; centroid state is K×DIMS and broadcastable at any corpus
+# scale.
+# ---------------------------------------------------------------------------
+
+
+def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    x = lambda i: F.col("embedding")[i].cast("double")  # noqa: E731
+    sums = emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        *[F.sum(x(i)).alias(f"s{i}") for i in range(DIMS)],
+        *[F.sum(x(i) * x(i)).alias(f"q{i}") for i in range(DIMS)],
+    )
+    tot = sums.agg(
+        F.sum("n_vecs").cast("long").alias("n_total"),
+        *[F.sum(f"s{i}").alias(f"g{i}") for i in range(DIMS)],
+    )
+    joined = sums.crossJoin(F.broadcast(tot))
+    between = F.col("n_vecs").cast("double") * sum(
+        (
+            F.col(f"s{i}") / F.col("n_vecs")
+            - F.col(f"g{i}") / F.col("n_total")
+        )
+        * (
+            F.col(f"s{i}") / F.col("n_vecs")
+            - F.col(f"g{i}") / F.col("n_total")
+        )
+        for i in range(DIMS)
+    )
+    within = sum(
+        F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}") / F.col("n_vecs")
+        for i in range(DIMS)
+    )
+    return joined.select(
+        "label",
+        "n_vecs",
+        _floor4(between).alias("between_term"),
+        _floor4(within).alias("within_term"),
+        _floor4(between / within).alias("fisher_term"),
+    ).orderBy("label")
+
+
+_FR_S_LIST = "[" + ", ".join(
+    f"sum(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(DIMS)
+) + "]"
+_FR_Q_LIST = "[" + ", ".join(
+    f"sum(CAST(embedding[{i + 1}] AS DOUBLE)"
+    f" * CAST(embedding[{i + 1}] AS DOUBLE))"
+    for i in range(DIMS)
+) + "]"
+_FR_G_LIST = "[" + ", ".join(f"sum(s[{i + 1}])" for i in range(DIMS)) + "]"
+# list_sum over a generate_series transform, not a 64-term +-chain:
+# DuckDB's binder recurses per binary op and overflows at DIMS=64
+_FR_BETWEEN = (
+    f"list_sum(list_transform(generate_series(1, {DIMS}), "
+    "i -> (s[i] / n_vecs - g[i] / n_total)"
+    " * (s[i] / n_vecs - g[i] / n_total)))"
+)
+_FR_WITHIN = (
+    f"list_sum(list_transform(generate_series(1, {DIMS}), "
+    "i -> q[i] - s[i] * s[i] / n_vecs))"
+)
+
+EMBEDDING_FISHER_SQL = f"""
+WITH sums AS MATERIALIZED (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         {_FR_S_LIST} AS s, {_FR_Q_LIST} AS q
+  FROM embeddings GROUP BY label
+),
+tot AS (
+  SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total, {_FR_G_LIST} AS g
+  FROM sums
+)
+SELECT label, n_vecs,
+       CAST(floor(n_vecs * ({_FR_BETWEEN}) * 10000 + 1e-6) / 10000
+            AS DOUBLE) AS between_term,
+       CAST(floor(({_FR_WITHIN}) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS within_term,
+       CAST(floor(n_vecs * ({_FR_BETWEEN}) / ({_FR_WITHIN})
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS fisher_term
+FROM sums, tot
+ORDER BY label
+"""

@@ -2764,3 +2764,107 @@ CROSS JOIN colt c
 LEFT JOIN cells x ON x.lang = r.lang AND x.source = c.source, tot
 ORDER BY r.lang, c.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the language-ID heuristic (R4-85): chance-corrected
+# agreement between predicted and true language — the one-scalar
+# summary over langid_confusion's cell table (raw accuracy flatters a
+# classifier on a skewed language mix; kappa subtracts the agreement a
+# label-marginal-matching random guesser would get). Computed entirely
+# on exact integers: kappa = (n·Σdiag − Σ_l rt_l·ct_l) /
+# (n² − Σ_l rt_l·ct_l) — numerator and denominator are exact BIGINTs
+# from the confusion cells and marginals, ONE division at the end (po
+# and pe are reported as their own single divisions). Scale shape: the
+# same map-only prediction kernel as langid_confusion + three hash
+# aggregates over the (≤ L²)-cell table.
+# ---------------------------------------------------------------------------
+
+
+def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+        )
+        for lang, ws in _LANG_SETS.items()
+    }
+    pred = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]), "en")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+    cells = (
+        docs.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rt = cells.groupBy("actual").agg(F.sum("n").alias("rt"))
+    ct = cells.groupBy("predicted").agg(F.sum("n").alias("ct"))
+    chance = (
+        rt.join(ct, rt.actual == ct.predicted)
+        .agg(F.sum(F.col("rt") * F.col("ct")).cast("long").alias("sum_rc"))
+    )
+    base = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n"))
+              .otherwise(0)).cast("long").alias("n_agree"),
+    )
+    joined = base.crossJoin(F.broadcast(chance))
+    return joined.select(
+        "n_docs",
+        "n_agree",
+        _floor_round(F.col("n_agree") / F.col("n_docs"), 6).alias("po"),
+        _floor_round(
+            F.col("sum_rc") / (F.col("n_docs") * F.col("n_docs")), 6
+        ).alias("pe"),
+        _floor_round(
+            (F.col("n_docs") * F.col("n_agree") - F.col("sum_rc"))
+            / (F.col("n_docs") * F.col("n_docs") - F.col("sum_rc")),
+            6,
+        ).alias("kappa"),
+    )
+
+
+LANGID_KAPPA_SQL = rf"""
+WITH pred AS (
+  SELECT lang AS actual,
+         CASE WHEN en >= de AND en >= es THEN 'en'
+              WHEN de >= es THEN 'de'
+              ELSE 'es' END AS predicted
+  FROM (
+    SELECT lang,
+           len(list_intersect(toks, {_sql_words("en")})) AS en,
+           len(list_intersect(toks, {_sql_words("de")})) AS de,
+           len(list_intersect(toks, {_sql_words("es")})) AS es
+    FROM (SELECT lang, string_split_regex(text, '\s+') AS toks
+          FROM documents)
+  )
+),
+cells AS (
+  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+rt AS (SELECT actual, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+chance AS (
+  SELECT CAST(sum(r.rt * c.ct) AS BIGINT) AS sum_rc
+  FROM rt r JOIN ct c ON c.predicted = r.actual
+),
+base AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM cells
+)
+SELECT n_docs, n_agree,
+       CAST(floor(CAST(n_agree AS DOUBLE) / n_docs * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS po,
+       CAST(floor(CAST(sum_rc AS DOUBLE) / (n_docs * n_docs)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS pe,
+       CAST(floor(CAST(n_docs * n_agree - sum_rc AS DOUBLE)
+                  / (n_docs * n_docs - sum_rc) * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS kappa
+FROM base, chance
+"""
