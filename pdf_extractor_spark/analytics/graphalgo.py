@@ -686,3 +686,81 @@ LEFT JOIN deg g ON g.v = d.doc_id
 LEFT JOIN pv ON pv.v = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS distance levels from a source page (R4-87, training:graph-bfs —
+# the "crawl frontier" / link-distance prior: distance from a trusted
+# seed is a classic quality signal, and level sets are what a
+# distributed crawler actually schedules). Directed BFS over the link
+# fixture from doc 0, K = BFS_ROUNDS frontier expansions: each round
+# is ONE equi-join (frontier → out-edges) + ONE anti-join against the
+# visited set + a distinct — all hash ops on ids; the visited set is
+# localCheckpoint-pinned per round because round r+1's join AND
+# anti-join both consume it (the HITS/CC plan-doubling lesson). The
+# oracle unrolls the K rounds as MATERIALIZED CTEs. The contract is
+# the K-LEVEL SET: every emitted distance is the exact shortest
+# directed distance (first-reach = min), and vertices farther than K
+# hops are absent by design (the bounded frontier a crawler actually
+# schedules); the unit checks both against an unbounded Python BFS.
+# ---------------------------------------------------------------------------
+
+BFS_SOURCE = 0
+BFS_ROUNDS = 4
+
+
+def bfs_distance_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    edges = _edges(docs, n).persist()
+    dist = spark.createDataFrame(
+        [(BFS_SOURCE, 0)], "v long, dist int"
+    ).localCheckpoint()
+    frontier = dist.select("v")
+    for r in range(1, BFS_ROUNDS + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.v)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        new = reached.join(dist.select("v"), "v", "left_anti").select(
+            "v", F.lit(r).cast("int").alias("dist")
+        )
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new.select("v")
+    return dist.select(
+        F.col("v").alias("doc_id"), F.col("dist").cast("long").alias("dist")
+    ).orderBy("doc_id")
+
+
+def _bfs_round_sql(r: int) -> str:
+    return f"""f{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS v
+  FROM edges e JOIN f{r - 1} f ON e.src = f.v
+  WHERE e.dst NOT IN (SELECT v FROM d{r - 1})
+),
+d{r} AS MATERIALIZED (
+  SELECT v, dist FROM d{r - 1}
+  UNION ALL
+  SELECT v, {r} AS dist FROM f{r}
+)"""
+
+
+BFS_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           unnest([(doc_id * 7 + 1) % (SELECT n FROM nn),
+                   (doc_id * doc_id + 3) % (SELECT n FROM nn),
+                   CAST(floor(doc_id / 2.0) AS BIGINT)]) AS dst
+    FROM documents
+  )
+),
+d0 AS MATERIALIZED (SELECT CAST({BFS_SOURCE} AS BIGINT) AS v, 0 AS dist),
+f0 AS MATERIALIZED (SELECT v FROM d0),
+{",".join(_bfs_round_sql(r) for r in range(1, BFS_ROUNDS + 1))}
+SELECT v AS doc_id, CAST(dist AS BIGINT) AS dist
+FROM d{BFS_ROUNDS}
+ORDER BY doc_id
+"""

@@ -900,6 +900,22 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.embedding_fisher_ratio, similarity.EMBEDDING_FISHER_SQL,
         "R4-86 LDA-criterion per-label separation audit",
     ),
+    "bfs_distance_levels": QuerySpec(
+        graphalgo.bfs_distance_levels, graphalgo.BFS_SQL,
+        "R4-87 directed BFS level sets from the seed page",
+    ),
+    "trailing_revenue_range": QuerySpec(
+        relational.trailing_revenue_range, relational.TRAILING_RANGE_SQL,
+        "R4-88 trailing 7-day KPI via RANGE frame (gap-aware window)",
+    ),
+    "orders_grouping_sets": QuerySpec(
+        relational.orders_grouping_sets, relational.GROUPING_SETS_SQL,
+        "R4-89 explicit GROUPING SETS with grouping_id",
+    ),
+    "promo_share_ztest": QuerySpec(
+        relational.promo_share_ztest, relational.PROMO_ZTEST_SQL,
+        "R4-90 pooled two-proportion z-test across order waves",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -4382,3 +4382,247 @@ SELECT c_mktsegment,
 FROM per_seg
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day revenue via a RANGE window frame (R4-88): the last
+# window FRAME MODE missing from the suite — events_moving_average
+# covers ROWS frames; a trailing-calendar-week KPI needs RANGE over
+# the day VALUE so that gaps in the calendar shrink the window (a
+# ROWS frame silently reaches back across missing days). Frame runs
+# on the integer epoch-day index over the CALENDAR-BOUNDED per-day
+# aggregate (R4-58 argument — never a corpus-sized window); revenue is
+# exact integer cents, so every trailing sum is exact and only the
+# final cents→currency division floats.
+# ---------------------------------------------------------------------------
+
+TRAIL_RANGE_DAYS = 7
+
+
+def trailing_revenue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+        ).cast("long").alias("rev_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w = (
+        Window.orderBy("day_idx")
+        .rangeBetween(-(TRAIL_RANGE_DAYS - 1), Window.currentRow)
+    )
+    return daily.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_idx")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_orders",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        (F.sum("rev_cents").over(w) / 100.0).alias("trailing_7d_revenue"),
+        F.count("*").over(w).cast("long").alias("days_in_window"),
+    ).orderBy("day")
+
+
+TRAILING_RANGE_SQL = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_idx,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+SELECT strftime(DATE '1970-01-01' + to_days(CAST(day_idx AS INT)),
+                '%Y-%m-%d') AS day,
+       n_orders,
+       rev_cents / 100.0 AS revenue,
+       sum(rev_cents) OVER (ORDER BY day_idx
+           RANGE BETWEEN {TRAIL_RANGE_DAYS - 1} PRECEDING AND CURRENT ROW)
+         / 100.0 AS trailing_7d_revenue,
+       CAST(count(*) OVER (ORDER BY day_idx
+            RANGE BETWEEN {TRAIL_RANGE_DAYS - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS days_in_window
+FROM daily
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping_id (R4-89): the third grouping-set
+# operator next to ROLLUP (tpch_q4 family) and CUBE (lang_source_cube)
+# — an EXPLICIT set list { (priority, status), (priority), (status),
+# () } is what real report queries ship (a CUBE computes subtotals
+# nobody asked for). Spark plans one Expand over the four set masks +
+# one hash aggregate; grouping_id() disambiguates the NULL-vs-rollup
+# ambiguity and is emitted (Spark and DuckDB agree on the bitmask
+# convention: first listed column = MSB). Aggregates ride exact
+# integer cents.
+# ---------------------------------------------------------------------------
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("cents"),
+    )
+    grouped = orders.groupingSets(
+        [
+            ["o_orderpriority", "o_orderstatus"],
+            ["o_orderpriority"],
+            ["o_orderstatus"],
+            [],
+        ],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_orders"),
+        (F.sum("cents") / 100.0).alias("revenue"),
+    )
+    return grouped.select(
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+        "gid",
+        "n_orders",
+        "revenue",
+    ).orderBy("gid", "priority", "status")
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderpriority, '(all)') AS priority,
+       coalesce(o_orderstatus, '(all)') AS status,
+       CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT)) / 100.0
+         AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, priority, status
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test on the promo revenue mix (R4-90, the A/B-test
+# primitive): did the share of PROMO-part lineitems change between the
+# first and second half of the order history? The standard pooled
+# two-proportion z — the significance arithmetic every experimentation
+# platform runs — with every input an exact integer (counts from two
+# hash aggregates), so p̂₁, p̂₂, the pooled p and the z denominator are
+# single-expression doubles identical in both engines (sqrt is
+# IEEE-correctly-rounded in both); the significance verdict compares
+# the FLOORED |z| to the 1.96 literal so a boundary ulp cannot flip
+# it. Wave split = epoch-µs midpoint of the order-date range (1-row
+# broadcast). Scale shape: lineitem→orders and lineitem→part equi-
+# joins (part/orders dims broadcastable), one 2-key hash aggregate.
+# ---------------------------------------------------------------------------
+
+ZTEST_CRIT = 1.96
+
+
+def promo_share_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us")
+    )
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    mid = orders.agg(
+        ((F.min("o_us") + F.max("o_us")) / 2).alias("mid_us")
+    )
+    rows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(mid))
+        .select(
+            (F.col("o_us") >= F.col("mid_us")).alias("new_wave"),
+            F.col("is_promo").cast("long").alias("promo"),
+        )
+    )
+    agg = rows.groupBy().agg(
+        F.sum(F.when(~F.col("new_wave"), 1).otherwise(0))
+        .cast("long").alias("n_old"),
+        F.sum(F.when(~F.col("new_wave"), F.col("promo")).otherwise(0))
+        .cast("long").alias("k_old"),
+        F.sum(F.when(F.col("new_wave"), 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.sum(F.when(F.col("new_wave"), F.col("promo")).otherwise(0))
+        .cast("long").alias("k_new"),
+    )
+    p1 = F.col("k_old") / F.col("n_old")
+    p2 = F.col("k_new") / F.col("n_new")
+    pp = (F.col("k_old") + F.col("k_new")) / (F.col("n_old") + F.col("n_new"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n_old") + 1.0 / F.col("n_new"))
+    )
+    zf = floor_round(z, 4)
+    return agg.select(
+        "n_old",
+        "k_old",
+        "n_new",
+        "k_new",
+        floor_round(p1, 6).alias("p_old"),
+        floor_round(p2, 6).alias("p_new"),
+        zf.alias("z_score"),
+        (F.abs(zf) >= ZTEST_CRIT).alias("significant"),
+    )
+
+
+PROMO_ZTEST_SQL = f"""
+WITH mid AS (
+  SELECT (min(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+          + max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))) / 2.0 AS mid_us
+  FROM orders
+),
+rows_ AS (
+  SELECT epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+           >= (SELECT mid_us FROM mid) AS new_wave,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN NOT new_wave THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+         CAST(sum(CASE WHEN NOT new_wave THEN promo ELSE 0 END) AS BIGINT)
+           AS k_old,
+         CAST(sum(CASE WHEN new_wave THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN new_wave THEN promo ELSE 0 END) AS BIGINT)
+           AS k_new
+  FROM rows_
+)
+SELECT n_old, k_old, n_new, k_new,
+       CAST(floor(CAST(k_old AS DOUBLE) / n_old * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS p_old,
+       CAST(floor(CAST(k_new AS DOUBLE) / n_new * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS p_new,
+       CAST(floor((CAST(k_old AS DOUBLE) / n_old
+                   - CAST(k_new AS DOUBLE) / n_new)
+                  / sqrt((CAST(k_old + k_new AS DOUBLE) / (n_old + n_new))
+                         * (1 - CAST(k_old + k_new AS DOUBLE)
+                                / (n_old + n_new))
+                         * (1.0 / n_old + 1.0 / n_new))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS z_score,
+       abs(CAST(floor((CAST(k_old AS DOUBLE) / n_old
+                       - CAST(k_new AS DOUBLE) / n_new)
+                      / sqrt((CAST(k_old + k_new AS DOUBLE)
+                              / (n_old + n_new))
+                             * (1 - CAST(k_old + k_new AS DOUBLE)
+                                    / (n_old + n_new))
+                             * (1.0 / n_old + 1.0 / n_new))
+                      * 10000 + 1e-6) / 10000 AS DOUBLE))
+         >= {ZTEST_CRIT} AS significant
+FROM agg
+"""
