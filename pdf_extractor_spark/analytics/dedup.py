@@ -2392,3 +2392,92 @@ SELECT p.source, p.n_docs, p.n_distinct_texts,
 FROM per_source p LEFT JOIN cross_src c ON c.source = p.source
 ORDER BY p.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Blocking quality audit (R4-93, the record-linkage/ER scorecard —
+# Christen 2012): LSH banding is a BLOCKING scheme, and blocking is
+# graded on exactly two numbers — REDUCTION RATIO (how much of the
+# n(n-1)/2 all-pairs space the blocks prune) and PAIR COMPLETENESS
+# (what fraction of true matches survive as candidates). True matches
+# here are the injected exact dups (doc, doc + DUP_ID_OFFSET), whose
+# identical texts guarantee identical signatures — so completeness
+# SHOULD be 1.0 and a lower reading means the banding broke; reduction
+# quantifies the candidate-join saving the dedup suite banks on.
+# All inputs are exact integers (pair counts + one corpus count); the
+# two ratios are single divisions. Scale shape: the existing bounded
+# band join, one semi-join against the true-pair relation, three
+# 1-row aggregates.
+# ---------------------------------------------------------------------------
+
+
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_pool = docs.agg(
+        (F.count("*") + F.least(F.count("*"), F.lit(N_INJECTED_DUPS)))
+        .cast("long")
+        .alias("n_pool")
+    )
+    truth = docs.filter(F.col("doc_id") < N_INJECTED_DUPS).select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + DUP_ID_OFFSET).alias("b_id"),
+    )
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_cand = pairs.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_found = (
+        truth.join(pairs, ["a_id", "b_id"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_found"))
+    )
+    out = (
+        n_cand.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_pool))
+    )
+    all_pairs = (F.col("n_pool") * (F.col("n_pool") - 1) / 2).cast("long")
+    return out.select(
+        "n_pool",
+        all_pairs.alias("n_all_pairs"),
+        "n_candidates",
+        "n_truth",
+        "n_found",
+        floor_round(
+            1.0 - F.col("n_candidates") / all_pairs.cast("double"), 6
+        ).alias("reduction_ratio"),
+        floor_round(
+            F.col("n_found").cast("double") / F.col("n_truth"), 6
+        ).alias("pair_completeness"),
+    )
+
+
+BLOCKING_AUDIT_SQL = f"""
+WITH pairs AS ({MINHASH_LSH_PAIRS_SQL.replace(chr(10), chr(10) + '  ')}
+),
+np AS (
+  SELECT CAST(count(*) + least(count(*), {N_INJECTED_DUPS}) AS BIGINT)
+           AS n_pool
+  FROM documents
+),
+truth AS (
+  SELECT doc_id AS a_id, doc_id + {DUP_ID_OFFSET} AS b_id
+  FROM documents WHERE doc_id < {N_INJECTED_DUPS}
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs),
+nf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_found
+  FROM truth t
+  WHERE EXISTS (SELECT 1 FROM pairs p
+                WHERE p.a_id = t.a_id AND p.b_id = t.b_id)
+)
+SELECT n_pool,
+       CAST(n_pool * (n_pool - 1) / 2 AS BIGINT) AS n_all_pairs,
+       n_candidates, n_truth, n_found,
+       CAST(floor((1.0 - n_candidates
+                   / CAST(n_pool * (n_pool - 1) / 2 AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS reduction_ratio,
+       CAST(floor(CAST(n_found AS DOUBLE) / n_truth * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS pair_completeness
+FROM nc, nt, nf, np
+"""

@@ -764,3 +764,89 @@ SELECT v AS doc_id, CAST(dist AS BIGINT) AS dist
 FROM d{BFS_ROUNDS}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Power-law degree exponent MLE (R4-94, Clauset-Shalizi-Newman 2009 —
+# the continuous-approximation estimator α = 1 + n / Σ ln(d / d_min)
+# over degrees ≥ d_min): whether a link graph's degree tail is
+# power-law-ish (α ≈ 2-3 for webby graphs) decides if hub-aware
+# strategies (degree-ordered orientation, skew salting) are needed —
+# the planning statistic behind the triangle/k-core machinery above.
+# The degree table collapses to a DEGREE-VALUE histogram first, so ln
+# runs once per distinct degree (domain-bounded), each term
+# n_d·floor6(ln(d/d_min)) is an exact BIGINT after the per-value
+# floor (ln's cross-engine ulp is 10 orders below the slack), and the
+# final α is one division. Undirected degrees from the shared link
+# fixture; d_min fixed at 2 (degree-1 leaves are not tail).
+# ---------------------------------------------------------------------------
+
+PL_DMIN = 2
+
+
+def degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    und, deg, _ = _und_deg_tris(docs, n)
+    hist = (
+        deg.filter(F.col("d") >= PL_DMIN)
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_d"))
+    )
+    term = (
+        F.col("n_d")
+        * F.floor(
+            F.log(F.col("d").cast("double") / PL_DMIN) * 1000000 + 1e-6
+        ).cast("long")
+    )
+    agg = hist.agg(
+        F.sum("n_d").cast("long").alias("n_tail"),
+        F.sum(term).cast("long").alias("sum_ln_i"),
+    )
+    return agg.select(
+        "n_tail",
+        "sum_ln_i",
+        floor_round(
+            1.0
+            + F.col("n_tail").cast("double")
+            * 1000000.0
+            / F.col("sum_ln_i"),
+            6,
+        ).alias("alpha_mle"),
+    )
+
+
+POWERLAW_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw_edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 3) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, CAST(floor(doc_id / 2.0) AS BIGINT) FROM documents, nn
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY 1
+),
+hist AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_d
+  FROM deg WHERE d >= {PL_DMIN} GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n_d) AS BIGINT) AS n_tail,
+         CAST(sum(n_d * CAST(floor(ln(CAST(d AS DOUBLE) / {PL_DMIN})
+                                   * 1000000 + 1e-6) AS BIGINT))
+              AS BIGINT) AS sum_ln_i
+  FROM hist
+)
+SELECT n_tail, sum_ln_i,
+       CAST(floor((1.0 + CAST(n_tail AS DOUBLE) * 1000000.0 / sum_ln_i)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS alpha_mle
+FROM agg
+"""

@@ -916,6 +916,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.promo_share_ztest, relational.PROMO_ZTEST_SQL,
         "R4-90 pooled two-proportion z-test across order waves",
     ),
+    "spearman_len_quality": QuerySpec(
+        textstats.spearman_len_quality, textstats.SPEARMAN_SQL,
+        "R4-91 tie-aware Spearman rho on exact doubled ranks",
+    ),
+    "mad_outlier_flags": QuerySpec(
+        relational.mad_outlier_flags, relational.MAD_OUTLIER_SQL,
+        "R4-92 MAD robust outliers (two histogram median walks)",
+    ),
+    "blocking_quality_audit": QuerySpec(
+        dedup.blocking_quality_audit, dedup.BLOCKING_AUDIT_SQL,
+        "R4-93 ER blocking scorecard (reduction ratio + completeness)",
+    ),
+    "degree_powerlaw_mle": QuerySpec(
+        graphalgo.degree_powerlaw_mle, graphalgo.POWERLAW_SQL,
+        "R4-94 Clauset power-law alpha over the degree histogram",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

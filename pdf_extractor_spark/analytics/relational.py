@@ -4626,3 +4626,180 @@ SELECT n_old, k_old, n_new, k_new,
          >= {ZTEST_CRIT} AS significant
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier flags per market segment (R4-92): the
+# median-absolute-deviation rule (|x − med| > K·MAD) — the robust
+# replacement for mean±3σ that survives the heavy-tailed revenue
+# distributions where daily_trend_anomaly's z flags everything. TWO
+# exact-histogram rank walks (the R4-35 construction): first the
+# per-segment median of order cents, then the per-segment median of
+# the integer absolute deviations — both nearest-rank-pair exact, no
+# interpolation. The flag compares 2·|x − med| (integers; median of an
+# even split is a half-integer, so both sides are DOUBLED) against
+# 2·K·MAD — pure BIGINT comparison, no float anywhere in the decision.
+# Output rolls up per segment: n, median, MAD, outlier count/share.
+# ---------------------------------------------------------------------------
+
+MAD_K = 5
+
+
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100 + 1e-6)
+            .cast("long")
+            .alias("v"),
+        )
+    ).persist()
+
+    def median2(df: DataFrame, col: str) -> DataFrame:
+        """Per-segment DOUBLED median (2·median stays integral)."""
+        hist = df.groupBy("c_mktsegment", col).agg(
+            F.count("*").cast("long").alias("n_v")
+        )
+        tot = hist.groupBy("c_mktsegment").agg(
+            F.sum("n_v").cast("long").alias("n")
+        )
+        w = (
+            Window.partitionBy("c_mktsegment")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.select(
+            "c_mktsegment",
+            F.col(col).alias("v"),
+            "n_v",
+            F.sum("n_v").over(w).cast("long").alias("cum"),
+        ).join(tot, "c_mktsegment")
+        lo = F.floor((F.col("n") + 1) / 2).cast("long")
+        hi = F.ceil((F.col("n") + 1) / 2).cast("long")
+        picks = cum.groupBy("c_mktsegment").agg(
+            F.min(
+                F.when(
+                    (F.col("cum") - F.col("n_v") + 1 <= lo)
+                    & (lo <= F.col("cum")),
+                    F.col("v"),
+                )
+            ).alias("v_lo"),
+            F.min(
+                F.when(
+                    (F.col("cum") - F.col("n_v") + 1 <= hi)
+                    & (hi <= F.col("cum")),
+                    F.col("v"),
+                )
+            ).alias("v_hi"),
+        )
+        return picks.select(
+            "c_mktsegment",
+            (F.col("v_lo") + F.col("v_hi")).cast("long").alias("med2"),
+        )
+
+    med = median2(cents, "v")
+    dev = cents.join(med, "c_mktsegment").select(
+        "c_mktsegment",
+        F.abs(2 * F.col("v") - F.col("med2")).cast("long").alias("d2"),
+    )
+    mad = median2(dev.select("c_mktsegment", F.col("d2").alias("v")), "v")
+    mad = mad.select("c_mktsegment", F.col("med2").alias("mad4"))
+    flagged = (
+        cents.join(med, "c_mktsegment")
+        .join(mad, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            (
+                2 * F.abs(2 * F.col("v") - F.col("med2"))
+                > MAD_K * F.col("mad4")
+            )
+            .cast("long")
+            .alias("is_out"),
+        )
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+        )
+        .join(med, "c_mktsegment")
+        .join(mad, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (F.col("med2") / 200.0).alias("median_price"),
+            (F.col("mad4") / 400.0).alias("mad_price"),
+            "n_outliers",
+            floor_round(
+                F.col("n_outliers").cast("double") / F.col("n_orders"), 6
+            ).alias("outlier_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_MAD_MEDIAN2 = """
+  SELECT c_mktsegment, CAST(min(v_lo) + min(v_hi) AS BIGINT) AS med2
+  FROM (
+    SELECT c_mktsegment,
+           CASE WHEN cum - n_v + 1 <= lo AND lo <= cum THEN v END AS v_lo,
+           CASE WHEN cum - n_v + 1 <= hi AND hi <= cum THEN v END AS v_hi
+    FROM (
+      SELECT h.c_mktsegment, h.v, h.n_v,
+             CAST(sum(h.n_v) OVER (PARTITION BY h.c_mktsegment ORDER BY h.v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(floor((t.n + 1) / 2.0) AS BIGINT) AS lo,
+             CAST(ceil((t.n + 1) / 2.0) AS BIGINT) AS hi
+      FROM (SELECT c_mktsegment, v, CAST(count(*) AS BIGINT) AS n_v
+            FROM {src} GROUP BY 1, 2) h
+      JOIN (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+            FROM {src} GROUP BY 1) t
+        ON t.c_mktsegment = h.c_mktsegment
+    )
+  )
+  GROUP BY 1
+"""
+
+MAD_OUTLIER_SQL = f"""
+WITH cents AS MATERIALIZED (
+  SELECT c.c_mktsegment,
+         CAST(floor(o.o_totalprice * 100 + 1e-6) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+med AS MATERIALIZED ({_MAD_MEDIAN2.format(src="cents")}),
+dev AS MATERIALIZED (
+  SELECT c.c_mktsegment, CAST(abs(2 * c.v - m.med2) AS BIGINT) AS v
+  FROM cents c JOIN med m ON m.c_mktsegment = c.c_mktsegment
+),
+mad AS MATERIALIZED (
+  SELECT c_mktsegment, med2 AS mad4
+  FROM ({_MAD_MEDIAN2.format(src="dev")})
+),
+flagged AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN 2 * abs(2 * c.v - m.med2) > {MAD_K} * d.mad4
+              THEN 1 ELSE 0 END AS is_out
+  FROM cents c
+  JOIN med m ON m.c_mktsegment = c.c_mktsegment
+  JOIN mad d ON d.c_mktsegment = c.c_mktsegment
+)
+SELECT f.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       max(m.med2) / 200.0 AS median_price,
+       max(d.mad4) / 400.0 AS mad_price,
+       CAST(sum(f.is_out) AS BIGINT) AS n_outliers,
+       CAST(floor(sum(f.is_out) * 1.0 / count(*) * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS outlier_share
+FROM flagged f
+JOIN med m ON m.c_mktsegment = f.c_mktsegment
+JOIN mad d ON d.c_mktsegment = f.c_mktsegment
+GROUP BY 1
+ORDER BY 1
+"""

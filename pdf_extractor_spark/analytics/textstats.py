@@ -2868,3 +2868,129 @@ SELECT n_docs, n_agree,
             / 1000000 AS DOUBLE) AS kappa
 FROM base, chance
 """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation, doc length vs classifier quality score
+# (R4-91): the robust, monotonic-relationship twin of Pearson
+# (length_token_correlation) — "do longer documents score better" is a
+# bias audit every quality-filtered corpus runs, and Spearman answers
+# it without assuming linearity. EXACT tie-aware construction: both
+# variables collapse to value histograms; the average rank of a tied
+# value, DOUBLED to stay integral ((2·cum_prev + n_v + 1) — a half-
+# integer otherwise), comes from one domain-bounded cumulative walk
+# per variable; each doc joins its two doubled ranks back (fan-out-1
+# equi-joins) and Pearson over the integer doubled-rank pairs reduces
+# to exact BIGINT sums — engine-identical up to the single final
+# division. (Σ2r is n(n+1)·… checked by the unit against the closed
+# identity.) No corpus-sized window anywhere.
+# ---------------------------------------------------------------------------
+
+
+def spearman_len_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .quality_rules import quality_classifier_linear
+
+    lens = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scores = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("score") * 10000 + 1e-6).cast("long").alias("s_i"),
+    )
+
+    def doubled_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        hist = df.groupBy(col).agg(F.count("*").cast("long").alias("n_v"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return hist.select(
+            col,
+            (
+                2 * (F.sum("n_v").over(w) - F.col("n_v"))
+                + F.col("n_v")
+                + 1
+            )
+            .cast("long")
+            .alias(out),
+        )
+
+    rx = doubled_ranks(lens, "n_chars", "rx2")
+    ry = doubled_ranks(scores, "s_i", "ry2")
+    pairs = (
+        lens.join(scores, "doc_id")
+        .join(rx, "n_chars")
+        .join(ry, "s_i")
+        .select("rx2", "ry2")
+    )
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "n",
+        _floor_round(
+            num / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+from .quality_rules import QUALITY_CLASSIFIER_SQL as _CLS_SQL  # noqa: E402
+
+SPEARMAN_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(floor(score * 10000 + 1e-6) AS BIGINT) AS s_i
+  FROM ({_CLS_SQL.replace(chr(10), chr(10) + '    ')}
+  ) _c
+),
+lens AS (SELECT doc_id, n_chars FROM documents),
+hx AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS n_v FROM lens GROUP BY 1
+),
+rx AS (
+  SELECT n_chars,
+         CAST(2 * (sum(n_v) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_v)
+              + n_v + 1 AS BIGINT) AS rx2
+  FROM hx
+),
+hy AS (
+  SELECT s_i, CAST(count(*) AS BIGINT) AS n_v FROM scored GROUP BY 1
+),
+ry AS (
+  SELECT s_i,
+         CAST(2 * (sum(n_v) OVER (ORDER BY s_i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_v)
+              + n_v + 1 AS BIGINT) AS ry2
+  FROM hy
+),
+pairs AS (
+  SELECT rx.rx2, ry.ry2
+  FROM lens l
+  JOIN scored s ON s.doc_id = l.doc_id
+  JOIN rx ON rx.n_chars = l.n_chars
+  JOIN ry ON ry.s_i = s.s_i
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx2) AS BIGINT) AS sx,
+         CAST(sum(ry2) AS BIGINT) AS sy,
+         CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+         CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+  FROM pairs
+)
+SELECT n,
+       CAST(floor((n * sxy - sx * sy)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS spearman_rho
+FROM agg
+"""
