@@ -932,6 +932,22 @@ QUERIES: Dict[str, QuerySpec] = {
         graphalgo.degree_powerlaw_mle, graphalgo.POWERLAW_SQL,
         "R4-94 Clauset power-law alpha over the degree histogram",
     ),
+    "mannwhitney_segment_prices": QuerySpec(
+        relational.mannwhitney_segment_prices, relational.MANNWHITNEY_SQL,
+        "R4-95 tie-corrected Mann-Whitney U on doubled ranks",
+    ),
+    "winsorized_mean_robust": QuerySpec(
+        relational.winsorized_mean_robust, relational.WINSORIZED_MEAN_SQL,
+        "R4-96 winsorized mean (clamp, don't drop, the tails)",
+    ),
+    "hhi_revenue_concentration": QuerySpec(
+        relational.hhi_revenue_concentration, relational.HHI_SQL,
+        "R4-97 Herfindahl concentration + effective-N per segment",
+    ),
+    "jsd_language_divergence": QuerySpec(
+        textstats.jsd_language_divergence, textstats.JSD_SQL,
+        "R4-98 Jensen-Shannon divergence between language vocabularies",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

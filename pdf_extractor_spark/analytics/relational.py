@@ -4803,3 +4803,382 @@ JOIN mad d ON d.c_mktsegment = f.c_mktsegment
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test, BUILDING vs MACHINERY order totals
+# (R4-95): the nonparametric A/B companion to promo_share_ztest —
+# "does segment A pay more than segment B" without assuming normal
+# prices (heavy-tailed revenue breaks the t-test the same way it
+# breaks mean±3σ, see mad_outlier_flags). EXACT tie-aware
+# construction reusing the R4-91 doubled-rank machinery: the combined
+# sample collapses to a cents-value histogram with per-group counts,
+# one domain-bounded cumulative walk assigns each value its DOUBLED
+# tie-average rank (2·cum − n_v + 1, integral), so the rank sum R_a,
+# U = R_a − n_a(n_a+1)/2 and the tie-correction Σ(t³−t) are all exact
+# BIGINTs; only the final variance/z are doubles (tie sizes t are
+# bounded by the cents DOMAIN, so t³ stays far from overflow even
+# when n does not). Significance compares the FLOORED |z| to 1.96 so
+# a boundary ulp cannot flip the verdict (promo_share_ztest rule).
+# ---------------------------------------------------------------------------
+
+MW_SEG_A = "BUILDING"
+MW_SEG_B = "MACHINERY"
+
+
+def mannwhitney_segment_prices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B))
+        .select(
+            (F.col("c_mktsegment") == MW_SEG_A).alias("is_a"),
+            F.floor(F.col("o_totalprice") * 100 + 1e-6)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    hist = cents.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a_v"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
+        "n_a_v",
+        "n_b_v",
+        (F.col("n_a_v") + F.col("n_b_v")).alias("n_v"),
+        (
+            2 * F.sum(F.col("n_a_v") + F.col("n_b_v")).over(w)
+            - (F.col("n_a_v") + F.col("n_b_v"))
+            + 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("n_a_v").cast("long").alias("n_a"),
+        F.sum("n_b_v").cast("long").alias("n_b"),
+        F.sum(F.col("n_a_v") * F.col("r2")).cast("long").alias("ra2"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    u_a2 = F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / 12.0
+        * ((n + 1) - F.col("tie_sum").cast("double") / (n * (n - 1)))
+    )
+    z = (u_a2 - F.col("n_a") * F.col("n_b")).cast("double") / (
+        2.0 * F.sqrt(var)
+    )
+    zf = floor_round(F.abs(z), 4)
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u_a2.cast("double") / 2.0).alias("u_stat"),
+        "tie_sum",
+        floor_round(z, 4).alias("z_score"),
+        (zf >= ZTEST_CRIT).alias("significant"),
+    )
+
+
+MANNWHITNEY_SQL = f"""
+WITH cents AS (
+  SELECT c.c_mktsegment = '{MW_SEG_A}' AS is_a,
+         CAST(floor(o.o_totalprice * 100 + 1e-6) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+),
+hist AS (
+  SELECT v,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a_v,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b_v
+  FROM cents GROUP BY 1
+),
+ranked AS (
+  SELECT n_a_v, n_b_v, n_a_v + n_b_v AS n_v,
+         CAST(2 * sum(n_a_v + n_b_v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - (n_a_v + n_b_v) + 1 AS BIGINT) AS r2
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(n_a_v) AS BIGINT) AS n_a,
+         CAST(sum(n_b_v) AS BIGINT) AS n_b,
+         CAST(sum(n_a_v * r2) AS BIGINT) AS ra2,
+         CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum
+  FROM ranked
+),
+st AS (
+  SELECT n_a, n_b, ra2, tie_sum,
+         ra2 - n_a * (n_a + 1) AS u_a2,
+         CAST(n_a + n_b AS DOUBLE) AS n,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((CAST(n_a + n_b AS DOUBLE) + 1)
+              - CAST(tie_sum AS DOUBLE)
+                / (CAST(n_a + n_b AS DOUBLE)
+                   * (CAST(n_a + n_b AS DOUBLE) - 1))) AS var
+  FROM agg
+)
+SELECT n_a, n_b,
+       CAST(u_a2 AS DOUBLE) / 2.0 AS u_stat,
+       tie_sum,
+       CAST(floor(CAST(u_a2 - n_a * n_b AS DOUBLE) / (2.0 * sqrt(var))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS z_score,
+       CAST(floor(abs(CAST(u_a2 - n_a * n_b AS DOUBLE) / (2.0 * sqrt(var)))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE)
+         >= {ZTEST_CRIT} AS significant
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean per market segment (R4-96): the third robust
+# location estimate next to trimmed_mean_robust and mad_outlier_flags
+# — instead of DROPPING the k most extreme values per side (trim), it
+# CLAMPS them to the (k+1)-th smallest / (n−k)-th largest value, so n
+# stays constant and the estimate is less variable than the trim on
+# small groups. Same exact-histogram construction: the kept middle
+# contributes cents·overlap([k+1, n−k]) like the trim, and the two
+# clamp values are picked with the nearest-rank min(CASE) probe the
+# exact-median family uses — winsorized sum = kept + k·v_lo + k·v_hi,
+# exact integer cents end to end, ONE floored division per output.
+# ---------------------------------------------------------------------------
+
+
+def winsorized_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100 + 1e-6)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    hist = cents.groupBy("c_mktsegment", "cents").agg(
+        F.count("*").cast("long").alias("n_v")
+    )
+    tot = hist.groupBy("c_mktsegment").agg(
+        F.sum("n_v").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "c_mktsegment",
+        "cents",
+        "n_v",
+        F.sum("n_v").over(w).cast("long").alias("cum"),
+    ).join(tot, "c_mktsegment")
+    k = F.floor(F.col("n") * TRIM_PCT_NUM / TRIM_PCT_DEN).cast("long")
+    lo_rank = F.col("cum") - F.col("n_v") + 1
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(lo_rank, k + 1)
+        + 1,
+    )
+    covers = lambda r: (lo_rank <= r) & (r <= F.col("cum"))  # noqa: E731
+    per_seg = (
+        cum.withColumn("k", k)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.max("k").cast("long").alias("win_k"),
+            F.sum(ov * F.col("cents")).cast("long").alias("sum_kept"),
+            F.min(F.when(covers(k + 1), F.col("cents")))
+            .cast("long")
+            .alias("v_lo"),
+            F.min(F.when(covers(F.col("n") - k), F.col("cents")))
+            .cast("long")
+            .alias("v_hi"),
+        )
+    )
+    return per_seg.select(
+        "c_mktsegment",
+        "n_orders",
+        "win_k",
+        (F.col("v_lo") / 100.0).alias("clamp_lo"),
+        (F.col("v_hi") / 100.0).alias("clamp_hi"),
+        floor_round(
+            (
+                F.col("sum_kept")
+                + F.col("win_k") * (F.col("v_lo") + F.col("v_hi"))
+            )
+            / (100.0 * F.col("n_orders")),
+            4,
+        ).alias("winsorized_mean"),
+    ).orderBy("c_mktsegment")
+
+
+WINSORIZED_MEAN_SQL = f"""
+WITH cents AS (
+  SELECT c.c_mktsegment,
+         CAST(floor(o.o_totalprice * 100 + 1e-6) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+hist AS (
+  SELECT c_mktsegment, cents, CAST(count(*) AS BIGINT) AS n_v
+  FROM cents GROUP BY 1, 2
+),
+tot AS (
+  SELECT c_mktsegment, CAST(sum(n_v) AS BIGINT) AS n FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT h.c_mktsegment, h.cents, h.n_v, t.n,
+         CAST(sum(h.n_v) OVER (PARTITION BY h.c_mktsegment ORDER BY h.cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(floor(t.n * {TRIM_PCT_NUM} / {TRIM_PCT_DEN}.0) AS BIGINT) AS k
+  FROM hist h JOIN tot t ON t.c_mktsegment = h.c_mktsegment
+),
+per_seg AS (
+  SELECT c_mktsegment,
+         max(n) AS n_orders,
+         max(k) AS win_k,
+         CAST(sum(greatest(CAST(0 AS BIGINT),
+                           least(cum, n - k)
+                           - greatest(cum - n_v + 1, k + 1) + 1)
+                  * cents) AS BIGINT) AS sum_kept,
+         CAST(min(CASE WHEN cum - n_v + 1 <= k + 1 AND k + 1 <= cum
+                       THEN cents END) AS BIGINT) AS v_lo,
+         CAST(min(CASE WHEN cum - n_v + 1 <= n - k AND n - k <= cum
+                       THEN cents END) AS BIGINT) AS v_hi
+  FROM cum GROUP BY 1
+)
+SELECT c_mktsegment,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(win_k AS BIGINT) AS win_k,
+       v_lo / 100.0 AS clamp_lo,
+       v_hi / 100.0 AS clamp_hi,
+       CAST(floor((sum_kept + win_k * (v_lo + v_hi))
+                  / (100.0 * n_orders) * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS winsorized_mean
+FROM per_seg
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman revenue concentration per market segment
+# (R4-97): the antitrust-style concentration index that complements
+# gini_revenue_concentration — HHI = Σ share_i² over per-customer
+# revenue shares answers "is this segment's revenue a few whales or a
+# broad base", and its reciprocal is the EFFECTIVE number of
+# customers. Exactness: per-customer revenue is exact integer cents;
+# each share is FLOORED to 1e-6 fixed point FIRST (one exact-rounded
+# division + floor), so Σ share6² is an exact BIGINT sum — never a
+# float accumulation whose value depends on partition order (Σ share6
+# ≤ 1e6 bounds every square far from overflow). One two-key hash agg,
+# one per-segment hash agg; no window, no collect.
+# ---------------------------------------------------------------------------
+
+HHI_CONCENTRATED = 0.25  # DOJ "highly concentrated" threshold
+
+
+def hhi_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    seg_tot = per_cust.groupBy("c_mktsegment").agg(
+        F.sum("rev").cast("long").alias("seg_rev")
+    )
+    sh = per_cust.join(seg_tot, "c_mktsegment").select(
+        "c_mktsegment",
+        F.floor(
+            F.col("rev").cast("double") / F.col("seg_rev") * 1000000
+            + 1e-6
+        )
+        .cast("long")
+        .alias("sh6"),
+    )
+    agg = sh.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("sh6") * F.col("sh6")).cast("long").alias("hhi12"),
+        F.max("sh6").cast("long").alias("top6"),
+    )
+    hhi = F.col("hhi12").cast("double") / 1e12
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        floor_round(hhi, 6).alias("hhi"),
+        floor_round(F.col("top6").cast("double") / 1e6, 6).alias(
+            "top_share"
+        ),
+        floor_round(1e12 / F.col("hhi12"), 4).alias("effective_n"),
+        (floor_round(hhi, 6) > HHI_CONCENTRATED).alias("concentrated"),
+    ).orderBy("c_mktsegment")
+
+
+HHI_SQL = f"""
+WITH per_cust AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT c_mktsegment, CAST(sum(rev) AS BIGINT) AS seg_rev
+  FROM per_cust GROUP BY 1
+),
+sh AS (
+  SELECT p.c_mktsegment,
+         CAST(floor(CAST(p.rev AS DOUBLE) / s.seg_rev * 1000000 + 1e-6)
+              AS BIGINT) AS sh6
+  FROM per_cust p JOIN seg s ON s.c_mktsegment = p.c_mktsegment
+),
+agg AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(sh6 * sh6) AS BIGINT) AS hhi12,
+         CAST(max(sh6) AS BIGINT) AS top6
+  FROM sh GROUP BY 1
+)
+SELECT c_mktsegment, n_customers,
+       CAST(floor(hhi12 / 1e12 * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS hhi,
+       CAST(floor(top6 / 1e6 * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS top_share,
+       CAST(floor(1e12 / hhi12 * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS effective_n,
+       CAST(floor(hhi12 / 1e12 * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         > {HHI_CONCENTRATED} AS concentrated
+FROM agg
+ORDER BY c_mktsegment
+"""

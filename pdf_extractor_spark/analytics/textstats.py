@@ -2994,3 +2994,127 @@ SELECT n,
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS spearman_rho
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between two language token distributions
+# (R4-98): the SYMMETRIC, bounded companion to corpus_drift_kl — JSD
+# needs no smoothing (the mixture M = (P+Q)/2 is positive wherever
+# either side is), lives in [0, 1] with log2, and its square root is a
+# metric, which makes it the number corpora compare ACROSS pairs
+# (en-vs-fr vs en-vs-de) where KL's asymmetry and unboundedness
+# mislead. Exactness: per-term counts and totals are BIGINT; each
+# mixture ratio 2·c_a·n_b / (c_a·n_b + c_b·n_a) is ONE division of
+# exact BIGINT products (so p/m needs no float intermediate); each
+# term p·log2(r) is floored to 1e-8 fixed point PER TERM and summed as
+# BIGINT — never a float accumulation whose value depends on partition
+# order (the R4-94 sum_ln_i rule). Scale shape: explode → one term
+# hash agg (map-side combined), a 1-row totals broadcast, one final
+# 1-row aggregate; the vocabulary is never collected.
+# ---------------------------------------------------------------------------
+
+JSD_LANG_A = "en"
+JSD_LANG_B = "fr"
+
+
+def jsd_language_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(JSD_LANG_A, JSD_LANG_B)
+    )
+    terms = (
+        docs.select(
+            (F.col("lang") == JSD_LANG_A).alias("is_a"),
+            F.explode(_tokens()).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_b"),
+        )
+    )
+    totals = terms.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    st = terms.crossJoin(F.broadcast(totals))
+    mix_den = (
+        F.col("c_a") * F.col("n_b") + F.col("c_b") * F.col("n_a")
+    ).cast("double")
+    p = F.col("c_a").cast("double") / F.col("n_a")
+    q = F.col("c_b").cast("double") / F.col("n_b")
+    r_a = (2 * F.col("c_a") * F.col("n_b")).cast("double") / mix_den
+    r_b = (2 * F.col("c_b") * F.col("n_a")).cast("double") / mix_den
+    t_a = F.when(
+        F.col("c_a") > 0,
+        F.floor(p * F.log2(r_a) * 100000000 + 1e-6).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    t_b = F.when(
+        F.col("c_b") > 0,
+        F.floor(q * F.log2(r_b) * 100000000 + 1e-6).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = st.agg(
+        F.max("n_a").alias("n_tokens_a"),
+        F.max("n_b").alias("n_tokens_b"),
+        F.max("vocab").alias("vocab"),
+        F.sum(t_a).cast("long").alias("sum_a8"),
+        F.sum(t_b).cast("long").alias("sum_b8"),
+    )
+    jsd = (F.col("sum_a8") + F.col("sum_b8")).cast("double") / 2e8
+    return agg.select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "vocab",
+        "sum_a8",
+        "sum_b8",
+        _floor_round(jsd, 6).alias("jsd_bits"),
+    )
+
+
+JSD_SQL = rf"""
+WITH terms AS (
+  SELECT term,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+  FROM (
+    SELECT lang = '{JSD_LANG_A}' AS is_a,
+           unnest(string_split_regex(text, '\s+')) AS term
+    FROM documents WHERE lang IN ('{JSD_LANG_A}', '{JSD_LANG_B}')
+  )
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         CAST(sum(c_b) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM terms
+),
+scored AS (
+  SELECT t.c_a, t.c_b, x.n_a, x.n_b, x.vocab,
+         CASE WHEN t.c_a > 0 THEN CAST(floor(
+           (CAST(t.c_a AS DOUBLE) / x.n_a)
+           * log2(CAST(2 * t.c_a * x.n_b AS DOUBLE)
+                  / CAST(t.c_a * x.n_b + t.c_b * x.n_a AS DOUBLE))
+           * 100000000 + 1e-6) AS BIGINT) ELSE 0 END AS t_a,
+         CASE WHEN t.c_b > 0 THEN CAST(floor(
+           (CAST(t.c_b AS DOUBLE) / x.n_b)
+           * log2(CAST(2 * t.c_b * x.n_a AS DOUBLE)
+                  / CAST(t.c_a * x.n_b + t.c_b * x.n_a AS DOUBLE))
+           * 100000000 + 1e-6) AS BIGINT) ELSE 0 END AS t_b
+  FROM terms t, tot x
+)
+SELECT max(n_a) AS n_tokens_a,
+       max(n_b) AS n_tokens_b,
+       max(vocab) AS vocab,
+       CAST(sum(t_a) AS BIGINT) AS sum_a8,
+       CAST(sum(t_b) AS BIGINT) AS sum_b8,
+       CAST(floor(CAST(sum(t_a) + sum(t_b) AS DOUBLE) / 2e8
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS jsd_bits
+FROM scored
+"""
