@@ -948,6 +948,22 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.jsd_language_divergence, textstats.JSD_SQL,
         "R4-98 Jensen-Shannon divergence between language vocabularies",
     ),
+    "mutual_info_lang_source": QuerySpec(
+        textstats.mutual_info_lang_source, textstats.MUTUAL_INFO_SQL,
+        "R4-99 MI + entropies over the chi2 contingency table",
+    ),
+    "theil_sen_daily_revenue": QuerySpec(
+        relational.theil_sen_daily_revenue, relational.THEIL_SEN_SQL,
+        "R4-100 robust pairwise-slope median vs the OLS line",
+    ),
+    "cusum_change_point": QuerySpec(
+        relational.cusum_change_point, relational.CUSUM_SQL,
+        "R4-101 exact integer CUSUM level-shift detector",
+    ),
+    "vocab_coverage_curve": QuerySpec(
+        textstats.vocab_coverage_curve, textstats.VOCAB_COVERAGE_SQL,
+        "R4-102 head-mass coverage at K = 100/1k/10k types",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

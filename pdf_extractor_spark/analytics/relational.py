@@ -5182,3 +5182,283 @@ SELECT c_mktsegment, n_customers,
 FROM agg
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend slope over daily order revenue (R4-100): the
+# median of all pairwise day-to-day slopes — the robust replacement
+# for daily_trend_anomaly's OLS line (one flash-sale day drags an OLS
+# slope arbitrarily; Theil-Sen tolerates ~29% contamination). The
+# pairwise self-join runs on the CALENDAR-BOUNDED daily aggregate
+# (days², not rows² — the R4-58 rule; the TPC-H calendar is ~2.4k
+# days, a few million pairs at any corpus size). Each slope is one
+# exact-rounded division of BIGINT cent/day deltas, FLOORED to 1e-4
+# fixed point so the slope multiset is integral, and the median is the
+# exact-histogram doubled nearest-rank walk (R4-35) over the slope
+# DOMAIN. Output also carries the OLS slope computed on the same
+# daily table so the robust-vs-classical gap is the report; the OLS
+# moments run on WHOLE-CURRENCY daily revenue (floor(cents/100), an
+# exact integer) because the n·Σxy / Σx·Σy cross-products at cent
+# scale overflow BIGINT once the corpus fills the TPC-H calendar —
+# dropping the two exactness-free decimal digits keeps every moment
+# far inside 2^63 at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("day", F.col("o_orderdate"))
+            .cast("date")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("long").alias("x"), "cents"
+    )
+    a, b = xy.alias("a"), xy.alias("b")
+    slopes = (
+        a.join(b, F.col("a.x") < F.col("b.x"))
+        .select(
+            F.floor(
+                (F.col("b.cents") - F.col("a.cents")).cast("double")
+                / (F.col("b.x") - F.col("a.x"))
+                * 10000
+                + 1e-6
+            )
+            .cast("long")
+            .alias("s4")
+        )
+    )
+    hist = slopes.groupBy("s4").agg(
+        F.count("*").cast("long").alias("n_v")
+    )
+    tot = hist.agg(F.sum("n_v").cast("long").alias("n_pairs"))
+    w = Window.orderBy("s4").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "s4", "n_v", F.sum("n_v").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    lo = F.floor((F.col("n_pairs") + 1) / 2).cast("long")
+    hi = F.ceil((F.col("n_pairs") + 1) / 2).cast("long")
+    med = cum.agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("n_v") + 1 <= lo)
+                & (lo <= F.col("cum")),
+                F.col("s4"),
+            )
+        ).alias("v_lo"),
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("n_v") + 1 <= hi)
+                & (hi <= F.col("cum")),
+                F.col("s4"),
+            )
+        ).alias("v_hi"),
+    )
+    xyu = xy.select(
+        "x",
+        F.floor(F.col("cents") / 100.0).cast("long").alias("y"),
+    )
+    ols = xyu.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    ols_slope = (
+        F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast(
+        "double"
+    )
+    return ols.crossJoin(F.broadcast(med)).select(
+        "n_days",
+        "n_pairs",
+        floor_round(
+            (F.col("v_lo") + F.col("v_hi")).cast("double") / 20000.0
+            / 100.0,
+            4,
+        ).alias("theil_sen_slope"),
+        floor_round(ols_slope, 4).alias("ols_slope"),
+    )
+
+
+THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+xy AS (
+  SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS BIGINT)
+           AS x,
+         cents
+  FROM daily
+),
+slopes AS (
+  SELECT CAST(floor(CAST(b.cents - a.cents AS DOUBLE) / (b.x - a.x)
+                    * 10000 + 1e-6) AS BIGINT) AS s4
+  FROM xy a JOIN xy b ON a.x < b.x
+),
+hist AS (
+  SELECT s4, CAST(count(*) AS BIGINT) AS n_v FROM slopes GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n_pairs FROM hist),
+cum AS (
+  SELECT s4, n_v,
+         CAST(sum(n_v) OVER (ORDER BY s4
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         t.n_pairs,
+         CAST(floor((t.n_pairs + 1) / 2.0) AS BIGINT) AS lo,
+         CAST(ceil((t.n_pairs + 1) / 2.0) AS BIGINT) AS hi
+  FROM hist, tot t
+),
+med AS (
+  SELECT max(n_pairs) AS n_pairs,
+         min(CASE WHEN cum - n_v + 1 <= lo AND lo <= cum THEN s4 END)
+           AS v_lo,
+         min(CASE WHEN cum - n_v + 1 <= hi AND hi <= cum THEN s4 END)
+           AS v_hi
+  FROM cum
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM (SELECT x, CAST(floor(cents / 100.0) AS BIGINT) AS y FROM xy)
+)
+SELECT n_days, n_pairs,
+       CAST(floor(CAST(v_lo + v_hi AS DOUBLE) / 20000.0 / 100.0
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS theil_sen_slope,
+       CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                  / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS ols_slope
+FROM ols, med
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection on daily order revenue (R4-101): the
+# classic "did the level shift, and when" monitor a continuously-
+# ingested pipeline runs on its daily volume — the peak of the
+# cumulative deviation-from-mean curve marks the most likely change
+# day (Page 1954 / Pettitt's location). EXACT arithmetic throughout:
+# with S = Σ cents over D days, the CUSUM at day k scaled by D is
+# D·prefix_k − k_idx·S — an exact BIGINT (no μ division ever
+# happens); the peak is max |·| with (day ASC) tie-break, and only
+# the final report divides by D·100 for currency units. One
+# calendar-bounded prefix window; TakeOrdered(1) for the peak.
+# ---------------------------------------------------------------------------
+
+
+def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("day", F.col("o_orderdate"))
+            .cast("date")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("s_total"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cur = daily.select(
+        "d",
+        F.sum("cents").over(w).cast("long").alias("prefix"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("k"),
+    ).crossJoin(F.broadcast(tot))
+    cus_d = F.col("n_days") * F.col("prefix") - F.col("k") * F.col(
+        "s_total"
+    )
+    scored = cur.select(
+        "d",
+        "k",
+        "n_days",
+        cus_d.alias("cus_d"),
+        F.abs(cus_d).alias("abs_d"),
+    )
+    return (
+        scored.orderBy(F.desc("abs_d"), F.asc("d"))
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.col("k").alias("day_index"),
+            "n_days",
+            floor_round(
+                F.col("cus_d").cast("double")
+                / (F.col("n_days") * 100).cast("double"),
+                2,
+            ).alias("cusum_peak"),
+            (F.col("cus_d") > 0).alias("level_drop_after"),
+        )
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS s_total
+  FROM daily
+),
+cur AS (
+  SELECT d,
+         CAST(sum(cents) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS prefix,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+  FROM daily
+),
+scored AS (
+  SELECT d, k, t.n_days,
+         t.n_days * prefix - k * t.s_total AS cus_d
+  FROM cur, tot t
+)
+SELECT strftime(d, '%Y-%m-%d') AS change_day,
+       k AS day_index,
+       n_days,
+       CAST(floor(CAST(cus_d AS DOUBLE) / (n_days * 100.0)
+                  * 100 + 1e-6) / 100 AS DOUBLE) AS cusum_peak,
+       cus_d > 0 AS level_drop_after
+FROM scored
+ORDER BY abs(cus_d) DESC, d ASC
+LIMIT 1
+"""

@@ -3118,3 +3118,237 @@ SELECT max(n_a) AS n_tokens_a,
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS jsd_bits
 FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# Mutual information + entropies, language × source (R4-99): the
+# information-theoretic companion to chi2_lang_source over the SAME
+# contingency table — chi² answers "is the deviation from independence
+# statistically surprising", MI answers "how many BITS does knowing
+# the source tell you about the language", and the normalized ratio
+# MI / min(H_lang, H_source) is comparable across corpora. Exactness:
+# every cell/margin count is BIGINT; each MI term's log argument
+# n·n_ij/(rt_i·ct_j) is ONE division of exact BIGINT products, each
+# term p·log2(·) floored to 1e-8 fixed point PER CELL and summed as
+# BIGINT (the R4-94/98 rule; zero cells contribute exactly 0 and are
+# skipped, the MI convention); both entropies are built the same way
+# over their dimension-bounded margins. Scale shape: one corpus hash
+# agg for cells, two dimension aggs, 1-row broadcast totals.
+# ---------------------------------------------------------------------------
+
+
+def mutual_info_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_ij")
+    )
+    rowt = docs.groupBy("lang").agg(F.count("*").cast("long").alias("rt"))
+    colt = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("ct")
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("n"))
+
+    def h8(margin: DataFrame, cnt: str) -> DataFrame:
+        t = (
+            margin.crossJoin(F.broadcast(tot))
+            .select(
+                F.floor(
+                    -(F.col(cnt).cast("double") / F.col("n"))
+                    * F.log2(F.col(cnt).cast("double") / F.col("n"))
+                    * 100000000
+                    + 1e-6
+                )
+                .cast("long")
+                .alias("t8")
+            )
+        )
+        return t.agg(F.sum("t8").cast("long").alias("h8"))
+
+    mi_terms = (
+        cells.join(rowt, "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("n_ij").cast("double") / F.col("n"))
+                * F.log2(
+                    (F.col("n") * F.col("n_ij")).cast("double")
+                    / (F.col("rt") * F.col("ct")).cast("double")
+                )
+                * 100000000
+                + 1e-6
+            )
+            .cast("long")
+            .alias("t8")
+        )
+    )
+    mi = mi_terms.agg(F.sum("t8").cast("long").alias("mi8"))
+    hl = h8(rowt, "rt").select(F.col("h8").alias("hl8"))
+    hs = h8(colt, "ct").select(F.col("h8").alias("hs8"))
+    out = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+    )
+    hmin = F.least("hl8", "hs8").cast("double")
+    return out.select(
+        "n",
+        _floor_round(F.col("mi8").cast("double") / 1e8, 6).alias(
+            "mi_bits"
+        ),
+        _floor_round(F.col("hl8").cast("double") / 1e8, 6).alias(
+            "h_lang_bits"
+        ),
+        _floor_round(F.col("hs8").cast("double") / 1e8, 6).alias(
+            "h_source_bits"
+        ),
+        _floor_round(F.col("mi8").cast("double") / hmin, 6).alias(
+            "normalized_mi"
+        ),
+    )
+
+
+MUTUAL_INFO_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ij
+  FROM documents GROUP BY 1, 2
+),
+rowt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS rt FROM documents GROUP BY 1
+),
+colt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ct FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+mi AS (
+  SELECT CAST(sum(CAST(floor(
+           (CAST(x.n_ij AS DOUBLE) / t.n)
+           * log2(CAST(t.n * x.n_ij AS DOUBLE)
+                  / CAST(r.rt * c.ct AS DOUBLE))
+           * 100000000 + 1e-6) AS BIGINT)) AS BIGINT) AS mi8
+  FROM cells x
+  JOIN rowt r ON r.lang = x.lang
+  JOIN colt c ON c.source = x.source, tot t
+),
+hl AS (
+  SELECT CAST(sum(CAST(floor(
+           -(CAST(rt AS DOUBLE) / t.n) * log2(CAST(rt AS DOUBLE) / t.n)
+           * 100000000 + 1e-6) AS BIGINT)) AS BIGINT) AS hl8
+  FROM rowt, tot t
+),
+hs AS (
+  SELECT CAST(sum(CAST(floor(
+           -(CAST(ct AS DOUBLE) / t.n) * log2(CAST(ct AS DOUBLE) / t.n)
+           * 100000000 + 1e-6) AS BIGINT)) AS BIGINT) AS hs8
+  FROM colt, tot t
+)
+SELECT t.n,
+       CAST(floor(mi8 / 1e8 * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS mi_bits,
+       CAST(floor(hl8 / 1e8 * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS h_lang_bits,
+       CAST(floor(hs8 / 1e8 * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS h_source_bits,
+       CAST(floor(CAST(mi8 AS DOUBLE) / least(hl8, hs8)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS normalized_mi
+FROM tot t, mi, hl, hs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (R4-102): what fraction of all token
+# OCCURRENCES the top-K most frequent types cover, at K = 100 / 1,000
+# / 10,000 — the statistic that sizes a tokenizer vocabulary (BPE
+# budgeting) and complements Heaps (type growth) / Zipf (rank decay) /
+# hapax (tail mass) with the head-mass view. The vocabulary collapses
+# to a (term, tf) table; only the top max-K types enter the ranking
+# window (TakeOrdered bounds it — the zipf_rank_frequency rule), with
+# (tf DESC, term ASC) making rank deterministic under tf ties; the
+# grid row for each K sums the covered BIGINT occurrences exactly and
+# pays ONE floored division against the corpus-wide token total.
+# ---------------------------------------------------------------------------
+
+COVERAGE_KS = [100, 1000, 10000]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    tot = tf.agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    top = tf.orderBy(F.desc("tf"), F.asc("term")).limit(max(COVERAGE_KS))
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("term"))),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in COVERAGE_KS], "k long"
+    )
+    per_k = (
+        ranked.crossJoin(F.broadcast(ks))
+        .where(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_types_at_k"),
+            F.sum("tf").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        per_k.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_types_at_k",
+            "covered_tokens",
+            "n_tokens",
+            "n_types",
+            _floor_round(
+                F.col("covered_tokens").cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH tf AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM tf
+),
+ranked AS (
+  SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+  FROM tf ORDER BY tf DESC, term ASC LIMIT {max(COVERAGE_KS)}
+),
+ks AS (SELECT unnest([{', '.join(str(k) for k in COVERAGE_KS)}]) AS k),
+per_k AS (
+  SELECT ks.k,
+         CAST(count(*) AS BIGINT) AS n_types_at_k,
+         CAST(sum(r.tf) AS BIGINT) AS covered_tokens
+  FROM ranked r JOIN ks ON r.rank <= ks.k
+  GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k, n_types_at_k, covered_tokens,
+       t.n_tokens, t.n_types,
+       CAST(floor(CAST(covered_tokens AS DOUBLE) / t.n_tokens
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS coverage
+FROM per_k, tot t
+ORDER BY k
+"""
