@@ -964,6 +964,22 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.vocab_coverage_curve, textstats.VOCAB_COVERAGE_SQL,
         "R4-102 head-mass coverage at K = 100/1k/10k types",
     ),
+    "kendall_tau_len_quality": QuerySpec(
+        textstats.kendall_tau_len_quality, textstats.KENDALL_SQL,
+        "R4-103 tau-b concordance over the decile grid",
+    ),
+    "qq_length_drift": QuerySpec(
+        textstats.qq_length_drift, textstats.QQ_DRIFT_SQL,
+        "R4-104 per-decile QQ gap between crawl waves",
+    ),
+    "gumbel_monthly_peak_fit": QuerySpec(
+        relational.gumbel_monthly_peak_fit, relational.GUMBEL_SQL,
+        "R4-105 extreme-value MoM fit on monthly peak revenue",
+    ),
+    "lorenz_curve_revenue": QuerySpec(
+        relational.lorenz_curve_revenue, relational.LORENZ_SQL,
+        "R4-106 bottom-p%% revenue share curve points",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -5462,3 +5462,225 @@ FROM scored
 ORDER BY abs(cus_d) DESC, d ASC
 LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Gumbel tail fit on monthly revenue maxima (R4-105): the
+# extreme-value companion to the robust-location family — capacity
+# planning asks "how big can a PEAK day get", which is a block-maxima
+# question the Gumbel domain answers (Fisher-Tippett for light-tailed
+# daily sums). Method-of-moments fit (closed form, engine-exact
+# inputs): block = calendar month, maxima in exact whole-currency
+# units, mean/variance from BIGINT Σy and m·Σy² − (Σy)² (far inside
+# 2^63 at month granularity), then β = s·√6/π, μ = x̄ − γ·β, and the
+# exceedance probability at the defined stress threshold T = 1.5·x̄:
+# 1 − exp(−exp(−(T−μ)/β)). One calendar-bounded hash agg per level;
+# the only doubles are the three closed-form expressions.
+# ---------------------------------------------------------------------------
+
+EULER_GAMMA = 0.5772156649015329
+GUMBEL_STRESS_MULT = 1.5
+
+
+def gumbel_monthly_peak_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("day", F.col("o_orderdate"))
+            .cast("date")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", "d").alias("mth"))
+        .agg(F.max("cents").alias("max_cents"))
+        .select(
+            F.floor(F.col("max_cents") / 100.0).cast("long").alias("y")
+        )
+    )
+    agg = monthly.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("m")
+    var = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("m").cast("double") * (F.col("m") - 1))
+    beta = F.sqrt(var * 6.0) / math.pi
+    mu = mean - EULER_GAMMA * beta
+    t = GUMBEL_STRESS_MULT * mean
+    p_exceed = 1.0 - F.exp(-F.exp(-(t - mu) / beta))
+    return agg.select(
+        "m",
+        floor_round(mean, 2).alias("mean_peak"),
+        floor_round(beta, 4).alias("gumbel_beta"),
+        floor_round(mu, 4).alias("gumbel_mu"),
+        floor_round(t, 2).alias("stress_level"),
+        floor_round(p_exceed, 6).alias("p_exceed_stress"),
+    )
+
+
+GUMBEL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+monthly AS (
+  SELECT CAST(floor(max(cents) / 100.0) AS BIGINT) AS y
+  FROM daily GROUP BY date_trunc('month', d)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM monthly
+),
+fit AS (
+  SELECT m, CAST(sy AS DOUBLE) / m AS mean,
+         sqrt(CAST(m * syy - sy * sy AS DOUBLE)
+              / (CAST(m AS DOUBLE) * (m - 1)) * 6.0) / pi() AS beta
+  FROM agg
+)
+SELECT m,
+       CAST(floor(mean * 100 + 1e-6) / 100 AS DOUBLE) AS mean_peak,
+       CAST(floor(beta * 10000 + 1e-6) / 10000 AS DOUBLE) AS gumbel_beta,
+       CAST(floor((mean - {EULER_GAMMA!r} * beta) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS gumbel_mu,
+       CAST(floor({GUMBEL_STRESS_MULT} * mean * 100 + 1e-6) / 100
+            AS DOUBLE) AS stress_level,
+       CAST(floor((1.0 - exp(-exp(-({GUMBEL_STRESS_MULT} * mean
+                                    - (mean - {EULER_GAMMA!r} * beta))
+                                  / beta)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS p_exceed_stress
+FROM fit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve points over per-customer revenue (R4-106): the CURVE
+# whose enclosed area gini_revenue_concentration and whose squared
+# heights hhi_revenue_concentration summarize — ten (p, cumulative
+# revenue share) points say "the bottom p% of customers carry s% of
+# revenue" directly, which is the number a mix-rebalancing decision
+# reads. Exactness: per-customer cents are BIGINT; the bottom-r mass
+# at each decile rank r = floor(p·n/10) is the rank-span overlap sum
+# over the revenue-VALUE histogram (the trimmed-mean construction —
+# ascending-revenue order with ties collapsed, never a per-customer
+# window), ONE floored division per point. Monotone convex by
+# construction; the unit pins both.
+# ---------------------------------------------------------------------------
+
+
+def lorenz_curve_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    hist = per_cust.groupBy("rev").agg(
+        F.count("*").cast("long").alias("n_v")
+    )
+    tot = hist.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum(F.col("n_v") * F.col("rev")).cast("long").alias("total"),
+    )
+    w = Window.orderBy("rev").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "rev", "n_v", F.sum("n_v").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    ps = spark.createDataFrame(
+        [(p,) for p in range(10, 101, 10)], "p long"
+    )
+    r = F.floor(F.col("p") * F.col("n") / 100.0).cast("long")
+    lo_rank = F.col("cum") - F.col("n_v") + 1
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), r) - lo_rank + 1,
+    )
+    per_p = (
+        cum.crossJoin(F.broadcast(ps))
+        .groupBy("p")
+        .agg(
+            F.max(r).cast("long").alias("n_bottom"),
+            F.sum(ov * F.col("rev")).cast("long").alias("cum_cents"),
+            F.max("total").alias("total"),
+            F.max("n").cast("long").alias("n_customers"),
+        )
+    )
+    return per_p.select(
+        "p",
+        "n_customers",
+        "n_bottom",
+        "cum_cents",
+        floor_round(
+            F.col("cum_cents").cast("double") / F.col("total"), 6
+        ).alias("cum_share"),
+    ).orderBy("p")
+
+
+LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+hist AS (
+  SELECT rev, CAST(count(*) AS BIGINT) AS n_v FROM per_cust GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_v) AS BIGINT) AS n,
+         CAST(sum(n_v * rev) AS BIGINT) AS total
+  FROM hist
+),
+cum AS (
+  SELECT rev, n_v,
+         CAST(sum(n_v) OVER (ORDER BY rev
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         t.n, t.total
+  FROM hist, tot t
+),
+ps AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90, 100]) AS p),
+per_p AS (
+  SELECT ps.p,
+         CAST(max(CAST(floor(ps.p * c.n / 100.0) AS BIGINT)) AS BIGINT)
+           AS n_bottom,
+         CAST(sum(greatest(CAST(0 AS BIGINT),
+                  least(c.cum, CAST(floor(ps.p * c.n / 100.0) AS BIGINT))
+                  - (c.cum - c.n_v + 1) + 1) * c.rev) AS BIGINT)
+           AS cum_cents,
+         max(c.total) AS total,
+         max(c.n) AS n_customers
+  FROM cum c CROSS JOIN ps
+  GROUP BY 1
+)
+SELECT CAST(p AS BIGINT) AS p,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       n_bottom, cum_cents,
+       CAST(floor(CAST(cum_cents AS DOUBLE) / total * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS cum_share
+FROM per_p
+ORDER BY p
+"""

@@ -3352,3 +3352,326 @@ SELECT CAST(k AS BIGINT) AS k, n_types_at_k, covered_tokens,
 FROM per_k, tot t
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b on the length × quality decile grid (R4-103):
+# completes the correlation trio — Pearson (linear), Spearman
+# (monotonic on exact ranks, R4-91), Kendall (pairwise concordance,
+# the most outlier-proof of the three and the one with a direct
+# probabilistic reading: P(concordant) − P(discordant)). Exact at
+# scale by BUCKETING first: both variables map to deciles via
+# ntile(10) with a doc_id tie-break (deterministic total order in
+# both engines), the corpus collapses to a ≤10×10 contingency grid,
+# and concordant/discordant/tied pair counts are exact-BIGINT sums
+# over the grid's ≤10k CELL PAIRS (never the corpus's row pairs —
+# the R4-100 domain² rule). tau-b's tie correction handles the mass
+# ties bucketing creates; the only doubles are the two final sqrt
+# factors. The bucket rank is NOT ntile (a corpus-sized global
+# window): it is cum_before(value) from the value histogram plus a
+# row_number PARTITIONED BY the tied value (state bounded by the
+# largest tie group), so dx = (rank−1)·B div n — the same closed
+# formula in both engines, no single-partition window anywhere.
+# ---------------------------------------------------------------------------
+
+KENDALL_BUCKETS = 10
+
+
+def kendall_tau_len_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+    from .quality_rules import quality_classifier_linear
+
+    lens = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scores = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("score") * 10000 + 1e-6).cast("long").alias("s_i"),
+    )
+    joined = lens.join(scores, "doc_id")
+    n = joined.agg(F.count("*").cast("long").alias("n"))
+
+    def decile(df: DataFrame, col: str, out: str) -> DataFrame:
+        hist = df.groupBy(col).agg(
+            F.count("*").cast("long").alias("n_v")
+        )
+        wv = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum_before = hist.select(
+            col,
+            (F.sum("n_v").over(wv) - F.col("n_v"))
+            .cast("long")
+            .alias("cb"),
+        )
+        wt = Window.partitionBy(col).orderBy("doc_id")
+        return (
+            df.join(cum_before, col)
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                (
+                    F.floor(
+                        (
+                            F.col("cb")
+                            + F.row_number().over(wt)
+                            - 1
+                        )
+                        * KENDALL_BUCKETS
+                        / F.col("n")
+                    )
+                    + 1
+                )
+                .cast("long")
+                .alias(out),
+            )
+        )
+
+    bucketed = decile(joined, "n_chars", "dx").join(
+        decile(joined, "s_i", "dy"), "doc_id"
+    )
+    grid = bucketed.groupBy("dx", "dy").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dx") < F.col("b.dx"))
+        | ((F.col("a.dx") == F.col("b.dx")) & (F.col("a.dy") <= F.col("b.dy"))),
+    ).select(
+        F.col("a.dx").alias("x1"),
+        F.col("a.dy").alias("y1"),
+        F.col("b.dx").alias("x2"),
+        F.col("b.dy").alias("y2"),
+        F.when(
+            (F.col("a.dx") == F.col("b.dx")) & (F.col("a.dy") == F.col("b.dy")),
+            F.col("a.c") * (F.col("a.c") - 1) / 2,
+        )
+        .otherwise(F.col("a.c") * F.col("b.c"))
+        .cast("long")
+        .alias("np"),
+    )
+    agg = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2")),
+                F.col("np"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(
+                (F.col("x1") < F.col("x2")) & (F.col("y1") > F.col("y2")),
+                F.col("np"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("discordant"),
+        F.sum(
+            F.when(F.col("x1") == F.col("x2"), F.col("np")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ties_x"),
+        F.sum(
+            F.when(F.col("y1") == F.col("y2"), F.col("np")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ties_y"),
+    )
+    n = load(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    out = agg.crossJoin(F.broadcast(n))
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / (
+        F.sqrt((n0 - F.col("ties_x")).cast("double"))
+        * F.sqrt((n0 - F.col("ties_y")).cast("double"))
+    )
+    return out.select(
+        "n",
+        n0.alias("n_pairs"),
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        _floor_round(tau, 6).alias("tau_b"),
+    )
+
+
+from .quality_rules import QUALITY_CLASSIFIER_SQL as _CLS_SQL2  # noqa: E402
+
+KENDALL_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(floor(score * 10000 + 1e-6) AS BIGINT) AS s_i
+  FROM ({_CLS_SQL2.replace(chr(10), chr(10) + '    ')}
+  ) _c
+),
+joined AS (
+  SELECT d.doc_id, d.n_chars, s.s_i
+  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+),
+nn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM joined),
+cbx AS (
+  SELECT n_chars,
+         CAST(sum(n_v) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_v
+              AS BIGINT) AS cb
+  FROM (SELECT n_chars, CAST(count(*) AS BIGINT) AS n_v
+        FROM joined GROUP BY 1)
+),
+cby AS (
+  SELECT s_i,
+         CAST(sum(n_v) OVER (ORDER BY s_i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_v
+              AS BIGINT) AS cb
+  FROM (SELECT s_i, CAST(count(*) AS BIGINT) AS n_v
+        FROM joined GROUP BY 1)
+),
+bucketed AS (
+  SELECT CAST(floor((x.cb + row_number()
+                OVER (PARTITION BY j.n_chars ORDER BY j.doc_id) - 1)
+              * {KENDALL_BUCKETS} / CAST(t.n AS DOUBLE)) + 1 AS BIGINT)
+           AS dx,
+         CAST(floor((y.cb + row_number()
+                OVER (PARTITION BY j.s_i ORDER BY j.doc_id) - 1)
+              * {KENDALL_BUCKETS} / CAST(t.n AS DOUBLE)) + 1 AS BIGINT)
+           AS dy
+  FROM joined j
+  JOIN cbx x ON x.n_chars = j.n_chars
+  JOIN cby y ON y.s_i = j.s_i, nn0 t
+),
+grid AS (
+  SELECT dx, dy, CAST(count(*) AS BIGINT) AS c FROM bucketed GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.dx AS x1, a.dy AS y1, b.dx AS x2, b.dy AS y2,
+         CAST(CASE WHEN a.dx = b.dx AND a.dy = b.dy
+                   THEN a.c * (a.c - 1) / 2
+                   ELSE a.c * b.c END AS BIGINT) AS np
+  FROM grid a JOIN grid b
+    ON a.dx < b.dx OR (a.dx = b.dx AND a.dy <= b.dy)
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN x1 < x2 AND y1 < y2 THEN np ELSE 0 END) AS BIGINT)
+      AS concordant,
+    CAST(sum(CASE WHEN x1 < x2 AND y1 > y2 THEN np ELSE 0 END) AS BIGINT)
+      AS discordant,
+    CAST(sum(CASE WHEN x1 = x2 THEN np ELSE 0 END) AS BIGINT) AS ties_x,
+    CAST(sum(CASE WHEN y1 = y2 THEN np ELSE 0 END) AS BIGINT) AS ties_y
+  FROM pairs
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT n,
+       CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+       concordant, discordant, ties_x, ties_y,
+       CAST(floor(CAST(concordant - discordant AS DOUBLE)
+                  / (sqrt(CAST(n * (n - 1) / 2 - ties_x AS DOUBLE))
+                     * sqrt(CAST(n * (n - 1) / 2 - ties_y AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS tau_b
+FROM agg, nn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile-quantile drift table between crawl waves (R4-104): the
+# LOCATION view that completes the drift suite — KS (ks_length_drift)
+# says WHETHER the length distribution moved, KL (corpus_drift_kl)
+# says WHICH tokens moved, the QQ table says WHERE in the distribution
+# the lengths moved (head, middle, or tail) and BY HOW MUCH. Waves
+# are the deterministic doc_id halves (the KS rule). Each wave's
+# deciles are exact nearest-rank picks (rank = ceil(p·n), the R4-65
+# construction — integers, no interpolation mode anywhere) from one
+# wave-partitioned cumulative walk over the shared n_chars histogram;
+# the 9 rows report both quantiles and their signed gap.
+# ---------------------------------------------------------------------------
+
+
+def qq_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(((F.min("doc_id") + F.max("doc_id")) / 2).alias("mid"))
+    waved = docs.crossJoin(F.broadcast(mid)).select(
+        (F.col("doc_id") >= F.col("mid")).alias("new_wave"), "n_chars"
+    )
+    hist = waved.groupBy("new_wave", "n_chars").agg(
+        F.count("*").cast("long").alias("n_v")
+    )
+    tot = hist.groupBy("new_wave").agg(
+        F.sum("n_v").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("new_wave")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "new_wave",
+        "n_chars",
+        "n_v",
+        F.sum("n_v").over(w).cast("long").alias("cum"),
+    ).join(tot, "new_wave")
+    ps = spark.createDataFrame([(p,) for p in range(10, 100, 10)], "p long")
+    r = F.ceil(F.col("p") * F.col("n") / 100.0).cast("long")
+    picks = (
+        cum.crossJoin(F.broadcast(ps))
+        .where(
+            (F.col("cum") - F.col("n_v") + 1 <= r) & (r <= F.col("cum"))
+        )
+        .groupBy("p", "new_wave")
+        .agg(F.min("n_chars").cast("long").alias("q"))
+    )
+    old = picks.where(~F.col("new_wave")).select(
+        "p", F.col("q").alias("q_old")
+    )
+    new = picks.where(F.col("new_wave")).select(
+        "p", F.col("q").alias("q_new")
+    )
+    return (
+        old.join(new, "p")
+        .select(
+            "p", "q_old", "q_new", (F.col("q_new") - F.col("q_old")).alias("gap")
+        )
+        .orderBy("p")
+    )
+
+
+QQ_DRIFT_SQL = """
+WITH mid AS (
+  SELECT (min(doc_id) + max(doc_id)) / 2.0 AS mid FROM documents
+),
+waved AS (
+  SELECT doc_id >= (SELECT mid FROM mid) AS new_wave, n_chars
+  FROM documents
+),
+hist AS (
+  SELECT new_wave, n_chars, CAST(count(*) AS BIGINT) AS n_v
+  FROM waved GROUP BY 1, 2
+),
+tot AS (
+  SELECT new_wave, CAST(sum(n_v) AS BIGINT) AS n FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT h.new_wave, h.n_chars, h.n_v, t.n,
+         CAST(sum(h.n_v) OVER (PARTITION BY h.new_wave ORDER BY h.n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM hist h JOIN tot t ON t.new_wave = h.new_wave
+),
+ps AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p),
+picks AS (
+  SELECT ps.p, c.new_wave, CAST(min(c.n_chars) AS BIGINT) AS q
+  FROM cum c JOIN ps
+    ON c.cum - c.n_v + 1 <= CAST(ceil(ps.p * c.n / 100.0) AS BIGINT)
+   AND CAST(ceil(ps.p * c.n / 100.0) AS BIGINT) <= c.cum
+  GROUP BY 1, 2
+)
+SELECT CAST(o.p AS BIGINT) AS p,
+       o.q AS q_old, nw.q AS q_new, nw.q - o.q AS gap
+FROM picks o JOIN picks nw ON nw.p = o.p
+WHERE o.new_wave = FALSE AND nw.new_wave = TRUE
+ORDER BY p
+"""
