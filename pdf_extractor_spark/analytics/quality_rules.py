@@ -988,3 +988,114 @@ FROM cum, tot
 ORDER BY gap_num DESC, ks_at_score ASC
 LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ROC curve points for the quality classifier (R4-109): the CURVE
+# whose area classifier_auc_exact integrates and whose best gap
+# ks_score_separation locates — ten (threshold, FPR, TPR) points on
+# the fixed score grid say what the ingest gate actually trades at
+# each candidate cutoff (precision/recall réglage is read off this
+# table, not off a scalar). Exactness: confusion counts at each
+# threshold are exact BIGINT sums over the SAME bounded score
+# histogram AUC/KS ride (score domain ≤ 20001 values on the 1e-4
+# grid); rates pay one floored division each. The threshold grid is
+# fixed and engine-identical; no corpus-sized window anywhere.
+# ---------------------------------------------------------------------------
+
+ROC_THRESHOLDS = list(range(-8000, 8001, 2000))  # score × 1e4 grid
+
+
+def classifier_roc_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("score") * 10000 + 1e-6).cast("long").alias("s_i"),
+    )
+    labels = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("pos")
+    )
+    hist = (
+        scored.join(labels, "doc_id")
+        .groupBy("s_i")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+        )
+    )
+    ts = spark.createDataFrame(
+        [(t,) for t in ROC_THRESHOLDS], "thr long"
+    )
+    per_t = (
+        hist.crossJoin(F.broadcast(ts))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when(F.col("s_i") >= F.col("thr"), F.col("n_pos"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(F.col("s_i") >= F.col("thr"), F.col("n_neg"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum("n_neg").cast("long").alias("n_neg"),
+        )
+    )
+    return per_t.select(
+        "thr",
+        "tp",
+        "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        (F.col("n_neg") - F.col("fp")).alias("tn"),
+        floor_round(
+            F.col("tp").cast("double") / F.col("n_pos"), 6
+        ).alias("tpr"),
+        floor_round(
+            F.col("fp").cast("double") / F.col("n_neg"), 6
+        ).alias("fpr"),
+    ).orderBy("thr")
+
+
+ROC_POINTS_SQL = f"""
+WITH scored AS ({{cls}}
+),
+labels AS ({{gopher}}
+),
+hist AS (
+  SELECT CAST(floor(s.score * 10000 + 1e-6) AS BIGINT) AS s_i,
+         CAST(sum(CASE WHEN l.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN l.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM scored s JOIN labels l ON l.doc_id = s.doc_id
+  GROUP BY 1
+),
+ts AS (SELECT unnest([{', '.join(str(t) for t in ROC_THRESHOLDS)}])
+         AS thr),
+per_t AS (
+  SELECT ts.thr,
+         CAST(sum(CASE WHEN h.s_i >= ts.thr THEN h.n_pos ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN h.s_i >= ts.thr THEN h.n_neg ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(h.n_pos) AS BIGINT) AS n_pos,
+         CAST(sum(h.n_neg) AS BIGINT) AS n_neg
+  FROM hist h CROSS JOIN ts
+  GROUP BY 1
+)
+SELECT CAST(thr AS BIGINT) AS thr, tp, fp,
+       n_pos - tp AS fn, n_neg - fp AS tn,
+       CAST(floor(CAST(tp AS DOUBLE) / n_pos * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS tpr,
+       CAST(floor(CAST(fp AS DOUBLE) / n_neg * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS fpr
+FROM per_t
+ORDER BY thr
+""".format(
+    cls=QUALITY_CLASSIFIER_SQL.replace(chr(10), chr(10) + "  "),
+    gopher=GOPHER_QUALITY_SQL.replace(chr(10), chr(10) + "  "),
+)

@@ -980,6 +980,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.lorenz_curve_revenue, relational.LORENZ_SQL,
         "R4-106 bottom-p%% revenue share curve points",
     ),
+    "km_churn_survival": QuerySpec(
+        relational.km_churn_survival, relational.KM_SQL,
+        "R4-107 Kaplan-Meier churn survival with right censoring",
+    ),
+    "promo_share_wilson_ci": QuerySpec(
+        relational.promo_share_wilson_ci, relational.WILSON_SQL,
+        "R4-108 Wilson score intervals, old vs new wave",
+    ),
+    "classifier_roc_points": QuerySpec(
+        quality_rules.classifier_roc_points, quality_rules.ROC_POINTS_SQL,
+        "R4-109 ROC table on the fixed score-threshold grid",
+    ),
+    "negative_sampling_table": QuerySpec(
+        textstats.negative_sampling_table, textstats.NEG_SAMPLING_SQL,
+        "R4-110 unigram^0.75 negative-sampling distribution",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -5684,3 +5684,341 @@ SELECT CAST(p AS BIGINT) AS p,
 FROM per_p
 ORDER BY p
 """
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier churn survival at fixed horizons (R4-107): the
+# survival-analysis primitive behind every retention/LTV model —
+# "what fraction of customers are still active t days after their
+# first order", with RIGHT CENSORING done properly (a customer whose
+# last order is recent is not churned, just not observed long enough
+# — naive retention curves silently treat them as deaths). Death =
+# no order within CHURN_W days of the calendar end; event time =
+# last−first (death) or cal_end−first (censored). KM: S(h) =
+# Π_{death times t ≤ h} (1 − d_t/n_t) with n_t the at-risk count.
+# Exactness: d_t/n_t are exact BIGINT histogram counts over the DAY
+# domain (windows are day-domain-bounded); each log factor
+# ln(1−d_t/n_t) is floored to 1e-8 fixed point and summed as BIGINT
+# per horizon (the R4-94 rule), so S(h) = exp(Σf8/1e8) differs only
+# in the final exp ulp, absorbed by floor6; the d_t = n_t "everyone
+# at risk dies" edge sets S = 0 via an exact flag, never ln(0).
+# ---------------------------------------------------------------------------
+
+CHURN_W = 90
+KM_HORIZONS = [30, 90, 180, 365, 730]
+
+
+def km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+    )
+    cal = load(spark, sf_dir, "orders").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("cal_end")
+    )
+    ev = per_cust.crossJoin(F.broadcast(cal)).select(
+        (F.datediff("cal_end", "last_d") > CHURN_W).alias("is_death"),
+        F.when(
+            F.datediff("cal_end", "last_d") > CHURN_W,
+            F.datediff("last_d", "first_d"),
+        )
+        .otherwise(F.datediff("cal_end", "first_d"))
+        .cast("long")
+        .alias("t"),
+    )
+    hist = ev.groupBy("t").agg(
+        F.count("*").cast("long").alias("a_t"),
+        F.sum(F.when(F.col("is_death"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_t"),
+    )
+    tot = hist.agg(F.sum("a_t").cast("long").alias("n_total"))
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.select(
+        "t",
+        "d_t",
+        (F.sum("a_t").over(w) - F.col("a_t")).cast("long").alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    deaths = risk.where(F.col("d_t") > 0).select(
+        "t",
+        "d_t",
+        (F.col("n_total") - F.col("cb")).alias("n_t"),
+        F.when(F.col("d_t") == F.col("n_total") - F.col("cb"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("kills_all"),
+        F.when(
+            F.col("d_t") < F.col("n_total") - F.col("cb"),
+            F.floor(
+                F.log(
+                    1.0
+                    - F.col("d_t").cast("double")
+                    / (F.col("n_total") - F.col("cb"))
+                )
+                * 100000000
+                + 1e-6
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("f8"),
+    )
+    hs = spark.createDataFrame([(h,) for h in KM_HORIZONS], "h long")
+    per_h = (
+        deaths.crossJoin(F.broadcast(hs))
+        .where(F.col("t") <= F.col("h"))
+        .groupBy("h")
+        .agg(
+            F.sum("d_t").cast("long").alias("deaths_by_h"),
+            F.sum("f8").cast("long").alias("sum_f8"),
+            F.max("kills_all").cast("long").alias("zeroed"),
+        )
+    )
+    # horizons with no deaths at all must still report S = 1
+    base = hs.join(per_h, "h", "left").na.fill(
+        {"deaths_by_h": 0, "sum_f8": 0, "zeroed": 0}
+    )
+    at_risk = (
+        ev.crossJoin(F.broadcast(hs))
+        .where(F.col("t") >= F.col("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("n_at_risk"))
+    )
+    out = (
+        base.join(at_risk, "h", "left")
+        .na.fill({"n_at_risk": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    surv = F.when(F.col("zeroed") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("sum_f8").cast("double") / 1e8)
+    )
+    return out.select(
+        F.col("h").alias("horizon_days"),
+        "n_total",
+        "n_at_risk",
+        "deaths_by_h",
+        floor_round(surv, 6).alias("km_survival"),
+    ).orderBy("horizon_days")
+
+
+KM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(min(o_orderdate) AS DATE) AS first_d,
+         CAST(max(o_orderdate) AS DATE) AS last_d
+  FROM orders GROUP BY 1
+),
+cal AS (SELECT CAST(max(o_orderdate) AS DATE) AS cal_end FROM orders),
+ev AS (
+  SELECT date_diff('day', last_d, cal_end) > {CHURN_W} AS is_death,
+         CAST(CASE WHEN date_diff('day', last_d, cal_end) > {CHURN_W}
+                   THEN date_diff('day', first_d, last_d)
+                   ELSE date_diff('day', first_d, cal_end) END AS BIGINT)
+           AS t
+  FROM per_cust, cal
+),
+hist AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS a_t,
+         CAST(sum(CASE WHEN is_death THEN 1 ELSE 0 END) AS BIGINT) AS d_t
+  FROM ev GROUP BY 1
+),
+tot AS (SELECT CAST(sum(a_t) AS BIGINT) AS n_total FROM hist),
+risk AS (
+  SELECT t, d_t,
+         CAST(sum(a_t) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - a_t
+              AS BIGINT) AS cb,
+         x.n_total
+  FROM hist, tot x
+),
+deaths AS (
+  SELECT t, d_t, n_total - cb AS n_t,
+         CASE WHEN d_t = n_total - cb THEN 1 ELSE 0 END AS kills_all,
+         CASE WHEN d_t < n_total - cb
+              THEN CAST(floor(ln(1.0 - CAST(d_t AS DOUBLE)
+                                  / (n_total - cb))
+                              * 100000000 + 1e-6) AS BIGINT)
+              ELSE 0 END AS f8
+  FROM risk WHERE d_t > 0
+),
+hs AS (SELECT unnest([{', '.join(str(h) for h in KM_HORIZONS)}]) AS h),
+per_h AS (
+  SELECT hs.h,
+         CAST(coalesce(sum(d.d_t), 0) AS BIGINT) AS deaths_by_h,
+         CAST(coalesce(sum(d.f8), 0) AS BIGINT) AS sum_f8,
+         CAST(coalesce(max(d.kills_all), 0) AS BIGINT) AS zeroed
+  FROM hs LEFT JOIN deaths d ON d.t <= hs.h
+  GROUP BY 1
+),
+atr AS (
+  SELECT hs.h, CAST(count(e.t) AS BIGINT) AS n_at_risk
+  FROM hs LEFT JOIN ev e ON e.t >= hs.h
+  GROUP BY 1
+)
+SELECT CAST(p.h AS BIGINT) AS horizon_days,
+       x.n_total,
+       a.n_at_risk,
+       p.deaths_by_h,
+       CAST(floor(CASE WHEN p.zeroed = 1 THEN 0.0
+                       ELSE exp(CAST(p.sum_f8 AS DOUBLE) / 1e8) END
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS km_survival
+FROM per_h p JOIN atr a ON a.h = p.h, tot x
+ORDER BY horizon_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for the promo share, old vs new wave
+# (R4-108): the confidence-interval companion to promo_share_ztest —
+# the z-test says "different or not", the Wilson intervals say BY HOW
+# MUCH with honest small-n behavior (the Wald interval the naive
+# p̂ ± z√(p̂q̂/n) formula gives collapses at p̂ near 0/1; Wilson is the
+# recommended default, Brown-Cai-DasGupta 2001). Inputs are the same
+# exact BIGINT counts as the z-test; center and half-width are
+# single closed-form expressions; the no-overlap flag compares the
+# FLOORED bounds so a boundary ulp cannot flip it.
+# ---------------------------------------------------------------------------
+
+
+def promo_share_wilson_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ords = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("ts")
+    )
+    bounds = ords.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    waved = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.unix_micros("ts")
+                >= (F.col("t0") + F.col("t1")) / 2
+            ).alias("new_wave"),
+            F.col("is_promo").cast("long").alias("k"),
+        )
+    )
+    agg = waved.groupBy("new_wave").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("k"),
+    )
+    z2 = F.lit(ZTEST_CRIT * ZTEST_CRIT)
+    p_hat = F.col("k").cast("double") / F.col("n")
+    denom = 1.0 + z2 / F.col("n")
+    center = (p_hat + z2 / (2.0 * F.col("n"))) / denom
+    hw = (
+        F.lit(ZTEST_CRIT)
+        * F.sqrt(
+            p_hat * (1.0 - p_hat) / F.col("n")
+            + z2 / (4.0 * F.col("n") * F.col("n"))
+        )
+        / denom
+    )
+    both = agg.select(
+        F.col("new_wave").alias("wave_new"),
+        "n",
+        "k",
+        floor_round(p_hat, 6).alias("p_hat"),
+        floor_round(center - hw, 6).alias("ci_lo"),
+        floor_round(center + hw, 6).alias("ci_hi"),
+    )
+    old = both.where(~F.col("wave_new")).select(
+        F.col("n").alias("n_old"),
+        F.col("k").alias("k_old"),
+        F.col("p_hat").alias("p_old"),
+        F.col("ci_lo").alias("lo_old"),
+        F.col("ci_hi").alias("hi_old"),
+    )
+    new = both.where(F.col("wave_new")).select(
+        F.col("n").alias("n_new"),
+        F.col("k").alias("k_new"),
+        F.col("p_hat").alias("p_new"),
+        F.col("ci_lo").alias("lo_new"),
+        F.col("ci_hi").alias("hi_new"),
+    )
+    return old.crossJoin(F.broadcast(new)).select(
+        "n_old",
+        "k_old",
+        "p_old",
+        "lo_old",
+        "hi_old",
+        "n_new",
+        "k_new",
+        "p_new",
+        "lo_new",
+        "hi_new",
+        (
+            (F.col("hi_old") < F.col("lo_new"))
+            | (F.col("hi_new") < F.col("lo_old"))
+        ).alias("disjoint"),
+    )
+
+
+WILSON_SQL = f"""
+WITH bounds AS (
+  SELECT epoch_us(min(CAST(o_orderdate AS TIMESTAMP))) AS t0,
+         epoch_us(max(CAST(o_orderdate AS TIMESTAMP))) AS t1
+  FROM orders
+),
+waved AS (
+  SELECT epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+           >= (b.t0 + b.t1) / 2 AS new_wave,
+         CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS k
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey, bounds b
+),
+agg AS (
+  SELECT new_wave, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS k
+  FROM waved GROUP BY 1
+),
+ci AS (
+  SELECT new_wave, n, k,
+         CAST(floor(CAST(k AS DOUBLE) / n * 1000000 + 1e-6)
+              / 1000000 AS DOUBLE) AS p_hat,
+         CAST(floor(((CAST(k AS DOUBLE) / n
+                      + {ZTEST_CRIT * ZTEST_CRIT!r} / (2.0 * n))
+                     / (1.0 + {ZTEST_CRIT * ZTEST_CRIT!r} / n)
+                     - {ZTEST_CRIT}
+                       * sqrt((CAST(k AS DOUBLE) / n)
+                              * (1.0 - CAST(k AS DOUBLE) / n) / n
+                              + {ZTEST_CRIT * ZTEST_CRIT!r}
+                                / (4.0 * n * n))
+                       / (1.0 + {ZTEST_CRIT * ZTEST_CRIT!r} / n))
+                    * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS ci_lo,
+         CAST(floor(((CAST(k AS DOUBLE) / n
+                      + {ZTEST_CRIT * ZTEST_CRIT!r} / (2.0 * n))
+                     / (1.0 + {ZTEST_CRIT * ZTEST_CRIT!r} / n)
+                     + {ZTEST_CRIT}
+                       * sqrt((CAST(k AS DOUBLE) / n)
+                              * (1.0 - CAST(k AS DOUBLE) / n) / n
+                              + {ZTEST_CRIT * ZTEST_CRIT!r}
+                                / (4.0 * n * n))
+                       / (1.0 + {ZTEST_CRIT * ZTEST_CRIT!r} / n))
+                    * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS ci_hi
+  FROM agg
+)
+SELECT o.n AS n_old, o.k AS k_old, o.p_hat AS p_old,
+       o.ci_lo AS lo_old, o.ci_hi AS hi_old,
+       nw.n AS n_new, nw.k AS k_new, nw.p_hat AS p_new,
+       nw.ci_lo AS lo_new, nw.ci_hi AS hi_new,
+       (o.ci_hi < nw.ci_lo) OR (nw.ci_hi < o.ci_lo) AS disjoint
+FROM ci o, ci nw
+WHERE o.new_wave = FALSE AND nw.new_wave = TRUE
+"""

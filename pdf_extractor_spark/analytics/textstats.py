@@ -3675,3 +3675,93 @@ FROM picks o JOIN picks nw ON nw.p = o.p
 WHERE o.new_wave = FALSE AND nw.new_wave = TRUE
 ORDER BY p
 """
+
+
+# ---------------------------------------------------------------------------
+# word2vec negative-sampling distribution (R4-110): the unigram^0.75
+# table (Mikolov 2013 §2.2) that skipgram_pairs' negative-sampling
+# stage draws from — raising unigram frequency to the 3/4 power
+# flattens the head so mid-frequency words get sampled as negatives
+# often enough to matter; the report shows the top terms with their
+# negative-sampling probability NEXT TO their raw unigram probability
+# (the flatten ratio is the point of the table). Exactness: f^0.75 is
+# pow of an exact BIGINT (both engines correctly-rounded to the same
+# double for integral inputs), floored to 1e-4 fixed point PER TERM
+# and summed as BIGINT for the normalizer (the R4-94 rule — never an
+# order-dependent float sum over the vocabulary); each probability is
+# one floored division. Scale shape: explode → one term hash agg →
+# 1-row normalizer broadcast → TakeOrdered top-k.
+# ---------------------------------------------------------------------------
+
+NEG_SAMPLE_POW = 0.75
+NEG_SAMPLE_TOP = 20
+
+
+def negative_sampling_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    w4 = F.floor(
+        F.pow(F.col("f").cast("double"), NEG_SAMPLE_POW) * 10000 + 1e-6
+    ).cast("long")
+    staged = tf.select("term", "f", w4.alias("w4"))
+    tot = staged.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum("w4").cast("long").alias("z4"),
+    )
+    scored = staged.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "f",
+        _floor_round(
+            F.col("w4").cast("double") / F.col("z4"), 8
+        ).alias("p_neg"),
+        _floor_round(
+            F.col("f").cast("double") / F.col("n_tokens"), 8
+        ).alias("p_unigram"),
+        _floor_round(
+            (F.col("w4").cast("double") / F.col("z4"))
+            / (F.col("f").cast("double") / F.col("n_tokens")),
+            4,
+        ).alias("flatten_ratio"),
+    )
+    return scored.orderBy(F.desc("f"), F.asc("term")).limit(
+        NEG_SAMPLE_TOP
+    )
+
+
+NEG_SAMPLING_SQL = rf"""
+WITH tf AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+staged AS (
+  SELECT term, f,
+         CAST(floor(pow(CAST(f AS DOUBLE), {NEG_SAMPLE_POW}) * 10000
+                    + 1e-6) AS BIGINT) AS w4
+  FROM tf
+),
+tot AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(sum(w4) AS BIGINT) AS z4
+  FROM staged
+)
+SELECT term, f,
+       CAST(floor(CAST(w4 AS DOUBLE) / z4 * 100000000 + 1e-6)
+            / 100000000 AS DOUBLE) AS p_neg,
+       CAST(floor(CAST(f AS DOUBLE) / n_tokens * 100000000 + 1e-6)
+            / 100000000 AS DOUBLE) AS p_unigram,
+       CAST(floor((CAST(w4 AS DOUBLE) / z4)
+                  / (CAST(f AS DOUBLE) / n_tokens) * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS flatten_ratio
+FROM staged, tot
+ORDER BY f DESC, term ASC
+LIMIT {NEG_SAMPLE_TOP}
+"""
