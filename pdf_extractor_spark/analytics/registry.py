@@ -996,6 +996,38 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.negative_sampling_table, textstats.NEG_SAMPLING_SQL,
         "R4-110 unigram^0.75 negative-sampling distribution",
     ),
+    "acf_daily_revenue": QuerySpec(
+        relational.acf_daily_revenue, relational.ACF_SQL,
+        "R4-111 lag-1..7 autocorrelation of daily revenue",
+    ),
+    "durbin_watson_trend": QuerySpec(
+        relational.durbin_watson_trend, relational.DURBIN_WATSON_SQL,
+        "R4-112 Durbin-Watson on de-trended daily residuals",
+    ),
+    "dow_seasonality_index": QuerySpec(
+        relational.dow_seasonality_index, relational.DOW_SEASONALITY_SQL,
+        "R4-113 day-of-week seasonal index (engine-shared weekday)",
+    ),
+    "volume_ticket_xcorr": QuerySpec(
+        relational.volume_ticket_xcorr, relational.VOLUME_TICKET_XCORR_SQL,
+        "R4-114 volume-vs-ticket lead-lag cross-correlation",
+    ),
+    "ann_map_audit": QuerySpec(
+        similarity.ann_map_audit, similarity.ANN_MAP_SQL,
+        "R4-115 MRR/MAP/P@K vs IVF probe depth",
+    ),
+    "markov_transition_check": QuerySpec(
+        relational.markov_transition_check, relational.MARKOV_SQL,
+        "R4-116 first-order Markov assumption check (P^2 vs empirical)",
+    ),
+    "interarrival_profile": QuerySpec(
+        relational.interarrival_profile, relational.INTERARRIVAL_SQL,
+        "R4-117 inter-arrival CV + Goh-Barabasi burstiness",
+    ),
+    "calendar_gap_audit": QuerySpec(
+        relational.calendar_gap_audit, relational.CALENDAR_GAP_SQL,
+        "R4-118 day-spine completeness + longest dark streak",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

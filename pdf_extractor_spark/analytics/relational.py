@@ -6022,3 +6022,1250 @@ SELECT o.n AS n_old, o.k AS k_old, o.p_hat AS p_old,
 FROM ci o, ci nw
 WHERE o.new_wave = FALSE AND nw.new_wave = TRUE
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics over the daily-revenue series (R4-111..114).
+# The reference's lesson/relationship stores keep per-day activity
+# rollups (crud_operations.py aggregate paths); a production pipeline
+# watching its own daily intake needs the classic diagnostics on that
+# series: does yesterday predict today (ACF), is the de-trended noise
+# independent (Durbin-Watson), which weekday runs hot (seasonal index),
+# and does volume lead or lag ticket size (lead-lag cross-correlation).
+#
+# Scale shape shared by all four: ONE hash-agg collapses orders to at
+# most one row per calendar day (bounded: a decade is ~3.7k rows), and
+# every quadratic/window step runs on that bounded daily table — at
+# 100 TB the orders scan is the only big stage, and it is a map-side
+# partial sum. Cross-engine exactness: all distributed sums are BIGINT
+# over floored cents/dollars; doubles appear only in final per-row
+# scalar expressions computed identically from those integers in both
+# engines (the theil_sen/ols pattern above).
+
+ACF_MAX_LAG = 7
+XCORR_LAGS = list(range(-3, 4))
+
+_DAILY_XY = """
+  SELECT CAST(date_diff('day', (SELECT min(CAST(o_orderdate AS DATE))
+                                FROM orders),
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+"""
+
+
+def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order count + revenue cents keyed by day index x."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    return daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("long").alias("x"), "cnt", "cents"
+    )
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of daily revenue (dollars).
+
+    Classic Box-Jenkins ACF with the global mean: r_k =
+    sum_t (y_t - mu)(y_{t-k} - mu) / sum_t (y_t - mu)^2, expanded so
+    every distributed sum (sum y, sum y^2, per-lag sum y_a*y_b and the
+    two tail sums) is an exact BIGINT; mu and the ratio are one final
+    double expression per lag row. Calendar-day lags: a gap day simply
+    contributes no pair (join on x - k). Reference analog: the store
+    health report's day-over-day activity trend
+    (crud_operations.py:472-519 aggregates by day).
+    """
+    daily = _daily_xy(spark, sf_dir).select(
+        "x", F.floor(F.col("cents") / 100).cast("long").alias("y")
+    )
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.x") - F.col("lag") == F.col("b.x")).select(
+        "lag",
+        F.col("a.y").alias("ya"),
+        F.col("b.y").alias("yb"),
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("ya") * F.col("yb")).cast("long").alias("sab"),
+        F.sum("ya").cast("long").alias("t1"),
+        F.sum("yb").cast("long").alias("t2"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    acf = (
+        F.col("sab").cast("double")
+        - mu * (F.col("t1") + F.col("t2")).cast("double")
+        + F.col("n_pairs").cast("double") * mu * mu
+    ) / (
+        F.col("syy").cast("double")
+        - F.col("n").cast("double") * mu * mu
+    )
+    return (
+        agg.crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            "n_pairs",
+            floor_round(acf, 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ACF_SQL = f"""
+WITH daily0 AS ({_DAILY_XY}),
+daily AS (
+  SELECT x, CAST(floor(cents / 100) AS BIGINT) AS y FROM daily0
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily
+),
+lags AS (SELECT CAST(unnest([{", ".join(str(k) for k in range(1, ACF_MAX_LAG + 1))}]) AS BIGINT) AS lag),
+agg AS (
+  SELECT l.lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.y * b.y) AS BIGINT) AS sab,
+         CAST(sum(a.y) AS BIGINT) AS t1,
+         CAST(sum(b.y) AS BIGINT) AS t2
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON a.x - l.lag = b.x
+  GROUP BY 1
+)
+SELECT lag, n_pairs,
+       CAST(floor((CAST(sab AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * CAST(t1 + t2 AS DOUBLE)
+                   + CAST(n_pairs AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / (CAST(syy AS DOUBLE)
+                     - CAST(n AS DOUBLE)
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS acf
+FROM agg, stats
+ORDER BY lag
+"""
+
+
+def durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation test on the de-trended daily
+    revenue series (R4-112).
+
+    Fits OLS revenue-vs-day (exact BIGINT normal-equation sums, the
+    theil_sen pattern), computes each day's residual as ONE double
+    expression from those broadcast integers, floors it onto a whole-
+    dollar grid (so the statistic is defined on an integer series both
+    engines reproduce bit-for-bit), then DW = sum (e_t - e_{t-1})^2 /
+    sum e_t^2 over the x-ordered series — both sums exact BIGINT.
+    rho_lag1 = 1 - DW/2 is the standard first-order reading. The
+    ordering window runs over the bounded daily table (~3.7k rows per
+    decade), never over raw orders.
+    """
+    daily = _daily_xy(spark, sf_dir).select(
+        "x", F.floor(F.col("cents") / 100).cast("long").alias("y")
+    )
+    ols = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    resid = daily.crossJoin(F.broadcast(ols)).select(
+        "x",
+        F.floor(
+            F.col("y").cast("double")
+            - (intercept + slope * F.col("x").cast("double"))
+            + 1e-6
+        )
+        .cast("long")
+        .alias("eq"),
+    )
+    w = Window.orderBy("x")
+    diffed = resid.select(
+        "eq", (F.col("eq") - F.lag("eq", 1).over(w)).alias("de")
+    )
+    out = diffed.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("de") * F.col("de")).cast("long").alias("num"),
+        F.sum(F.col("eq") * F.col("eq")).cast("long").alias("den"),
+    )
+    dw = F.col("num").cast("double") / F.col("den").cast("double")
+    return out.select(
+        "n_days",
+        floor_round(dw, 6).alias("dw_stat"),
+        floor_round(F.lit(1.0) - dw / 2, 6).alias("rho_lag1"),
+    )
+
+
+DURBIN_WATSON_SQL = f"""
+WITH daily0 AS ({_DAILY_XY}),
+daily AS (
+  SELECT x, CAST(floor(cents / 100) AS BIGINT) AS y FROM daily0
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily
+),
+coef AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM ols
+),
+resid AS (
+  SELECT d.x,
+         CAST(floor(CAST(d.y AS DOUBLE)
+                    - (c.a + c.b * CAST(d.x AS DOUBLE)) + 1e-6)
+              AS BIGINT) AS eq
+  FROM daily d, coef c
+),
+diffed AS (
+  SELECT eq, eq - lag(eq, 1) OVER (ORDER BY x) AS de FROM resid
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(de * de) AS BIGINT) AS num,
+         CAST(sum(eq * eq) AS BIGINT) AS den
+  FROM diffed
+)
+SELECT n_days,
+       CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS dw_stat,
+       CAST(floor((1.0 - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / 2)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS rho_lag1
+FROM agg
+"""
+
+
+_DOW_NAMES = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+
+
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of order revenue (R4-113).
+
+    index(dow) = (mean daily revenue on that weekday) / (overall mean
+    daily revenue). Weekday derived arithmetically — (days since
+    1970-01-01 + 3) % 7, 0 = Monday — so both engines share one
+    definition instead of their divergent dayofweek() conventions.
+    Sums are exact BIGINT cents; the two-division index is the only
+    double. One hash-agg to the 7-row table; scale-free.
+    """
+    daily = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    dow = (F.datediff("d", F.lit("1970-01-01").cast("date")) + 3) % 7
+    per = daily.select(
+        dow.cast("long").alias("dow_idx"), "cents"
+    ).groupBy("dow_idx").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    tot = per.agg(
+        F.sum("n_days").cast("long").alias("nn"),
+        F.sum("sum_cents").cast("long").alias("ss"),
+    )
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _DOW_NAMES]),
+        (F.col("dow_idx") + 1).cast("int"),
+    )
+    idx = (
+        F.col("sum_cents").cast("double") / F.col("n_days").cast("double")
+    ) / (F.col("ss").cast("double") / F.col("nn").cast("double"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow_idx",
+            name.alias("dow_name"),
+            "n_days",
+            "sum_cents",
+            floor_round(idx, 6).alias("seasonal_index"),
+        )
+        .orderBy("dow_idx")
+    )
+
+
+DOW_SEASONALITY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+per AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01', d) + 3) % 7
+              AS BIGINT) AS dow_idx,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM daily GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_days) AS BIGINT) AS nn,
+         CAST(sum(sum_cents) AS BIGINT) AS ss
+  FROM per
+)
+SELECT dow_idx,
+       CASE dow_idx {" ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(_DOW_NAMES))} END AS dow_name,
+       n_days, sum_cents,
+       CAST(floor((CAST(sum_cents AS DOUBLE) / CAST(n_days AS DOUBLE))
+                  / (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS seasonal_index
+FROM per, tot
+ORDER BY dow_idx
+"""
+
+
+def volume_ticket_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily order VOLUME and the
+    daily average TICKET (R4-114): does a busy day predict cheaper or
+    pricier orders k days later?
+
+    For lag k in -3..3, Pearson r between cnt_t and ticket_{t+k} over
+    calendar-aligned pairs. Per-lag sums (counts, tickets, products,
+    squares) are exact BIGINT over the bounded daily table; each lag's
+    r is one closed-form double from those six integers. The 7-lag
+    dimension is broadcast; the pair join is an equi-join on the day
+    index, so the whole thing is bounded by days, not orders.
+    """
+    daily = _daily_xy(spark, sf_dir).select(
+        "x",
+        "cnt",
+        F.floor(
+            F.col("cents").cast("double") / F.col("cnt") / 100.0 + 1e-6
+        )
+        .cast("long")
+        .alias("ticket"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.x") + F.col("lag") == F.col("b.x")).select(
+        "lag",
+        F.col("a.cnt").alias("xv"),
+        F.col("b.ticket").alias("yv"),
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    r = (
+        F.col("m").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.sqrt(
+        (
+            F.col("m").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("m").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return agg.select(
+        "lag",
+        F.col("m").alias("n_pairs"),
+        floor_round(r, 6).alias("xcorr"),
+    ).orderBy("lag")
+
+
+VOLUME_TICKET_XCORR_SQL = f"""
+WITH daily0 AS ({_DAILY_XY}),
+daily AS (
+  SELECT x, cnt,
+         CAST(floor(CAST(cents AS DOUBLE) / cnt / 100.0 + 1e-6)
+              AS BIGINT) AS ticket
+  FROM daily0
+),
+lags AS (SELECT CAST(unnest([{", ".join(str(k) for k in XCORR_LAGS)}]) AS BIGINT) AS lag),
+agg AS (
+  SELECT l.lag,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(a.cnt) AS BIGINT) AS sx,
+         CAST(sum(b.ticket) AS BIGINT) AS sy,
+         CAST(sum(a.cnt * b.ticket) AS BIGINT) AS sxy,
+         CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx,
+         CAST(sum(b.ticket * b.ticket) AS BIGINT) AS syy
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON a.x + l.lag = b.x
+  GROUP BY 1
+)
+SELECT lag, m AS n_pairs,
+       CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS xcorr
+FROM agg
+ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov transition check on the per-user event stream (R4-116): the
+# one-step transition matrix P (MLE from lag-1 pairs), the EMPIRICAL
+# two-step distribution (lag-2 pairs), and the CHAIN prediction
+# P2 = P x P — the gap between the last two is the classic test of the
+# first-order Markov assumption behind sessionize/funnel models.
+#
+# Cross-engine exactness: all transition counts are exact BIGINTs from
+# per-user lead() windows ordered (ts, event_id); the chain's
+# sum-over-mid-states is NOT a float sum — each P[a,m]*P[m,b] term is
+# floored onto a 1e-12 integer grid and the BIGINTs are summed (terms
+# <= 1e12, mid-state fan-in bounded by the event-type vocabulary).
+# Scale shape: the stream collapses to |types|^2 count rows in one
+# window+hash-agg pass; everything after runs on that bounded grid,
+# densified by a types x types cross join (broadcast, ~5x5).
+# ---------------------------------------------------------------------------
+
+
+def markov_transition_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    c1 = (
+        seq.where(F.col("t2").isNotNull())
+        .groupBy(F.col("t1").alias("a"), F.col("t2").alias("b"))
+        .agg(F.count("*").cast("long").alias("n1"))
+    )
+    r1 = c1.groupBy(F.col("a").alias("ra")).agg(
+        F.sum("n1").cast("long").alias("row1")
+    )
+    c2 = (
+        seq.where(F.col("t3").isNotNull())
+        .groupBy(F.col("t1").alias("a"), F.col("t3").alias("b"))
+        .agg(F.count("*").cast("long").alias("n2"))
+    )
+    r2 = c2.groupBy(F.col("a").alias("ra")).agg(
+        F.sum("n2").cast("long").alias("row2")
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    grid = (
+        types.select(F.col("t").alias("a"))
+        .crossJoin(types.select(F.col("t").alias("b")))
+    )
+    # chain: sum over mid of floored P[a,m]*P[m,b] terms
+    am = c1.join(r1, F.col("a") == F.col("ra")).select(
+        "a", F.col("b").alias("m"), "n1", F.col("row1").alias("rowa")
+    )
+    mb = c1.join(r1, F.col("a") == F.col("ra")).select(
+        F.col("a").alias("m2"), F.col("b").alias("bb"),
+        F.col("n1").alias("n1b"), F.col("row1").alias("rowm"),
+    )
+    term = am.join(mb, F.col("m") == F.col("m2")).select(
+        "a",
+        F.col("bb").alias("b"),
+        F.floor(
+            (
+                F.col("n1").cast("double") / F.col("rowa").cast("double")
+            )
+            * (
+                F.col("n1b").cast("double") / F.col("rowm").cast("double")
+            )
+            * 1000000000000
+            + 1e-6
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    chain = term.groupBy("a", "b").agg(
+        F.sum("tq").cast("long").alias("chain_q")
+    )
+    out = (
+        grid.join(c1, ["a", "b"], "left")
+        .join(c2, ["a", "b"], "left")
+        .join(chain, ["a", "b"], "left")
+        .join(r1, grid["a"] == r1["ra"], "left")
+        .join(r2, grid["a"] == r2["ra"], "left")
+    )
+    p1 = F.coalesce(F.col("n1"), F.lit(0)).cast("double") / F.col(
+        "row1"
+    ).cast("double")
+    p2e = F.coalesce(F.col("n2"), F.lit(0)).cast("double") / F.col(
+        "row2"
+    ).cast("double")
+    return out.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.coalesce(F.col("n1"), F.lit(0)).cast("long").alias("n_1step"),
+        floor_round(p1, 6).alias("p_1step"),
+        F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n_2step"),
+        floor_round(p2e, 6).alias("p_2step_emp"),
+        floor_round(
+            F.coalesce(F.col("chain_q"), F.lit(0)).cast("double") / 1.0e12,
+            6,
+        ).alias("p_2step_chain"),
+    ).orderBy("from_type", "to_type")
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events
+),
+c1 AS (
+  SELECT t1 AS a, t2 AS b, CAST(count(*) AS BIGINT) AS n1
+  FROM seq WHERE t2 IS NOT NULL GROUP BY 1, 2
+),
+r1 AS (SELECT a AS ra, CAST(sum(n1) AS BIGINT) AS row1 FROM c1 GROUP BY 1),
+c2 AS (
+  SELECT t1 AS a, t3 AS b, CAST(count(*) AS BIGINT) AS n2
+  FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2
+),
+r2 AS (SELECT a AS ra, CAST(sum(n2) AS BIGINT) AS row2 FROM c2 GROUP BY 1),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+grid AS (SELECT x.t AS a, y.t AS b FROM types x CROSS JOIN types y),
+term AS (
+  SELECT am.a, mb.b,
+         CAST(floor((CAST(am.n1 AS DOUBLE) / CAST(am.rowa AS DOUBLE))
+                    * (CAST(mb.n1 AS DOUBLE) / CAST(mb.rowm AS DOUBLE))
+                    * 1000000000000 + 1e-6) AS BIGINT) AS tq
+  FROM (SELECT c1.a, c1.b AS m, c1.n1, r1.row1 AS rowa
+        FROM c1 JOIN r1 ON c1.a = r1.ra) am
+  JOIN (SELECT c1.a AS m2, c1.b, c1.n1, r1.row1 AS rowm
+        FROM c1 JOIN r1 ON c1.a = r1.ra) mb
+    ON am.m = mb.m2
+),
+chain AS (
+  SELECT a, b, CAST(sum(tq) AS BIGINT) AS chain_q FROM term GROUP BY 1, 2
+)
+SELECT g.a AS from_type, g.b AS to_type,
+       CAST(coalesce(c1.n1, 0) AS BIGINT) AS n_1step,
+       CAST(floor(CAST(coalesce(c1.n1, 0) AS DOUBLE)
+                  / CAST(r1.row1 AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS p_1step,
+       CAST(coalesce(c2.n2, 0) AS BIGINT) AS n_2step,
+       CAST(floor(CAST(coalesce(c2.n2, 0) AS DOUBLE)
+                  / CAST(r2.row2 AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS p_2step_emp,
+       CAST(floor(CAST(coalesce(ch.chain_q, 0) AS DOUBLE) / 1e12
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS p_2step_chain
+FROM grid g
+LEFT JOIN c1 ON c1.a = g.a AND c1.b = g.b
+LEFT JOIN c2 ON c2.a = g.a AND c2.b = g.b
+LEFT JOIN chain ch ON ch.a = g.a AND ch.b = g.b
+LEFT JOIN r1 ON r1.ra = g.a
+LEFT JOIN r2 ON r2.ra = g.a
+ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival-time profile per event type (R4-117): mean gap,
+# coefficient of variation, and the Goh-Barabasi burstiness index
+# B = (sigma - mu) / (sigma + mu) over per-user consecutive gaps.
+# CV ~ 1 / B ~ 0 is Poisson traffic; CV >> 1 / B -> 1 is bursty
+# (retry storms, bot loops) — the stream-health diagnostic behind
+# rate-limit and debounce thresholds (the repo's burst_debounce twin).
+#
+# Gaps are floored to whole seconds so every distributed sum (n, sum,
+# sum of squares) is an exact BIGINT; mean/CV/B are final per-group
+# double expressions. One window pass + one hash-agg; output bounded
+# by the event-type vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    # WHOLE-second epoch via the established NTZ->timestamp cast (the
+    # oracle floors epoch(ts) identically; session tz is UTC)
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    gaps = ev.select(
+        "event_type",
+        (t_s - F.lag(t_s, 1).over(w)).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("ss"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("s").cast("double") / n
+    # population variance: E[x^2] - mu^2, from exact integer sums
+    var = F.col("ss").cast("double") / n - mu * mu
+    sd = F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        floor_round(mu, 4).alias("mean_gap_s"),
+        floor_round(sd / mu, 6).alias("cv"),
+        floor_round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+             OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS s,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS ss
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_gap_s,
+       CAST(floor(sqrt(CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                  / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS cv,
+       CAST(floor((sqrt(CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                   - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                  / (sqrt(CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                          - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                            * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                     + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS burstiness
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calendar-gap audit on the order feed (R4-118): which calendar days
+# inside the observed span produced ZERO orders, and how long the
+# longest dark streak ran — the completeness check a daily-ingest
+# pipeline runs before trusting any time-series statistic above
+# (ACF/DW/seasonality all assume the gaps are known). Missing days are
+# found by anti-joining a generated day spine against observed days;
+# streaks are islands via the classic (day - dense row_number) grouping.
+# The spine is bounded by the calendar span (~2.4k rows), never by
+# orders; the only big stage is the one hash-agg to observed days.
+# ---------------------------------------------------------------------------
+
+
+def calendar_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("day", F.col("o_orderdate"))
+            .cast("date")
+            .alias("d")
+        )
+        .agg(F.count("*").alias("_n"))
+        .select("d")
+    )
+    span = days.agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence(
+                F.col("d_min"), F.col("d_max"), F.expr("interval 1 day")
+            )
+        ).alias("d")
+    )
+    missing = spine.join(days, "d", "left_anti").select(
+        "d", F.datediff("d", F.lit("1970-01-01").cast("date")).alias("x")
+    )
+    w = Window.orderBy("x")
+    isl = missing.withColumn(
+        "grp", F.col("x") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("grp").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    n_missing = missing.agg(
+        F.count("*").cast("long").alias("n_missing_days")
+    )
+    n_obs = days.agg(F.count("*").cast("long").alias("n_observed_days"))
+    longest = streaks.orderBy(
+        F.desc("len"), F.asc("streak_start")
+    ).limit(1).select(
+        F.col("len").alias("longest_gap_days"),
+        F.col("streak_start").alias("longest_gap_start"),
+    )
+    base = (
+        n_obs.crossJoin(n_missing)
+        .crossJoin(
+            span.select(
+                F.col("d_min").alias("span_start"),
+                F.col("d_max").alias("span_end"),
+            )
+        )
+    )
+    return base.join(longest, F.lit(True), "left").select(
+        "span_start",
+        "span_end",
+        "n_observed_days",
+        "n_missing_days",
+        F.coalesce(F.col("longest_gap_days"), F.lit(0).cast("long")).alias(
+            "longest_gap_days"
+        ),
+        "longest_gap_start",
+    )
+
+
+CALENDAR_GAP_SQL = """
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+  FROM orders
+),
+span AS (SELECT min(d) AS d_min, max(d) AS d_max FROM days),
+spine AS (
+  SELECT CAST(unnest(generate_series(d_min, d_max,
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+missing AS (
+  SELECT s.d,
+         CAST(date_diff('day', DATE '1970-01-01', s.d) AS BIGINT) AS x
+  FROM spine s ANTI JOIN days o ON s.d = o.d
+),
+isl AS (
+  SELECT d, x, x - row_number() OVER (ORDER BY x) AS grp FROM missing
+),
+streaks AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS len, min(d) AS streak_start
+  FROM isl GROUP BY 1
+),
+longest AS (
+  SELECT len AS longest_gap_days, streak_start AS longest_gap_start
+  FROM streaks ORDER BY len DESC, streak_start ASC LIMIT 1
+)
+SELECT sp.d_min AS span_start, sp.d_max AS span_end,
+       (SELECT CAST(count(*) AS BIGINT) FROM days) AS n_observed_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM missing) AS n_missing_days,
+       coalesce((SELECT longest_gap_days FROM longest),
+                CAST(0 AS BIGINT)) AS longest_gap_days,
+       (SELECT longest_gap_start FROM longest) AS longest_gap_start
+FROM span sp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekday-adjusted revenue anomalies (R4-119): the seasonality-aware
+# companion to daily_trend_anomaly — a Saturday that looks quiet
+# against the all-week mean may be a perfectly normal Saturday, so each
+# day is z-scored against ITS OWN weekday's mean/std. Top-N days by
+# |z| on the floored grid (rounded-grid decision rule + date tiebreak:
+# the cut can never flip on 1-ulp noise). Per-weekday moments are one
+# 7-row hash-agg of exact BIGINT dollar sums broadcast back over the
+# bounded daily table; the final cut is a TakeOrdered, never a sort.
+# ---------------------------------------------------------------------------
+
+ANOM_TOP = 15
+
+
+def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).select(
+        "d",
+        (
+            (F.datediff("d", F.lit("1970-01-01").cast("date")) + 3) % 7
+        ).cast("long").alias("dow_idx"),
+        F.floor(F.col("cents") / 100).cast("long").alias("y"),
+    )
+    mom = daily.groupBy(F.col("dow_idx").alias("m_idx")).agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum("y").cast("long").alias("s_d"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss_d"),
+    )
+    mu = F.col("s_d").cast("double") / F.col("n_d").cast("double")
+    sd = F.sqrt(
+        F.col("ss_d").cast("double") / F.col("n_d").cast("double")
+        - mu * mu
+    )
+    z_q = F.floor(
+        (F.col("y").cast("double") - mu) / sd * 10000 + 1e-6
+    ).cast("long")
+    scored = daily.join(
+        F.broadcast(mom), F.col("dow_idx") == F.col("m_idx")
+    ).select("d", "dow_idx", "y", z_q.alias("z_q"))
+    return (
+        scored.orderBy(F.abs(F.col("z_q")).desc(), F.asc("d"))
+        .limit(ANOM_TOP)
+        .select(
+            "d",
+            "dow_idx",
+            F.col("y").alias("revenue_dollars"),
+            (F.col("z_q").cast("double") / 10000).alias("z_dow"),
+            F.when(F.col("z_q") >= 0, F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("direction"),
+        )
+    )
+
+
+DOW_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST((date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE)) + 3)
+              % 7 AS BIGINT) AS dow_idx,
+         CAST(floor(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+                    / 100) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+mom AS (
+  SELECT dow_idx AS m_idx,
+         CAST(count(*) AS BIGINT) AS n_d,
+         CAST(sum(y) AS BIGINT) AS s_d,
+         CAST(sum(y * y) AS BIGINT) AS ss_d
+  FROM daily GROUP BY 1
+),
+scored AS (
+  SELECT d, dow_idx, y,
+         CAST(floor((CAST(y AS DOUBLE)
+                     - CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE))
+                    / sqrt(CAST(ss_d AS DOUBLE) / CAST(n_d AS DOUBLE)
+                           - (CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE))
+                             * (CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE)))
+                    * 10000 + 1e-6) AS BIGINT) AS z_q
+  FROM daily JOIN mom ON dow_idx = m_idx
+)
+SELECT d, dow_idx, y AS revenue_dollars,
+       CAST(z_q AS DOUBLE) / 10000 AS z_dow,
+       CASE WHEN z_q >= 0 THEN 'high' ELSE 'low' END AS direction
+FROM scored
+ORDER BY abs(z_q) DESC, d ASC
+LIMIT {ANOM_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the de-trended residual SIGNS (R4-120):
+# does the daily noise flip sign like independent noise, or does it
+# run in streaks (momentum/regime behaviour the OLS fit is hiding)?
+# Rides the SAME whole-dollar quantized residual series as
+# durbin_watson_trend (eq >= 0 counts as positive, stated rule), so
+# the two diagnostics are directly comparable. Counts (n+, n-, runs)
+# are exact BIGINTs from one lag pass over the bounded daily table;
+# E[R], Var[R], z are the closed forms evaluated once from those
+# integers.
+# ---------------------------------------------------------------------------
+
+
+def residual_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_xy(spark, sf_dir).select(
+        "x", F.floor(F.col("cents") / 100).cast("long").alias("y")
+    )
+    ols = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    signs = daily.crossJoin(F.broadcast(ols)).select(
+        "x",
+        F.when(
+            F.floor(
+                F.col("y").cast("double")
+                - (intercept + slope * F.col("x").cast("double"))
+                + 1e-6
+            )
+            >= 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("s"),
+    )
+    w = Window.orderBy("x")
+    flips = signs.select(
+        "s",
+        F.when(
+            F.lag("s", 1).over(w).isNotNull()
+            & (F.col("s") != F.lag("s", 1).over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.sum("s").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n_neg"),
+        (F.sum("flip") + 1).cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    nn = n1 + n2
+    e_r = 2.0 * n1 * n2 / nn + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+    ) / (nn * nn * (nn - 1.0))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        floor_round(e_r, 4).alias("expected_runs"),
+        floor_round(
+            (F.col("n_runs").cast("double") - e_r) / F.sqrt(var_r), 4
+        ).alias("z_runs"),
+    )
+
+
+RUNS_TEST_SQL = f"""
+WITH daily0 AS ({_DAILY_XY}),
+daily AS (
+  SELECT x, CAST(floor(cents / 100) AS BIGINT) AS y FROM daily0
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily
+),
+coef AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM ols
+),
+signs AS (
+  SELECT d.x,
+         CASE WHEN CAST(floor(CAST(d.y AS DOUBLE)
+                              - (c.a + c.b * CAST(d.x AS DOUBLE)) + 1e-6)
+                   AS BIGINT) >= 0 THEN 1 ELSE 0 END AS s
+  FROM daily d, coef c
+),
+flips AS (
+  SELECT s,
+         CASE WHEN lag(s, 1) OVER (ORDER BY x) IS NOT NULL
+                   AND s != lag(s, 1) OVER (ORDER BY x)
+              THEN 1 ELSE 0 END AS flip
+  FROM signs
+),
+agg AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(s) AS BIGINT) AS n_neg,
+         CAST(sum(flip) + 1 AS BIGINT) AS n_runs
+  FROM flips
+)
+SELECT n_pos, n_neg, n_runs,
+       CAST(floor((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                   / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1.0)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS expected_runs,
+       CAST(floor((CAST(n_runs AS DOUBLE)
+                   - (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                      / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+                      + 1.0))
+                  / sqrt((2.0 * CAST(n_pos AS DOUBLE)
+                          * CAST(n_neg AS DOUBLE)
+                          * (2.0 * CAST(n_pos AS DOUBLE)
+                             * CAST(n_neg AS DOUBLE)
+                             - CAST(n_pos AS DOUBLE)
+                             - CAST(n_neg AS DOUBLE)))
+                         / ((CAST(n_pos AS DOUBLE)
+                             + CAST(n_neg AS DOUBLE))
+                            * (CAST(n_pos AS DOUBLE)
+                               + CAST(n_neg AS DOUBLE))
+                            * (CAST(n_pos AS DOUBLE)
+                               + CAST(n_neg AS DOUBLE) - 1.0)))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS z_runs
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV accumulation curve (R4-121): cumulative revenue per
+# signup-month cohort at month offsets 0..LTV_MAX_OFFSET — the
+# revenue-weighted twin of the graded retention matrix (R4-30), and
+# the curve every "payback window" decision reads. Month arithmetic is
+# the engine-shared year*12+month integer (never month-boundary-sensitive
+# interval math). Exact BIGINT cents throughout; the per-customer
+# cohort assignment is one hash-agg, the curve accumulates over the
+# bounded (cohort x offset) grid.
+# ---------------------------------------------------------------------------
+
+LTV_MAX_OFFSET = 11
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("cents"),
+    )
+    cohort = orders.groupBy("o_custkey").agg(
+        F.min("m").cast("long").alias("m0")
+    )
+    sized = cohort.groupBy("m0").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    cell = (
+        orders.join(cohort, "o_custkey")
+        .where(F.col("m") - F.col("m0") <= LTV_MAX_OFFSET)
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("offset_m"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            F.sum("cents").cast("long").alias("cents_m"),
+        )
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = cell.withColumn(
+        "cum_cents", F.sum("cents_m").over(w).cast("long")
+    ).join(F.broadcast(sized), "m0")
+    return curve.select(
+        F.make_date(
+            F.floor((F.col("m0") - 1) / 12).cast("int"),
+            ((F.col("m0") - 1) % 12 + 1).cast("int"),
+            F.lit(1),
+        ).alias("cohort_month"),
+        F.col("offset_m").cast("long").alias("offset_m"),
+        "cohort_size",
+        "n_active",
+        "cents_m",
+        "cum_cents",
+        F.floor(
+            F.col("cum_cents").cast("double") / F.col("cohort_size")
+        )
+        .cast("long")
+        .alias("ltv_cents_per_cust"),
+    ).orderBy("cohort_month", "offset_m")
+
+
+COHORT_LTV_SQL = f"""
+WITH orders_m AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (
+  SELECT o_custkey, CAST(min(m) AS BIGINT) AS m0
+  FROM orders_m GROUP BY 1
+),
+sized AS (
+  SELECT m0, CAST(count(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY 1
+),
+cell AS (
+  SELECT c.m0, o.m - c.m0 AS offset_m,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(o.cents) AS BIGINT) AS cents_m
+  FROM orders_m o JOIN cohort c USING (o_custkey)
+  WHERE o.m - c.m0 <= {LTV_MAX_OFFSET}
+  GROUP BY 1, 2
+),
+curve AS (
+  SELECT m0, offset_m, n_active, cents_m,
+         CAST(sum(cents_m) OVER (PARTITION BY m0 ORDER BY offset_m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents
+  FROM cell
+)
+SELECT make_date(CAST(floor((m0 - 1) / 12) AS INT),
+                 CAST((m0 - 1) % 12 + 1 AS INT), 1) AS cohort_month,
+       CAST(offset_m AS BIGINT) AS offset_m,
+       s.cohort_size, n_active, cents_m, cum_cents,
+       CAST(floor(CAST(cum_cents AS DOUBLE) / s.cohort_size)
+            AS BIGINT) AS ltv_cents_per_cust
+FROM curve JOIN sized s USING (m0)
+ORDER BY cohort_month, offset_m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over calendar gaps (R4-122): the IMPUTATION
+# transform paired with calendar_gap_audit — for every dark day inside
+# the span, reconstruct revenue by linear interpolation between the
+# nearest observed neighbors (the standard pre-fill before any
+# equal-spaced time-series model touches the series). Neighbor lookup
+# is ignore-nulls first/last over the calendar spine (bounded by the
+# span, ~3.7k rows/decade); the interpolated value is exact integer
+# arithmetic floored identically in both engines. Emits ONLY the
+# filled rows.
+# ---------------------------------------------------------------------------
+
+
+def daily_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    span = daily.agg(F.min("d").alias("d_min"), F.max("d").alias("d_max"))
+    spine = span.select(
+        F.explode(
+            F.sequence(
+                F.col("d_min"), F.col("d_max"), F.expr("interval 1 day")
+            )
+        ).alias("d")
+    )
+    grid = spine.join(daily, "d", "left").select(
+        "d",
+        F.datediff("d", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "cents",
+    )
+    w = Window.orderBy("x")
+    obs_x = F.when(F.col("cents").isNotNull(), F.col("x"))
+    prev_w = w.rowsBetween(Window.unboundedPreceding, -1)
+    next_w = w.rowsBetween(1, Window.unboundedFollowing)
+    filled = grid.select(
+        "d",
+        "x",
+        "cents",
+        F.last(obs_x, ignorenulls=True).over(prev_w).alias("px"),
+        F.last(F.col("cents"), ignorenulls=True).over(prev_w).alias("pv"),
+        F.first(obs_x, ignorenulls=True).over(next_w).alias("nx"),
+        F.first(F.col("cents"), ignorenulls=True).over(next_w).alias("nv"),
+    ).where(F.col("cents").isNull())
+    interp = F.col("pv") + F.floor(
+        (F.col("nv") - F.col("pv")).cast("double")
+        * (F.col("x") - F.col("px")).cast("double")
+        / (F.col("nx") - F.col("px")).cast("double")
+        + 1e-6
+    ).cast("long")
+    return filled.select(
+        "d",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("px").cast("int"))
+        .alias("prev_day"),
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("nx").cast("int"))
+        .alias("next_day"),
+        F.col("pv").alias("prev_cents"),
+        F.col("nv").alias("next_cents"),
+        interp.alias("interp_cents"),
+    ).orderBy("d")
+
+
+GAP_INTERP_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+span AS (SELECT min(d) AS d_min, max(d) AS d_max FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(d_min, d_max,
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+grid AS (
+  SELECT s.d,
+         CAST(date_diff('day', DATE '1970-01-01', s.d) AS BIGINT) AS x,
+         o.cents
+  FROM spine s LEFT JOIN daily o USING (d)
+),
+filled AS (
+  SELECT d, x, cents,
+         last_value(CASE WHEN cents IS NOT NULL THEN x END IGNORE NULLS)
+           OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS px,
+         last_value(cents IGNORE NULLS)
+           OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS pv,
+         first_value(CASE WHEN cents IS NOT NULL THEN x END IGNORE NULLS)
+           OVER (ORDER BY x ROWS BETWEEN 1 FOLLOWING
+                 AND UNBOUNDED FOLLOWING) AS nx,
+         first_value(cents IGNORE NULLS)
+           OVER (ORDER BY x ROWS BETWEEN 1 FOLLOWING
+                 AND UNBOUNDED FOLLOWING) AS nv
+  FROM grid
+)
+SELECT d,
+       CAST(DATE '1970-01-01' + CAST(px AS INT) AS DATE) AS prev_day,
+       CAST(DATE '1970-01-01' + CAST(nx AS INT) AS DATE) AS next_day,
+       pv AS prev_cents, nv AS next_cents,
+       pv + CAST(floor(CAST(nv - pv AS DOUBLE)
+                       * CAST(x - px AS DOUBLE)
+                       / CAST(nx - px AS DOUBLE) + 1e-6)
+                 AS BIGINT) AS interp_cents
+FROM filled
+WHERE cents IS NULL
+ORDER BY d
+"""

@@ -2615,3 +2615,209 @@ SELECT label, n_vecs,
 FROM sums, tot
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# MRR / MAP / precision@K vs IVF probe depth (R4-115, training:ann-map):
+# the third leg of the ANN audit triptych — recall says WHETHER the
+# true neighbors came back, NDCG whether they came back in order, and
+# MAP/MRR what a downstream retrieval consumer (RAG top-1, rerankers)
+# actually experiences. Relevance is binary membership in the exact
+# brute-force top-K (the same truth set the recall audit uses).
+#
+# Cross-engine exactness: MRR is 1/min(rank) (order-free min, one
+# division); MAP's per-hit precision terms are each floored onto a
+# 1e-8 integer grid and summed as exact BIGINTs — never an
+# order-dependent float sum. The cumulative-hit window runs over the
+# <= K rows per probe depth (the K-row bounded window exception).
+# Scale shape: identical to ann_recall_audit / ann_ndcg_audit.
+# ---------------------------------------------------------------------------
+
+
+def ann_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("i", "cx")
+    ).groupBy("label", "i").agg(F.avg("cx").alias("cx"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "qx")
+    )
+    aff = (
+        comp.join(F.broadcast(q), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("cx") * F.col("qx")).alias("dot"),
+            F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn"),
+            F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qn"),
+        )
+        .select(
+            "label",
+            floor_round(F.col("dot") / (F.col("cn") * F.col("qn")), 4)
+            .alias("aff"),
+        )
+        .withColumn(
+            "label_rank",
+            F.row_number().over(Window.orderBy(F.desc("aff"), F.asc("label"))),
+        )
+    )
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", _floor4(cos).alias("cos"))
+    )
+    truth = (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.lit(1).alias("is_rel"))
+    )
+    probes = spark.range(1, RECALL_MAX_PROBE + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    cand = (
+        scored.join(F.broadcast(aff), "label")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("label_rank") <= F.col("n_probe"))
+    )
+    topk = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("n_probe").orderBy(F.desc("cos"), F.asc("vec_id"))
+        ),
+    ).where(F.col("rk") <= TOP_K)
+    hit = topk.join(F.broadcast(truth), "vec_id", "left").select(
+        "n_probe", "rk", F.coalesce(F.col("is_rel"), F.lit(0)).alias("rel")
+    )
+    # K-row bounded window: cumulative hits within each probe's top-K
+    cum = hit.withColumn(
+        "cum_rel",
+        F.sum("rel").over(
+            Window.partitionBy("n_probe")
+            .orderBy("rk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    prec_q = F.when(
+        F.col("rel") == 1,
+        F.floor(
+            F.col("cum_rel").cast("double") / F.col("rk").cast("double")
+            * 100000000
+            + 1e-6
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = cum.groupBy("n_probe").agg(
+        F.sum("rel").cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_hit"),
+        F.sum(prec_q).cast("long").alias("ap_q"),
+    )
+    return agg.select(
+        "n_probe",
+        "hits_at_k",
+        floor_round(
+            F.col("hits_at_k").cast("double") / F.lit(float(TOP_K)), 6
+        ).alias("p_at_k"),
+        floor_round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        floor_round(
+            F.col("ap_q").cast("double") / 1.0e8 / F.lit(float(TOP_K)), 6
+        ).alias("map_at_k"),
+    ).orderBy("n_probe")
+
+
+ANN_MAP_SQL = f"""
+WITH q AS (
+  SELECT i, CAST(x AS DOUBLE) AS qx
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+),
+comp AS (
+  SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY 1, 2
+),
+aff AS (
+  SELECT label,
+         floor(sum(cx * qx) / (sqrt(sum(cx * cx)) * sqrt(sum(qx * qx)))
+               * 10000 + 1e-6) / 10000 AS aff
+  FROM comp JOIN q USING (i)
+  GROUP BY label
+),
+ranked_labels AS (
+  SELECT label,
+         row_number() OVER (ORDER BY aff DESC, label ASC) AS label_rank
+  FROM aff
+),
+qv AS (SELECT embedding AS q_embedding FROM embeddings
+       WHERE vec_id = {QUERY_VEC_ID}),
+scored AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000
+                    + 1e-6) / 10000 AS DOUBLE) AS cos
+  FROM embeddings, qv WHERE vec_id != {QUERY_VEC_ID}
+),
+truth AS (
+  SELECT vec_id, 1 AS is_rel FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS t_rank
+    FROM scored
+  ) WHERE t_rank <= {TOP_K}
+),
+cand AS (
+  SELECT s.vec_id, s.cos, p.n_probe
+  FROM scored s
+  JOIN ranked_labels r ON r.label = s.label
+  JOIN (SELECT unnest([{", ".join(str(i) for i in range(1, RECALL_MAX_PROBE + 1))}]) AS n_probe) p
+    ON r.label_rank <= p.n_probe
+),
+topk AS (
+  SELECT * FROM (
+    SELECT vec_id, n_probe,
+           row_number() OVER (PARTITION BY n_probe
+                              ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {TOP_K}
+),
+hit AS (
+  SELECT k.n_probe, k.rk, coalesce(t.is_rel, 0) AS rel
+  FROM topk k LEFT JOIN truth t ON t.vec_id = k.vec_id
+),
+cum AS (
+  SELECT n_probe, rk, rel,
+         sum(rel) OVER (PARTITION BY n_probe ORDER BY rk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rel
+  FROM hit
+),
+agg AS (
+  SELECT n_probe,
+         CAST(sum(rel) AS BIGINT) AS hits_at_k,
+         min(CASE WHEN rel = 1 THEN rk END) AS first_hit,
+         CAST(sum(CASE WHEN rel = 1
+                       THEN CAST(floor(CAST(cum_rel AS DOUBLE)
+                                       / CAST(rk AS DOUBLE)
+                                       * 100000000 + 1e-6) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ap_q
+  FROM cum GROUP BY 1
+)
+SELECT CAST(n_probe AS INT) AS n_probe, hits_at_k,
+       CAST(floor(CAST(hits_at_k AS DOUBLE) / {float(TOP_K)!r}
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS p_at_k,
+       CAST(floor(coalesce(1.0 / CAST(first_hit AS DOUBLE), 0.0)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS mrr,
+       CAST(floor(CAST(ap_q AS DOUBLE) / 100000000.0 / {float(TOP_K)!r}
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS map_at_k
+FROM agg
+ORDER BY n_probe
+"""
