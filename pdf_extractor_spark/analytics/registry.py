@@ -1028,6 +1028,54 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.calendar_gap_audit, relational.CALENDAR_GAP_SQL,
         "R4-118 day-spine completeness + longest dark streak",
     ),
+    "dow_adjusted_anomalies": QuerySpec(
+        relational.dow_adjusted_anomalies, relational.DOW_ANOMALY_SQL,
+        "R4-119 weekday-adjusted revenue anomaly top-N",
+    ),
+    "residual_runs_test": QuerySpec(
+        relational.residual_runs_test, relational.RUNS_TEST_SQL,
+        "R4-120 Wald-Wolfowitz runs test on de-trended signs",
+    ),
+    "cohort_ltv_curve": QuerySpec(
+        relational.cohort_ltv_curve, relational.COHORT_LTV_SQL,
+        "R4-121 cohort LTV accumulation curve",
+    ),
+    "daily_gap_interpolation": QuerySpec(
+        relational.daily_gap_interpolation, relational.GAP_INTERP_SQL,
+        "R4-122 linear interpolation over calendar gaps",
+    ),
+    "lognormal_length_fit": QuerySpec(
+        textstats.lognormal_length_fit, textstats.LOGNORMAL_FIT_SQL,
+        "R4-123 log-normal length fit vs empirical moments",
+    ),
+    "source_vocab_overlap": QuerySpec(
+        textstats.source_vocab_overlap, textstats.SOURCE_VOCAB_OVERLAP_SQL,
+        "R4-124 pairwise source-vocabulary Jaccard overlap",
+    ),
+    "burrows_delta_sources": QuerySpec(
+        textstats.burrows_delta_sources, textstats.BURROWS_DELTA_SQL,
+        "R4-125 Burrows' Delta stylometric distance between sources",
+    ),
+    "char_class_profile": QuerySpec(
+        textstats.char_class_profile, textstats.CHAR_CLASS_SQL,
+        "R4-126 per-language character-class shares",
+    ),
+    "leadtime_quantiles_by_priority": QuerySpec(
+        relational.leadtime_quantiles_by_priority, relational.LEADTIME_SQL,
+        "R4-127 exact lead-time p50/p90 per order priority",
+    ),
+    "qty_weighted_price_median": QuerySpec(
+        relational.qty_weighted_price_median, relational.QTY_WMEDIAN_SQL,
+        "R4-128 quantity-weighted median unit price per flag",
+    ),
+    "conversion_lag_quantiles": QuerySpec(
+        relational.conversion_lag_quantiles, relational.CONVERSION_LAG_SQL,
+        "R4-129 view-to-purchase lag p50/p90",
+    ),
+    "centroid_distance_matrix": QuerySpec(
+        similarity.centroid_distance_matrix, similarity.CENTROID_MATRIX_SQL,
+        "R4-130 inter-centroid cosine confusability matrix",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

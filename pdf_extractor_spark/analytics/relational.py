@@ -7269,3 +7269,330 @@ FROM filled
 WHERE cents IS NULL
 ORDER BY d
 """
+
+
+# ---------------------------------------------------------------------------
+# Fulfilment lead-time quantiles per order priority (R4-127): days
+# from order placement to line shipment, with exact p50/p90 via the
+# cumulative-histogram rule over the bounded DAY domain (the R4-35
+# exact-median pattern, grouped) — the SLA report a fulfilment
+# pipeline actually reads ("is URGENT really shipping faster, at the
+# tail, not just on average"). The only big stage is the
+# lineitem-to-orders equi-join; everything after runs on the
+# (priority x lead-days) grid.
+# ---------------------------------------------------------------------------
+
+_LEAD_QS = (50, 90)
+
+
+def leadtime_quantiles_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lead = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.date_trunc("day", "l_shipdate").cast("date"),
+            F.date_trunc("day", "o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    hist = lead.groupBy("o_orderpriority", "days").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = hist.groupBy(F.col("o_orderpriority").alias("t_pri")).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("days") * F.col("c")).cast("long").alias("s_days"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(w).cast("long")
+    ).join(F.broadcast(tot), F.col("o_orderpriority") == F.col("t_pri"))
+    def q_col(p):
+        # lower quantile on the exact histogram: first value whose
+        # cumulative count reaches ceil(n * p / 100)
+        target = F.ceil(F.col("n") * p / 100.0).cast("long")
+        return F.min(
+            F.when(
+                (F.col("cum") - F.col("c") + 1 <= target)
+                & (target <= F.col("cum")),
+                F.col("days"),
+            )
+        )
+    agg = cum.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_lines"),
+        F.max("s_days").alias("s_days"),
+        *[q_col(p).cast("long").alias(f"p{p}_days") for p in _LEAD_QS],
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        floor_round(
+            F.col("s_days").cast("double") / F.col("n_lines").cast("double"),
+            4,
+        ).alias("mean_days"),
+        *[f"p{p}_days" for p in _LEAD_QS],
+    ).orderBy("o_orderpriority")
+
+
+LEADTIME_SQL = """
+WITH lead AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+                        CAST(date_trunc('day', l.l_shipdate) AS DATE))
+              AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hist AS (
+  SELECT o_orderpriority, days, CAST(count(*) AS BIGINT) AS c
+  FROM lead GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderpriority AS t_pri,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(days * c) AS BIGINT) AS s_days
+  FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT h.o_orderpriority, h.days, h.c,
+         CAST(sum(h.c) OVER (PARTITION BY h.o_orderpriority ORDER BY h.days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         t.n, t.s_days
+  FROM hist h JOIN tot t ON h.o_orderpriority = t.t_pri
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(floor(CAST(max(s_days) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_days,
+       CAST(min(CASE WHEN cum - c + 1 <= CAST(ceil(n * 50 / 100.0) AS BIGINT)
+                      AND CAST(ceil(n * 50 / 100.0) AS BIGINT) <= cum
+                     THEN days END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN cum - c + 1 <= CAST(ceil(n * 90 / 100.0) AS BIGINT)
+                      AND CAST(ceil(n * 90 / 100.0) AS BIGINT) <= cum
+                     THEN days END) AS BIGINT) AS p90_days
+FROM cum
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantity-weighted median unit price per return flag (R4-128): the
+# weighted-quantile shape — "the unit price the MEDIAN SHIPPED UNIT
+# paid", not the median line — via the cumulative-WEIGHT histogram
+# rule (first price whose cumulative quantity reaches ceil(W/2)).
+# Unit prices are floored to exact cents, quantities to exact BIGINT
+# units; the cumulative window runs per flag over the bounded distinct
+# price domain, never over raw lines.
+# ---------------------------------------------------------------------------
+
+
+def qty_weighted_price_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + 1e-6).cast("long").alias("qty"),
+        F.floor(
+            F.col("l_extendedprice") / F.col("l_quantity") * 100 + 1e-6
+        )
+        .cast("long")
+        .alias("unit_cents"),
+    )
+    hist = li.groupBy("l_returnflag", "unit_cents").agg(
+        F.sum("qty").cast("long").alias("wc"),
+        F.count("*").cast("long").alias("nl"),
+    )
+    tot = hist.groupBy(F.col("l_returnflag").alias("t_flag")).agg(
+        F.sum("wc").cast("long").alias("w_total"),
+        F.sum("nl").cast("long").alias("n_lines"),
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("unit_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn(
+        "cumw", F.sum("wc").over(w).cast("long")
+    ).join(F.broadcast(tot), F.col("l_returnflag") == F.col("t_flag"))
+    target = F.ceil(F.col("w_total") / 2.0).cast("long")
+    agg = cum.groupBy("l_returnflag").agg(
+        F.max("w_total").alias("units_total"),
+        F.max("n_lines").alias("n_lines"),
+        F.min(
+            F.when(
+                (F.col("cumw") - F.col("wc") + 1 <= target)
+                & (target <= F.col("cumw")),
+                F.col("unit_cents"),
+            )
+        )
+        .cast("long")
+        .alias("wmedian_unit_cents"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("units_total").cast("long").alias("units_total"),
+        "wmedian_unit_cents",
+    ).orderBy("l_returnflag")
+
+
+QTY_WMEDIAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity + 1e-6) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice / l_quantity * 100 + 1e-6)
+              AS BIGINT) AS unit_cents
+  FROM lineitem
+),
+hist AS (
+  SELECT l_returnflag, unit_cents,
+         CAST(sum(qty) AS BIGINT) AS wc,
+         CAST(count(*) AS BIGINT) AS nl
+  FROM li GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_returnflag AS t_flag,
+         CAST(sum(wc) AS BIGINT) AS w_total,
+         CAST(sum(nl) AS BIGINT) AS n_lines
+  FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT h.l_returnflag, h.unit_cents, h.wc,
+         CAST(sum(h.wc) OVER (PARTITION BY h.l_returnflag
+              ORDER BY h.unit_cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumw,
+         t.w_total, t.n_lines,
+         CAST(ceil(t.w_total / 2.0) AS BIGINT) AS target
+  FROM hist h JOIN tot t ON h.l_returnflag = t.t_flag
+)
+SELECT l_returnflag,
+       CAST(max(n_lines) AS BIGINT) AS n_lines,
+       CAST(max(w_total) AS BIGINT) AS units_total,
+       CAST(min(CASE WHEN cumw - wc + 1 <= target AND target <= cumw
+                     THEN unit_cents END) AS BIGINT) AS wmedian_unit_cents
+FROM cum
+GROUP BY 1
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# View-to-purchase conversion lag quantiles (R4-129): for every
+# purchase preceded by a view from the same user, the seconds since
+# that user's MOST RECENT view — n, mean, exact p50/p90 over the
+# whole-second lag domain (cumulative-histogram rule; the state is
+# bounded by distinct lag values among purchases, never by raw
+# events). The product-analytics companion to the graded funnel: the
+# funnel says HOW MANY convert, this says HOW FAST.
+# ---------------------------------------------------------------------------
+
+
+def conversion_lag_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t_s"),
+        F.col("ts").alias("ts_raw"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_raw", "event_id")
+    lagged = ev.withColumn(
+        "last_view_s",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("t_s")),
+            ignorenulls=True,
+        ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    lags = lagged.where(
+        (F.col("event_type") == "purchase")
+        & F.col("last_view_s").isNotNull()
+    ).select((F.col("t_s") - F.col("last_view_s")).alias("lag_s"))
+    hist = lags.groupBy("lag_s").agg(F.count("*").cast("long").alias("c"))
+    tot = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("lag_s") * F.col("c")).cast("long").alias("s_lag"),
+    )
+    cw = Window.orderBy("lag_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(cw).cast("long")
+    ).crossJoin(F.broadcast(tot))
+    def q_col(p):
+        target = F.ceil(F.col("n") * p / 100.0).cast("long")
+        return F.min(
+            F.when(
+                (F.col("cum") - F.col("c") + 1 <= target)
+                & (target <= F.col("cum")),
+                F.col("lag_s"),
+            )
+        )
+    return cum.agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        floor_round(
+            F.max("s_lag").cast("double") / F.max("n").cast("double"), 4
+        ).alias("mean_lag_s"),
+        q_col(50).cast("long").alias("p50_lag_s"),
+        q_col(90).cast("long").alias("p90_lag_s"),
+    )
+
+
+CONVERSION_LAG_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t_s, ts
+  FROM events
+),
+lagged AS (
+  SELECT event_type, t_s,
+         last_value(CASE WHEN event_type = 'view' THEN t_s END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_s
+  FROM ev
+),
+lags AS (
+  SELECT t_s - last_view_s AS lag_s
+  FROM lagged
+  WHERE event_type = 'purchase' AND last_view_s IS NOT NULL
+),
+hist AS (SELECT lag_s, CAST(count(*) AS BIGINT) AS c FROM lags GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(lag_s * c) AS BIGINT) AS s_lag
+  FROM hist
+),
+cum AS (
+  SELECT lag_s, c,
+         CAST(sum(c) OVER (ORDER BY lag_s ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cum,
+         t.n, t.s_lag
+  FROM hist, tot t
+)
+SELECT CAST(max(n) AS BIGINT) AS n_conversions,
+       CAST(floor(CAST(max(s_lag) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_lag_s,
+       CAST(min(CASE WHEN cum - c + 1 <= CAST(ceil(n * 50 / 100.0) AS BIGINT)
+                      AND CAST(ceil(n * 50 / 100.0) AS BIGINT) <= cum
+                     THEN lag_s END) AS BIGINT) AS p50_lag_s,
+       CAST(min(CASE WHEN cum - c + 1 <= CAST(ceil(n * 90 / 100.0) AS BIGINT)
+                      AND CAST(ceil(n * 90 / 100.0) AS BIGINT) <= cum
+                     THEN lag_s END) AS BIGINT) AS p90_lag_s
+FROM cum
+"""

@@ -2821,3 +2821,90 @@ SELECT CAST(n_probe AS INT) AS n_probe, hits_at_k,
 FROM agg
 ORDER BY n_probe
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-centroid cosine matrix (R4-130, training:ann-confusability):
+# which label pairs are CONFUSABLE — the IVF-health diagnostic that
+# explains the recall/NDCG/MAP curves above (two near-parallel
+# centroids mean probe-depth-1 routinely routes to the wrong cell) and
+# the SemDeDup pre-read (a high-cosine centroid pair is where
+# cross-cluster near-dups hide). Centroids are the same per-label
+# component means the IVF audits use; the pair join runs on the K-row
+# centroid table (K^2 bounded output), with each pair's cosine floored
+# onto the 1e-4 grid.
+# ---------------------------------------------------------------------------
+
+
+def centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("i", "cx")
+    ).groupBy("label", "i").agg(F.avg("cx").alias("cx"))
+    sizes = emb.groupBy(F.col("label").alias("s_label")).agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    a = comp.select(
+        F.col("label").alias("la"), "i", F.col("cx").alias("ax")
+    )
+    b = comp.select(
+        F.col("label").alias("lb"), "i", F.col("cx").alias("bx")
+    )
+    pairs = (
+        a.join(b, "i")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.col("ax") * F.col("bx")).alias("dot"),
+            F.sqrt(F.sum(F.col("ax") * F.col("ax"))).alias("na"),
+            F.sqrt(F.sum(F.col("bx") * F.col("bx"))).alias("nb"),
+        )
+    )
+    out = (
+        pairs.join(F.broadcast(sizes), F.col("la") == F.col("s_label"))
+        .withColumnRenamed("n_vecs", "n_a")
+        .drop("s_label")
+        .join(F.broadcast(sizes), F.col("lb") == F.col("s_label"))
+        .withColumnRenamed("n_vecs", "n_b")
+        .drop("s_label")
+    )
+    return out.select(
+        F.col("la").alias("label_a"),
+        F.col("lb").alias("label_b"),
+        "n_a",
+        "n_b",
+        floor_round(
+            F.col("dot") / (F.col("na") * F.col("nb")), 4
+        ).alias("centroid_cos"),
+    ).orderBy("label_a", "label_b")
+
+
+CENTROID_MATRIX_SQL = """
+WITH comp AS (
+  SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM embeddings GROUP BY 1
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.cx * b.cx) AS dot,
+         sqrt(sum(a.cx * a.cx)) AS na,
+         sqrt(sum(b.cx * b.cx)) AS nb
+  FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT p.label_a, p.label_b,
+       x.n_vecs AS n_a, y.n_vecs AS n_b,
+       CAST(floor(p.dot / (p.na * p.nb) * 10000 + 1e-6) / 10000
+            AS DOUBLE) AS centroid_cos
+FROM pairs p
+JOIN sizes x ON x.label = p.label_a
+JOIN sizes y ON y.label = p.label_b
+ORDER BY label_a, label_b
+"""

@@ -3765,3 +3765,461 @@ FROM staged, tot
 ORDER BY f DESC, term ASC
 LIMIT {NEG_SAMPLE_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Log-normal fit of document lengths (R4-123): the model-selection
+# companion to power_law_mle — web-corpus length distributions are
+# classically argued to be log-normal vs Pareto, and the curator needs
+# both fits side by side. Per-doc ln(length) is floored onto a 1e-5
+# grid (one deterministic per-row double -> BIGINT), so the moment
+# sums are exact integers; mu/sigma and the implied lognormal
+# median/mean are closed forms from those sums. The empirical median
+# comes from the bounded length histogram (the R4-35 cumulative trick),
+# never a global sort.
+# ---------------------------------------------------------------------------
+
+
+def lognormal_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(_tokens()).cast("long").alias("n_t")
+    ).where(F.col("n_t") >= 1)
+    q = docs.select(
+        "n_t",
+        F.floor(F.log(F.col("n_t").cast("double")) * 100000 + 1e-6)
+        .cast("long")
+        .alias("lq"),
+    )
+    mom = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lq").cast("long").alias("s"),
+        F.sum(F.col("lq") * F.col("lq")).cast("long").alias("ss"),
+        F.sum("n_t").cast("long").alias("tok_total"),
+    )
+    hist = q.groupBy("n_t").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("n_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = hist.agg(F.sum("c").cast("long").alias("nn"))
+    cum = hist.select(
+        "n_t", "c", F.sum("c").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    lo = F.floor((F.col("nn") + 1) / 2).cast("long")
+    med = cum.agg(
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("c") + 1 <= lo) & (lo <= F.col("cum")),
+                F.col("n_t"),
+            )
+        ).alias("emp_median")
+    )
+    mu_q = F.col("s").cast("double") / F.col("n").cast("double")
+    var_q = (
+        F.col("ss").cast("double") / F.col("n").cast("double") - mu_q * mu_q
+    )
+    mu = mu_q / 100000.0
+    sigma = F.sqrt(var_q) / 100000.0
+    return mom.crossJoin(F.broadcast(med)).select(
+        F.col("n").alias("n_docs"),
+        _floor_round(mu, 6).alias("mu_log"),
+        _floor_round(sigma, 6).alias("sigma_log"),
+        _floor_round(F.exp(mu), 4).alias("lognorm_median"),
+        _floor_round(F.exp(mu + sigma * sigma / 2), 4).alias("lognorm_mean"),
+        F.col("emp_median").cast("long").alias("emp_median"),
+        _floor_round(
+            F.col("tok_total").cast("double") / F.col("n").cast("double"), 4
+        ).alias("emp_mean"),
+    )
+
+
+LOGNORMAL_FIT_SQL = r"""
+WITH q AS (
+  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_t,
+         CAST(floor(ln(CAST(len(string_split_regex(text, '\s+'))
+                            AS DOUBLE)) * 100000 + 1e-6) AS BIGINT) AS lq
+  FROM documents
+  WHERE len(string_split_regex(text, '\s+')) >= 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lq) AS BIGINT) AS s,
+         CAST(sum(lq * lq) AS BIGINT) AS ss,
+         CAST(sum(n_t) AS BIGINT) AS tok_total
+  FROM q
+),
+hist AS (SELECT n_t, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM hist),
+cum AS (
+  SELECT n_t, c,
+         CAST(sum(c) OVER (ORDER BY n_t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+         t.nn, CAST(floor((t.nn + 1) / 2.0) AS BIGINT) AS lo
+  FROM hist, tot t
+),
+med AS (
+  SELECT min(CASE WHEN cum - c + 1 <= lo AND lo <= cum THEN n_t END)
+           AS emp_median
+  FROM cum
+)
+SELECT n AS n_docs,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100000.0
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS mu_log,
+       CAST(floor(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / 100000.0
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS sigma_log,
+       CAST(floor(exp(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100000.0)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS lognorm_median,
+       CAST(floor(exp(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100000.0
+                      + (sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / 100000.0)
+                        * (sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                           / 100000.0) / 2)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS lognorm_mean,
+       CAST(emp_median AS BIGINT) AS emp_median,
+       CAST(floor(CAST(tok_total AS DOUBLE) / CAST(n AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS emp_mean
+FROM mom, med
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source-vocabulary overlap (R4-124): Jaccard over the TYPE
+# sets of every source pair — the provenance diagnostic that tells a
+# curator which crawl feeds are redundant (near-identical vocabularies)
+# vs complementary before weighting them (feeds language_mix_sample /
+# domain-cap decisions). One distinct (source, term) hash-agg; the
+# pair join fans out per term only to the sources that share it
+# (bounded by the source vocabulary, never all-pairs over docs).
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(_tokens()).alias("term"))
+        .distinct()
+    )
+    sizes = vocab.groupBy(F.col("source").alias("sz_src")).agg(
+        F.count("*").cast("long").alias("v_size")
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(sizes), F.col("src_a") == F.col("sz_src")
+        )
+        .withColumnRenamed("v_size", "v_a")
+        .drop("sz_src")
+        .join(F.broadcast(sizes), F.col("src_b") == F.col("sz_src"))
+        .withColumnRenamed("v_size", "v_b")
+        .drop("sz_src")
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("v_a") + F.col("v_b") - F.col("shared")
+    ).cast("double")
+    return out.select(
+        "src_a",
+        "src_b",
+        "v_a",
+        "v_b",
+        "shared",
+        _floor_round(jac, 6).alias("jaccard"),
+    ).orderBy("src_a", "src_b")
+
+
+SOURCE_VOCAB_OVERLAP_SQL = r"""
+WITH vocab AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+        FROM documents)
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS v_size FROM vocab GROUP BY 1
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM vocab a JOIN vocab b
+    ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b,
+       x.v_size AS v_a, y.v_size AS v_b, s.shared,
+       CAST(floor(CAST(s.shared AS DOUBLE)
+                  / CAST(x.v_size + y.v_size - s.shared AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sizes x ON x.source = s.src_a
+JOIN sizes y ON y.source = s.src_b
+ORDER BY src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta between sources (R4-125): the classic stylometric
+# distance (Burrows 2002) over the corpus's top-M most-frequent words
+# — per source, each marker word's relative frequency is z-scored
+# against the across-source mean/std, and Delta(a,b) is the mean |z
+# difference|. In a pipeline this separates template-heavy / machine
+# generated feeds from organic ones before weighting. Exactness:
+# relative frequencies are floored onto a 1e-6 grid (BIGINT), the
+# across-source moments are exact integer sums over the bounded
+# source list, zero-variance markers are excluded by an exact integer
+# rule (n*SS == S*S) in both engines, and each |z_a − z_b| term is
+# floored onto 1e-8 before the BIGINT pair sum — no float summation
+# anywhere. Everything after the one token hash-agg runs on the
+# (sources × M) grid.
+# ---------------------------------------------------------------------------
+
+DELTA_TOP_M = 20
+
+
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(_tokens()).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = counts.groupBy(F.col("source").alias("t_src")).agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    top = (
+        counts.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("g"))
+        .orderBy(F.desc("g"), F.asc("term"))
+        .limit(DELTA_TOP_M)
+        .select("term")
+    )
+    n_src = totals.agg(F.count("*").cast("long").alias("n_s"))
+    # dense grid: every (source, marker) cell, zero-filled
+    grid = (
+        totals.select(F.col("t_src").alias("source"), "tot")
+        .crossJoin(F.broadcast(top))
+        .join(counts, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("tot").cast("double")
+                * 1000000
+                + 1e-6
+            )
+            .cast("long")
+            .alias("fq"),
+        )
+    )
+    mom = grid.groupBy(F.col("term").alias("m_term")).agg(
+        F.sum("fq").cast("long").alias("s_f"),
+        F.sum(F.col("fq") * F.col("fq")).cast("long").alias("ss_f"),
+    ).crossJoin(F.broadcast(n_src)).where(
+        F.col("n_s") * F.col("ss_f") != F.col("s_f") * F.col("s_f")
+    )
+    mu = F.col("s_f").cast("double") / F.col("n_s").cast("double")
+    sd = F.sqrt(
+        F.col("ss_f").cast("double") / F.col("n_s").cast("double") - mu * mu
+    )
+    z = grid.join(mom, F.col("term") == F.col("m_term")).select(
+        "source",
+        "term",
+        ((F.col("fq").cast("double") - mu) / sd).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.term") == F.col("b.term"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.floor(
+            F.abs(F.col("a.z") - F.col("b.z")) * 100000000 + 1e-6
+        )
+        .cast("long")
+        .alias("dq"),
+    )
+    agg = pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_markers"),
+        F.sum("dq").cast("long").alias("sdq"),
+    )
+    return agg.select(
+        "src_a",
+        "src_b",
+        "n_markers",
+        _floor_round(
+            F.col("sdq").cast("double")
+            / 100000000.0
+            / F.col("n_markers").cast("double"),
+            6,
+        ).alias("delta"),
+    ).orderBy("src_a", "src_b")
+
+
+BURROWS_DELTA_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY 1
+),
+top AS (
+  SELECT term FROM (
+    SELECT term, CAST(sum(c) AS BIGINT) AS g FROM counts GROUP BY 1
+  ) ORDER BY g DESC, term ASC LIMIT {DELTA_TOP_M}
+),
+n_src AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM totals),
+grid AS (
+  SELECT t.source, p.term,
+         CAST(floor(CAST(coalesce(c.c, 0) AS DOUBLE)
+                    / CAST(t.tot AS DOUBLE) * 1000000 + 1e-6)
+              AS BIGINT) AS fq
+  FROM totals t CROSS JOIN top p
+  LEFT JOIN counts c ON c.source = t.source AND c.term = p.term
+),
+mom AS (
+  SELECT term,
+         CAST(sum(fq) AS BIGINT) AS s_f,
+         CAST(sum(fq * fq) AS BIGINT) AS ss_f,
+         (SELECT n_s FROM n_src) AS n_s
+  FROM grid GROUP BY 1
+),
+z AS (
+  SELECT g.source, g.term,
+         (CAST(g.fq AS DOUBLE)
+          - CAST(m.s_f AS DOUBLE) / CAST(m.n_s AS DOUBLE))
+         / sqrt(CAST(m.ss_f AS DOUBLE) / CAST(m.n_s AS DOUBLE)
+                - (CAST(m.s_f AS DOUBLE) / CAST(m.n_s AS DOUBLE))
+                  * (CAST(m.s_f AS DOUBLE) / CAST(m.n_s AS DOUBLE))) AS z
+  FROM grid g JOIN mom m ON g.term = m.term
+  WHERE m.n_s * m.ss_f != m.s_f * m.s_f
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(floor(abs(a.z - b.z) * 100000000 + 1e-6) AS BIGINT) AS dq
+  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+)
+SELECT src_a, src_b,
+       CAST(count(*) AS BIGINT) AS n_markers,
+       CAST(floor(CAST(sum(dq) AS DOUBLE) / 100000000.0
+                  / CAST(count(*) AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS delta
+FROM pairs
+GROUP BY 1, 2
+ORDER BY src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile per language (R4-126): alpha / digit /
+# whitespace / other shares of the raw character stream, split by the
+# lang column — the cheapest possible encoding/quality fingerprint (a
+# "French" feed that is 30% digits is a table dump, not prose; a CJK
+# feed with near-zero letter share under a Latin-only alpha class is
+# the expected signature, not an anomaly). Map-only Unicode-category
+# regex counts (\p{L}, \p{N}, \s — identical semantics in Java regex
+# and RE2), exact BIGINT sums, floored shares; output bounded by the
+# language vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def _cc_count(pattern: str) -> Column:
+    return (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), pattern, ""))
+    ).cast("long")
+
+
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("long").alias("n_ch"),
+        _cc_count(r"\p{L}").alias("n_alpha"),
+        _cc_count(r"\p{N}").alias("n_digit"),
+        _cc_count(r"\s").alias("n_space"),
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ch").cast("long").alias("chars"),
+        F.sum("n_alpha").cast("long").alias("alpha"),
+        F.sum("n_digit").cast("long").alias("digit"),
+        F.sum("n_space").cast("long").alias("space"),
+    )
+    def share(c):
+        return _floor_round(
+            F.col(c).cast("double") / F.col("chars").cast("double"), 6
+        )
+    other = (
+        F.col("chars") - F.col("alpha") - F.col("digit") - F.col("space")
+    ).cast("long")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "chars",
+        share("alpha").alias("alpha_share"),
+        share("digit").alias("digit_share"),
+        share("space").alias("space_share"),
+        _floor_round(
+            other.cast("double") / F.col("chars").cast("double"), 6
+        ).alias("other_share"),
+    ).orderBy("lang")
+
+
+CHAR_CLASS_SQL = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(text) AS BIGINT) AS n_ch,
+         CAST(len(text) - len(regexp_replace(text, '\p{L}', '', 'g'))
+              AS BIGINT) AS n_alpha,
+         CAST(len(text) - len(regexp_replace(text, '\p{N}', '', 'g'))
+              AS BIGINT) AS n_digit,
+         CAST(len(text) - len(regexp_replace(text, '\s', '', 'g'))
+              AS BIGINT) AS n_space
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_ch) AS BIGINT) AS chars,
+         CAST(sum(n_alpha) AS BIGINT) AS alpha,
+         CAST(sum(n_digit) AS BIGINT) AS digit,
+         CAST(sum(n_space) AS BIGINT) AS space
+  FROM per GROUP BY 1
+)
+SELECT lang, n_docs, chars,
+       CAST(floor(CAST(alpha AS DOUBLE) / CAST(chars AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS alpha_share,
+       CAST(floor(CAST(digit AS DOUBLE) / CAST(chars AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS digit_share,
+       CAST(floor(CAST(space AS DOUBLE) / CAST(chars AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS space_share,
+       CAST(floor(CAST(chars - alpha - digit - space AS DOUBLE)
+                  / CAST(chars AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS other_share
+FROM agg
+ORDER BY lang
+"""
