@@ -2082,3 +2082,101 @@ FROM scored
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Shard balance audit (R4-136): the straggler check on
+# shuffle_shard_assign's hash partitioning — per-shard doc and
+# character loads, their CV and max/mean ratio, next to the multinomial
+# expectation sqrt((S-1)/N) for the doc-count CV. A hash family whose
+# observed CV sits far above that line is biased and the biggest shard
+# becomes the job's wall clock; this is the audit that justifies the
+# md5-based partitioner everywhere else in the suite. One hash-agg to
+# S rows; all moments exact BIGINT.
+# ---------------------------------------------------------------------------
+
+
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    shard = (_salted_hash64("shard", did) % N_SHARDS).alias("shard_id")
+    per = docs.select(shard, F.col("n_chars").cast("long").alias("nc")).groupBy(
+        "shard_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("chars"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("n_docs").cast("long").alias("nd"),
+        F.sum(F.col("n_docs") * F.col("n_docs")).cast("long").alias("ndd"),
+        F.max("n_docs").cast("long").alias("max_docs"),
+        F.sum("chars").cast("long").alias("ch"),
+        F.sum(F.col("chars") * F.col("chars")).cast("long").alias("chch"),
+        F.max("chars").cast("long").alias("max_chars"),
+    )
+    s = F.col("n_shards").cast("double")
+    mu_d = F.col("nd").cast("double") / s
+    sd_d = F.sqrt(F.col("ndd").cast("double") / s - mu_d * mu_d)
+    mu_c = F.col("ch").cast("double") / s
+    sd_c = F.sqrt(F.col("chch").cast("double") / s - mu_c * mu_c)
+    return agg.select(
+        "n_shards",
+        F.col("nd").alias("total_docs"),
+        floor_round(sd_d / mu_d, 6).alias("cv_docs"),
+        floor_round(
+            F.sqrt((s - 1.0) / F.col("nd").cast("double")), 6
+        ).alias("cv_docs_expected"),
+        floor_round(F.col("max_docs").cast("double") / mu_d, 6).alias(
+            "max_over_mean_docs"
+        ),
+        floor_round(sd_c / mu_c, 6).alias("cv_chars"),
+        floor_round(F.col("max_chars").cast("double") / mu_c, 6).alias(
+            "max_over_mean_chars"
+        ),
+    )
+
+
+SHARD_BALANCE_SQL = f"""
+WITH per AS (
+  SELECT CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {N_SHARDS} AS shard_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         CAST(sum(n_docs) AS BIGINT) AS nd,
+         CAST(sum(n_docs * n_docs) AS BIGINT) AS ndd,
+         CAST(max(n_docs) AS BIGINT) AS max_docs,
+         CAST(sum(chars) AS BIGINT) AS ch,
+         CAST(sum(chars * chars) AS BIGINT) AS chch,
+         CAST(max(chars) AS BIGINT) AS max_chars
+  FROM per
+)
+SELECT n_shards, nd AS total_docs,
+       CAST(floor(sqrt(CAST(ndd AS DOUBLE) / CAST(n_shards AS DOUBLE)
+                       - (CAST(nd AS DOUBLE) / CAST(n_shards AS DOUBLE))
+                         * (CAST(nd AS DOUBLE) / CAST(n_shards AS DOUBLE)))
+                  / (CAST(nd AS DOUBLE) / CAST(n_shards AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS cv_docs,
+       CAST(floor(sqrt((CAST(n_shards AS DOUBLE) - 1.0)
+                       / CAST(nd AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS cv_docs_expected,
+       CAST(floor(CAST(max_docs AS DOUBLE)
+                  / (CAST(nd AS DOUBLE) / CAST(n_shards AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS max_over_mean_docs,
+       CAST(floor(sqrt(CAST(chch AS DOUBLE) / CAST(n_shards AS DOUBLE)
+                       - (CAST(ch AS DOUBLE) / CAST(n_shards AS DOUBLE))
+                         * (CAST(ch AS DOUBLE) / CAST(n_shards AS DOUBLE)))
+                  / (CAST(ch AS DOUBLE) / CAST(n_shards AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS cv_chars,
+       CAST(floor(CAST(max_chars AS DOUBLE)
+                  / (CAST(ch AS DOUBLE) / CAST(n_shards AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS max_over_mean_chars
+FROM agg
+"""

@@ -2481,3 +2481,200 @@ SELECT n_pool,
             / 1000000 AS DOUBLE) AS pair_completeness
 FROM nc, nt, nf, np
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical-vs-semantic agreement audit (R4-135): over the SAME
+# MinHash-band candidate pairs the near-dup path scores, correlate the
+# exact shingle Jaccard with the embedding cosine — the cross-modal
+# read that separates VERBATIM duplication (high lex, high sem) from
+# paraphrase (low lex, high sem) and tells a curator whether the cheap
+# lexical tier can stand in for the embedding tier at their thresholds.
+# Rules (stated): injected near-dups inherit their source's embedding
+# (id % DUP_ID_OFFSET — the mutation is below encoder resolution);
+# dup-vs-own-source pairs are excluded (trivially cos=1); NULL cosines
+# (zero vectors) drop in both engines. Both scores are floored onto
+# the 1e-4 grid FIRST, so the Pearson moments are exact BIGINT sums
+# over small integers — no float summation. Bounded by the candidate
+# set, which the LSH bands already bound.
+# ---------------------------------------------------------------------------
+
+
+def lex_sem_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _as_double, _cosine
+
+    scored = _jaccard_scored_pairs(spark, sf_dir)
+    pairs = scored.select(
+        (F.col("a_id") % DUP_ID_OFFSET).alias("oa"),
+        (F.col("b_id") % DUP_ID_OFFSET).alias("ob"),
+        F.floor(F.col("jaccard") * 10000 + 1e-6).cast("long").alias("j4"),
+    ).where(F.col("oa") != F.col("ob"))
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    ea = emb.select(F.col("vec_id").alias("oa"), F.col("e").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("ob"), F.col("e").alias("e_b"))
+    cos = _cosine(F.col("e_a"), F.col("e_b"))
+    j = (
+        pairs.join(ea, "oa")
+        .join(eb, "ob")
+        .select(
+            "j4",
+            F.floor(cos * 10000 + 1e-6).cast("long").alias("c4"),
+        )
+        .where(F.col("c4").isNotNull())
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("j4").cast("long").alias("sj"),
+        F.sum("c4").cast("long").alias("sc"),
+        F.sum(F.col("j4") * F.col("c4")).cast("long").alias("sjc"),
+        F.sum(F.col("j4") * F.col("j4")).cast("long").alias("sjj"),
+        F.sum(F.col("c4") * F.col("c4")).cast("long").alias("scc"),
+    )
+    r = (
+        F.col("n_pairs").cast("double") * F.col("sjc").cast("double")
+        - F.col("sj").cast("double") * F.col("sc").cast("double")
+    ) / F.sqrt(
+        (
+            F.col("n_pairs").cast("double") * F.col("sjj").cast("double")
+            - F.col("sj").cast("double") * F.col("sj").cast("double")
+        )
+        * (
+            F.col("n_pairs").cast("double") * F.col("scc").cast("double")
+            - F.col("sc").cast("double") * F.col("sc").cast("double")
+        )
+    )
+    return agg.select(
+        "n_pairs",
+        floor_round(
+            F.col("sj").cast("double") / 10000.0
+            / F.col("n_pairs").cast("double"),
+            4,
+        ).alias("mean_jaccard"),
+        floor_round(
+            F.col("sc").cast("double") / 10000.0
+            / F.col("n_pairs").cast("double"),
+            4,
+        ).alias("mean_cos"),
+        floor_round(r, 6).alias("pearson_r"),
+    )
+
+
+def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs WITHOUT the report threshold: every banded
+    candidate pair with its exact floored Jaccard (shared kernel)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dups = docs.filter(F.col("doc_id") < N_INJECTED_DUPS).select(
+        (F.col("doc_id") + DUP_ID_OFFSET).alias("doc_id"), "lang", "text"
+    )
+    pool = docs.unionByName(dups)
+    bands = _with_bands(_docs_with_injected_dups(spark, sf_dir))
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = pool.select(
+        "doc_id", "lang", "text", _tokens().alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(_shingles(F.col("toks"), F.col("text"))).alias("shset"),
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("shset").alias("a_sh"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("shset").alias("b_sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    jac = (F.floor(inter.cast("double") / union * 10000 + 1e-6) / 10000).cast("double")
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(F.col("a_lang") == F.col("b_lang"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+    )
+
+
+def _lex_sem_sql() -> str:
+    from .similarity import _cosine_sql
+
+    return rf"""
+WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, lang, list_distinct({_SHINGLES_SQL}) AS shset
+  FROM (
+    SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS toks
+    FROM (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_ID_OFFSET} AS doc_id, lang, text
+      FROM documents WHERE doc_id < {N_INJECTED_DUPS}
+    )
+  )
+),
+scored AS (
+  SELECT c.a_id % {DUP_ID_OFFSET} AS oa,
+         c.b_id % {DUP_ID_OFFSET} AS ob,
+         CAST(floor(
+                 CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shset, b.shset))) * 10000
+                 + 1e-6) AS BIGINT) AS j4
+  FROM cand c
+  JOIN sh a ON c.a_id = a.doc_id
+  JOIN sh b ON c.b_id = b.doc_id AND a.lang = b.lang
+  WHERE c.a_id % {DUP_ID_OFFSET} != c.b_id % {DUP_ID_OFFSET}
+),
+withcos AS (
+  SELECT s.j4,
+         CAST(floor(({_cosine_sql('x.embedding', 'y.embedding')}) * 10000
+                    + 1e-6) AS BIGINT) AS c4
+  FROM scored s
+  JOIN embeddings x ON x.vec_id = s.oa
+  JOIN embeddings y ON y.vec_id = s.ob
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(j4) AS BIGINT) AS sj,
+         CAST(sum(c4) AS BIGINT) AS sc,
+         CAST(sum(j4 * c4) AS BIGINT) AS sjc,
+         CAST(sum(j4 * j4) AS BIGINT) AS sjj,
+         CAST(sum(c4 * c4) AS BIGINT) AS scc
+  FROM withcos WHERE c4 IS NOT NULL
+)
+SELECT n_pairs,
+       CAST(floor(CAST(sj AS DOUBLE) / 10000.0 / CAST(n_pairs AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_jaccard,
+       CAST(floor(CAST(sc AS DOUBLE) / 10000.0 / CAST(n_pairs AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_cos,
+       CAST(floor((CAST(n_pairs AS DOUBLE) * CAST(sjc AS DOUBLE)
+                   - CAST(sj AS DOUBLE) * CAST(sc AS DOUBLE))
+                  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sjj AS DOUBLE)
+                          - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                         * (CAST(n_pairs AS DOUBLE) * CAST(scc AS DOUBLE)
+                            - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS pearson_r
+FROM agg
+"""
+
+
+LEX_SEM_AGREEMENT_SQL = _lex_sem_sql()

@@ -1076,6 +1076,38 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.centroid_distance_matrix, similarity.CENTROID_MATRIX_SQL,
         "R4-130 inter-centroid cosine confusability matrix",
     ),
+    "retrieval_pipeline_e2e": QuerySpec(
+        search_api.retrieval_pipeline_e2e, search_api.RETRIEVAL_PIPELINE_SQL,
+        "R4-131 search-side composition: BM25 -> dedup collapse -> top-K",
+    ),
+    "embedding_norm_profile": QuerySpec(
+        similarity.embedding_norm_profile, similarity.NORM_PROFILE_SQL,
+        "R4-132 per-label L2-norm encoder-health profile",
+    ),
+    "source_league_table": QuerySpec(
+        textstats.source_league_table, textstats.SOURCE_LEAGUE_SQL,
+        "R4-133 percent_rank/cume_dist source league table",
+    ),
+    "benford_second_digit": QuerySpec(
+        relational.benford_second_digit, relational.BENFORD2_SQL,
+        "R4-134 Benford second-digit forensic audit",
+    ),
+    "lex_sem_agreement": QuerySpec(
+        dedup.lex_sem_agreement, dedup.LEX_SEM_AGREEMENT_SQL,
+        "R4-135 lexical-vs-semantic agreement over LSH candidates",
+    ),
+    "shard_balance_audit": QuerySpec(
+        curation.shard_balance_audit, curation.SHARD_BALANCE_SQL,
+        "R4-136 shard load CV vs multinomial expectation",
+    ),
+    "anova_length_by_lang": QuerySpec(
+        textstats.anova_length_by_lang, textstats.ANOVA_LENGTH_SQL,
+        "R4-137 one-way ANOVA + eta-squared across languages",
+    ),
+    "brown_forsythe_length": QuerySpec(
+        textstats.brown_forsythe_length, textstats.BROWN_FORSYTHE_SQL,
+        "R4-138 Brown-Forsythe variance-equality test",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -7596,3 +7596,107 @@ SELECT CAST(max(n) AS BIGINT) AS n_conversions,
                      THEN lag_s END) AS BIGINT) AS p90_lag_s
 FROM cum
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford SECOND-digit audit (R4-134): the forensic follow-up to the
+# graded first-digit test (R4-57) — fabricated or rounded figures often
+# survive the first-digit screen and fail on the second (Nigrini's
+# standard two-stage audit). Expected P(d2) = sum over k=1..9 of
+# log10(1 + 1/(10k + d2)) is computed once in Python and interpolated
+# into BOTH engines as the same literals; observed counts are exact
+# BIGINTs keyed by integer digit extraction on cents (no string
+# formatting of floats), chi-square accumulates one closed-form double
+# per 10-row digit output.
+# ---------------------------------------------------------------------------
+
+_BENFORD2_P = [
+    sum(math.log10(1.0 + 1.0 / (10 * k + d)) for k in range(1, 10))
+    for d in range(10)
+]
+
+
+def benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+    # second significant digit via integer arithmetic: reduce to
+    # [10, 99] by repeated decade division, then mod 10
+    mag = F.floor(F.log10(cents.cast("double"))).cast("long")
+    lead2 = F.floor(
+        cents.cast("double") / F.pow(F.lit(10.0), (mag - 1).cast("double"))
+    ).cast("long")
+    d2 = (lead2 % 10).cast("long")
+    obs = (
+        load(spark, sf_dir, "orders")
+        .where(cents >= 10)
+        .select(d2.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    probs = spark.createDataFrame(
+        [(d, _BENFORD2_P[d]) for d in range(10)], "digit LONG, p_exp DOUBLE"
+    )
+    j = probs.join(obs, "digit", "left").crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        "p_exp",
+        "n_total",
+    )
+    expected = F.col("p_exp") * F.col("n_total").cast("double")
+    chi = (
+        (F.col("n_obs").cast("double") - expected)
+        * (F.col("n_obs").cast("double") - expected)
+        / expected
+    )
+    return j.select(
+        "digit",
+        "n_obs",
+        floor_round(
+            F.col("n_obs").cast("double") / F.col("n_total").cast("double"),
+            6,
+        ).alias("p_obs"),
+        floor_round(F.col("p_exp"), 6).alias("p_benford2"),
+        floor_round(chi, 6).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+_B2_LITERALS = ", ".join(
+    # explicit DOUBLE cast: DuckDB types a bare decimal literal as
+    # DECIMAL(18,17) and the chi-square arithmetic then overflows
+    f"({d}, CAST({_BENFORD2_P[d]!r} AS DOUBLE))" for d in range(10)
+)
+
+BENFORD2_SQL = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) AS c
+  FROM orders
+  WHERE CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) >= 10
+),
+obs AS (
+  SELECT CAST(CAST(floor(CAST(c AS DOUBLE)
+              / pow(10.0, CAST(CAST(floor(log10(CAST(c AS DOUBLE)))
+                                    AS BIGINT) - 1 AS DOUBLE)))
+              AS BIGINT) % 10 AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM cents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+probs AS (
+  SELECT * FROM (VALUES {_B2_LITERALS}) AS t(digit, p_exp)
+)
+SELECT CAST(p.digit AS BIGINT) AS digit,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(floor(CAST(coalesce(o.n_obs, 0) AS DOUBLE)
+                  / CAST(t.n_total AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS p_obs,
+       CAST(floor(p.p_exp * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS p_benford2,
+       CAST(floor((CAST(coalesce(o.n_obs, 0) AS DOUBLE)
+                   - p.p_exp * CAST(t.n_total AS DOUBLE))
+                  * (CAST(coalesce(o.n_obs, 0) AS DOUBLE)
+                     - p.p_exp * CAST(t.n_total AS DOUBLE))
+                  / (p.p_exp * CAST(t.n_total AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS chi2_term
+FROM probs p LEFT JOIN obs o ON o.digit = p.digit, tot t
+ORDER BY digit
+"""

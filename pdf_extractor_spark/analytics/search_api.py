@@ -570,3 +570,104 @@ SELECT doc_id,
 FROM fx
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end retrieval pipeline composition (R4-131): the SEARCH-side
+# composition proof next to the corpus-build one (R4-3/R4-15) — BM25
+# candidate generation → embedding join → near-duplicate collapse
+# against higher-ranked candidates (SemDeDup bar, floored-grid
+# comparison) → final top-K. Components are individually graded
+# (bm25_search, semdedup, cosine kernels); this entry grades the
+# SEAMS: rank-stability through the join, the drop rule's ordering,
+# and the re-ranked cut. Collapse rule (stated): a candidate is
+# dropped if its floored cosine to ANY higher-BM25-ranked candidate
+# reaches SEMDEDUP_THRESHOLD — one bounded pair join over the
+# RETR_CAND-row candidate table, never over the corpus.
+# ---------------------------------------------------------------------------
+
+RETR_CAND = 50
+RETR_K = 10
+
+
+def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .similarity import SEMDEDUP_THRESHOLD, _as_double, _cosine
+
+    docs = load(spark, sf_dir, "documents")
+    cand = (
+        textstats.bm25_scores(docs)
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RETR_CAND)
+    )
+    # RETR_CAND-row bounded window (TakeOrdered already cut the corpus)
+    ranked = cand.withColumn(
+        "orig_rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    ce = emb.join(F.broadcast(ranked), "doc_id").select(
+        "doc_id", "bm25", "orig_rank", _as_double(F.col("embedding")).alias("e")
+    )
+    a, b = ce.alias("a"), ce.alias("b")
+    cos = _cosine(F.col("a.e"), F.col("b.e"))
+    dropped = (
+        a.join(b, F.col("a.orig_rank") < F.col("b.orig_rank"))
+        .where(
+            (F.floor(cos * 10000 + 1e-6) / 10000) >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = ce.join(dropped, "doc_id", "left_anti")
+    final = kept.withColumn(
+        "final_rank",
+        F.row_number().over(Window.orderBy("orig_rank")),
+    ).where(F.col("final_rank") <= RETR_K)
+    return final.select(
+        "final_rank", "orig_rank", "doc_id", "bm25"
+    ).orderBy("final_rank")
+
+
+def _retr_sql() -> str:
+    from .similarity import SEMDEDUP_THRESHOLD, _cosine_sql
+
+    return f"""
+WITH {textstats.BM25_SCORES_CTE},
+cand AS (
+  SELECT doc_id, bm25 FROM bm25_scored WHERE bm25 > 0
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {RETR_CAND}
+),
+ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS orig_rank
+  FROM cand
+),
+ce AS (
+  SELECT r.doc_id, r.bm25, r.orig_rank, e.embedding
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.doc_id
+),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM ce a JOIN ce b ON a.orig_rank < b.orig_rank
+  WHERE floor(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000 + 1e-6)
+          / 10000 >= {SEMDEDUP_THRESHOLD}
+),
+kept AS (
+  SELECT c.doc_id, c.bm25, c.orig_rank
+  FROM ce c ANTI JOIN dropped d ON c.doc_id = d.doc_id
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY orig_rank) AS final_rank,
+         orig_rank, doc_id, bm25
+  FROM kept
+) WHERE final_rank <= {RETR_K}
+ORDER BY final_rank
+"""
+
+
+RETRIEVAL_PIPELINE_SQL = _retr_sql()

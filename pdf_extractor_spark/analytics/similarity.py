@@ -2908,3 +2908,81 @@ JOIN sizes x ON x.label = p.label_a
 JOIN sizes y ON y.label = p.label_b
 ORDER BY label_a, label_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile per label (R4-132): the encoder-health check
+# that precedes every cosine-based op above — a label whose L2 norms
+# collapse toward 0 or spread wildly signals truncated inputs or
+# mixed encoder versions (cosine silently hides magnitude pathologies;
+# this surfaces them). Each vector's norm is ONE per-row double
+# floored onto a 1e-4 grid, so the per-label moment sums are exact
+# BIGINTs; mean/CV and min/max are closed forms per K-row output.
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            _as_double(F.col("embedding")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    q = emb.select(
+        "label",
+        F.floor(norm * 10000 + 1e-6).cast("long").alias("nq"),
+    )
+    agg = q.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("nq").cast("long").alias("s"),
+        F.sum(F.col("nq") * F.col("nq")).cast("long").alias("ss"),
+        F.min("nq").cast("long").alias("mn"),
+        F.max("nq").cast("long").alias("mx"),
+    )
+    mu = F.col("s").cast("double") / F.col("n_vecs").cast("double")
+    sd = F.sqrt(
+        F.col("ss").cast("double") / F.col("n_vecs").cast("double")
+        - mu * mu
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        floor_round(mu / 10000.0, 4).alias("mean_norm"),
+        floor_round(sd / mu, 6).alias("cv_norm"),
+        (F.col("mn").cast("double") / 10000).alias("min_norm"),
+        (F.col("mx").cast("double") / 10000).alias("max_norm"),
+    ).orderBy("label")
+
+
+NORM_PROFILE_SQL = """
+WITH q AS (
+  SELECT label,
+         CAST(floor(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * 10000 + 1e-6) AS BIGINT) AS nq
+  FROM embeddings
+),
+agg AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(nq) AS BIGINT) AS s,
+         CAST(sum(nq * nq) AS BIGINT) AS ss,
+         CAST(min(nq) AS BIGINT) AS mn,
+         CAST(max(nq) AS BIGINT) AS mx
+  FROM q GROUP BY 1
+)
+SELECT label, n_vecs,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 10000.0
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_norm,
+       CAST(floor(sqrt(CAST(ss AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE)))
+                  / (CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS cv_norm,
+       CAST(mn AS DOUBLE) / 10000 AS min_norm,
+       CAST(mx AS DOUBLE) / 10000 AS max_norm
+FROM agg
+ORDER BY label
+"""

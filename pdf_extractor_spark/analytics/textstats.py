@@ -4223,3 +4223,352 @@ SELECT lang, n_docs, chars,
 FROM agg
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Source league table via PERCENT_RANK / CUME_DIST (R4-133): the two
+# remaining ANSI ranking functions not yet on the graded surface
+# (row_number / rank / dense_rank / ntile are) — each source ranked by
+# its total token volume, with percent_rank = (rank-1)/(n-1) and
+# cume_dist = peers_at_or_below/n. The window runs over the bounded
+# source list (one row per source after the hash-agg); the
+# (volume DESC, source ASC) total order makes both functions
+# tie-free and engine-deterministic.
+# ---------------------------------------------------------------------------
+
+
+def source_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vol = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.size(_tokens()).cast("long").alias("n_t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_t").cast("long").alias("tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("tokens"), F.asc("source"))
+    return vol.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        _floor_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _floor_round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    ).orderBy("rnk")
+
+
+SOURCE_LEAGUE_SQL = r"""
+WITH vol AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, tokens,
+       CAST(row_number() OVER (ORDER BY tokens DESC, source ASC)
+            AS BIGINT) AS rnk,
+       CAST(floor(percent_rank() OVER (ORDER BY tokens DESC, source ASC)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS pct_rank,
+       CAST(floor(cume_dist() OVER (ORDER BY tokens DESC, source ASC)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS cume_dist
+FROM vol
+ORDER BY rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA of document length across languages (R4-137): does
+# language explain length variance — the omnibus companion to the
+# pairwise Mann-Whitney/KS tests already graded, plus eta-squared (the
+# effect size a curator actually reads before per-language length
+# thresholds). Group moments are exact BIGINT sums; each group's
+# between/within contribution is ONE double floored onto a 1e-6 grid
+# before the BIGINT cross-group sum (k is tiny but the no-float-sum
+# rule holds anyway); F and eta² are closed forms from those integers.
+# ---------------------------------------------------------------------------
+
+
+def anova_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.size(_tokens()).cast("long").alias("n_t")
+    )
+    g = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("n_t").cast("long").alias("s_g"),
+        F.sum(F.col("n_t") * F.col("n_t")).cast("long").alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    m_g = F.col("s_g").cast("double") / F.col("n_g").cast("double")
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    wq = F.floor(
+        (
+            F.col("ss_g").cast("double")
+            - F.col("s_g").cast("double")
+              * F.col("s_g").cast("double")
+              / F.col("n_g").cast("double")
+        )
+        * 1000000
+        + 1e-6
+    ).cast("long")
+    bq = F.floor(
+        F.col("n_g").cast("double") * (m_g - m) * (m_g - m) * 1000000
+        + 1e-6
+    ).cast("long")
+    agg = j.groupBy().agg(
+        F.max("k").alias("k_groups"),
+        F.max("n").alias("n_total"),
+        F.sum(wq).cast("long").alias("ssw_q"),
+        F.sum(bq).cast("long").alias("ssb_q"),
+    )
+    ssw = F.col("ssw_q").cast("double") / 1000000.0
+    ssb = F.col("ssb_q").cast("double") / 1000000.0
+    f_stat = (ssb / (F.col("k_groups").cast("double") - 1.0)) / (
+        ssw
+        / (
+            F.col("n_total").cast("double")
+            - F.col("k_groups").cast("double")
+        )
+    )
+    return agg.select(
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        _floor_round(ssb, 4).alias("ss_between"),
+        _floor_round(ssw, 4).alias("ss_within"),
+        _floor_round(f_stat, 4).alias("f_stat"),
+        _floor_round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+ANOVA_LENGTH_SQL = r"""
+WITH docs AS (
+  SELECT lang,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_t
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(n_t) AS BIGINT) AS s_g,
+         CAST(sum(n_t * n_t) AS BIGINT) AS ss_g
+  FROM docs GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s
+  FROM g
+),
+terms AS (
+  SELECT t.k, t.n,
+         CAST(floor((CAST(g.ss_g AS DOUBLE)
+                     - CAST(g.s_g AS DOUBLE) * CAST(g.s_g AS DOUBLE)
+                       / CAST(g.n_g AS DOUBLE))
+                    * 1000000 + 1e-6) AS BIGINT) AS wq,
+         CAST(floor(CAST(g.n_g AS DOUBLE)
+                    * (CAST(g.s_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+                       - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * (CAST(g.s_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+                       - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000 + 1e-6) AS BIGINT) AS bq
+  FROM g, tot t
+),
+agg AS (
+  SELECT max(k) AS k_groups, max(n) AS n_total,
+         CAST(sum(wq) AS BIGINT) AS ssw_q,
+         CAST(sum(bq) AS BIGINT) AS ssb_q
+  FROM terms
+)
+SELECT CAST(k_groups AS BIGINT) AS k_groups,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(floor(CAST(ssb_q AS DOUBLE) / 1000000.0 * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS ss_between,
+       CAST(floor(CAST(ssw_q AS DOUBLE) / 1000000.0 * 10000 + 1e-6)
+            / 10000 AS DOUBLE) AS ss_within,
+       CAST(floor(((CAST(ssb_q AS DOUBLE) / 1000000.0)
+                   / (CAST(k_groups AS DOUBLE) - 1.0))
+                  / ((CAST(ssw_q AS DOUBLE) / 1000000.0)
+                     / (CAST(n_total AS DOUBLE)
+                        - CAST(k_groups AS DOUBLE)))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS f_stat,
+       CAST(floor((CAST(ssb_q AS DOUBLE) / 1000000.0)
+                  / ((CAST(ssb_q AS DOUBLE) / 1000000.0)
+                     + (CAST(ssw_q AS DOUBLE) / 1000000.0))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS eta_sq
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-equality test (R4-138): the robust Levene
+# variant — one-way ANOVA on |length − group MEDIAN| — answering
+# whether languages differ in length SPREAD, which the mean-comparing
+# ANOVA above assumes homogeneous. Group medians are exact (the
+# grouped cumulative-histogram rule over the bounded length domain),
+# so the absolute deviations are exact BIGINTs per doc; the ANOVA
+# kernel then reuses the same floored-term scheme as R4-137.
+# ---------------------------------------------------------------------------
+
+
+def brown_forsythe_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.size(_tokens()).cast("long").alias("n_t")
+    )
+    hist = docs.groupBy("lang", "n_t").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    gt = hist.groupBy(F.col("lang").alias("m_lang")).agg(
+        F.sum("c").cast("long").alias("n_g")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w).cast("long")).join(
+        F.broadcast(gt), F.col("lang") == F.col("m_lang")
+    )
+    lo = F.floor((F.col("n_g") + 1) / 2).cast("long")
+    med = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("c") + 1 <= lo) & (lo <= F.col("cum")),
+                F.col("n_t"),
+            )
+        )
+        .cast("long")
+        .alias("med")
+    )
+    z = docs.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("n_t") - F.col("med")).cast("long").alias("z")
+    )
+    g = z.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    m_g = F.col("s_g").cast("double") / F.col("n_g").cast("double")
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    wq = F.floor(
+        (
+            F.col("ss_g").cast("double")
+            - F.col("s_g").cast("double")
+              * F.col("s_g").cast("double")
+              / F.col("n_g").cast("double")
+        )
+        * 1000000
+        + 1e-6
+    ).cast("long")
+    bq = F.floor(
+        F.col("n_g").cast("double") * (m_g - m) * (m_g - m) * 1000000
+        + 1e-6
+    ).cast("long")
+    agg = j.groupBy().agg(
+        F.max("k").alias("k_groups"),
+        F.max("n").alias("n_total"),
+        F.sum(wq).cast("long").alias("ssw_q"),
+        F.sum(bq).cast("long").alias("ssb_q"),
+    )
+    ssw = F.col("ssw_q").cast("double") / 1000000.0
+    ssb = F.col("ssb_q").cast("double") / 1000000.0
+    f_stat = (ssb / (F.col("k_groups").cast("double") - 1.0)) / (
+        ssw
+        / (
+            F.col("n_total").cast("double")
+            - F.col("k_groups").cast("double")
+        )
+    )
+    return agg.select(
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        _floor_round(f_stat, 4).alias("f_bf"),
+    )
+
+
+BROWN_FORSYTHE_SQL = r"""
+WITH docs AS (
+  SELECT lang,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_t
+  FROM documents
+),
+hist AS (
+  SELECT lang, n_t, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY 1, 2
+),
+gt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_g FROM hist GROUP BY 1),
+cum AS (
+  SELECT h.lang, h.n_t, h.c,
+         CAST(sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.n_t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         t.n_g, CAST(floor((t.n_g + 1) / 2.0) AS BIGINT) AS lo
+  FROM hist h JOIN gt t USING (lang)
+),
+med AS (
+  SELECT lang,
+         CAST(min(CASE WHEN cum - c + 1 <= lo AND lo <= cum THEN n_t END)
+              AS BIGINT) AS med
+  FROM cum GROUP BY 1
+),
+z AS (
+  SELECT d.lang, CAST(abs(d.n_t - m.med) AS BIGINT) AS z
+  FROM docs d JOIN med m USING (lang)
+),
+g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(z) AS BIGINT) AS s_g,
+         CAST(sum(z * z) AS BIGINT) AS ss_g
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s
+  FROM g
+),
+terms AS (
+  SELECT t.k, t.n,
+         CAST(floor((CAST(g.ss_g AS DOUBLE)
+                     - CAST(g.s_g AS DOUBLE) * CAST(g.s_g AS DOUBLE)
+                       / CAST(g.n_g AS DOUBLE))
+                    * 1000000 + 1e-6) AS BIGINT) AS wq,
+         CAST(floor(CAST(g.n_g AS DOUBLE)
+                    * (CAST(g.s_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+                       - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * (CAST(g.s_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+                       - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000 + 1e-6) AS BIGINT) AS bq
+  FROM g, tot t
+),
+agg AS (
+  SELECT max(k) AS k_groups, max(n) AS n_total,
+         CAST(sum(wq) AS BIGINT) AS ssw_q,
+         CAST(sum(bq) AS BIGINT) AS ssb_q
+  FROM terms
+)
+SELECT CAST(k_groups AS BIGINT) AS k_groups,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(floor(((CAST(ssb_q AS DOUBLE) / 1000000.0)
+                   / (CAST(k_groups AS DOUBLE) - 1.0))
+                  / ((CAST(ssw_q AS DOUBLE) / 1000000.0)
+                     / (CAST(n_total AS DOUBLE)
+                        - CAST(k_groups AS DOUBLE)))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS f_bf
+FROM agg
+"""
