@@ -1108,6 +1108,40 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.brown_forsythe_length, textstats.BROWN_FORSYTHE_SQL,
         "R4-138 Brown-Forsythe variance-equality test",
     ),
+    "growth_accounting_monthly": QuerySpec(
+        relational.growth_accounting_monthly,
+        relational.GROWTH_ACCOUNTING_SQL,
+        "R4-139 new-vs-returning monthly revenue split",
+    ),
+    "revenue_decomposition_yoy": QuerySpec(
+        relational.revenue_decomposition_yoy, relational.REVENUE_DECOMP_SQL,
+        "R4-140 YoY price/volume bridge per segment",
+    ),
+    "variance_decomposition_daily": QuerySpec(
+        relational.variance_decomposition_daily,
+        relational.VARIANCE_DECOMP_SQL,
+        "R4-141 trend/weekday/residual variance shares",
+    ),
+    "hourly_load_profile": QuerySpec(
+        relational.hourly_load_profile, relational.HOURLY_LOAD_SQL,
+        "R4-142 hour-of-day x weekday load heatmap + peaks",
+    ),
+    "rbo_lexical_semantic": QuerySpec(
+        hybrid.rbo_lexical_semantic, hybrid.RBO_SQL,
+        "R4-143 rank-biased overlap between retrieval tiers",
+    ),
+    "wilcoxon_monthly_revenue": QuerySpec(
+        relational.wilcoxon_monthly_revenue, relational.WILCOXON_SQL,
+        "R4-144 Wilcoxon signed-rank on MoM deltas",
+    ),
+    "segment_trend_tstats": QuerySpec(
+        relational.segment_trend_tstats, relational.SEGMENT_TREND_SQL,
+        "R4-145 per-segment OLS slope with SE and t",
+    ),
+    "revenue_drawdown": QuerySpec(
+        relational.revenue_drawdown, relational.DRAWDOWN_SQL,
+        "R4-146 max drawdown of the cumulative deviation curve",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -7700,3 +7700,815 @@ SELECT CAST(p.digit AS BIGINT) AS digit,
 FROM probs p LEFT JOIN obs o ON o.digit = p.digit, tot t
 ORDER BY digit
 """
+
+
+# ---------------------------------------------------------------------------
+# Monthly growth accounting (R4-139): each month's revenue split into
+# NEW customers (their first-ever order month) vs RETURNING — the
+# standard growth-accounting decomposition behind "is growth
+# acquisition or retention". First-month assignment is one hash-agg
+# per customer (the cohort kernel); the split is a broadcast join back;
+# exact BIGINT cents throughout; output bounded by the month calendar.
+# ---------------------------------------------------------------------------
+
+
+def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("m").cast("long").alias("m0")
+    )
+    j = orders.join(first, "o_custkey").select(
+        "m",
+        "cents",
+        "o_custkey",
+        (F.col("m") == F.col("m0")).alias("is_new"),
+    )
+    agg = j.groupBy("m").agg(
+        F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev_new"),
+        F.sum(F.when(~F.col("is_new"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev_ret"),
+        F.countDistinct(F.when(F.col("is_new"), F.col("o_custkey")))
+        .cast("long")
+        .alias("n_new"),
+        F.countDistinct(F.when(~F.col("is_new"), F.col("o_custkey")))
+        .cast("long")
+        .alias("n_ret"),
+    )
+    share = F.col("rev_new").cast("double") / (
+        F.col("rev_new") + F.col("rev_ret")
+    ).cast("double")
+    return agg.select(
+        F.make_date(
+            F.floor((F.col("m") - 1) / 12).cast("int"),
+            ((F.col("m") - 1) % 12 + 1).cast("int"),
+            F.lit(1),
+        ).alias("month"),
+        F.col("rev_new").alias("rev_new_cents"),
+        F.col("rev_ret").alias("rev_returning_cents"),
+        "n_new",
+        F.col("n_ret").alias("n_returning"),
+        floor_round(share, 6).alias("new_rev_share"),
+    ).orderBy("month")
+
+
+GROWTH_ACCOUNTING_SQL = """
+WITH orders_m AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, CAST(min(m) AS BIGINT) AS m0 FROM orders_m GROUP BY 1
+),
+j AS (
+  SELECT o.m, o.cents, o.o_custkey, o.m = f.m0 AS is_new
+  FROM orders_m o JOIN first f USING (o_custkey)
+),
+agg AS (
+  SELECT m,
+         CAST(sum(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+           AS rev_new,
+         CAST(sum(CASE WHEN NOT is_new THEN cents ELSE 0 END) AS BIGINT)
+           AS rev_ret,
+         CAST(count(DISTINCT CASE WHEN is_new THEN o_custkey END)
+              AS BIGINT) AS n_new,
+         CAST(count(DISTINCT CASE WHEN NOT is_new THEN o_custkey END)
+              AS BIGINT) AS n_ret
+  FROM j GROUP BY 1
+)
+SELECT make_date(CAST(floor((m - 1) / 12) AS INT),
+                 CAST((m - 1) % 12 + 1 AS INT), 1) AS month,
+       rev_new AS rev_new_cents,
+       rev_ret AS rev_returning_cents,
+       n_new, n_ret AS n_returning,
+       CAST(floor(CAST(rev_new AS DOUBLE)
+                  / CAST(rev_new + rev_ret AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS new_rev_share
+FROM agg
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year price/volume decomposition per market segment
+# (R4-140): the FP&A bridge — ΔRevenue = volume effect (Δn × p̄₀)
+# + price effect (n₁ × Δp̄) + nothing else (exact two-term bridge by
+# construction when the cross term is folded into the price effect).
+# Average tickets are rationals from exact BIGINT sums; the bridge
+# identity rev1 − rev0 = vol_effect + price_effect is asserted by the
+# unit on the same floored grid both engines emit. Segment dimension
+# comes from a broadcast customer join; output bounded by segments.
+# ---------------------------------------------------------------------------
+
+DECOMP_Y0 = 1997
+DECOMP_Y1 = 1998
+
+
+def revenue_decomposition_yoy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(DECOMP_Y0, DECOMP_Y1)
+    ).select(
+        "o_custkey",
+        (F.year("o_orderdate") == F.lit(DECOMP_Y1)).alias("is_y1"),
+        F.floor(F.col("o_totalprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = orders.join(F.broadcast(cust), "o_custkey")
+    agg = j.groupBy("c_mktsegment").agg(
+        F.sum(F.when(~F.col("is_y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(~F.col("is_y1"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("r0"),
+        F.sum(F.when(F.col("is_y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("is_y1"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+    )
+    p0 = F.col("r0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("r1").cast("double") / F.col("n1").cast("double")
+    vol = (F.col("n1") - F.col("n0")).cast("double") * p0
+    price = F.col("n1").cast("double") * (p1 - p0)
+    return agg.select(
+        "c_mktsegment",
+        "n0",
+        "n1",
+        F.col("r0").alias("rev0_cents"),
+        F.col("r1").alias("rev1_cents"),
+        floor_round(vol / 100.0, 2).alias("volume_effect_dollars"),
+        floor_round(price / 100.0, 2).alias("price_effect_dollars"),
+        floor_round(
+            (F.col("r1") - F.col("r0")).cast("double") / 100.0, 2
+        ).alias("delta_dollars"),
+    ).orderBy("c_mktsegment")
+
+
+REVENUE_DECOMP_SQL = f"""
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) = {DECOMP_Y1} AS is_y1,
+         CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) AS cents
+  FROM orders
+  WHERE year(o_orderdate) IN ({DECOMP_Y0}, {DECOMP_Y1})
+),
+agg AS (
+  SELECT c.c_mktsegment,
+         CAST(sum(CASE WHEN NOT is_y1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN NOT is_y1 THEN cents ELSE 0 END) AS BIGINT)
+           AS r0,
+         CAST(sum(CASE WHEN is_y1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN is_y1 THEN cents ELSE 0 END) AS BIGINT) AS r1
+  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_mktsegment, n0, n1,
+       r0 AS rev0_cents, r1 AS rev1_cents,
+       CAST(floor(CAST(n1 - n0 AS DOUBLE)
+                  * (CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  / 100.0 * 100 + 1e-6) / 100 AS DOUBLE)
+         AS volume_effect_dollars,
+       CAST(floor(CAST(n1 AS DOUBLE)
+                  * (CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  / 100.0 * 100 + 1e-6) / 100 AS DOUBLE)
+         AS price_effect_dollars,
+       CAST(floor(CAST(r1 - r0 AS DOUBLE) / 100.0 * 100 + 1e-6) / 100
+            AS DOUBLE) AS delta_dollars
+FROM agg
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Variance decomposition of daily revenue (R4-141): how much of the
+# daily variance is TREND (the OLS line), how much WEEKDAY (the
+# dow-mean model on detrended residuals), and how much residual noise
+# — the capstone that ties the time-series family (theil_sen / DW /
+# dow index / runs test) into three shares that sum to 1. Sequential
+# decomposition (stated): SST on dollars, SS_trend = SST − SSE_ols,
+# SS_dow = SSE_ols − SSE_dow (dow means fitted ON the OLS residuals),
+# SS_resid = SSE_dow. Exact BIGINT moment sums; residuals quantized to
+# whole dollars (the DW series rule); per-group terms floored to 1e-6
+# before cross-group BIGINT sums.
+# ---------------------------------------------------------------------------
+
+
+def variance_decomposition_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    base = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("long").alias("x"),
+        (
+            (F.datediff("d", F.lit("1970-01-01").cast("date")) + 3) % 7
+        ).cast("long").alias("dow"),
+        F.floor(F.col("cents") / 100).cast("long").alias("y"),
+    )
+    ols = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    resid = base.crossJoin(F.broadcast(ols)).select(
+        "dow",
+        F.floor(
+            F.col("y").cast("double")
+            - (intercept + slope * F.col("x").cast("double"))
+            + 1e-6
+        )
+        .cast("long")
+        .alias("eq"),
+    )
+    rmom = resid.agg(
+        F.sum("eq").cast("long").alias("se"),
+        F.sum(F.col("eq") * F.col("eq")).cast("long").alias("see"),
+    )
+    gdow = resid.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("eq").cast("long").alias("s_g"),
+        F.sum(F.col("eq") * F.col("eq")).cast("long").alias("ss_g"),
+    )
+    # within-dow SSE terms floored to a 1e-2 grid before the BIGINT
+    # sum — SSE is in squared DOLLARS (up to ~1e17 at sf1), so a 1e-6
+    # grid would overflow BIGINT; 1e-2 keeps 1e-15 relative precision
+    wq = F.floor(
+        (
+            F.col("ss_g").cast("double")
+            - F.col("s_g").cast("double")
+              * F.col("s_g").cast("double")
+              / F.col("n_g").cast("double")
+        )
+        * 100
+        + 1e-6
+    ).cast("long")
+    dow_sse = gdow.agg(F.sum(wq).cast("long").alias("sse_dow_q"))
+    out = ols.crossJoin(F.broadcast(rmom)).crossJoin(F.broadcast(dow_sse))
+    sst = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double")
+          * F.col("sy").cast("double")
+          / F.col("n").cast("double")
+    )
+    sse_ols = (
+        F.col("see").cast("double")
+        - F.col("se").cast("double")
+          * F.col("se").cast("double")
+          / F.col("n").cast("double")
+    )
+    sse_dow = F.col("sse_dow_q").cast("double") / 100.0
+    return out.select(
+        F.col("n").alias("n_days"),
+        floor_round((sst - sse_ols) / sst, 6).alias("share_trend"),
+        floor_round((sse_ols - sse_dow) / sst, 6).alias("share_dow"),
+        floor_round(sse_dow / sst, 6).alias("share_residual"),
+    )
+
+
+VARIANCE_DECOMP_SQL = f"""
+WITH daily0 AS ({_DAILY_XY}),
+base AS (
+  SELECT x,
+         CAST((x + date_diff('day', DATE '1970-01-01',
+                             (SELECT min(CAST(o_orderdate AS DATE))
+                              FROM orders)) + 3) % 7 AS BIGINT) AS dow,
+         CAST(floor(cents / 100) AS BIGINT) AS y
+  FROM daily0
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM base
+),
+coef AS (
+  SELECT n, sx, sy, syy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM ols
+),
+resid AS (
+  SELECT d.dow,
+         CAST(floor(CAST(d.y AS DOUBLE)
+                    - (c.a + c.b * CAST(d.x AS DOUBLE)) + 1e-6)
+              AS BIGINT) AS eq
+  FROM base d, coef c
+),
+rmom AS (
+  SELECT CAST(sum(eq) AS BIGINT) AS se,
+         CAST(sum(eq * eq) AS BIGINT) AS see
+  FROM resid
+),
+gdow AS (
+  SELECT dow,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(eq) AS BIGINT) AS s_g,
+         CAST(sum(eq * eq) AS BIGINT) AS ss_g
+  FROM resid GROUP BY 1
+),
+dow_sse AS (
+  SELECT CAST(sum(CAST(floor((CAST(ss_g AS DOUBLE)
+                              - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                                / CAST(n_g AS DOUBLE))
+                             * 100 + 1e-6) AS BIGINT)) AS BIGINT)
+           AS sse_dow_q
+  FROM gdow
+)
+SELECT o.n AS n_days,
+       CAST(floor(((CAST(o.syy AS DOUBLE)
+                    - CAST(o.sy AS DOUBLE) * CAST(o.sy AS DOUBLE)
+                      / CAST(o.n AS DOUBLE))
+                   - (CAST(r.see AS DOUBLE)
+                      - CAST(r.se AS DOUBLE) * CAST(r.se AS DOUBLE)
+                        / CAST(o.n AS DOUBLE)))
+                  / (CAST(o.syy AS DOUBLE)
+                     - CAST(o.sy AS DOUBLE) * CAST(o.sy AS DOUBLE)
+                       / CAST(o.n AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS share_trend,
+       CAST(floor(((CAST(r.see AS DOUBLE)
+                    - CAST(r.se AS DOUBLE) * CAST(r.se AS DOUBLE)
+                      / CAST(o.n AS DOUBLE))
+                   - CAST(d.sse_dow_q AS DOUBLE) / 100.0)
+                  / (CAST(o.syy AS DOUBLE)
+                     - CAST(o.sy AS DOUBLE) * CAST(o.sy AS DOUBLE)
+                       / CAST(o.n AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS share_dow,
+       CAST(floor((CAST(d.sse_dow_q AS DOUBLE) / 100.0)
+                  / (CAST(o.syy AS DOUBLE)
+                     - CAST(o.sy AS DOUBLE) * CAST(o.sy AS DOUBLE)
+                       / CAST(o.n AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS share_residual
+FROM ols o, rmom r, dow_sse d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hourly load profile (R4-142): the hour-of-day × weekday event-count
+# heatmap plus each weekday's peak hour — the capacity read behind
+# executor autoscaling / ingestion windows. Weekday from the
+# engine-shared epoch arithmetic, hour from the UTC timestamp; peak
+# per weekday picked on exact counts with an hour tiebreak. One
+# hash-agg to a 7×24 grid.
+# ---------------------------------------------------------------------------
+
+
+def hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = F.col("ts").cast("timestamp")
+    t_s = ts.cast("long")
+    day = F.floor(t_s / 86400).cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        ((day + 3) % 7).cast("long").alias("dow"),
+        F.floor((t_s - day * 86400) / 3600).cast("long").alias("hour"),
+    )
+    grid = ev.groupBy("dow", "hour").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    tot = grid.groupBy(F.col("dow").alias("t_dow")).agg(
+        F.sum("n_events").cast("long").alias("day_total"),
+        F.max(
+            F.col("n_events") * 100 - F.col("hour")
+        ).cast("long").alias("peak_key"),
+    )
+    j = grid.join(F.broadcast(tot), F.col("dow") == F.col("t_dow"))
+    return j.select(
+        "dow",
+        "hour",
+        "n_events",
+        floor_round(
+            F.col("n_events").cast("double")
+            / F.col("day_total").cast("double"),
+            6,
+        ).alias("share_of_day"),
+        (
+            F.col("n_events") * 100 - F.col("hour") == F.col("peak_key")
+        ).alias("is_peak_hour"),
+    ).orderBy("dow", "hour")
+
+
+HOURLY_LOAD_SQL = """
+WITH ev AS (
+  SELECT CAST((CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 3) % 7
+              AS BIGINT) AS dow,
+         CAST(floor((floor(epoch(ts))
+                     - CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+                       * 86400) / 3600) AS BIGINT) AS hour
+  FROM events
+),
+grid AS (
+  SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+tot AS (
+  SELECT dow AS t_dow,
+         CAST(sum(n_events) AS BIGINT) AS day_total,
+         CAST(max(n_events * 100 - hour) AS BIGINT) AS peak_key
+  FROM grid GROUP BY 1
+)
+SELECT g.dow, g.hour, g.n_events,
+       CAST(floor(CAST(g.n_events AS DOUBLE) / CAST(t.day_total AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS share_of_day,
+       g.n_events * 100 - g.hour = t.peak_key AS is_peak_hour
+FROM grid g JOIN tot t ON g.dow = t.t_dow
+ORDER BY dow, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test on month-over-month revenue deltas
+# (R4-144): the nonparametric paired test — "does revenue shift
+# month-to-month beyond noise" without the normality the t-test
+# assumes; the paired companion to the two-sample Mann-Whitney already
+# graded. Zero deltas drop (Wilcoxon convention), ties in |delta| get
+# AVERAGE ranks computed exactly as rationals scaled by 2 (rank2 =
+# 2*avg_rank is always an integer), so W+ and the z numerator are
+# exact BIGINTs; the normal approximation is one closed form.
+# Everything runs on the bounded month table.
+# ---------------------------------------------------------------------------
+
+
+def wilcoxon_monthly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    monthly = load(spark, sf_dir, "orders").groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("m")
+    deltas = monthly.select(
+        "m", (F.col("cents") - F.lag("cents", 1).over(w)).alias("delta")
+    ).where(F.col("delta").isNotNull() & (F.col("delta") != 0))
+    ranked = deltas.select(
+        "delta",
+        F.abs(F.col("delta")).alias("ad"),
+    )
+    # average rank of |delta| as an exact 2x-scaled integer:
+    # 2*avg_rank = (first_rank + last_rank) within the tie group
+    rw = Window.orderBy("ad")
+    r2 = ranked.withColumn("rn", F.row_number().over(rw)).withColumn(
+        "rank2",
+        (
+            F.min("rn").over(Window.partitionBy("ad"))
+            + F.max("rn").over(Window.partitionBy("ad"))
+        ).cast("long"),
+    )
+    agg = r2.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("delta") > 0, F.col("rank2")).otherwise(0)
+        )
+        .cast("long")
+        .alias("w_plus2"),
+    )
+    n = F.col("n_pairs").cast("double")
+    mu = n * (n + 1.0) / 4.0
+    sigma = F.sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0)
+    w_plus = F.col("w_plus2").cast("double") / 2.0
+    return agg.select(
+        "n_pairs",
+        floor_round(w_plus, 1).alias("w_plus"),
+        floor_round(mu, 1).alias("w_expected"),
+        floor_round((w_plus - mu) / sigma, 4).alias("z_wilcoxon"),
+    )
+
+
+WILCOXON_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+deltas AS (
+  SELECT delta FROM (
+    SELECT cents - lag(cents, 1) OVER (ORDER BY m) AS delta FROM monthly
+  ) WHERE delta IS NOT NULL AND delta != 0
+),
+ranked AS (
+  SELECT delta, abs(delta) AS ad,
+         row_number() OVER (ORDER BY abs(delta)) AS rn
+  FROM deltas
+),
+r2 AS (
+  SELECT delta,
+         CAST(min(rn) OVER (PARTITION BY ad)
+              + max(rn) OVER (PARTITION BY ad) AS BIGINT) AS rank2
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN delta > 0 THEN rank2 ELSE 0 END) AS BIGINT)
+           AS w_plus2
+  FROM r2
+)
+SELECT n_pairs,
+       CAST(floor(CAST(w_plus2 AS DOUBLE) / 2.0 * 10 + 1e-6) / 10
+            AS DOUBLE) AS w_plus,
+       CAST(floor(CAST(n_pairs AS DOUBLE)
+                  * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0 * 10 + 1e-6)
+            / 10 AS DOUBLE) AS w_expected,
+       CAST(floor((CAST(w_plus2 AS DOUBLE) / 2.0
+                   - CAST(n_pairs AS DOUBLE)
+                     * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+                  / sqrt(CAST(n_pairs AS DOUBLE)
+                         * (CAST(n_pairs AS DOUBLE) + 1.0)
+                         * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS z_wilcoxon
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-segment revenue trend with t-statistics (R4-145): the grouped
+# OLS — each market segment's daily-revenue slope, its standard error
+# and t — "which segments are actually growing, with significance",
+# the per-dimension version of the global theil_sen/OLS pair. All
+# normal-equation sums exact BIGINT per segment; slope/SE/t closed
+# forms; residual SS via the exact-sum identity SSE = Syy − b·Sxy′
+# (computed in doubles from the integers, one row per segment).
+# ---------------------------------------------------------------------------
+
+
+def segment_trend_tstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    daily = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("day", F.col("o_orderdate"))
+            .cast("date")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "c_mktsegment",
+        F.datediff("d", "d0").cast("long").alias("x"),
+        F.floor(F.col("cents") / 100).cast("long").alias("y"),
+    )
+    g = xy.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sxx_c = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / n
+    sxy_c = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    syy_c = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    b = sxy_c / sxx_c
+    sse = syy_c - b * sxy_c
+    se = F.sqrt(sse / (n - 2.0) / sxx_c)
+    return g.select(
+        "c_mktsegment",
+        F.col("n").alias("n_days"),
+        floor_round(b, 4).alias("slope_dollars_per_day"),
+        floor_round(se, 4).alias("slope_se"),
+        floor_round(b / se, 4).alias("t_stat"),
+    ).orderBy("c_mktsegment")
+
+
+SEGMENT_TREND_SQL = """
+WITH daily AS (
+  SELECT c.c_mktsegment,
+         CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+xy AS (
+  SELECT c_mktsegment,
+         CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS BIGINT)
+           AS x,
+         CAST(floor(cents / 100) AS BIGINT) AS y
+  FROM daily
+),
+g AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY 1
+)
+SELECT c_mktsegment, n AS n_days,
+       CAST(floor((CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS slope_dollars_per_day,
+       CAST(floor(sqrt(((CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        - ((CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / (CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                / CAST(n AS DOUBLE)))
+                          * (CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                               / CAST(n AS DOUBLE)))
+                       / (CAST(n AS DOUBLE) - 2.0)
+                       / (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE)))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS slope_se,
+       CAST(floor(((CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / (CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                        / CAST(n AS DOUBLE)))
+                  / sqrt(((CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          - ((CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             / (CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                  / CAST(n AS DOUBLE)))
+                            * (CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                 / CAST(n AS DOUBLE)))
+                         / (CAST(n AS DOUBLE) - 2.0)
+                         / (CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS t_stat
+FROM g
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of cumulative revenue deviation (R4-146): treat the
+# running sum of (daily revenue − overall mean) as an equity curve and
+# find its deepest peak-to-trough fall with dates — the "worst losing
+# streak" read that CUSUM's single change point does not give. Running
+# sum and running max are windows over the bounded daily table; all
+# values exact BIGINT dollars; the argmax row is picked on exact
+# integers with a date tiebreak.
+# ---------------------------------------------------------------------------
+
+
+def revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    # deviation scaled by n so it stays integral: dev = n*cents - s
+    base = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("n") * F.col("cents") - F.col("s")).alias("dev")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = base.select(
+        "d", F.sum("dev").over(w).cast("long").alias("equity")
+    )
+    curve = curve.select(
+        "d",
+        "equity",
+        F.max("equity")
+        .over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("peak"),
+    )
+    dd = curve.select(
+        "d", "equity", "peak", (F.col("peak") - F.col("equity")).alias("draw")
+    )
+    worst = dd.orderBy(F.desc("draw"), F.asc("d")).limit(1)
+    return worst.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("trough_day"),
+        floor_round(
+            F.col("draw").cast("double") / F.col("n").cast("double") / 100.0,
+            2,
+        ).alias("max_drawdown_dollars"),
+        floor_round(
+            F.col("peak").cast("double") / F.col("n").cast("double") / 100.0,
+            2,
+        ).alias("peak_equity_dollars"),
+    )
+
+
+DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM daily
+),
+base AS (
+  SELECT d, t.n, t.n * cents - t.s AS dev FROM daily, tot t
+),
+curve AS (
+  SELECT d, n,
+         CAST(sum(dev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS equity
+  FROM base
+),
+dd AS (
+  SELECT d, n, equity,
+         CAST(max(equity) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+  FROM curve
+)
+SELECT d AS trough_day,
+       CAST(floor(CAST(peak - equity AS DOUBLE) / CAST(n AS DOUBLE)
+                  / 100.0 * 100 + 1e-6) / 100 AS DOUBLE)
+         AS max_drawdown_dollars,
+       CAST(floor(CAST(peak AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                  * 100 + 1e-6) / 100 AS DOUBLE) AS peak_equity_dollars
+FROM dd
+ORDER BY peak - equity DESC, d ASC
+LIMIT 1
+"""
