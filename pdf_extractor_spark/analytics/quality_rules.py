@@ -1099,3 +1099,162 @@ ORDER BY thr
     cls=QUALITY_CLASSIFIER_SQL.replace(chr(10), chr(10) + "  "),
     gopher=GOPHER_QUALITY_SQL.replace(chr(10), chr(10) + "  "),
 )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index of the quality-score distribution
+# (R4-150): THE standard production drift metric — quality scores
+# binned on their own floored grid, doc population split into two
+# deterministic waves by doc_id hash (the even-hash technique), PSI =
+# Σ (p_new − p_old)·ln(p_new / p_old) with Laplace +1 smoothing
+# (stated rule — a bin empty on one side must not produce ln(0)).
+# Per-bin terms floored to 1e-9 before the BIGINT sum; counts exact.
+# Convention: PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted —
+# the deterministic hash split should land firmly in "stable", which
+# the unit pins as the null-drift calibration of the metric itself.
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+
+
+def psi_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    wave = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wave|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    binned = q.select(
+        F.least(
+            F.floor(F.col("quality") * PSI_BINS).cast("long"),
+            F.lit(PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        wave.alias("w"),
+    )
+    cell = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_old"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c_new"),
+    )
+    # dense bin spine so empty bins still smooth to +1
+    spine = (
+        binned.sparkSession.range(PSI_BINS)
+        .select(F.col("id").cast("long").alias("bin"))
+    )
+    dense = spine.join(cell, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("c_old"), F.lit(0)).cast("long").alias("c_old"),
+        F.coalesce(F.col("c_new"), F.lit(0)).cast("long").alias("c_new"),
+    )
+    tot = dense.agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+    )
+    j = dense.crossJoin(F.broadcast(tot))
+    p_o = (F.col("c_old") + 1).cast("double") / (
+        F.col("n_old") + PSI_BINS
+    ).cast("double")
+    p_n = (F.col("c_new") + 1).cast("double") / (
+        F.col("n_new") + PSI_BINS
+    ).cast("double")
+    term_q = F.floor((p_n - p_o) * F.log(p_n / p_o) * 1000000000 + 1e-6).cast(
+        "long"
+    )
+    scored = j.select(
+        "bin",
+        "c_old",
+        "c_new",
+        floor_round(p_o, 6).alias("p_old"),
+        floor_round(p_n, 6).alias("p_new"),
+        term_q.alias("term_q"),
+    )
+    psi = scored.agg(F.sum("term_q").cast("long").alias("psi_q"))
+    return (
+        scored.crossJoin(F.broadcast(psi))
+        .select(
+            "bin",
+            "c_old",
+            "c_new",
+            "p_old",
+            "p_new",
+            floor_round(
+                F.col("term_q").cast("double") / 1.0e9, 6
+            ).alias("psi_term"),
+            floor_round(
+                F.col("psi_q").cast("double") / 1.0e9, 6
+            ).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _psi_sql() -> str:
+    from .textstats import QUALITY_SCORE_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SCORE_SQL}),
+binned AS (
+  SELECT least(CAST(floor(quality * {PSI_BINS}) AS BIGINT),
+               {PSI_BINS - 1}) AS bin,
+         CAST('0x' || substr(md5('wave|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS w
+  FROM q
+),
+cell AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+         CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+  FROM binned GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin),
+dense AS (
+  SELECT s.bin,
+         CAST(coalesce(c.c_old, 0) AS BIGINT) AS c_old,
+         CAST(coalesce(c.c_new, 0) AS BIGINT) AS c_new
+  FROM spine s LEFT JOIN cell c ON s.bin = c.bin
+),
+tot AS (
+  SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+         CAST(sum(c_new) AS BIGINT) AS n_new
+  FROM dense
+),
+scored AS (
+  SELECT d.bin, d.c_old, d.c_new,
+         CAST(d.c_old + 1 AS DOUBLE) / CAST(t.n_old + {PSI_BINS} AS DOUBLE)
+           AS p_o,
+         CAST(d.c_new + 1 AS DOUBLE) / CAST(t.n_new + {PSI_BINS} AS DOUBLE)
+           AS p_n
+  FROM dense d, tot t
+),
+terms AS (
+  SELECT bin, c_old, c_new, p_o, p_n,
+         CAST(floor((p_n - p_o) * ln(p_n / p_o) * 1000000000 + 1e-6)
+              AS BIGINT) AS term_q
+  FROM scored
+),
+psi AS (SELECT CAST(sum(term_q) AS BIGINT) AS psi_q FROM terms)
+SELECT t.bin, t.c_old, t.c_new,
+       CAST(floor(t.p_o * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS p_old,
+       CAST(floor(t.p_n * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS p_new,
+       CAST(floor(CAST(t.term_q AS DOUBLE) / 1e9 * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS psi_term,
+       CAST(floor(CAST(p.psi_q AS DOUBLE) / 1e9 * 1000000 + 1e-6)
+            / 1000000 AS DOUBLE) AS psi_total
+FROM terms t, psi p
+ORDER BY bin
+"""
+
+
+PSI_QUALITY_SQL = _psi_sql()

@@ -1142,6 +1142,23 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.revenue_drawdown, relational.DRAWDOWN_SQL,
         "R4-146 max drawdown of the cumulative deviation curve",
     ),
+    "transition_dwell_profile": QuerySpec(
+        relational.transition_dwell_profile, relational.TRANSITION_DWELL_SQL,
+        "R4-147 per-transition dwell time mean + exact p90",
+    ),
+    "customer_order_regularity": QuerySpec(
+        relational.customer_order_regularity,
+        relational.CUSTOMER_REGULARITY_SQL,
+        "R4-148 inter-order gap CV classes + median CV",
+    ),
+    "source_lang_entropy": QuerySpec(
+        textstats.source_lang_entropy, textstats.SOURCE_LANG_ENTROPY_SQL,
+        "R4-149 per-source language entropy + effective languages",
+    ),
+    "psi_quality_drift": QuerySpec(
+        quality_rules.psi_quality_drift, quality_rules.PSI_QUALITY_SQL,
+        "R4-150 PSI of the quality distribution across hash waves",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

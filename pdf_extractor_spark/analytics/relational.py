@@ -8512,3 +8512,253 @@ FROM dd
 ORDER BY peak - equity DESC, d ASC
 LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Transition dwell-time profile (R4-147): for each ordered event-type
+# pair (a -> b) in a user's stream, how long the step takes — n, mean
+# and exact p90 of the whole-second gap. The timing companion of the
+# Markov check (R4-116): P says WHERE streams go, this says HOW FAST —
+# the pair-level read behind funnel timeout and session-gap settings.
+# One lag window over the stream collapses to per-(pair, gap)
+# histograms; quantiles ride the cumulative-histogram rule over the
+# bounded gap domain per pair.
+# ---------------------------------------------------------------------------
+
+
+def transition_dwell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_s = F.col("ts").cast("timestamp").cast("long")
+    seq = ev.select(
+        F.lag("event_type", 1).over(w).alias("a"),
+        F.col("event_type").alias("b"),
+        (t_s - F.lag(t_s, 1).over(w)).alias("gap_s"),
+    ).where(F.col("a").isNotNull())
+    hist = seq.groupBy("a", "b", "gap_s").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = hist.groupBy(
+        F.col("a").alias("t_a"), F.col("b").alias("t_b")
+    ).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("gap_s") * F.col("c")).cast("long").alias("s_gap"),
+    )
+    cw = (
+        Window.partitionBy("a", "b")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(cw).cast("long")).join(
+        F.broadcast(tot),
+        (F.col("a") == F.col("t_a")) & (F.col("b") == F.col("t_b")),
+    )
+    target = F.ceil(F.col("n") * 90 / 100.0).cast("long")
+    agg = cum.groupBy("a", "b").agg(
+        F.max("n").alias("n_transitions"),
+        F.max("s_gap").alias("s_gap"),
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("c") + 1 <= target)
+                & (target <= F.col("cum")),
+                F.col("gap_s"),
+            )
+        )
+        .cast("long")
+        .alias("p90_gap_s"),
+    )
+    return agg.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        floor_round(
+            F.col("s_gap").cast("double")
+            / F.col("n_transitions").cast("double"),
+            4,
+        ).alias("mean_gap_s"),
+        "p90_gap_s",
+    ).orderBy("from_type", "to_type")
+
+
+TRANSITION_DWELL_SQL = """
+WITH seq AS (
+  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS a,
+         event_type AS b,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+hist AS (
+  SELECT a, b, gap_s, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE a IS NOT NULL GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT a AS t_a, b AS t_b,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(gap_s * c) AS BIGINT) AS s_gap
+  FROM hist GROUP BY 1, 2
+),
+cum AS (
+  SELECT h.a, h.b, h.gap_s, h.c,
+         CAST(sum(h.c) OVER (PARTITION BY h.a, h.b ORDER BY h.gap_s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         t.n, t.s_gap,
+         CAST(ceil(t.n * 90 / 100.0) AS BIGINT) AS target
+  FROM hist h JOIN tot t ON h.a = t.t_a AND h.b = t.t_b
+)
+SELECT a AS from_type, b AS to_type,
+       CAST(max(n) AS BIGINT) AS n_transitions,
+       CAST(floor(CAST(max(s_gap) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_gap_s,
+       CAST(min(CASE WHEN cum - c + 1 <= target AND target <= cum
+                     THEN gap_s END) AS BIGINT) AS p90_gap_s
+FROM cum
+GROUP BY 1, 2
+ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Customer order-regularity profile (R4-148): per customer with
+# >= REG_MIN_ORDERS orders, the CV of inter-order gaps classifies
+# subscription-like (CV < 0.5), steady (< 1) and sporadic buyers —
+# summarized as a bounded class histogram plus the exact median CV on
+# a 1e-4 grid. Gaps in whole days (exact BIGINT); per-customer CV is
+# one closed-form double floored onto the grid; the median rides the
+# cumulative-histogram rule over the bounded CV-grid domain.
+# ---------------------------------------------------------------------------
+
+REG_MIN_ORDERS = 5
+
+
+def customer_order_regularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("d", F.lag("d", 1).over(w)).cast("long").alias("g"),
+    ).where(F.col("g").isNotNull())
+    per = gaps.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("ss"),
+    ).where(
+        (F.col("n_g") >= REG_MIN_ORDERS - 1) & (F.col("s") > 0)
+    )
+    mu = F.col("s").cast("double") / F.col("n_g").cast("double")
+    cv_q = F.floor(
+        F.sqrt(
+            F.col("ss").cast("double") / F.col("n_g").cast("double")
+            - mu * mu
+        )
+        / mu
+        * 10000
+        + 1e-6
+    ).cast("long")
+    scored = per.select(cv_q.alias("cvq"))
+    hist = scored.groupBy("cvq").agg(F.count("*").cast("long").alias("c"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    cw = Window.orderBy("cvq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lo = F.floor((F.col("n") + 1) / 2).cast("long")
+    med = (
+        hist.withColumn("cum", F.sum("c").over(cw).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.min(
+                F.when(
+                    (F.col("cum") - F.col("c") + 1 <= lo)
+                    & (lo <= F.col("cum")),
+                    F.col("cvq"),
+                )
+            ).alias("med_cvq"),
+        )
+    )
+    classes = scored.agg(
+        F.sum(F.when(F.col("cvq") < 5000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_subscription"),
+        F.sum(
+            F.when((F.col("cvq") >= 5000) & (F.col("cvq") < 10000), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_steady"),
+        F.sum(F.when(F.col("cvq") >= 10000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sporadic"),
+    )
+    return med.crossJoin(F.broadcast(classes)).select(
+        F.col("n_customers").cast("long").alias("n_customers"),
+        (F.col("med_cvq").cast("double") / 10000).alias("median_cv"),
+        "n_subscription",
+        "n_steady",
+        "n_sporadic",
+    )
+
+
+CUSTOMER_REGULARITY_SQL = f"""
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              lag(CAST(date_trunc('day', o_orderdate) AS DATE), 1)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(date_trunc('day', o_orderdate) AS DATE)),
+              CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS g
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(g) AS BIGINT) AS s,
+         CAST(sum(g * g) AS BIGINT) AS ss
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+  HAVING count(*) >= {REG_MIN_ORDERS - 1} AND sum(g) > 0
+),
+scored AS (
+  SELECT CAST(floor(sqrt(CAST(ss AS DOUBLE) / CAST(n_g AS DOUBLE)
+                         - (CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE)))
+                    / (CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE))
+                    * 10000 + 1e-6) AS BIGINT) AS cvq
+  FROM per
+),
+hist AS (SELECT cvq, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+cum AS (
+  SELECT cvq, c,
+         CAST(sum(c) OVER (ORDER BY cvq ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cum,
+         t.n, CAST(floor((t.n + 1) / 2.0) AS BIGINT) AS lo
+  FROM hist, tot t
+),
+med AS (
+  SELECT max(n) AS n_customers,
+         min(CASE WHEN cum - c + 1 <= lo AND lo <= cum THEN cvq END)
+           AS med_cvq
+  FROM cum
+),
+classes AS (
+  SELECT CAST(sum(CASE WHEN cvq < 5000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_subscription,
+         CAST(sum(CASE WHEN cvq >= 5000 AND cvq < 10000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_steady,
+         CAST(sum(CASE WHEN cvq >= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sporadic
+  FROM scored
+)
+SELECT CAST(m.n_customers AS BIGINT) AS n_customers,
+       CAST(m.med_cvq AS DOUBLE) / 10000 AS median_cv,
+       c.n_subscription, c.n_steady, c.n_sporadic
+FROM med m, classes c
+"""

@@ -4572,3 +4572,75 @@ SELECT CAST(k_groups AS BIGINT) AS k_groups,
                   * 10000 + 1e-6) / 10000 AS DOUBLE) AS f_bf
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source language entropy (R4-149): how specialized each feed is —
+# Shannon entropy of its language mix plus the effective number of
+# languages exp(H) (the "true diversity" read next to HHI's
+# concentration). Counts are exact BIGINTs; each language's
+# -p·ln(p) term is ONE double floored onto a 1e-9 grid before the
+# BIGINT per-source sum (language fan-in is bounded by the lang
+# vocabulary). Output bounded by sources.
+# ---------------------------------------------------------------------------
+
+
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = load(spark, sf_dir, "documents").groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = cell.groupBy(F.col("source").alias("t_src")).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    j = cell.join(F.broadcast(tot), F.col("source") == F.col("t_src"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.floor(-p * F.log(p) * 1000000000 + 1e-6).cast("long")
+    agg = j.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max("n_langs").alias("n_langs"),
+        F.sum(term).cast("long").alias("h_q"),
+    )
+    h = F.col("h_q").cast("double") / 1.0e9
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        _floor_round(h, 6).alias("lang_entropy"),
+        _floor_round(F.exp(h), 4).alias("effective_langs"),
+    ).orderBy("source")
+
+
+SOURCE_LANG_ENTROPY_SQL = """
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT source AS t_src,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM cell GROUP BY 1
+),
+terms AS (
+  SELECT cell.source, t.n, t.n_langs,
+         CAST(floor(-(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000000 + 1e-6) AS BIGINT) AS term
+  FROM cell JOIN tot t ON cell.source = t.t_src
+),
+agg AS (
+  SELECT source, max(n) AS n_docs, max(n_langs) AS n_langs,
+         CAST(sum(term) AS BIGINT) AS h_q
+  FROM terms GROUP BY 1
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(floor(CAST(h_q AS DOUBLE) / 1e9 * 1000000 + 1e-6) / 1000000
+            AS DOUBLE) AS lang_entropy,
+       CAST(floor(exp(CAST(h_q AS DOUBLE) / 1e9) * 10000 + 1e-6) / 10000
+            AS DOUBLE) AS effective_langs
+FROM agg
+ORDER BY source
+"""
