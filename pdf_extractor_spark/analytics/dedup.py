@@ -2678,3 +2678,121 @@ FROM agg
 
 
 LEX_SEM_AGREEMENT_SQL = _lex_sem_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (R4-152): which feeds copy from
+# which — near-dup pairs (the SAME banded candidates + exact-Jaccard
+# threshold the survivors path uses) grouped by their source pair,
+# with the pair rate normalized by the smaller feed. The provenance
+# read behind dropping a mirror feed outright instead of paying
+# pairwise dedup against it forever. Injected dups map back to their
+# source doc (id % DUP_ID_OFFSET) before the source lookup, so the
+# matrix describes the REAL corpus. Bounded by the candidate set.
+# ---------------------------------------------------------------------------
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_scored_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    src = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("oid"), "source"
+    )
+    mapped = pairs.select(
+        (F.col("a_id") % DUP_ID_OFFSET).alias("oa"),
+        (F.col("b_id") % DUP_ID_OFFSET).alias("ob"),
+    )
+    sa = src.select(F.col("oid").alias("oa"), F.col("source").alias("src_x"))
+    sb = src.select(F.col("oid").alias("ob"), F.col("source").alias("src_y"))
+    with_src = (
+        mapped.join(sa, "oa")
+        .join(sb, "ob")
+        .select(
+            F.least("src_x", "src_y").alias("src_a"),
+            F.greatest("src_x", "src_y").alias("src_b"),
+        )
+    )
+    cnt = with_src.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_dup_pairs")
+    )
+    sizes = src.groupBy(F.col("source").alias("sz_src")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    out = (
+        cnt.join(F.broadcast(sizes), F.col("src_a") == F.col("sz_src"))
+        .withColumnRenamed("n_docs", "docs_a")
+        .drop("sz_src")
+        .join(F.broadcast(sizes), F.col("src_b") == F.col("sz_src"))
+        .withColumnRenamed("n_docs", "docs_b")
+        .drop("sz_src")
+    )
+    rate = F.col("n_dup_pairs").cast("double") / F.least(
+        "docs_a", "docs_b"
+    ).cast("double")
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_dup_pairs",
+        "docs_a",
+        "docs_b",
+        floor_round(rate, 6).alias("dup_rate_vs_smaller"),
+    ).orderBy("src_a", "src_b")
+
+
+CROSS_SOURCE_DUP_SQL = rf"""
+WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, lang, list_distinct({_SHINGLES_SQL}) AS shset
+  FROM (
+    SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS toks
+    FROM (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_ID_OFFSET} AS doc_id, lang, text
+      FROM documents WHERE doc_id < {N_INJECTED_DUPS}
+    )
+  )
+),
+scored AS (
+  SELECT c.a_id % {DUP_ID_OFFSET} AS oa,
+         c.b_id % {DUP_ID_OFFSET} AS ob
+  FROM cand c
+  JOIN sh a ON c.a_id = a.doc_id
+  JOIN sh b ON c.b_id = b.doc_id AND a.lang = b.lang
+  WHERE CAST(floor(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shset, b.shset))) * 10000
+               + 1e-6) / 10000 AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+with_src AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b
+  FROM scored s
+  JOIN documents da ON da.doc_id = s.oa
+  JOIN documents db ON db.doc_id = s.ob
+),
+cnt AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+  FROM with_src GROUP BY 1, 2
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT c.src_a, c.src_b, c.n_dup_pairs,
+       x.n_docs AS docs_a, y.n_docs AS docs_b,
+       CAST(floor(CAST(c.n_dup_pairs AS DOUBLE)
+                  / CAST(least(x.n_docs, y.n_docs) AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS dup_rate_vs_smaller
+FROM cnt c
+JOIN sizes x ON x.source = c.src_a
+JOIN sizes y ON y.source = c.src_b
+ORDER BY src_a, src_b
+"""

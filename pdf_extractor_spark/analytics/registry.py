@@ -1159,6 +1159,22 @@ QUERIES: Dict[str, QuerySpec] = {
         quality_rules.psi_quality_drift, quality_rules.PSI_QUALITY_SQL,
         "R4-150 PSI of the quality distribution across hash waves",
     ),
+    "markup_density_profile": QuerySpec(
+        textstats.markup_density_profile, textstats.MARKUP_DENSITY_SQL,
+        "R4-151 per-source markdown-structure shares",
+    ),
+    "cross_source_dup_matrix": QuerySpec(
+        dedup.cross_source_dup_matrix, dedup.CROSS_SOURCE_DUP_SQL,
+        "R4-152 which feeds copy from which (near-dup pair matrix)",
+    ),
+    "embedding_dim_variance": QuerySpec(
+        similarity.embedding_dim_variance, similarity.DIM_VARIANCE_SQL,
+        "R4-153 per-dimension variance / collapse profile",
+    ),
+    "seasonal_naive_backtest": QuerySpec(
+        relational.seasonal_naive_backtest, relational.SEASONAL_BACKTEST_SQL,
+        "R4-154 same-weekday naive forecast MAPE + bias",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -8762,3 +8762,142 @@ SELECT CAST(m.n_customers AS BIGINT) AS n_customers,
        c.n_subscription, c.n_steady, c.n_sporadic
 FROM med m, classes c
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest (R4-154): predict each of the last
+# BACKTEST_DAYS days as the MEAN of the same weekday's revenue over
+# the previous BACKTEST_LOOKBACK weeks, then score MAPE and bias —
+# the honest baseline every fancier forecaster must beat, and the
+# shape of a rolling backtest (per-day prediction joins only its own
+# lookback window via calendar arithmetic, no model state). Exact
+# BIGINT cents; per-day APE floored to 1e-8 then BIGINT-summed.
+# ---------------------------------------------------------------------------
+
+BACKTEST_DAYS = 28
+BACKTEST_LOOKBACK = 4
+
+
+def seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    dmax = daily.agg(F.max("d").alias("dmax"))
+    base = daily.crossJoin(F.broadcast(dmax)).select(
+        "d", "cents", F.datediff("dmax", "d").cast("long").alias("back")
+    )
+    target = base.where(F.col("back") < BACKTEST_DAYS).select(
+        F.col("d").alias("td"), F.col("cents").alias("actual")
+    )
+    lags = spark.range(1, BACKTEST_LOOKBACK + 1).select(
+        (F.col("id") * 7).cast("int").alias("wk")
+    )
+    cand = target.crossJoin(F.broadcast(lags)).select(
+        "td", "actual", F.date_sub(F.col("td"), F.col("wk")).alias("ld")
+    )
+    hist = daily.select(F.col("d").alias("ld"), F.col("cents").alias("hc"))
+    pred = (
+        cand.join(hist, "ld", "left")
+        .groupBy("td", "actual")
+        .agg(
+            F.count("hc").cast("long").alias("n_lookback"),
+            F.sum("hc").cast("long").alias("s_hc"),
+        )
+        .where(F.col("n_lookback") > 0)
+    )
+    fc = F.col("s_hc").cast("double") / F.col("n_lookback").cast("double")
+    ape_q = F.floor(
+        F.abs(F.col("actual").cast("double") - fc)
+        / F.col("actual").cast("double")
+        * 100000000
+        + 1e-6
+    ).cast("long")
+    err_q = F.floor(
+        (fc - F.col("actual").cast("double"))
+        / F.col("actual").cast("double")
+        * 100000000
+        + 1e-6
+    ).cast("long")
+    scored = pred.select("td", ape_q.alias("ape_q"), err_q.alias("err_q"))
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_days_scored"),
+        F.sum("ape_q").cast("long").alias("s_ape"),
+        F.sum("err_q").cast("long").alias("s_err"),
+    )
+    return agg.select(
+        "n_days_scored",
+        floor_round(
+            F.col("s_ape").cast("double")
+            / 1.0e8
+            / F.col("n_days_scored").cast("double"),
+            6,
+        ).alias("mape"),
+        floor_round(
+            F.col("s_err").cast("double")
+            / 1.0e8
+            / F.col("n_days_scored").cast("double"),
+            6,
+        ).alias("mean_bias"),
+    )
+
+
+SEASONAL_BACKTEST_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+dmax AS (SELECT max(d) AS dmax FROM daily),
+target AS (
+  SELECT d AS td, cents AS actual
+  FROM daily, dmax
+  WHERE date_diff('day', d, dmax) < {BACKTEST_DAYS}
+),
+lags AS (SELECT unnest(generate_series(1, {BACKTEST_LOOKBACK})) * 7 AS wk),
+cand AS (
+  SELECT t.td, t.actual, t.td - CAST(l.wk AS INT) AS ld
+  FROM target t CROSS JOIN lags l
+),
+pred AS (
+  SELECT c.td, c.actual,
+         CAST(count(h.cents) AS BIGINT) AS n_lookback,
+         CAST(sum(h.cents) AS BIGINT) AS s_hc
+  FROM cand c LEFT JOIN daily h ON h.d = c.ld
+  GROUP BY 1, 2
+  HAVING count(h.cents) > 0
+),
+scored AS (
+  SELECT td,
+         CAST(floor(abs(CAST(actual AS DOUBLE)
+                        - CAST(s_hc AS DOUBLE)
+                          / CAST(n_lookback AS DOUBLE))
+                    / CAST(actual AS DOUBLE)
+                    * 100000000 + 1e-6) AS BIGINT) AS ape_q,
+         CAST(floor((CAST(s_hc AS DOUBLE) / CAST(n_lookback AS DOUBLE)
+                     - CAST(actual AS DOUBLE))
+                    / CAST(actual AS DOUBLE)
+                    * 100000000 + 1e-6) AS BIGINT) AS err_q
+  FROM pred
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+         CAST(sum(ape_q) AS BIGINT) AS s_ape,
+         CAST(sum(err_q) AS BIGINT) AS s_err
+  FROM scored
+)
+SELECT n_days_scored,
+       CAST(floor(CAST(s_ape AS DOUBLE) / 1e8
+                  / CAST(n_days_scored AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS mape,
+       CAST(floor(CAST(s_err AS DOUBLE) / 1e8
+                  / CAST(n_days_scored AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS mean_bias
+FROM agg
+"""

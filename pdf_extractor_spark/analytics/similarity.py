@@ -2986,3 +2986,91 @@ SELECT label, n_vecs,
 FROM agg
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension variance profile (R4-153): the second encoder-health
+# leg next to the norm profile — a dimension whose variance collapses
+# is DEAD (wasted index width), one that dominates skews every cosine;
+# both are classic embedding-collapse symptoms. Components are floored
+# onto a 1e-6 grid per row (one deterministic double each), so the
+# per-dimension moment sums are exact BIGINTs; output is one row per
+# dimension with mean/var and the dominance share var_d / Σvar.
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "x")
+    ).select(
+        "i", F.floor(F.col("x") * 1000000 + 1e-6).cast("long").alias("xq")
+    )
+    agg = comp.groupBy("i").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double") / F.col("n").cast("double") - mu * mu
+    ) / 1.0e12
+    scored = agg.select(
+        F.col("i").cast("long").alias("dim"),
+        floor_round(mu / 1000000.0, 6).alias("mean_c"),
+        floor_round(var, 8).alias("var_c"),
+        F.floor(var * 100000000 + 1e-6).cast("long").alias("vq"),
+    )
+    tot = scored.agg(F.sum("vq").cast("long").alias("v_total"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "mean_c",
+            "var_c",
+            floor_round(
+                F.col("vq").cast("double")
+                / F.col("v_total").cast("double"),
+                6,
+            ).alias("var_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+DIM_VARIANCE_SQL = """
+WITH comp AS (
+  SELECT i, CAST(floor(CAST(x AS DOUBLE) * 1000000 + 1e-6) AS BIGINT)
+           AS xq
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings)
+),
+agg AS (
+  SELECT i,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS s,
+         CAST(sum(xq * xq) AS BIGINT) AS ss
+  FROM comp GROUP BY 1
+),
+scored AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                    * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS mean_c,
+         CAST(floor((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12
+                    * 100000000 + 1e-6) / 100000000 AS DOUBLE) AS var_c,
+         CAST(floor((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12
+                    * 100000000 + 1e-6) AS BIGINT) AS vq
+  FROM agg
+),
+tot AS (SELECT CAST(sum(vq) AS BIGINT) AS v_total FROM scored)
+SELECT dim, mean_c, var_c,
+       CAST(floor(CAST(vq AS DOUBLE) / CAST(t.v_total AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS var_share
+FROM scored, tot t
+ORDER BY dim
+"""

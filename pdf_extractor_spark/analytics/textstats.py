@@ -4644,3 +4644,84 @@ SELECT source,
 FROM agg
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Markup-density profile per source (R4-151): what fraction of each
+# feed carries markdown structure — headings, fenced code, table rows,
+# links — the extraction-planning read that decides which sources go
+# through the full section/table pipeline vs the plain-text fast path
+# (the repo's own extract_spans cost is dominated by exactly these
+# structures). Detection is RE2-and-Java-compatible regex on raw text
+# ((?m) inline flag works in both engines), counts exact BIGINT,
+# shares floored; map-only scan + one hash-agg to the source list.
+# ---------------------------------------------------------------------------
+
+_MARKUP_PATTERNS = {
+    "heading": r"(?m)^#{1,6} ",
+    "code_fence": r"(?m)^```",
+    "table_row": r"(?m)^\|.*\|",
+    "link": r"\[[^\]]+\]\([^)]+\)",
+}
+
+
+def markup_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    flags = [
+        F.when(F.col("text").rlike(pat), 1).otherwise(0).alias(f"f_{name}")
+        for name, pat in _MARKUP_PATTERNS.items()
+    ]
+    per = docs.select("source", *flags)
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.sum(f"f_{name}").cast("long").alias(f"n_{name}")
+            for name in _MARKUP_PATTERNS
+        ],
+    )
+    shares = [
+        _floor_round(
+            F.col(f"n_{name}").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias(f"{name}_share")
+        for name in _MARKUP_PATTERNS
+    ]
+    return agg.select("source", "n_docs", *shares).orderBy("source")
+
+
+def _markup_sql() -> str:
+    flag_cols = ",\n         ".join(
+        f"CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END"
+        f" AS f_{name}"
+        for name, pat in _MARKUP_PATTERNS.items()
+    )
+    sums = ",\n         ".join(
+        f"CAST(sum(f_{name}) AS BIGINT) AS n_{name}"
+        for name in _MARKUP_PATTERNS
+    )
+    shares = ",\n       ".join(
+        f"CAST(floor(CAST(n_{name} AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        f" * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS {name}_share"
+        for name in _MARKUP_PATTERNS
+    )
+    return f"""
+WITH per AS (
+  SELECT source,
+         {flag_cols}
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         {sums}
+  FROM per GROUP BY 1
+)
+SELECT source, n_docs,
+       {shares}
+FROM agg
+ORDER BY source
+"""
+
+
+MARKUP_DENSITY_SQL = _markup_sql()
