@@ -1175,6 +1175,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.seasonal_naive_backtest, relational.SEASONAL_BACKTEST_SQL,
         "R4-154 same-weekday naive forecast MAPE + bias",
     ),
+    "nation_revenue_growth": QuerySpec(
+        relational.nation_revenue_growth, relational.NATION_GROWTH_SQL,
+        "R4-155 star-join CAGR per customer nation",
+    ),
+    "weekday_revenue_box": QuerySpec(
+        relational.weekday_revenue_box, relational.WEEKDAY_BOX_SQL,
+        "R4-156 exact p25/p50/p75 box per weekday",
+    ),
+    "bm25_param_sensitivity": QuerySpec(
+        textstats.bm25_param_sensitivity, textstats.BM25_SENS_SQL,
+        "R4-157 k1/b rank-stability audit (overlap + footrule)",
+    ),
+    "top_term_drift_waves": QuerySpec(
+        textstats.top_term_drift_waves, textstats.TERM_DRIFT_SQL,
+        "R4-158 top-term rank shifts between hash waves",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -8901,3 +8901,217 @@ SELECT n_days_scored,
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS mean_bias
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Nation revenue growth (R4-155): the star-join growth table — revenue
+# per customer nation for the first and last full year in the span,
+# with CAGR between them. Exercises the customer→nation→region star
+# with broadcast dims (the TPC-H join shape) and closes with one
+# closed-form growth rate per bounded nation row. Exact BIGINT cents;
+# CAGR = (rev1/rev0)^(1/years) − 1 as one double per row.
+# ---------------------------------------------------------------------------
+
+
+def nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("cents"),
+    )
+    span = orders.agg(
+        F.min("yr").alias("y0"), F.max("yr").alias("y1")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+        "n_regionkey",
+    )
+    region = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"),
+        F.col("r_name").alias("region"),
+    )
+    j = (
+        orders.crossJoin(F.broadcast(span))
+        .where((F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1")))
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .join(F.broadcast(region), "n_regionkey")
+    )
+    agg = j.groupBy("region", "nation").agg(
+        F.max("y0").alias("y0"),
+        F.max("y1").alias("y1"),
+        F.sum(F.when(F.col("yr") == F.col("y0"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev0"),
+        F.sum(F.when(F.col("yr") == F.col("y1"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev1"),
+    ).where((F.col("rev0") > 0) & (F.col("rev1") > 0))
+    years = (F.col("y1") - F.col("y0")).cast("double")
+    cagr = (
+        F.pow(
+            F.col("rev1").cast("double") / F.col("rev0").cast("double"),
+            F.lit(1.0) / years,
+        )
+        - 1.0
+    )
+    return agg.select(
+        "region",
+        "nation",
+        F.col("rev0").alias("rev_first_cents"),
+        F.col("rev1").alias("rev_last_cents"),
+        (F.col("y1") - F.col("y0")).cast("long").alias("n_years"),
+        floor_round(cagr, 6).alias("cagr"),
+    ).orderBy("region", "nation")
+
+
+NATION_GROWTH_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) AS cents
+  FROM orders
+),
+span AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM o),
+agg AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         max(s.y0) AS y0, max(s.y1) AS y1,
+         CAST(sum(CASE WHEN o.yr = s.y0 THEN o.cents ELSE 0 END)
+              AS BIGINT) AS rev0,
+         CAST(sum(CASE WHEN o.yr = s.y1 THEN o.cents ELSE 0 END)
+              AS BIGINT) AS rev1
+  FROM o, span s
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE o.yr = s.y0 OR o.yr = s.y1
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN o.yr = s.y0 THEN o.cents ELSE 0 END) > 0
+     AND sum(CASE WHEN o.yr = s.y1 THEN o.cents ELSE 0 END) > 0
+)
+SELECT region, nation,
+       rev0 AS rev_first_cents, rev1 AS rev_last_cents,
+       CAST(y1 - y0 AS BIGINT) AS n_years,
+       CAST(floor((pow(CAST(rev1 AS DOUBLE) / CAST(rev0 AS DOUBLE),
+                       1.0 / CAST(y1 - y0 AS DOUBLE)) - 1.0)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS cagr
+FROM agg
+ORDER BY region, nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekday revenue box table (R4-156): exact p25/p50/p75 of daily
+# revenue per weekday — the SPREAD companion to the dow seasonal
+# index (R4-113 gives the level, this gives the box). Grouped
+# cumulative-histogram quantiles over the bounded (weekday, dollars)
+# domain; IQR closes the row.
+# ---------------------------------------------------------------------------
+
+
+def weekday_revenue_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).select(
+        (
+            (F.datediff("d", F.lit("1970-01-01").cast("date")) + 3) % 7
+        ).cast("long").alias("dow"),
+        F.floor(F.col("cents") / 100).cast("long").alias("y"),
+    )
+    hist = daily.groupBy("dow", "y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = hist.groupBy(F.col("dow").alias("t_dow")).agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("dow")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w).cast("long")).join(
+        F.broadcast(tot), F.col("dow") == F.col("t_dow")
+    )
+    def q_col(p):
+        target = F.ceil(F.col("n") * p / 100.0).cast("long")
+        return F.min(
+            F.when(
+                (F.col("cum") - F.col("c") + 1 <= target)
+                & (target <= F.col("cum")),
+                F.col("y"),
+            )
+        ).cast("long")
+    agg = cum.groupBy("dow").agg(
+        F.max("n").alias("n_days"),
+        q_col(25).alias("p25_dollars"),
+        q_col(50).alias("p50_dollars"),
+        q_col(75).alias("p75_dollars"),
+    )
+    return agg.select(
+        "dow",
+        F.col("n_days").cast("long").alias("n_days"),
+        "p25_dollars",
+        "p50_dollars",
+        "p75_dollars",
+        (F.col("p75_dollars") - F.col("p25_dollars"))
+        .cast("long")
+        .alias("iqr_dollars"),
+    ).orderBy("dow")
+
+
+WEEKDAY_BOX_SQL = """
+WITH daily AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE)) + 3)
+              % 7 AS BIGINT) AS dow,
+         CAST(floor(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+                    / 100) AS BIGINT) AS y
+  FROM orders GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE),
+                       1
+),
+hist AS (
+  SELECT dow, y, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY 1, 2
+),
+tot AS (
+  SELECT dow AS t_dow, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT h.dow, h.y, h.c,
+         CAST(sum(h.c) OVER (PARTITION BY h.dow ORDER BY h.y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         t.n
+  FROM hist h JOIN tot t ON h.dow = t.t_dow
+)
+SELECT dow,
+       CAST(max(n) AS BIGINT) AS n_days,
+       CAST(min(CASE WHEN cum - c + 1 <= CAST(ceil(n * 25 / 100.0) AS BIGINT)
+                      AND CAST(ceil(n * 25 / 100.0) AS BIGINT) <= cum
+                     THEN y END) AS BIGINT) AS p25_dollars,
+       CAST(min(CASE WHEN cum - c + 1 <= CAST(ceil(n * 50 / 100.0) AS BIGINT)
+                      AND CAST(ceil(n * 50 / 100.0) AS BIGINT) <= cum
+                     THEN y END) AS BIGINT) AS p50_dollars,
+       CAST(min(CASE WHEN cum - c + 1 <= CAST(ceil(n * 75 / 100.0) AS BIGINT)
+                      AND CAST(ceil(n * 75 / 100.0) AS BIGINT) <= cum
+                     THEN y END) AS BIGINT) AS p75_dollars,
+       CAST(min(CASE WHEN cum - c + 1 <= CAST(ceil(n * 75 / 100.0) AS BIGINT)
+                      AND CAST(ceil(n * 75 / 100.0) AS BIGINT) <= cum
+                     THEN y END)
+            - min(CASE WHEN cum - c + 1
+                            <= CAST(ceil(n * 25 / 100.0) AS BIGINT)
+                        AND CAST(ceil(n * 25 / 100.0) AS BIGINT) <= cum
+                       THEN y END) AS BIGINT) AS iqr_dollars
+FROM cum
+GROUP BY 1
+ORDER BY dow
+"""

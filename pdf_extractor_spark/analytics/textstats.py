@@ -4725,3 +4725,265 @@ ORDER BY source
 
 
 MARKUP_DENSITY_SQL = _markup_sql()
+
+
+# ---------------------------------------------------------------------------
+# BM25 hyperparameter sensitivity (R4-157): the SAME per-doc term
+# stats scored under three (k1, b) settings — default (1.2, 0.75),
+# saturation-light (2.0, 0.75) and length-blind (1.2, 0.0) — and the
+# top-K rank agreement between the default and each variant (overlap
+# plus Spearman's footrule on common members). The tuning read that
+# says whether the ranking is even sensitive to k1/b before anyone
+# sweeps them. One token pass feeds all three scorings; rank windows
+# run over K-row TakeOrdered cuts; footrule is an exact BIGINT sum.
+# ---------------------------------------------------------------------------
+
+BM25_VARIANTS = [("default", 1.2, 0.75), ("high_k1", 2.0, 0.75), ("no_b", 1.2, 0.0)]
+BM25_SENS_K = 20
+
+
+def bm25_param_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    def _eq(term):
+        return lambda t: t == F.lit(term)
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t_))).cast("double").alias(f"tf_{i}")
+            for i, t_ in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    def score(k1, b):
+        s = None
+        for i in range(len(BM25_TERMS)):
+            idf = F.log(
+                1.0
+                + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+            )
+            tf = F.col(f"tf_{i}")
+            comp = idf * (
+                tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            )
+            s = comp if s is None else s + comp
+        return _floor_round(s, 4)
+    scored = j.select(
+        "doc_id",
+        *[
+            score(k1, b).alias(f"s_{name}")
+            for name, k1, b in BM25_VARIANTS
+        ],
+    )
+    out_rows = []
+    base_name = BM25_VARIANTS[0][0]
+    base = (
+        scored.orderBy(F.desc(f"s_{base_name}"), F.asc("doc_id"))
+        .limit(BM25_SENS_K)
+        .withColumn(
+            "r_base",
+            F.row_number().over(
+                Window.orderBy(F.desc(f"s_{base_name}"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "r_base")
+    )
+    results = None
+    for name, _k1, _b in BM25_VARIANTS[1:]:
+        var = (
+            scored.orderBy(F.desc(f"s_{name}"), F.asc("doc_id"))
+            .limit(BM25_SENS_K)
+            .withColumn(
+                "r_var",
+                F.row_number().over(
+                    Window.orderBy(F.desc(f"s_{name}"), F.asc("doc_id"))
+                ),
+            )
+            .select("doc_id", "r_var")
+        )
+        common = base.join(var, "doc_id", "inner")
+        agg = common.agg(
+            F.lit(name).alias("variant"),
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.abs(F.col("r_base") - F.col("r_var")))
+            .cast("long")
+            .alias("footrule"),
+        )
+        results = agg if results is None else results.unionByName(agg)
+    return results.select(
+        "variant",
+        F.lit(BM25_SENS_K).cast("long").alias("k"),
+        "n_common",
+        _floor_round(
+            F.col("n_common").cast("double") / F.lit(float(BM25_SENS_K)), 6
+        ).alias("overlap_share"),
+        "footrule",
+    ).orderBy("variant")
+
+
+def _bm25_sens_sql() -> str:
+    def score_sql(k1, b):
+        return " + ".join(
+            f"ln(1.0 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+            f" * (d.tf_{i} * ({k1} + 1.0)"
+            f" / (d.tf_{i} + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl)))"
+            for i in range(len(BM25_TERMS))
+        )
+    variants_scored = ",\n         ".join(
+        f"CAST(floor(({score_sql(k1, b)}) * 10000 + 1e-6) / 10000"
+        f" AS DOUBLE) AS s_{name}"
+        for name, k1, b in BM25_VARIANTS
+    )
+    base_name = BM25_VARIANTS[0][0]
+    per_variant = "\nUNION ALL\n".join(
+        f"""
+SELECT '{name}' AS variant,
+       CAST({BM25_SENS_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(floor(CAST(count(*) AS DOUBLE) / {float(BM25_SENS_K)!r}
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS overlap_share,
+       CAST(sum(abs(b.r_base - v.r_var)) AS BIGINT) AS footrule
+FROM (SELECT doc_id,
+             row_number() OVER (ORDER BY s_{base_name} DESC, doc_id ASC)
+               AS r_base
+      FROM (SELECT doc_id, s_{base_name} FROM scored
+            ORDER BY s_{base_name} DESC, doc_id ASC
+            LIMIT {BM25_SENS_K})) b
+JOIN (SELECT doc_id,
+             row_number() OVER (ORDER BY s_{name} DESC, doc_id ASC)
+               AS r_var
+      FROM (SELECT doc_id, s_{name} FROM scored
+            ORDER BY s_{name} DESC, doc_id ASC
+            LIMIT {BM25_SENS_K})) v
+  USING (doc_id)"""
+        for name, _k1, _b in BM25_VARIANTS[1:]
+    )
+    return rf"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         {_BM25_TF_SQL}
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(dl) AS avgdl,
+         {', '.join(f'CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}' for i in range(len(BM25_TERMS)))}
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id,
+         {variants_scored}
+  FROM per_doc d CROSS JOIN stats s
+)
+SELECT * FROM ({per_variant})
+ORDER BY variant
+"""
+
+
+BM25_SENS_SQL = _bm25_sens_sql()
+
+
+# ---------------------------------------------------------------------------
+# Top-term drift between hash waves (R4-158): the lexical drift read
+# next to PSI's score drift — the corpus's top-M terms ranked within
+# each deterministic doc_id-hash wave, reported as rank shifts (a term
+# that jumps ranks between equal random halves signals a skewed
+# feed... or, on a hash split, calibrates the metric's noise floor).
+# Ranks are tie-free ((count DESC, term ASC) total order) over the
+# aggregated term table; output bounded by M.
+# ---------------------------------------------------------------------------
+
+TERM_DRIFT_M = 20
+
+
+def top_term_drift_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wave = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wave|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    toks = load(spark, sf_dir, "documents").select(
+        wave.alias("w"), F.explode(_tokens()).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_old"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c_new"),
+    )
+    w_old = Window.orderBy(F.desc("c_old"), F.asc("term"))
+    w_new = Window.orderBy(F.desc("c_new"), F.asc("term"))
+    ranked = counts.withColumn(
+        "r_old", F.row_number().over(w_old).cast("long")
+    ).withColumn("r_new", F.row_number().over(w_new).cast("long"))
+    return (
+        ranked.where(
+            (F.col("r_old") <= TERM_DRIFT_M) | (F.col("r_new") <= TERM_DRIFT_M)
+        )
+        .select(
+            "term",
+            "c_old",
+            "c_new",
+            "r_old",
+            "r_new",
+            (F.col("r_new") - F.col("r_old")).cast("long").alias("rank_shift"),
+        )
+        .orderBy("r_old", "term")
+    )
+
+
+TERM_DRIFT_SQL = rf"""
+WITH toks AS (
+  SELECT CAST('0x' || substr(md5('wave|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS w,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+         CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+  FROM toks GROUP BY 1
+),
+ranked AS (
+  SELECT term, c_old, c_new,
+         CAST(row_number() OVER (ORDER BY c_old DESC, term ASC) AS BIGINT)
+           AS r_old,
+         CAST(row_number() OVER (ORDER BY c_new DESC, term ASC) AS BIGINT)
+           AS r_new
+  FROM counts
+)
+SELECT term, c_old, c_new, r_old, r_new,
+       CAST(r_new - r_old AS BIGINT) AS rank_shift
+FROM ranked
+WHERE r_old <= {TERM_DRIFT_M} OR r_new <= {TERM_DRIFT_M}
+ORDER BY r_old, term
+"""
