@@ -2796,3 +2796,157 @@ JOIN sizes x ON x.source = c.src_a
 JOIN sizes y ON y.source = c.src_b
 ORDER BY src_a, src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket occupancy (R4-161): the band-bucket width histogram — how
+# many (band, hash) buckets hold 1, 2, 3... signatures — plus the
+# candidate-pair mass sum(width*(width-1)/2) each width class
+# contributes. THE operational read on LSH health: candidate cost is
+# quadratic in bucket width, so one hot bucket dominates the join
+# (exactly the pathology the round-4 star-reduce fix removed). One
+# hash-agg over the shared signature table; output bounded by the
+# distinct widths.
+# ---------------------------------------------------------------------------
+
+
+def lsh_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _with_bands(_docs_with_injected_dups(spark, sf_dir))
+    width = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    hist = width.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_buckets")
+    )
+    tot = hist.agg(
+        F.sum(F.col("n_buckets") * F.col("w") * (F.col("w") - 1) / 2)
+        .cast("long")
+        .alias("total_pairs")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("bucket_width"),
+            "n_buckets",
+            (F.col("n_buckets") * F.col("w") * (F.col("w") - 1) / 2)
+            .cast("long")
+            .alias("pair_mass"),
+            floor_round(
+                (
+                    F.col("n_buckets")
+                    * F.col("w")
+                    * (F.col("w") - 1)
+                    / 2
+                ).cast("double")
+                / F.col("total_pairs").cast("double"),
+                6,
+            ).alias("pair_mass_share"),
+        )
+        .orderBy("bucket_width")
+    )
+
+
+LSH_OCCUPANCY_SQL = rf"""
+WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
+width AS (
+  SELECT band_id, band_hash, CAST(count(*) AS BIGINT) AS w
+  FROM bands GROUP BY 1, 2
+),
+hist AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_buckets FROM width GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_buckets * w * (w - 1) / 2) AS BIGINT) AS total_pairs
+  FROM hist
+)
+SELECT w AS bucket_width, n_buckets,
+       CAST(n_buckets * w * (w - 1) / 2 AS BIGINT) AS pair_mass,
+       CAST(floor(CAST(n_buckets * w * (w - 1) / 2 AS DOUBLE)
+                  / CAST(t.total_pairs AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS pair_mass_share
+FROM hist, tot t
+ORDER BY bucket_width
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup degree distribution (R4-162): how many candidate partners
+# each document has (degree in the banded-candidate graph), as a
+# degree histogram — the doc-side companion to bucket occupancy. A
+# long degree tail means a template or boilerplate family is about to
+# chain entire clusters through connected components; the histogram
+# is the early warning. Candidate pairs reuse the shared band join;
+# degrees via explode-both-ends + hash-agg; docs with NO candidates
+# appear as degree 0 through a spine anti-count.
+# ---------------------------------------------------------------------------
+
+
+def dup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    ends = pairs.select(F.col("a_id").alias("doc_id")).unionAll(
+        pairs.select(F.col("b_id").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    pool = _docs_with_injected_dups(spark, sf_dir).select("doc_id")
+    full = pool.join(deg, "doc_id", "left").select(
+        F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree")
+    )
+    hist = full.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = hist.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_docs",
+            floor_round(
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("degree")
+    )
+
+
+DUP_DEGREE_SQL = rf"""
+WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+ends AS (
+  SELECT a_id AS doc_id FROM cand
+  UNION ALL
+  SELECT b_id AS doc_id FROM cand
+),
+deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY 1
+),
+pool AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_ID_OFFSET} AS doc_id
+  FROM documents WHERE doc_id < {N_INJECTED_DUPS}
+),
+full_deg AS (
+  SELECT CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+  FROM pool p LEFT JOIN deg d USING (doc_id)
+),
+hist AS (
+  SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+  FROM full_deg GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM hist)
+SELECT degree, n_docs,
+       CAST(floor(CAST(n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS share
+FROM hist, tot t
+ORDER BY degree
+"""

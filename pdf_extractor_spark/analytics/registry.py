@@ -1191,6 +1191,22 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.top_term_drift_waves, textstats.TERM_DRIFT_SQL,
         "R4-158 top-term rank shifts between hash waves",
     ),
+    "source_signature_terms": QuerySpec(
+        textstats.source_signature_terms, textstats.SOURCE_SIGNATURE_SQL,
+        "R4-159 per-source distinctive terms by source-level tf-idf",
+    ),
+    "weekday_uniformity_chi2": QuerySpec(
+        relational.weekday_uniformity_chi2, relational.WEEKDAY_CHI2_SQL,
+        "R4-160 chi-square goodness-of-fit vs uniform weekdays",
+    ),
+    "lsh_bucket_occupancy": QuerySpec(
+        dedup.lsh_bucket_occupancy, dedup.LSH_OCCUPANCY_SQL,
+        "R4-161 band-bucket width histogram + pair mass",
+    ),
+    "dup_degree_distribution": QuerySpec(
+        dedup.dup_degree_distribution, dedup.DUP_DEGREE_SQL,
+        "R4-162 candidate-graph degree histogram (chaining early warning)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

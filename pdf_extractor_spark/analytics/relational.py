@@ -9115,3 +9115,79 @@ FROM cum
 GROUP BY 1
 ORDER BY dow
 """
+
+
+# ---------------------------------------------------------------------------
+# Weekday-uniformity chi-square (R4-160): goodness-of-fit of ORDER
+# COUNTS against the uniform weekday model — the formal test behind
+# the dow seasonal index (an index of 1.02 may be noise; chi2 says
+# so). Expected counts are exact rationals N/7 handled by scaling the
+# statistic: chi2 = (7 * sum(c_d^2) - N^2) / N exactly from BIGINTs,
+# one closed-form double at the end. Bounded 7-row intermediate.
+# ---------------------------------------------------------------------------
+
+
+def weekday_uniformity_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    per = load(spark, sf_dir, "orders").select(
+        (
+            (
+                F.datediff(
+                    F.date_trunc("day", F.col("o_orderdate")).cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                + 3
+            )
+            % 7
+        ).cast("long").alias("dow")
+    ).groupBy("dow").agg(F.count("*").cast("long").alias("c"))
+    agg = per.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("cc"),
+        F.max("c").cast("long").alias("c_max"),
+        F.min("c").cast("long").alias("c_min"),
+    )
+    chi2 = (
+        F.lit(7.0) * F.col("cc").cast("double")
+        - F.col("n").cast("double") * F.col("n").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        F.col("k").alias("k_weekdays"),
+        F.col("n").alias("n_orders"),
+        "c_max",
+        "c_min",
+        floor_round(chi2, 4).alias("chi2_uniform"),
+        floor_round(
+            F.col("c_max").cast("double") / F.col("c_min").cast("double"),
+            6,
+        ).alias("max_min_ratio"),
+    )
+
+
+WEEKDAY_CHI2_SQL = """
+WITH per AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE)) + 3)
+              % 7 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS cc,
+         CAST(max(c) AS BIGINT) AS c_max,
+         CAST(min(c) AS BIGINT) AS c_min
+  FROM per
+)
+SELECT k AS k_weekdays, n AS n_orders, c_max, c_min,
+       CAST(floor((7.0 * CAST(cc AS DOUBLE)
+                   - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS chi2_uniform,
+       CAST(floor(CAST(c_max AS DOUBLE) / CAST(c_min AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS max_min_ratio
+FROM agg
+"""

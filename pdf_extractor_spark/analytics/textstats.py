@@ -4987,3 +4987,103 @@ FROM ranked
 WHERE r_old <= {TERM_DRIFT_M} OR r_new <= {TERM_DRIFT_M}
 ORDER BY r_old, term
 """
+
+
+# ---------------------------------------------------------------------------
+# Source signature terms (R4-159): each feed's top-SIG_TOP distinctive
+# terms by source-level tf-idf (tf = term count within the source,
+# idf = ln(n_sources / sources containing the term)) — "what makes
+# this feed different", the provenance profile a curator reads before
+# weighting or dropping it. Scores are floored onto a 1e-6 grid and
+# ranked tie-free (score DESC, term ASC) per source; idf uses the
+# bounded source count, so common-to-all terms score exactly 0 and
+# can never enter the signature.
+# ---------------------------------------------------------------------------
+
+SIG_TOP = 3
+
+
+def source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    # DOC-frequency idf (not source-frequency): on a shared-vocab
+    # corpus every term touches every source, so a source-level idf
+    # degenerates to 0 for the whole vocabulary; doc-level df varies
+    df = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy(F.col("term").alias("d_term"))
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    n_docs_t = docs.count()
+    j = tf.join(df, F.col("term") == F.col("d_term"))
+    score_q = F.floor(
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs_t)) / F.col("df").cast("double"))
+        * 1000000
+        + 1e-6
+    ).cast("long")
+    scored = j.select("source", "term", "tf", "df", score_q.alias("sq"))
+    w = Window.partitionBy("source").orderBy(F.desc("sq"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= SIG_TOP)
+        .select(
+            "source",
+            "rnk",
+            "term",
+            "tf",
+            "df",
+            _floor_round(F.col("sq").cast("double") / 1.0e6, 4).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+def _sig_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT t.source, t.term, t.tf, d.df,
+         CAST(floor(CAST(t.tf AS DOUBLE)
+                    * ln(nd.n_docs / CAST(d.df AS DOUBLE))
+                    * 1000000 + 1e-6) AS BIGINT) AS sq
+  FROM tf t JOIN df d USING (term), nd
+),
+ranked AS (
+  SELECT source, term, tf, df, sq,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY sq DESC, term ASC) AS BIGINT)
+           AS rnk
+  FROM scored
+)
+SELECT source, rnk, term, tf, df,
+       CAST(floor(CAST(sq AS DOUBLE) / 1e6 * 10000 + 1e-6) / 10000
+            AS DOUBLE) AS tfidf
+FROM ranked
+WHERE rnk <= {SIG_TOP}
+ORDER BY source, rnk
+"""
+
+
+SOURCE_SIGNATURE_SQL = _sig_sql()
