@@ -1207,6 +1207,23 @@ QUERIES: Dict[str, QuerySpec] = {
         dedup.dup_degree_distribution, dedup.DUP_DEGREE_SQL,
         "R4-162 candidate-graph degree histogram (chaining early warning)",
     ),
+    "attribution_model_compare": QuerySpec(
+        relational.attribution_model_compare,
+        relational.ATTRIBUTION_COMPARE_SQL,
+        "R4-163 last/first/linear attribution side by side",
+    ),
+    "month_seasonality_index": QuerySpec(
+        relational.month_seasonality_index, relational.MONTH_SEASONALITY_SQL,
+        "R4-164 month-of-year seasonal index",
+    ),
+    "acctbal_activity_corr": QuerySpec(
+        relational.acctbal_activity_corr, relational.ACCTBAL_CORR_SQL,
+        "R4-165 balance-vs-activity Pearson incl. zero-order customers",
+    ),
+    "brand_return_rates": QuerySpec(
+        relational.brand_return_rates, relational.BRAND_RETURN_SQL,
+        "R4-166 brand return-rate league with Wilson bounds",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -9191,3 +9191,498 @@ SELECT k AS k_weekdays, n AS n_orders, c_max, c_min,
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS max_min_ratio
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Attribution model comparison (R4-163): the SAME purchases credited
+# under last-touch, first-touch and linear models side by side — the
+# report that ends "which model" debates with numbers. Touch set per
+# purchase = same-user touches strictly before it within the R4-41
+# window; last/first pick by exact (t_us, event_id) struct extremes;
+# linear splits the purchase's value equally, each share floored onto
+# a 1e-4-cent grid (stated rounding rule) so the BIGINT credit sums
+# are exact. The per-user inequality join is bounded by one user's
+# event history (at 100 TB: bucket by (user, day) — the R4-26
+# bucketized-range-join shape); purchases with no in-window touch
+# credit 'none' in every model.
+# ---------------------------------------------------------------------------
+
+
+def attribution_model_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 1e-6).cast("long").alias("cents"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("t_us").alias("p_t"),
+        F.col("cents").alias("rev"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("t_us").alias("t_t"),
+        F.col("event_type").alias("t_type"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_t") < F.col("p_t"))
+        & (F.col("p_t") - F.col("t_t") <= ATTR_WINDOW_US),
+    )
+    per_p = pairs.groupBy("p_id", "rev").agg(
+        F.count("*").cast("long").alias("n_t"),
+        F.max(F.struct("t_t", "t_id", "t_type")).alias("last_s"),
+        F.min(F.struct("t_t", "t_id", "t_type")).alias("first_s"),
+    )
+    attributed = per_p.select(
+        "p_id",
+        "rev",
+        "n_t",
+        F.col("last_s.t_type").alias("last_ch"),
+        F.col("first_s.t_type").alias("first_ch"),
+    )
+    none_p = purchases.join(
+        attributed.select("p_id"), "p_id", "left_anti"
+    ).select(
+        "p_id",
+        "rev",
+        F.lit(0).cast("long").alias("n_t"),
+        F.lit("none").alias("last_ch"),
+        F.lit("none").alias("first_ch"),
+    )
+    allp = attributed.unionByName(none_p)
+    last = allp.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count("*").cast("long").alias("last_n"),
+        F.sum("rev").cast("long").alias("last_rev_cents"),
+    )
+    first = allp.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count("*").cast("long").alias("first_n"),
+        F.sum("rev").cast("long").alias("first_rev_cents"),
+    )
+    lin_t = pairs.join(
+        per_p.select("p_id", "n_t"), "p_id"
+    ).select(
+        F.col("t_type").alias("channel"),
+        F.floor(F.col("rev") * 10000 / F.col("n_t"))
+        .cast("long")
+        .alias("credit_qq"),
+    )
+    lin_none = none_p.select(
+        F.col("last_ch").alias("channel"),
+        (F.col("rev") * 10000).cast("long").alias("credit_qq"),
+    )
+    linear = (
+        lin_t.unionByName(lin_none)
+        .groupBy("channel")
+        .agg(F.sum("credit_qq").cast("long").alias("lin_qq"))
+    )
+    out = (
+        last.join(first, "channel", "full_outer")
+        .join(linear, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("last_n", F.lit(0)).cast("long").alias("last_n"),
+            F.coalesce("last_rev_cents", F.lit(0))
+            .cast("long")
+            .alias("last_rev_cents"),
+            F.coalesce("first_n", F.lit(0)).cast("long").alias("first_n"),
+            F.coalesce("first_rev_cents", F.lit(0))
+            .cast("long")
+            .alias("first_rev_cents"),
+            floor_round(
+                F.coalesce("lin_qq", F.lit(0)).cast("double")
+                / 10000.0
+                / 100.0,
+                2,
+            ).alias("linear_rev_dollars"),
+        )
+        .orderBy("channel")
+    )
+    return out
+
+
+ATTRIBUTION_COMPARE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type,
+         CAST(floor(value * 100 + 1e-6) AS BIGINT) AS cents
+  FROM events
+),
+purchases AS (
+  SELECT event_id AS p_id, user_id AS p_user, t_us AS p_t, cents AS rev
+  FROM ev WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id AS t_user, event_id AS t_id, t_us AS t_t,
+         event_type AS t_type
+  FROM ev WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT p.p_id, p.rev, t.t_id, t.t_t, t.t_type
+  FROM purchases p JOIN touches t
+    ON p.p_user = t.t_user
+   AND t.t_t < p.p_t
+   AND p.p_t - t.t_t <= {ATTR_WINDOW_US}
+),
+ranked AS (
+  SELECT p_id, rev, t_type,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_t DESC, t_id DESC) AS rl,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_t ASC, t_id ASC) AS rf
+  FROM pairs
+),
+per_p AS (
+  SELECT p_id, rev,
+         CAST(count(*) AS BIGINT) AS n_t,
+         max(CASE WHEN rl = 1 THEN t_type END) AS last_ch,
+         max(CASE WHEN rf = 1 THEN t_type END) AS first_ch
+  FROM ranked GROUP BY 1, 2
+),
+none_p AS (
+  SELECT p.p_id, p.rev, CAST(0 AS BIGINT) AS n_t,
+         'none' AS last_ch, 'none' AS first_ch
+  FROM purchases p ANTI JOIN per_p a ON p.p_id = a.p_id
+),
+allp AS (
+  SELECT * FROM per_p UNION ALL SELECT * FROM none_p
+),
+last_agg AS (
+  SELECT last_ch AS channel,
+         CAST(count(*) AS BIGINT) AS last_n,
+         CAST(sum(rev) AS BIGINT) AS last_rev_cents
+  FROM allp GROUP BY 1
+),
+first_agg AS (
+  SELECT first_ch AS channel,
+         CAST(count(*) AS BIGINT) AS first_n,
+         CAST(sum(rev) AS BIGINT) AS first_rev_cents
+  FROM allp GROUP BY 1
+),
+linear_agg AS (
+  SELECT channel, CAST(sum(credit_qq) AS BIGINT) AS lin_qq
+  FROM (
+    SELECT pr.t_type AS channel,
+           CAST(floor(CAST(pr.rev AS DOUBLE) * 10000 / pp.n_t)
+                AS BIGINT) AS credit_qq
+    FROM pairs pr JOIN per_p pp USING (p_id)
+    UNION ALL
+    SELECT 'none' AS channel,
+           CAST(rev * 10000 AS BIGINT) AS credit_qq
+    FROM none_p
+  ) GROUP BY 1
+)
+SELECT coalesce(l.channel, f.channel, n.channel) AS channel,
+       CAST(coalesce(l.last_n, 0) AS BIGINT) AS last_n,
+       CAST(coalesce(l.last_rev_cents, 0) AS BIGINT) AS last_rev_cents,
+       CAST(coalesce(f.first_n, 0) AS BIGINT) AS first_n,
+       CAST(coalesce(f.first_rev_cents, 0) AS BIGINT) AS first_rev_cents,
+       CAST(floor(CAST(coalesce(n.lin_qq, 0) AS DOUBLE) / 10000.0 / 100.0
+                  * 100 + 1e-6) / 100 AS DOUBLE) AS linear_rev_dollars
+FROM last_agg l
+FULL OUTER JOIN first_agg f ON l.channel = f.channel
+FULL OUTER JOIN linear_agg n ON coalesce(l.channel, f.channel) = n.channel
+ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# Month-of-year seasonal index (R4-164): the annual-cycle companion to
+# the weekday index — monthly revenue per calendar month vs the
+# all-month mean, plus each month's share of a year. Same exact-cents
+# engine-shared arithmetic; 12-row output.
+# ---------------------------------------------------------------------------
+
+
+def month_seasonality_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    per = load(spark, sf_dir, "orders").groupBy(
+        F.month("o_orderdate").cast("long").alias("moy")
+    ).agg(
+        F.countDistinct(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        ).cast("long").alias("n_months"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    tot = per.agg(
+        F.sum("n_months").cast("long").alias("nn"),
+        F.sum("cents").cast("long").alias("ss"),
+    )
+    idx = (
+        F.col("cents").cast("double") / F.col("n_months").cast("double")
+    ) / (F.col("ss").cast("double") / F.col("nn").cast("double"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "moy",
+            "n_months",
+            "cents",
+            floor_round(idx, 6).alias("seasonal_index"),
+        )
+        .orderBy("moy")
+    )
+
+
+MONTH_SEASONALITY_SQL = """
+WITH per AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS moy,
+         CAST(count(DISTINCT year(o_orderdate) * 100
+                    + month(o_orderdate)) AS BIGINT) AS n_months,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_months) AS BIGINT) AS nn,
+         CAST(sum(cents) AS BIGINT) AS ss
+  FROM per
+)
+SELECT moy, n_months, cents,
+       CAST(floor((CAST(cents AS DOUBLE) / CAST(n_months AS DOUBLE))
+                  / (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS seasonal_index
+FROM per, tot
+ORDER BY moy
+"""
+
+
+# ---------------------------------------------------------------------------
+# Account-balance vs activity correlation (R4-165): does a customer's
+# balance predict how much they order — Pearson r between acctbal and
+# order count over ALL customers (zero-order customers included via a
+# left join, the part a naive join silently drops), plus the negative-
+# balance active share. Balances floored to exact cents; the closed-
+# form r comes from exact BIGINT sums.
+# ---------------------------------------------------------------------------
+
+
+def acctbal_activity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 1e-6).cast("long").alias("bal"),
+    )
+    cnt = load(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count("*").cast("long").alias("n_ord"))
+    j = cust.join(cnt, "c_custkey", "left").select(
+        "bal", F.coalesce(F.col("n_ord"), F.lit(0)).cast("long").alias("x")
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("bal").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("bal")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("bal") * F.col("bal")).cast("long").alias("syy"),
+        F.sum(
+            F.when((F.col("bal") < 0) & (F.col("x") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("neg_active"),
+        F.sum(F.when(F.col("x") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_active"),
+    )
+    r = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        "n_active",
+        "neg_active",
+        floor_round(r, 6).alias("pearson_r"),
+        floor_round(
+            F.col("neg_active").cast("double")
+            / F.col("n_active").cast("double"),
+            6,
+        ).alias("neg_active_share"),
+    )
+
+
+ACCTBAL_CORR_SQL = """
+WITH cust AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100 + 1e-6) AS BIGINT) AS bal
+  FROM customer
+),
+cnt AS (
+  SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_ord
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.bal, CAST(coalesce(n.n_ord, 0) AS BIGINT) AS x
+  FROM cust c LEFT JOIN cnt n USING (c_custkey)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(bal) AS BIGINT) AS sy,
+         CAST(sum(x * bal) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(bal * bal) AS BIGINT) AS syy,
+         CAST(sum(CASE WHEN bal < 0 AND x > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg_active,
+         CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_active
+  FROM j
+)
+SELECT n AS n_customers, n_active, neg_active,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS pearson_r,
+       CAST(floor(CAST(neg_active AS DOUBLE) / CAST(n_active AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS neg_active_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brand return rates with Wilson intervals (R4-166): lineitem return
+# share per part brand, each with its Wilson 95% bound — the supplier-
+# quality league that flags brands whose LOWER bound clears the
+# corpus rate (statistically bad, not just unlucky). Broadcast part
+# dim; exact BIGINT counts; the Wilson closed form per bounded brand
+# row (same z as the graded promo CI).
+# ---------------------------------------------------------------------------
+
+_BRAND_Z = 1.959963984540054
+
+
+def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    per = li.join(F.broadcast(part), "l_partkey").groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returns"),
+    )
+    tot = per.agg(
+        F.sum("n_lines").cast("long").alias("tn"),
+        F.sum("n_returns").cast("long").alias("tr"),
+    )
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_returns").cast("double") / n
+    z2 = _BRAND_Z * _BRAND_Z
+    center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+    half = (
+        _BRAND_Z
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / (1.0 + z2 / n)
+    )
+    corpus_rate = F.col("tr").cast("double") / F.col("tn").cast("double")
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "n_lines",
+        "n_returns",
+        floor_round(p, 6).alias("return_rate"),
+        floor_round(center - half, 6).alias("wilson_lo"),
+        floor_round(center + half, 6).alias("wilson_hi"),
+        (
+            F.floor((center - half) * 1000000 + 1e-6)
+            > F.floor(corpus_rate * 1000000 + 1e-6)
+        ).alias("worse_than_corpus"),
+    )
+    return out.orderBy("p_brand")
+
+
+BRAND_RETURN_SQL = f"""
+WITH per AS (
+  SELECT p.p_brand,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returns
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_lines) AS BIGINT) AS tn,
+         CAST(sum(n_returns) AS BIGINT) AS tr
+  FROM per
+)
+SELECT p_brand, n_lines, n_returns,
+       CAST(floor(CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS return_rate,
+       CAST(floor(((CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                    + {_BRAND_Z * _BRAND_Z!r}
+                      / (2.0 * CAST(n_lines AS DOUBLE)))
+                   / (1.0 + {_BRAND_Z * _BRAND_Z!r}
+                            / CAST(n_lines AS DOUBLE))
+                   - {_BRAND_Z!r}
+                     * sqrt((CAST(n_returns AS DOUBLE)
+                             / CAST(n_lines AS DOUBLE))
+                            * (1.0 - CAST(n_returns AS DOUBLE)
+                                     / CAST(n_lines AS DOUBLE))
+                            / CAST(n_lines AS DOUBLE)
+                            + {_BRAND_Z * _BRAND_Z!r}
+                              / (4.0 * CAST(n_lines AS DOUBLE)
+                                 * CAST(n_lines AS DOUBLE)))
+                     / (1.0 + {_BRAND_Z * _BRAND_Z!r}
+                              / CAST(n_lines AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS wilson_lo,
+       CAST(floor(((CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                    + {_BRAND_Z * _BRAND_Z!r}
+                      / (2.0 * CAST(n_lines AS DOUBLE)))
+                   / (1.0 + {_BRAND_Z * _BRAND_Z!r}
+                            / CAST(n_lines AS DOUBLE))
+                   + {_BRAND_Z!r}
+                     * sqrt((CAST(n_returns AS DOUBLE)
+                             / CAST(n_lines AS DOUBLE))
+                            * (1.0 - CAST(n_returns AS DOUBLE)
+                                     / CAST(n_lines AS DOUBLE))
+                            / CAST(n_lines AS DOUBLE)
+                            + {_BRAND_Z * _BRAND_Z!r}
+                              / (4.0 * CAST(n_lines AS DOUBLE)
+                                 * CAST(n_lines AS DOUBLE)))
+                     / (1.0 + {_BRAND_Z * _BRAND_Z!r}
+                              / CAST(n_lines AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS wilson_hi,
+       floor(((CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               + {_BRAND_Z * _BRAND_Z!r}
+                 / (2.0 * CAST(n_lines AS DOUBLE)))
+              / (1.0 + {_BRAND_Z * _BRAND_Z!r}
+                       / CAST(n_lines AS DOUBLE))
+              - {_BRAND_Z!r}
+                * sqrt((CAST(n_returns AS DOUBLE)
+                        / CAST(n_lines AS DOUBLE))
+                       * (1.0 - CAST(n_returns AS DOUBLE)
+                                / CAST(n_lines AS DOUBLE))
+                       / CAST(n_lines AS DOUBLE)
+                       + {_BRAND_Z * _BRAND_Z!r}
+                         / (4.0 * CAST(n_lines AS DOUBLE)
+                            * CAST(n_lines AS DOUBLE)))
+                / (1.0 + {_BRAND_Z * _BRAND_Z!r}
+                         / CAST(n_lines AS DOUBLE)))
+             * 1000000 + 1e-6)
+         > floor(CAST(t.tr AS DOUBLE) / CAST(t.tn AS DOUBLE)
+                 * 1000000 + 1e-6) AS worse_than_corpus
+FROM per, tot t
+ORDER BY p_brand
+"""
