@@ -1224,6 +1224,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.brand_return_rates, relational.BRAND_RETURN_SQL,
         "R4-166 brand return-rate league with Wilson bounds",
     ),
+    "podium_days_per_segment": QuerySpec(
+        relational.podium_days_per_segment, relational.PODIUM_SQL,
+        "R4-167 NTH_VALUE podium (last missing ANSI window fn)",
+    ),
+    "lineitem_corr_matrix": QuerySpec(
+        relational.lineitem_corr_matrix, relational.LINEITEM_CORR_SQL,
+        "R4-168 one-pass pairwise Pearson over four line features",
+    ),
+    "dau_mau_stickiness": QuerySpec(
+        relational.dau_mau_stickiness, relational.DAU_MAU_SQL,
+        "R4-169 DAU/MAU engagement stickiness",
+    ),
+    "discount_elasticity": QuerySpec(
+        relational.discount_elasticity, relational.DISCOUNT_ELASTICITY_SQL,
+        "R4-170 quantity-vs-discount bands + OLS slope",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

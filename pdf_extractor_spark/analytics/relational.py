@@ -9686,3 +9686,352 @@ SELECT p_brand, n_lines, n_returns,
 FROM per, tot t
 ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# Podium days per segment via NTH_VALUE (R4-167): each market
+# segment's three biggest revenue days — the last ANSI window function
+# missing from the graded surface (row_number / rank / dense_rank /
+# ntile / percent_rank / cume_dist / lead / lag / first / last are
+# all on it). The window runs over the bounded per-(segment, day)
+# aggregate with a (revenue DESC, day ASC) total order, so every
+# nth_value pick is tie-free.
+# ---------------------------------------------------------------------------
+
+
+def podium_days_per_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    daily = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("day", F.col("o_orderdate"))
+            .cast("date")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("cents"), F.asc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = daily.select(
+        "c_mktsegment",
+        F.row_number()
+        .over(Window.partitionBy("c_mktsegment").orderBy(F.desc("cents"), F.asc("d")))
+        .alias("rn"),
+        F.nth_value(F.struct("d", "cents"), 1).over(w).alias("gold"),
+        F.nth_value(F.struct("d", "cents"), 2).over(w).alias("silver"),
+        F.nth_value(F.struct("d", "cents"), 3).over(w).alias("bronze"),
+    ).where(F.col("rn") == 1)
+    return ranked.select(
+        "c_mktsegment",
+        F.col("gold.d").alias("gold_day"),
+        F.col("gold.cents").alias("gold_cents"),
+        F.col("silver.d").alias("silver_day"),
+        F.col("silver.cents").alias("silver_cents"),
+        F.col("bronze.d").alias("bronze_day"),
+        F.col("bronze.cents").alias("bronze_cents"),
+    ).orderBy("c_mktsegment")
+
+
+PODIUM_SQL = """
+WITH daily AS (
+  SELECT c.c_mktsegment,
+         CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents DESC, d ASC) AS rn,
+         nth_value(d, 1) OVER w AS gold_day,
+         nth_value(cents, 1) OVER w AS gold_cents,
+         nth_value(d, 2) OVER w AS silver_day,
+         nth_value(cents, 2) OVER w AS silver_cents,
+         nth_value(d, 3) OVER w AS bronze_day,
+         nth_value(cents, 3) OVER w AS bronze_cents
+  FROM daily
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY cents DESC, d ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT c_mktsegment,
+       gold_day, CAST(gold_cents AS BIGINT) AS gold_cents,
+       silver_day, CAST(silver_cents AS BIGINT) AS silver_cents,
+       bronze_day, CAST(bronze_cents AS BIGINT) AS bronze_cents
+FROM ranked WHERE rn = 1
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lineitem numeric correlation matrix (R4-168): pairwise Pearson over
+# (quantity, unit price, discount, tax) from ONE scan of exact
+# grid-floored sums — the compact feature-dependence read (a strong
+# discount-quantity correlation changes every downstream revenue
+# model). 6 pair rows; all moments exact BIGINT.
+# ---------------------------------------------------------------------------
+
+_LI_FEATURES = ["qty", "price_c", "disc_bp", "tax_bp"]
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") + 1e-6).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + 1e-6)
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_discount") * 10000 + 1e-6)
+        .cast("long")
+        .alias("disc_bp"),
+        F.floor(F.col("l_tax") * 10000 + 1e-6).cast("long").alias("tax_bp"),
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for f in _LI_FEATURES:
+        aggs.append(F.sum(f).cast("long").alias(f"s_{f}"))
+    for i, a in enumerate(_LI_FEATURES):
+        for b in _LI_FEATURES[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast("long").alias(f"s_{a}_{b}")
+            )
+    mom = li.agg(*aggs)
+    rows = None
+    for i, a in enumerate(_LI_FEATURES):
+        for b in _LI_FEATURES[i + 1:]:
+            num = (
+                F.col("n").cast("double") * F.col(f"s_{a}_{b}").cast("double")
+                - F.col(f"s_{a}").cast("double")
+                  * F.col(f"s_{b}").cast("double")
+            )
+            den = F.sqrt(
+                (
+                    F.col("n").cast("double")
+                    * F.col(f"s_{a}_{a}").cast("double")
+                    - F.col(f"s_{a}").cast("double")
+                      * F.col(f"s_{a}").cast("double")
+                )
+                * (
+                    F.col("n").cast("double")
+                    * F.col(f"s_{b}_{b}").cast("double")
+                    - F.col(f"s_{b}").cast("double")
+                      * F.col(f"s_{b}").cast("double")
+                )
+            )
+            row = mom.select(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.col("n").alias("n_lines"),
+                floor_round(num / den, 6).alias("pearson_r"),
+            )
+            rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("feat_a", "feat_b")
+
+
+def _li_corr_sql() -> str:
+    feats = _LI_FEATURES
+    pair_selects = []
+    for i, a in enumerate(feats):
+        for b in feats[i + 1:]:
+            pair_selects.append(f"""
+SELECT '{a}' AS feat_a, '{b}' AS feat_b,
+       n AS n_lines,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)
+                   - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)
+                          - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)
+                            - CAST(s_{b} AS DOUBLE)
+                              * CAST(s_{b} AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS pearson_r
+FROM mom""")
+    sums = []
+    for f in feats:
+        sums.append(f"CAST(sum({f}) AS BIGINT) AS s_{f}")
+    for i, a in enumerate(feats):
+        for b in feats[i:]:
+            sums.append(f"CAST(sum({a} * {b}) AS BIGINT) AS s_{a}_{b}")
+    return f"""
+WITH li AS (
+  SELECT CAST(floor(l_quantity + 1e-6) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice / l_quantity * 100 + 1e-6) AS BIGINT)
+           AS price_c,
+         CAST(floor(l_discount * 10000 + 1e-6) AS BIGINT) AS disc_bp,
+         CAST(floor(l_tax * 10000 + 1e-6) AS BIGINT) AS tax_bp
+  FROM lineitem
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {", ".join(sums)}
+  FROM li
+)
+SELECT * FROM ({" UNION ALL ".join(pair_selects)})
+ORDER BY feat_a, feat_b
+"""
+
+
+LINEITEM_CORR_SQL = _li_corr_sql()
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness (R4-169): daily active users, the monthly
+# active total, and stickiness = avg(DAU)/MAU — the canonical
+# engagement ratio. The mean DAU is computed from exact per-day
+# distinct counts (one hash-agg per granularity); stickiness is one
+# closed-form double.
+# ---------------------------------------------------------------------------
+
+
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("d"),
+        "user_id",
+    )
+    dau = ev.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    agg = dau.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("s_dau"),
+        F.min("dau").cast("long").alias("min_dau"),
+        F.max("dau").cast("long").alias("max_dau"),
+    )
+    mau = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    j = agg.crossJoin(F.broadcast(mau))
+    avg_dau = F.col("s_dau").cast("double") / F.col("n_days").cast("double")
+    return j.select(
+        "n_days",
+        "min_dau",
+        "max_dau",
+        floor_round(avg_dau, 4).alias("avg_dau"),
+        "mau",
+        floor_round(avg_dau / F.col("mau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+DAU_MAU_SQL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+),
+dau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ev GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS s_dau,
+         CAST(min(dau) AS BIGINT) AS min_dau,
+         CAST(max(dau) AS BIGINT) AS max_dau
+  FROM dau
+),
+mau AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM ev)
+SELECT n_days, min_dau, max_dau,
+       CAST(floor(CAST(s_dau AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS avg_dau,
+       mau,
+       CAST(floor(CAST(s_dau AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  / CAST(mau AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS stickiness
+FROM agg, mau
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity (R4-170): average quantity per discount band
+# plus the OLS slope of quantity on the discount (in basis points)
+# over raw lines — "does a deeper discount actually move volume".
+# Band table is the bounded discount grid; the slope comes from the
+# same exact normal-equation sums as every regression above.
+# ---------------------------------------------------------------------------
+
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + 1e-6)
+        .cast("long")
+        .alias("disc_pct"),
+        F.floor(F.col("l_quantity") + 1e-6).cast("long").alias("qty"),
+    )
+    band = li.groupBy("disc_pct").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("s_qty"),
+    )
+    mom = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("disc_pct").cast("long").alias("sx"),
+        F.sum("qty").cast("long").alias("sy"),
+        F.sum(F.col("disc_pct") * F.col("qty")).cast("long").alias("sxy"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return (
+        band.crossJoin(F.broadcast(mom))
+        .select(
+            "disc_pct",
+            "n_lines",
+            floor_round(
+                F.col("s_qty").cast("double")
+                / F.col("n_lines").cast("double"),
+                4,
+            ).alias("avg_qty"),
+            floor_round(slope, 6).alias("qty_per_disc_pct_slope"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
+DISCOUNT_ELASTICITY_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_discount * 100 + 1e-6) AS BIGINT) AS disc_pct,
+         CAST(floor(l_quantity + 1e-6) AS BIGINT) AS qty
+  FROM lineitem
+),
+band AS (
+  SELECT disc_pct,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(qty) AS BIGINT) AS s_qty
+  FROM li GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(disc_pct) AS BIGINT) AS sx,
+         CAST(sum(qty) AS BIGINT) AS sy,
+         CAST(sum(disc_pct * qty) AS BIGINT) AS sxy,
+         CAST(sum(disc_pct * disc_pct) AS BIGINT) AS sxx
+  FROM li
+)
+SELECT b.disc_pct, b.n_lines,
+       CAST(floor(CAST(b.s_qty AS DOUBLE) / CAST(b.n_lines AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS avg_qty,
+       CAST(floor(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                  / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS qty_per_disc_pct_slope
+FROM band b, mom m
+ORDER BY disc_pct
+"""
