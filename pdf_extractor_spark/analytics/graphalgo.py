@@ -850,3 +850,142 @@ SELECT n_tail, sum_ln_i,
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS alpha_mle
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Link prediction scores (R4-171, training:link-prediction — the
+# classic "pages that should link but don't" signal; in a crawl
+# pipeline the same scores rank discovery candidates and detect
+# template families whose near-identical link sets imply mirrored
+# content). For every NON-adjacent pair (u, v) sharing at least one
+# common neighbor in the undirected link fixture: common-neighbor
+# count, Jaccard overlap of the neighborhoods, and Adamic-Adar
+# Σ_w 1/ln(deg(w)) over the shared neighbors w.
+#
+# Exactness: each AA term is put on an integer 1e-6 grid BEFORE the
+# sum (floor(1e6/ln(deg_w))) so the aggregate is an exact BIGINT sum —
+# accumulation order cannot perturb it and the ranking runs on the
+# integer grid with (cn, u, v) tiebreaks (the rounded-grid decision
+# rule). deg(w) ≥ 2 for every wedge center (it has two neighbors), so
+# ln is never 0. Jaccard is a single exact rational, floored at 6.
+#
+# Scale shape: wedge enumeration fans out deg(w)²/2 pairs per center —
+# the clique hazard of docs/PLANS.md §18 — so centers above
+# LP_HUB_CAP are EXCLUDED, the production practice for
+# common-neighbor features (a celebrity/hub contributes ~0 AA weight
+# anyway: 1/ln(deg) → 0). The cap makes per-center fan-out a
+# constant; candidate volume is then linear in edges. Existing edges
+# drop via one LeftAnti hash join; the final cut is a TakeOrdered on
+# the grid, no global sort. Reference anchor: relationship suggestion
+# over shared-neighborhood evidence (agent_decision.py:43-105) — this
+# is the structural (non-embedding) counterpart.
+# ---------------------------------------------------------------------------
+
+LP_HUB_CAP = 64
+LP_TOP = 50
+
+
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    und, deg, _ = _und_deg_tris(docs, n)
+    adj = und.select(
+        F.col("a").alias("w"), F.col("b").alias("x")
+    ).unionAll(und.select(F.col("b").alias("w"), F.col("a").alias("x")))
+    centers = deg.where(F.col("d") <= LP_HUB_CAP).select(
+        F.col("v").alias("w"),
+        F.floor(1e6 / F.log(F.col("d").cast("double")) + 1e-6)
+        .cast("long")
+        .alias("aa_grid_term"),
+    )
+    wedge = (
+        adj.select("w", F.col("x").alias("u"))
+        .join(adj.select("w", F.col("x").alias("v")), "w")
+        .where(F.col("u") < F.col("v"))
+        .join(centers, "w")
+    )
+    cand = wedge.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("cn"),
+        F.sum("aa_grid_term").cast("long").alias("aa_grid"),
+    )
+    non_edges = cand.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("v").alias("v"), F.col("d").alias("dv"))
+    return (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            floor_round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            (F.col("aa_grid").cast("double") / 1e6).alias("adamic_adar"),
+            F.col("aa_grid"),
+        )
+        .orderBy(
+            F.desc("aa_grid"), F.desc("cn"), F.asc("u"), F.asc("v")
+        )
+        .limit(LP_TOP)
+    )
+
+
+LINK_PREDICTION_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw_edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 3) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, CAST(floor(doc_id / 2.0) AS BIGINT) FROM documents, nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst
+),
+deg AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY 1
+),
+adj AS MATERIALIZED (
+  SELECT a AS w, b AS x FROM und UNION ALL SELECT b, a FROM und
+),
+centers AS (
+  SELECT v AS w,
+         CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 1e-6) AS BIGINT)
+           AS aa_grid_term
+  FROM deg WHERE d <= {LP_HUB_CAP}
+),
+cand AS (
+  SELECT a1.x AS u, a2.x AS v,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(c.aa_grid_term) AS BIGINT) AS aa_grid
+  FROM adj a1
+  JOIN adj a2 ON a2.w = a1.w AND a1.x < a2.x
+  JOIN centers c ON c.w = a1.w
+  GROUP BY 1, 2
+),
+non_edges AS (
+  SELECT * FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = c.u AND e.b = c.v)
+)
+SELECT ne.u, ne.v, ne.cn,
+       CAST(floor(CAST(ne.cn AS DOUBLE)
+                  / CAST(gu.d + gv.d - ne.cn AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS jaccard,
+       CAST(ne.aa_grid AS DOUBLE) / 1000000.0 AS adamic_adar,
+       ne.aa_grid
+FROM non_edges ne
+JOIN deg gu ON gu.v = ne.u
+JOIN deg gv ON gv.v = ne.v
+ORDER BY ne.aa_grid DESC, ne.cn DESC, ne.u ASC, ne.v ASC
+LIMIT {LP_TOP}
+"""

@@ -1240,6 +1240,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.discount_elasticity, relational.DISCOUNT_ELASTICITY_SQL,
         "R4-170 quantity-vs-discount bands + OLS slope",
     ),
+    "link_prediction_scores": QuerySpec(
+        graphalgo.link_prediction_scores, graphalgo.LINK_PREDICTION_SQL,
+        "R4-171 common-neighbor / Jaccard / Adamic-Adar link prediction",
+    ),
+    "ann_err_mrr_audit": QuerySpec(
+        similarity.ann_err_mrr_audit, similarity.ANN_ERR_MRR_SQL,
+        "R4-172 MRR + ERR cascade ranking audit vs probe depth",
+    ),
+    "partial_corr_features": QuerySpec(
+        relational.partial_corr_features, relational.PARTIAL_CORR_SQL,
+        "R4-173 partial correlation with a control variable",
+    ),
+    "rake_keywords": QuerySpec(
+        textstats.rake_keywords, textstats.RAKE_SQL,
+        "R4-174 RAKE multi-word keyword extraction",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -10035,3 +10035,150 @@ SELECT b.disc_pct, b.n_lines,
 FROM band b, mom m
 ORDER BY disc_pct
 """
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation with a control variable (R4-173): the follow-up
+# question the R4-168 correlation matrix raises — is the qty↔price
+# association real, or induced by the discount both respond to? For
+# each unordered pair from (qty, price_c, disc_bp) with the third
+# feature as control z:  r_xy.z = (r_xy − r_xz·r_yz) /
+# sqrt((1 − r_xz²)(1 − r_yz²)). All three raw correlations come from
+# the SAME one-scan exact BIGINT moment aggregate as the matrix (grid
+# floors per feature, stated rule); the partials are closed-form
+# doubles over those exact sums executed in the identical op order in
+# both engines, floored at 6. Degenerate controls (|r_xz| = 1) yield
+# NULL via a guarded denominator in both engines.
+#
+# Scale shape: ONE map-side-combined hash aggregate over the scan
+# (constant 10-number state), three output rows. Nothing else moves.
+# ---------------------------------------------------------------------------
+
+_PC_FEATURES = ["qty", "price_c", "disc_bp"]
+
+
+def partial_corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") + 1e-6).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + 1e-6)
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_discount") * 10000 + 1e-6)
+        .cast("long")
+        .alias("disc_bp"),
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for f in _PC_FEATURES:
+        aggs.append(F.sum(f).cast("long").alias(f"s_{f}"))
+    for i, a in enumerate(_PC_FEATURES):
+        for b in _PC_FEATURES[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast("long").alias(f"s_{a}_{b}")
+            )
+    mom = li.agg(*aggs)
+
+    def _r(a: str, b: str):
+        key = f"s_{a}_{b}" if f"s_{a}_{b}" in [
+            f"s_{x}_{y}"
+            for i, x in enumerate(_PC_FEATURES)
+            for y in _PC_FEATURES[i:]
+        ] else f"s_{b}_{a}"
+        num = (
+            F.col("n").cast("double") * F.col(key).cast("double")
+            - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}").cast("double")
+        )
+        den = F.sqrt(
+            (
+                F.col("n").cast("double") * F.col(f"s_{a}_{a}").cast("double")
+                - F.col(f"s_{a}").cast("double")
+                  * F.col(f"s_{a}").cast("double")
+            )
+            * (
+                F.col("n").cast("double") * F.col(f"s_{b}_{b}").cast("double")
+                - F.col(f"s_{b}").cast("double")
+                  * F.col(f"s_{b}").cast("double")
+            )
+        )
+        return num / den
+
+    rows = None
+    feats = _PC_FEATURES
+    for i, a in enumerate(feats):
+        for b in feats[i + 1:]:
+            z = [f for f in feats if f not in (a, b)][0]
+            r_xy, r_xz, r_yz = _r(a, b), _r(a, z), _r(b, z)
+            den = F.sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+            partial = F.when(den > 0, (r_xy - r_xz * r_yz) / den)
+            row = mom.select(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.lit(z).alias("control"),
+                floor_round(r_xy, 6).alias("r_raw"),
+                floor_round(partial, 6).alias("r_partial"),
+            )
+            rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("feat_a", "feat_b")
+
+
+def _partial_corr_sql() -> str:
+    feats = _PC_FEATURES
+    moment_selects = ["CAST(count(*) AS BIGINT) AS n"]
+    for f in feats:
+        moment_selects.append(f"CAST(sum({f}) AS BIGINT) AS s_{f}")
+    for i, a in enumerate(feats):
+        for b in feats[i:]:
+            moment_selects.append(
+                f"CAST(sum({a} * {b}) AS BIGINT) AS s_{a}_{b}"
+            )
+
+    def r_txt(a: str, b: str) -> str:
+        pairs = {
+            (x, y) for i, x in enumerate(feats) for y in feats[i:]
+        }
+        key = f"s_{a}_{b}" if (a, b) in pairs else f"s_{b}_{a}"
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST({key} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        den = (
+            f"sqrt((CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        return f"({num} / {den})"
+
+    branches = []
+    for i, a in enumerate(feats):
+        for b in feats[i + 1:]:
+            z = [f for f in feats if f not in (a, b)][0]
+            r_xy, r_xz, r_yz = r_txt(a, b), r_txt(a, z), r_txt(b, z)
+            den = (
+                f"sqrt((1.0 - {r_xz} * {r_xz}) * (1.0 - {r_yz} * {r_yz}))"
+            )
+            branches.append(
+                f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, '{z}' AS control,"
+                f" CAST(floor({r_xy} * 1000000 + 1e-6) / 1000000 AS DOUBLE)"
+                f" AS r_raw,"
+                f" CAST(floor(CASE WHEN {den} > 0 THEN"
+                f" (({r_xy} - {r_xz} * {r_yz}) / {den}) END"
+                f" * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS r_partial"
+                f" FROM mom"
+            )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH li AS (
+  SELECT CAST(floor(l_quantity + 1e-6) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice / l_quantity * 100 + 1e-6) AS BIGINT)
+           AS price_c,
+         CAST(floor(l_discount * 10000 + 1e-6) AS BIGINT) AS disc_bp
+  FROM lineitem
+),
+mom AS MATERIALIZED (
+  SELECT {", ".join(moment_selects)} FROM li
+)
+SELECT * FROM ({union}) ORDER BY feat_a, feat_b
+"""
+
+
+PARTIAL_CORR_SQL = _partial_corr_sql()

@@ -3074,3 +3074,222 @@ SELECT dim, mean_c, var_c,
 FROM scored, tot t
 ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# MRR + ERR@K vs IVF probe depth (R4-172, training:ann-err-mrr): the
+# two remaining canonical ranking metrics next to recall (R3-90), NDCG
+# (R4-52) and MAP (R4-115). MRR grades "how fast does the FIRST true
+# neighbor appear"; ERR (Chapelle 2009's expected reciprocal rank) is
+# the cascade model — a user scans down, stops at a satisfying result
+# with probability R_r = (2^g − 1)/2^gmax — which penalizes burying a
+# highly-relevant result below mediocre ones more than DCG does.
+# Relevance grades reuse the NDCG convention: g(v) = K − truth_rank + 1
+# for the exact top-K, else 0 (gmax = K).
+#
+# Exactness: ERR's survival chain Π(1 − R_i) is a PRODUCT — unlike the
+# DCG sum it cannot ride a floor grid — so the K-term cascade is
+# UNROLLED into one fixed-order arithmetic expression over the K
+# pivoted grade columns (max(CASE WHEN rk = i)); both engines execute
+# the identical op sequence, so the doubles agree bit-for-bit before
+# the final floor6. MRR is a single exact rational (1/first-hit-rank).
+#
+# Scale shape: identical to ann_map_audit — the only state beyond the
+# shared scaffolding is the K-column pivot per probe depth (a bounded
+# RECALL_MAX_PROBE × K grid).
+# ---------------------------------------------------------------------------
+
+
+def ann_err_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("i", "cx")
+    ).groupBy("label", "i").agg(F.avg("cx").alias("cx"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "qx")
+    )
+    aff = (
+        comp.join(F.broadcast(q), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("cx") * F.col("qx")).alias("dot"),
+            F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn"),
+            F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qn"),
+        )
+        .select(
+            "label",
+            floor_round(F.col("dot") / (F.col("cn") * F.col("qn")), 4)
+            .alias("aff"),
+        )
+        .withColumn(
+            "label_rank",
+            F.row_number().over(Window.orderBy(F.desc("aff"), F.asc("label"))),
+        )
+    )
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos = _cosine(
+        _as_double(F.col("embedding")), _as_double(F.col("q_embedding"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", _floor4(cos).alias("cos"))
+    )
+    truth_ranked = (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        # K-row bounded window (the label_rank exception)
+        .withColumn(
+            "truth_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+        .select("vec_id", "truth_rank")
+    )
+    probes = spark.range(1, RECALL_MAX_PROBE + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    cand = (
+        scored.join(F.broadcast(aff), "label")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("label_rank") <= F.col("n_probe"))
+    )
+    topk = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("n_probe").orderBy(
+                F.desc("cos"), F.asc("vec_id")
+            )
+        ),
+    ).where(F.col("rk") <= TOP_K)
+    g = F.coalesce(F.lit(TOP_K) - F.col("truth_rank") + 1, F.lit(0))
+    pivoted = (
+        topk.join(F.broadcast(truth_ranked), "vec_id", "left")
+        .groupBy("n_probe")
+        .agg(
+            F.min(F.when(g > 0, F.col("rk"))).alias("first_hit"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("rk") == i, g)), F.lit(0)
+                ).cast("long").alias(f"g{i}")
+                for i in range(1, TOP_K + 1)
+            ],
+        )
+    )
+    # unrolled cascade, fixed evaluation order (identical in the oracle)
+    gmax_pow = float(2 ** TOP_K)
+    err = F.lit(0.0)
+    surv = F.lit(1.0)
+    for r in range(1, TOP_K + 1):
+        r_r = (F.pow(F.lit(2.0), F.col(f"g{r}").cast("double")) - 1.0) / gmax_pow
+        err = err + surv * r_r / float(r)
+        surv = surv * (1.0 - r_r)
+    mrr = F.when(
+        F.col("first_hit").isNotNull(),
+        1.0 / F.col("first_hit").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return pivoted.select(
+        "n_probe",
+        floor_round(mrr, 6).alias("mrr"),
+        floor_round(err, 6).alias("err"),
+    ).orderBy("n_probe")
+
+
+def _err_sql_chain() -> str:
+    """The identical unrolled cascade as SQL text (same op order)."""
+    gmax_pow = float(2 ** TOP_K)
+    err_terms = []
+    surv = "1.0"
+    for r in range(1, TOP_K + 1):
+        r_r = f"((pow(2.0, CAST(g{r} AS DOUBLE)) - 1.0) / {gmax_pow!r})"
+        err_terms.append(f"({surv}) * {r_r} / {float(r)!r}")
+        surv = f"({surv}) * (1.0 - {r_r})"
+    return " + ".join(err_terms)
+
+
+ANN_ERR_MRR_SQL = f"""
+WITH q AS (
+  SELECT i, CAST(x AS DOUBLE) AS qx
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+),
+comp AS (
+  SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY 1, 2
+),
+aff AS (
+  SELECT label,
+         floor(sum(cx * qx) / (sqrt(sum(cx * cx)) * sqrt(sum(qx * qx)))
+               * 10000 + 1e-6) / 10000 AS aff
+  FROM comp JOIN q USING (i)
+  GROUP BY label
+),
+ranked_labels AS (
+  SELECT label,
+         row_number() OVER (ORDER BY aff DESC, label ASC) AS label_rank
+  FROM aff
+),
+qv AS (SELECT embedding AS q_embedding FROM embeddings
+       WHERE vec_id = {QUERY_VEC_ID}),
+scored AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(floor(({_cosine_sql('embedding', 'q_embedding')}) * 10000
+                    + 1e-6) / 10000 AS DOUBLE) AS cos
+  FROM embeddings, qv WHERE vec_id != {QUERY_VEC_ID}
+),
+truth AS (
+  SELECT vec_id, t_rank AS truth_rank FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS t_rank
+    FROM scored
+  ) WHERE t_rank <= {TOP_K}
+),
+cand AS (
+  SELECT s.vec_id, s.cos, p.n_probe
+  FROM scored s
+  JOIN ranked_labels r ON r.label = s.label
+  JOIN (SELECT unnest([{", ".join(str(i) for i in range(1, RECALL_MAX_PROBE + 1))}]) AS n_probe) p
+    ON r.label_rank <= p.n_probe
+),
+topk AS (
+  SELECT * FROM (
+    SELECT vec_id, n_probe,
+           row_number() OVER (PARTITION BY n_probe
+                              ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {TOP_K}
+),
+graded AS (
+  SELECT k.n_probe, k.rk,
+         coalesce({TOP_K} - t.truth_rank + 1, 0) AS g
+  FROM topk k LEFT JOIN truth t ON t.vec_id = k.vec_id
+),
+pivoted AS (
+  SELECT n_probe,
+         min(CASE WHEN g > 0 THEN rk END) AS first_hit,
+         {", ".join(
+             f"CAST(coalesce(max(CASE WHEN rk = {i} THEN g END), 0) "
+             f"AS BIGINT) AS g{i}"
+             for i in range(1, TOP_K + 1)
+         )}
+  FROM graded GROUP BY n_probe
+)
+SELECT CAST(n_probe AS INT) AS n_probe,
+       CAST(floor(CASE WHEN first_hit IS NOT NULL
+                       THEN 1.0 / CAST(first_hit AS DOUBLE)
+                       ELSE 0.0 END * 1000000 + 1e-6) / 1000000
+            AS DOUBLE) AS mrr,
+       CAST(floor(({_err_sql_chain()}) * 1000000 + 1e-6) / 1000000
+            AS DOUBLE) AS err
+FROM pivoted
+ORDER BY n_probe
+"""

@@ -5087,3 +5087,173 @@ ORDER BY source, rnk
 
 
 SOURCE_SIGNATURE_SQL = _sig_sql()
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (R4-174, training:rake-keywords): Rose et
+# al. 2010's Rapid Automatic Keyword Extraction — the classic
+# unsupervised MULTI-WORD keyword pass next to the unigram tf-idf
+# ranking (R3: tfidf_keywords). Candidate phrases are maximal runs of
+# non-stopword tokens (the shared STOPWORDS list is the delimiter
+# set; empty tokens break too), capped at RAKE_MAX_PHRASE words (the
+# standard junk guard). Word scores are deg(w)/freq(w) over the kept
+# phrases — deg counts every token of every phrase containing w
+# (self included), freq counts w's occurrences — and a phrase scores
+# the sum of its words' scores.
+#
+# Exactness: deg/freq is floored onto a 1e-6 integer grid BEFORE the
+# phrase sum, so the sum is an exact BIGINT and ranking runs on the
+# grid with a phrase-text tiebreak (the rounded-grid decision rule).
+#
+# Scale shape: phrase assembly is ONE window partitioned by doc_id
+# (running break count — state bounded by document length, the same
+# bound every per-doc window op carries), then hash aggregates on
+# (doc_id, phrase_id) and on the word; the word-score join is an
+# equi-join on the word (a vocabulary-sized side, broadcast-eligible);
+# the final cut is a TakeOrdered on the grid. No all-pairs step, no
+# global window. Reference anchor: keyword extraction over extracted
+# spans (search_api keyword layer) — this is the phrase-level variant.
+# ---------------------------------------------------------------------------
+
+RAKE_MAX_PHRASE = 4
+RAKE_TOP = 25
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens("text")).alias("pos", "tok")
+    )
+    is_break = F.col("tok").isin(STOPWORDS) | (F.col("tok") == "")
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(is_break.cast("int")).over(w).alias("phrase_id"),
+        is_break.alias("brk"),
+    )
+    ptoks = marked.where(~F.col("brk")).select("doc_id", "phrase_id", "pos", "tok")
+    phrases = (
+        ptoks.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+        )
+        .where(F.col("n_words") <= RAKE_MAX_PHRASE)
+    )
+    kept_toks = ptoks.join(
+        phrases.select("doc_id", "phrase_id", "n_words"),
+        ["doc_id", "phrase_id"],
+    )
+    word_scores = (
+        kept_toks.groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("deg"),
+        )
+        .select(
+            "tok",
+            F.floor(
+                F.col("deg").cast("double")
+                * 1e6
+                / F.col("freq").cast("double")
+                + 1e-6
+            )
+            .cast("long")
+            .alias("w_grid"),
+        )
+    )
+    phrase_scores = (
+        kept_toks.join(F.broadcast(word_scores), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("w_grid").cast("long").alias("score_grid"))
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    return (
+        phrase_scores.groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("score_grid").cast("long").alias("score_grid"),
+        )
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_grid",
+            (F.col("score_grid").cast("double") / 1e6).alias("rake_score"),
+        )
+        .orderBy(F.desc("score_grid"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )
+
+
+_RAKE_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, x AS tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS x,
+               generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i
+        FROM documents WHERE text IS NOT NULL)
+),
+marked AS MATERIALIZED (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN list_contains({_RAKE_STOP_SQL}, tok) OR tok = ''
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phrase_id,
+         (list_contains({_RAKE_STOP_SQL}, tok) OR tok = '') AS brk
+  FROM toks
+),
+ptoks AS MATERIALIZED (
+  SELECT doc_id, phrase_id, pos, tok FROM marked WHERE NOT brk
+),
+phrases AS MATERIALIZED (
+  SELECT doc_id, phrase_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM ptoks GROUP BY 1, 2
+  HAVING count(*) <= {RAKE_MAX_PHRASE}
+),
+kept_toks AS MATERIALIZED (
+  SELECT t.doc_id, t.phrase_id, t.tok, p.n_words
+  FROM ptoks t JOIN phrases p USING (doc_id, phrase_id)
+),
+word_scores AS (
+  SELECT tok,
+         CAST(floor(CAST(sum(n_words) AS DOUBLE) * 1000000.0
+                    / CAST(count(*) AS DOUBLE) + 1e-6) AS BIGINT) AS w_grid
+  FROM kept_toks GROUP BY 1
+),
+phrase_scores AS (
+  SELECT k.doc_id, k.phrase_id,
+         CAST(sum(w.w_grid) AS BIGINT) AS score_grid
+  FROM kept_toks k JOIN word_scores w USING (tok)
+  GROUP BY 1, 2
+)
+SELECT p.phrase,
+       CAST(max(p.n_words) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(max(s.score_grid) AS BIGINT) AS score_grid,
+       CAST(max(s.score_grid) AS DOUBLE) / 1000000.0 AS rake_score
+FROM phrase_scores s JOIN phrases p USING (doc_id, phrase_id)
+GROUP BY p.phrase
+ORDER BY score_grid DESC, phrase ASC
+LIMIT {RAKE_TOP}
+"""
