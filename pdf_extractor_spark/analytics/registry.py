@@ -1256,6 +1256,22 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.rake_keywords, textstats.RAKE_SQL,
         "R4-174 RAKE multi-word keyword extraction",
     ),
+    "mattr_lexical_diversity": QuerySpec(
+        textstats.mattr_lexical_diversity, textstats.MATTR_SQL,
+        "R4-175 moving-average type-token ratio (length-free diversity)",
+    ),
+    "stylometric_richness": QuerySpec(
+        textstats.stylometric_richness, textstats.STYLOMETRIC_RICHNESS_SQL,
+        "R4-176 Yule's K / Simpson's D / Guiraud's R per source",
+    ),
+    "spend_migration_matrix": QuerySpec(
+        relational.spend_migration_matrix, relational.SPEND_MIGRATION_SQL,
+        "R4-177 customer spend-segment migration between halves",
+    ),
+    "price_index_pairs": QuerySpec(
+        relational.price_index_pairs, relational.PRICE_INDEX_SQL,
+        "R4-178 Laspeyres/Paasche/Fisher price indices per year pair",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

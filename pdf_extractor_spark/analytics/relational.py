@@ -10182,3 +10182,273 @@ SELECT * FROM ({union}) ORDER BY feat_a, feat_b
 
 
 PARTIAL_CORR_SQL = _partial_corr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Customer spend-migration matrix (R4-177): segment every customer in
+# the FIRST half of the timeline vs the SECOND half (halves split at
+# the exact midpoint day of the observed order-date range) and
+# cross-tabulate the movements — the churn/upgrade read a CRM team
+# asks for after the RFM snapshot (R4-53). Segments per half:
+# 'absent' (no orders), 'low' / 'high' vs the half's mean active-
+# customer spend. The mean comparison is EXACT integer arithmetic —
+# spend_cents · n_active > total_cents — so no float boundary can
+# flip a segment between engines (the rounded-grid decision rule,
+# taken to its integer limit).
+#
+# Scale shape: one scan → per-(customer, half) cent sums (hash agg)
+# → full outer against the customer dim (broadcast-eligible) → a
+# 2-row broadcast of the per-half totals → 9-row matrix aggregate.
+# ---------------------------------------------------------------------------
+
+
+def spend_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("cents"),
+    )
+    rng = od.agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+    ).select(
+        "d0",
+        F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2)
+            .cast("int"),
+        ).alias("mid"),
+    )
+    halves = od.crossJoin(F.broadcast(rng)).select(
+        "o_custkey",
+        "cents",
+        F.when(F.col("d") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("half"),
+    )
+    spend = halves.groupBy("o_custkey", "half").agg(
+        F.sum("cents").cast("long").alias("spend")
+    )
+    tot = spend.groupBy("half").agg(
+        F.sum("spend").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_active"),
+    )
+    seg = (
+        spend.join(F.broadcast(tot), "half")
+        .select(
+            "o_custkey",
+            "half",
+            F.when(
+                F.col("spend") * F.col("n_active") > F.col("total"),
+                F.lit("high"),
+            )
+            .otherwise(F.lit("low"))
+            .alias("seg"),
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    wide = (
+        cust.join(
+            seg.where(F.col("half") == 1).select(
+                "o_custkey", F.col("seg").alias("seg_h1")
+            ),
+            "o_custkey",
+            "left",
+        )
+        .join(
+            seg.where(F.col("half") == 2).select(
+                "o_custkey", F.col("seg").alias("seg_h2")
+            ),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            F.coalesce("seg_h1", F.lit("absent")).alias("seg_h1"),
+            F.coalesce("seg_h2", F.lit("absent")).alias("seg_h2"),
+        )
+    )
+    n_cust = cust.agg(F.count("*").cast("long").alias("n_customers"))
+    return (
+        wide.groupBy("seg_h1", "seg_h2")
+        .agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            "seg_h1",
+            "seg_h2",
+            "n",
+            floor_round(
+                F.col("n").cast("double")
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("seg_h1", "seg_h2")
+    )
+
+
+SPEND_MIGRATION_SQL = """
+WITH od AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) AS cents
+  FROM orders
+),
+rng AS (
+  SELECT min(d) AS d0,
+         min(d) + CAST(floor(datediff('day', min(d), max(d)) / 2.0)
+                       AS INT) AS mid
+  FROM od
+),
+halves AS (
+  SELECT o_custkey, cents,
+         CASE WHEN d <= rng.mid THEN 1 ELSE 2 END AS half
+  FROM od, rng
+),
+spend AS MATERIALIZED (
+  SELECT o_custkey, half, CAST(sum(cents) AS BIGINT) AS spend
+  FROM halves GROUP BY 1, 2
+),
+tot AS (
+  SELECT half, CAST(sum(spend) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM spend GROUP BY 1
+),
+seg AS (
+  SELECT s.o_custkey, s.half,
+         CASE WHEN s.spend * t.n_active > t.total
+              THEN 'high' ELSE 'low' END AS seg
+  FROM spend s JOIN tot t USING (half)
+),
+wide AS (
+  SELECT coalesce(s1.seg, 'absent') AS seg_h1,
+         coalesce(s2.seg, 'absent') AS seg_h2
+  FROM customer c
+  LEFT JOIN (SELECT * FROM seg WHERE half = 1) s1
+    ON s1.o_custkey = c.c_custkey
+  LEFT JOIN (SELECT * FROM seg WHERE half = 2) s2
+    ON s2.o_custkey = c.c_custkey
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_customers FROM customer)
+SELECT seg_h1, seg_h2, CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(CAST(count(*) AS DOUBLE)
+                  / CAST(nc.n_customers AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS share
+FROM wide, nc
+GROUP BY 1, 2, nc.n_customers
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices (R4-178): the classic
+# econ index-number triptych over consecutive ship-years — "how much
+# did the SAME basket get more expensive" (Laspeyres weights by the
+# base year's quantities, Paasche by the current year's, Fisher is
+# their geometric mean). Per (year, part): quantity and an exact
+# integer unit price (floor of cent revenue over quantity — the
+# stated grid); per consecutive-year pair the four basket sums
+# Σ p·q are BIGINT-exact over the common-part join, so the indices
+# are closed-form doubles over exact integers, floored at 6.
+#
+# Scale shape: one scan → (year, part) hash agg → a self equi-join
+# on part between adjacent years (AQE-splittable; parts dimension,
+# not the fact table) → per-pair 4-number aggregate.
+# ---------------------------------------------------------------------------
+
+
+def price_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias("y"),
+        F.col("l_partkey").alias("part"),
+        F.floor(F.col("l_quantity") + 1e-6).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("rev_c"),
+    )
+    yp = (
+        li.groupBy("y", "part")
+        .agg(
+            F.sum("qty").cast("long").alias("q"),
+            F.sum("rev_c").cast("long").alias("rev"),
+        )
+        .select(
+            "y",
+            "part",
+            "q",
+            F.floor(F.col("rev") / F.col("q")).cast("long").alias("p_c"),
+        )
+    )
+    base = yp.select(
+        F.col("y").alias("y_base"),
+        "part",
+        F.col("q").alias("q_b"),
+        F.col("p_c").alias("p_b"),
+    )
+    nxt = yp.select(
+        (F.col("y") - 1).alias("y_base"),
+        "part",
+        F.col("q").alias("q_t"),
+        F.col("p_c").alias("p_t"),
+    )
+    j = base.join(nxt, ["y_base", "part"])
+    agg = j.groupBy("y_base").agg(
+        F.count("*").cast("long").alias("n_common_parts"),
+        F.sum(F.col("p_t") * F.col("q_b")).cast("long").alias("s_tb"),
+        F.sum(F.col("p_b") * F.col("q_b")).cast("long").alias("s_bb"),
+        F.sum(F.col("p_t") * F.col("q_t")).cast("long").alias("s_tt"),
+        F.sum(F.col("p_b") * F.col("q_t")).cast("long").alias("s_bt"),
+    )
+    lasp = F.col("s_tb").cast("double") / F.col("s_bb").cast("double")
+    paas = F.col("s_tt").cast("double") / F.col("s_bt").cast("double")
+    return agg.select(
+        "y_base",
+        (F.col("y_base") + 1).alias("y_next"),
+        "n_common_parts",
+        floor_round(lasp, 6).alias("laspeyres"),
+        floor_round(paas, 6).alias("paasche"),
+        floor_round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("y_base")
+
+
+PRICE_INDEX_SQL = """
+WITH li AS (
+  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS y,
+         l_partkey AS part,
+         CAST(floor(l_quantity + 1e-6) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 1e-6) AS BIGINT) AS rev_c
+  FROM lineitem
+),
+yp AS MATERIALIZED (
+  SELECT y, part, CAST(sum(qty) AS BIGINT) AS q,
+         CAST(floor(CAST(sum(rev_c) AS DOUBLE) / CAST(sum(qty) AS DOUBLE))
+              AS BIGINT) AS p_c
+  FROM li GROUP BY 1, 2
+),
+j AS (
+  SELECT b.y AS y_base, b.part,
+         b.q AS q_b, b.p_c AS p_b, t.q AS q_t, t.p_c AS p_t
+  FROM yp b JOIN yp t ON t.part = b.part AND t.y = b.y + 1
+),
+agg AS (
+  SELECT y_base,
+         CAST(count(*) AS BIGINT) AS n_common_parts,
+         CAST(sum(p_t * q_b) AS BIGINT) AS s_tb,
+         CAST(sum(p_b * q_b) AS BIGINT) AS s_bb,
+         CAST(sum(p_t * q_t) AS BIGINT) AS s_tt,
+         CAST(sum(p_b * q_t) AS BIGINT) AS s_bt
+  FROM j GROUP BY 1
+)
+SELECT y_base, CAST(y_base + 1 AS INT) AS y_next, n_common_parts,
+       CAST(floor(CAST(s_tb AS DOUBLE) / CAST(s_bb AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS laspeyres,
+       CAST(floor(CAST(s_tt AS DOUBLE) / CAST(s_bt AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS paasche,
+       CAST(floor(sqrt((CAST(s_tb AS DOUBLE) / CAST(s_bb AS DOUBLE))
+                       * (CAST(s_tt AS DOUBLE) / CAST(s_bt AS DOUBLE)))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS fisher
+FROM agg
+ORDER BY y_base
+"""

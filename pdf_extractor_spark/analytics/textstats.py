@@ -5257,3 +5257,207 @@ GROUP BY p.phrase
 ORDER BY score_grid DESC, phrase ASC
 LIMIT {RAKE_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# MATTR — moving-average type-token ratio (R4-175, training:mattr):
+# Covington & McFall 2010's length-independent lexical-diversity
+# measure; raw TTR shrinks mechanically with document length (hapax
+# R4-49 and vocab-growth R4-12 show exactly that curve), MATTR fixes
+# the window so scores compare across lengths — the quality-filter
+# feature FineWeb-style classifiers actually want. Per document:
+# slide a MATTR_W-token window, count distinct types per window,
+# average. Windowed distinct counts are INTEGERS, so the per-doc mean
+# is an exact rational (Σ distinct / (n_windows · W)) — no float
+# accumulation anywhere before the final floor6.
+#
+# Docs shorter than the window fall back to plain TTR (stated rule,
+# the reference implementation's behavior).
+#
+# Scale shape: MAP-ONLY — tokens materialized once per row (the HOF
+# capture rule, docs/PLANS.md §12), windows via F.slice over the
+# materialized array (never element_at fan-out), distinct counts via
+# array_distinct inside one transform; zero exchanges before the
+# graded-output sort. Cost: O(len · W) per doc, the stated bound.
+# ---------------------------------------------------------------------------
+
+MATTR_W = 25
+
+
+def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.filter(_tokens("text"), lambda t: t != "").alias("toks"),
+        )
+    )
+    n = F.size(F.col("toks"))
+    docs = docs.select("doc_id", "toks", n.alias("n_tokens"))
+    # guard: sequence(1, 0) DESCENDS in Spark (PLANS 17.8) — gate on n >= W
+    win_counts = F.when(
+        F.col("n_tokens") >= MATTR_W,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - MATTR_W + 1),
+            lambda i: F.size(
+                F.array_distinct(F.slice(F.col("toks"), i, MATTR_W))
+            ),
+        ),
+    )
+    scored = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct(F.col("toks"))).alias("n_types"),
+        win_counts.alias("wc"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.coalesce(F.size("wc"), F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce(
+            F.aggregate("wc", F.lit(0), lambda acc, x: acc + x), F.lit(0)
+        ).cast("long").alias("s_distinct"),
+    )
+    mattr = F.when(
+        F.col("n_windows") > 0,
+        F.col("s_distinct").cast("double")
+        / (F.col("n_windows").cast("double") * float(MATTR_W)),
+    ).otherwise(
+        F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_windows",
+        _floor_round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+        _floor_round(mattr, 6).alias("mattr"),
+    ).orderBy("doc_id")
+
+
+MATTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+base AS MATERIALIZED (
+  SELECT doc_id, l, len(l) AS n_tokens,
+         len(list_distinct(l)) AS n_types
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, n_tokens, n_types,
+         CASE WHEN n_tokens >= {MATTR_W} THEN
+           list_transform(generate_series(1, n_tokens - {MATTR_W} + 1),
+                          i -> len(list_distinct(l[i : i + {MATTR_W} - 1])))
+         END AS wc
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(coalesce(len(wc), 0) AS BIGINT) AS n_windows,
+       CAST(floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS ttr,
+       CAST(floor(CASE WHEN coalesce(len(wc), 0) > 0
+                       THEN CAST(list_sum(wc) AS DOUBLE)
+                            / (CAST(len(wc) AS DOUBLE) * {float(MATTR_W)!r})
+                       ELSE CAST(n_types AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE) END
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS mattr
+FROM wins
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stylometric richness profile per source (R4-176,
+# training:stylometry-richness): the frequency-spectrum statistics
+# next to Burrows' delta (R4-124) — Yule's K (repeat-rate
+# characteristic, the classic authorship constant), Simpson's D
+# (probability two random tokens are the same type) and Guiraud's R
+# (V/√N, the root-normalized richness). All three derive from the
+# term-frequency SPECTRUM (how many types occur m times), so the
+# whole profile is: token counts → per-(source, term) counts → one
+# spectrum aggregate per source — three map-side-combinable hash
+# aggregates, exact BIGINT sums throughout (K's Σm²V_m is integer
+# arithmetic; only the final closed forms touch doubles, floored 6).
+#
+#   K = 10^4 · (Σ m²·V_m − N) / N²
+#   D = Σ f·(f−1) / (N·(N−1))
+#   R = V / sqrt(N)
+# ---------------------------------------------------------------------------
+
+
+def stylometric_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", F.explode(_tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tf = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    prof = tf.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("s_m2"),
+        F.sum(F.col("m") * (F.col("m") - 1)).cast("long").alias("s_rep"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return prof.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        _floor_round(
+            1e4 * (F.col("s_m2") - F.col("n_tokens")).cast("double")
+            / (n * n),
+            6,
+        ).alias("yules_k"),
+        _floor_round(
+            F.col("s_rep").cast("double") / (n * (n - 1.0)), 6
+        ).alias("simpson_d"),
+        _floor_round(F.col("n_types").cast("double") / F.sqrt(n), 6).alias(
+            "guiraud_r"
+        ),
+    ).orderBy("source")
+
+
+STYLOMETRIC_RICHNESS_SQL = """
+WITH toks AS (
+  SELECT source, x AS tok
+  FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS x
+        FROM documents WHERE text IS NOT NULL)
+  WHERE x <> ''
+),
+tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS m
+  FROM toks GROUP BY 1, 2
+),
+prof AS (
+  SELECT source,
+         CAST(sum(m) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(m * m) AS BIGINT) AS s_m2,
+         CAST(sum(m * (m - 1)) AS BIGINT) AS s_rep
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+       CAST(floor(10000.0 * CAST(s_m2 - n_tokens AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS yules_k,
+       CAST(floor(CAST(s_rep AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE)
+                     * (CAST(n_tokens AS DOUBLE) - 1.0))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS simpson_d,
+       CAST(floor(CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS guiraud_r
+FROM prof
+ORDER BY source
+"""
