@@ -2180,3 +2180,113 @@ SELECT n_shards, nd AS total_docs,
          AS max_over_mean_chars
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing efficiency audit (R4-182, training:pack-audit): the
+# measurement pass next to sequence_pack — before shipping a packing
+# layout you report how full the sequences actually are (fill ratio
+# vs the SEQ_PACK_LEN capacity) and how many documents straddle a
+# sequence boundary (spanning docs are the ones attention masking /
+# document-causal packing has to handle). Same deterministic pack
+# streams as the operator (hex-prefix groups, doc_id order), same
+# single hash-partition window; everything after is exact integer
+# arithmetic per group — n_seqs = ⌈total/L⌉, capacity = n_seqs·L,
+# spanning = first-token sequence ≠ last-token sequence.
+# ---------------------------------------------------------------------------
+
+
+def sequence_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+            "pack_group"
+        ),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "pack_group",
+        "n_tokens",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens"))
+            / F.lit(float(SEQ_PACK_LEN))
+        ).alias("first_seq"),
+        F.floor(
+            (F.col("cum") - 1) / F.lit(float(SEQ_PACK_LEN))
+        ).alias("last_seq"),
+    )
+    grp = placed.groupBy("pack_group").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            (F.col("last_seq") > F.col("first_seq")).cast("long")
+        ).cast("long").alias("n_spanning_docs"),
+    )
+    n_seqs = (
+        F.floor(
+            (F.col("total_tokens") - 1) / F.lit(float(SEQ_PACK_LEN))
+        ).cast("long")
+        + 1
+    )
+    return grp.select(
+        "pack_group",
+        "n_docs",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
+        (n_seqs * SEQ_PACK_LEN).cast("long").alias("capacity_tokens"),
+        floor_round(
+            F.col("total_tokens").cast("double")
+            / (n_seqs * SEQ_PACK_LEN).cast("double"),
+            6,
+        ).alias("fill_ratio"),
+        "n_spanning_docs",
+    ).orderBy("pack_group")
+
+
+SEQ_PACK_EFFICIENCY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pack_group,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT pack_group, n_tokens,
+         CAST(floor((cum - n_tokens) / {SEQ_PACK_LEN}.0) AS BIGINT)
+           AS first_seq,
+         CAST(floor((cum - 1) / {SEQ_PACK_LEN}.0) AS BIGINT) AS last_seq
+  FROM (
+    SELECT pack_group, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+    FROM toks
+  )
+),
+grp AS (
+  SELECT pack_group,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_spanning_docs
+  FROM placed GROUP BY 1
+)
+SELECT pack_group, n_docs, total_tokens,
+       CAST(floor((total_tokens - 1) / {SEQ_PACK_LEN}.0) + 1 AS BIGINT)
+         AS n_seqs,
+       CAST((floor((total_tokens - 1) / {SEQ_PACK_LEN}.0) + 1)
+            * {SEQ_PACK_LEN} AS BIGINT) AS capacity_tokens,
+       CAST(floor(CAST(total_tokens AS DOUBLE)
+                  / ((floor((total_tokens - 1) / {SEQ_PACK_LEN}.0) + 1)
+                     * {SEQ_PACK_LEN})
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS fill_ratio,
+       n_spanning_docs
+FROM grp
+ORDER BY pack_group
+"""

@@ -2950,3 +2950,137 @@ SELECT degree, n_docs,
 FROM hist, tot t
 ORDER BY degree
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance histogram (R4-179, training:simhash-radius):
+# the operational companion to simhash_buckets and the LSH health pair
+# (R4-161/162) — before picking a dedup Hamming radius you look at the
+# DISTRIBUTION of distances among candidate pairs; a bimodal histogram
+# (near-dups vs accidental band collisions) tells you where to cut.
+# Candidates collide on any of SIMHASH_HAM_BANDS 4-bit bands of the
+# 16-bit simhash; the exact distance is bit_count(xor) — integer ops
+# only, no float anywhere.
+#
+# Scale shape (the §18 collapse applied to VALUES): documents collapse
+# to DISTINCT simhash values with multiplicities FIRST (one hash agg),
+# so a million byte-identical spam pages are ONE value row; the band
+# self-join pairs value rows (width bounded by distinct values per
+# band key), and pair counts re-expand arithmetically — n_a·n_b for
+# distinct values, C(n,2) at distance 0 — never by materializing the
+# quadratic pair set.
+# ---------------------------------------------------------------------------
+
+SIMHASH_HAM_BANDS = 4
+
+
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vals = (
+        docs.select(_tokens().alias("toks"))
+        .select(_simhash(F.col("toks")).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bands = vals.select(
+        "sh",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright(F.col("sh"), 4 * j)
+                        .bitwiseAND(F.lit(15))
+                        .alias("band_key"),
+                    )
+                    for j in range(SIMHASH_HAM_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("sh", "n", "b.band_id", "b.band_key")
+    a = bands.select(
+        F.col("band_id"), F.col("band_key"),
+        F.col("sh").alias("sh_a"), F.col("n").alias("n_a"),
+    )
+    b = bands.select(
+        F.col("band_id"), F.col("band_key"),
+        F.col("sh").alias("sh_b"), F.col("n").alias("n_b"),
+    )
+    cross_pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b", "n_a", "n_b")
+        .distinct()  # a pair colliding on two bands counts once
+        .select(
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ).alias("hamming"),
+            (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+        )
+    )
+    zero_pairs = vals.where(F.col("n") >= 2).select(
+        F.lit(0).alias("hamming"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    hist = (
+        cross_pairs.unionByName(zero_pairs)
+        .groupBy("hamming")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+    )
+    tot = hist.agg(F.sum("n_pairs").cast("long").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "hamming",
+            "n_pairs",
+            floor_round(
+                F.col("n_pairs").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("hamming")
+    )
+
+
+_SIMHASH_HAM_BAND_SQL = " UNION ALL ".join(
+    f"SELECT sh, n, {j} AS band_id,"
+    f" (sh // {1 << (4 * j)}) % 16 AS band_key"
+    f" FROM vals"
+    for j in range(SIMHASH_HAM_BANDS)
+)
+
+SIMHASH_HAMMING_SQL = rf"""
+WITH vals AS MATERIALIZED (
+  SELECT CAST({_SIMHASH_BIT_SQL} AS BIGINT) AS sh,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT string_split_regex(text, '\s+') AS toks FROM documents)
+  GROUP BY 1
+),
+bands AS MATERIALIZED ({_SIMHASH_HAM_BAND_SQL}),
+cross_pairs AS (
+  SELECT DISTINCT a.sh AS sh_a, b.sh AS sh_b, a.n AS n_a, b.n AS n_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.sh < b.sh
+),
+pair_rows AS (
+  SELECT bit_count(xor(sh_a, sh_b)) AS hamming,
+         CAST(n_a * n_b AS BIGINT) AS n_pairs
+  FROM cross_pairs
+  UNION ALL
+  SELECT 0 AS hamming, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs
+  FROM vals WHERE n >= 2
+),
+hist AS (
+  SELECT hamming, CAST(sum(n_pairs) AS BIGINT) AS n_pairs
+  FROM pair_rows GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM hist)
+SELECT hamming, n_pairs,
+       CAST(floor(CAST(n_pairs AS DOUBLE) / CAST(t.total AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS share
+FROM hist, tot t
+ORDER BY hamming
+"""

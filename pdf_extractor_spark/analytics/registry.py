@@ -1272,6 +1272,24 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.price_index_pairs, relational.PRICE_INDEX_SQL,
         "R4-178 Laspeyres/Paasche/Fisher price indices per year pair",
     ),
+    "simhash_hamming_histogram": QuerySpec(
+        dedup.simhash_hamming_histogram, dedup.SIMHASH_HAMMING_SQL,
+        "R4-179 Hamming-distance histogram over SimHash band candidates",
+    ),
+    "interarrival_exponential_fit": QuerySpec(
+        relational.interarrival_exponential_fit,
+        relational.INTERARRIVAL_FIT_SQL,
+        "R4-180 Poisson-arrival rate fit on the interarrival histogram",
+    ),
+    "prf_query_expansion": QuerySpec(
+        textstats.prf_query_expansion, textstats.PRF_EXPANSION_SQL,
+        "R4-181 pseudo-relevance-feedback query expansion (Rocchio/RM1)",
+    ),
+    "sequence_pack_efficiency": QuerySpec(
+        curation.sequence_pack_efficiency,
+        curation.SEQ_PACK_EFFICIENCY_SQL,
+        "R4-182 packing fill-ratio + boundary-spanning audit",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -10452,3 +10452,148 @@ SELECT y_base, CAST(y_base + 1 AS INT) AS y_next, n_common_parts,
 FROM agg
 ORDER BY y_base
 """
+
+
+# ---------------------------------------------------------------------------
+# Interarrival exponential-rate fit (R4-180): are arrivals Poisson?
+# The formal model fit behind the interarrival quantile profile
+# (R4-112) — bucket per-user event gaps into hourly bins, fit
+# ln(count) on the bin index by OLS over the first IAF_MAX_BIN+1
+# bins, and report λ = −slope (per hour) next to the OBSERVED mean
+# gap: for a true exponential, implied mean 1/λ ≈ observed mean, and
+# the gap between them is the exponentiality diagnostic (heavier
+# tail ⇒ implied < observed). ln(count) lands on an exact 1e-6
+# BIGINT grid before the regression sums (the R4-102 lesson), so all
+# five OLS moments are exact integers.
+#
+# Scale shape: gaps are ONE lag window hash-partitioned by user
+# (state bounded per user), the histogram is a map-side-combinable
+# hash agg with state bounded by the BIN DOMAIN, and the fit is a
+# 5-number aggregate over ≤ IAF_MAX_BIN+1 rows.
+# ---------------------------------------------------------------------------
+
+IAF_MAX_BIN = 47
+IAF_BIN_SECONDS = 3600
+
+
+def interarrival_exponential_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ev.select(
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    gstats = gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("s_gap"),
+    )
+    bins = (
+        gaps.select(
+            F.floor(F.col("gap") / F.lit(IAF_BIN_SECONDS))
+            .cast("long")
+            .alias("b")
+        )
+        .where(F.col("b") <= IAF_MAX_BIN)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            "b",
+            F.floor(F.log(F.col("c").cast("double")) * 1e6 + 1e-6)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    mom = bins.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("sw"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sww"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("b") * F.col("y")).cast("long").alias("swy"),
+    )
+    slope = (
+        (F.col("n") * F.col("swy") - F.col("sw") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")).cast(
+            "double"
+        )
+        / 1e6
+    )
+    lam = -slope
+    observed_mean_h = (
+        F.col("s_gap").cast("double")
+        / F.col("n_gaps").cast("double")
+        / float(IAF_BIN_SECONDS)
+    )
+    return (
+        mom.crossJoin(F.broadcast(gstats))
+        .select(
+            "n_gaps",
+            F.col("n").alias("n_bins"),
+            floor_round(lam, 6).alias("lambda_per_hour"),
+            floor_round(
+                F.when(lam > 0, 1.0 / lam), 4
+            ).alias("implied_mean_hours"),
+            floor_round(observed_mean_h, 4).alias("observed_mean_hours"),
+        )
+    )
+
+
+INTERARRIVAL_FIT_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+gaps AS (
+  SELECT sec - lag(sec) OVER (PARTITION BY user_id
+                              ORDER BY sec, event_id) AS gap
+  FROM ev
+),
+g2 AS MATERIALIZED (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s_gap
+  FROM g2
+),
+bins AS (
+  SELECT b, CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 1e-6) AS BIGINT)
+           AS y
+  FROM (SELECT CAST(floor(gap / {IAF_BIN_SECONDS}.0) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM g2 WHERE floor(gap / {IAF_BIN_SECONDS}.0) <= {IAF_MAX_BIN}
+        GROUP BY 1)
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(b) AS BIGINT) AS sw,
+         CAST(sum(b * b) AS BIGINT) AS sww,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(b * y) AS BIGINT) AS swy
+  FROM bins
+)
+SELECT g.n_gaps,
+       m.n AS n_bins,
+       CAST(floor(-(CAST(m.n * m.swy - m.sw * m.sy AS DOUBLE)
+                    / CAST(m.n * m.sww - m.sw * m.sw AS DOUBLE) / 1e6)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS lambda_per_hour,
+       CAST(floor(CASE WHEN -(CAST(m.n * m.swy - m.sw * m.sy AS DOUBLE)
+                              / CAST(m.n * m.sww - m.sw * m.sw AS DOUBLE)
+                              / 1e6) > 0
+                       THEN 1.0 / (-(CAST(m.n * m.swy - m.sw * m.sy
+                                          AS DOUBLE)
+                                     / CAST(m.n * m.sww - m.sw * m.sw
+                                            AS DOUBLE) / 1e6))
+                  END * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS implied_mean_hours,
+       CAST(floor(CAST(g.s_gap AS DOUBLE) / CAST(g.n_gaps AS DOUBLE)
+                  / {IAF_BIN_SECONDS}.0
+                  * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS observed_mean_hours
+FROM mom m, gstats g
+"""

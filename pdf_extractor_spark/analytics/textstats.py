@@ -5461,3 +5461,238 @@ SELECT source, n_tokens, n_types,
 FROM prof
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (R4-181,
+# training:prf-expansion): the Rocchio/RM1 move that completes the IR
+# family (BM25 → stemming → proximity → RRF → metric audits): run the
+# base query, take the top PRF_FB_K documents as pseudo-relevant,
+# mine the PRF_EXP_TERMS highest-weight non-query terms from them
+# (weight = feedback term frequency × ln(N/df), the RM1/tf-idf
+# estimate), re-score with the expanded query, and return the new
+# top-10 with both scores side by side.
+#
+# Engine-exactness: this query computes BM25 ROW-BASED — per
+# (doc, term) components floored onto a 1e-6 BIGINT grid BEFORE any
+# summation (stated rule; the pivoted kernel in bm25_scores keeps the
+# reference's float-sum semantics, this one trades it for order-free
+# integer sums so the DataFrame side and a fully-relational oracle
+# agree bit-for-bit at every cut: the feedback top-K, the expansion
+# term pick, and the final ranking are all grid+id decisions).
+#
+# Scale shape: one token explode feeds (doc, term) tf and corpus df
+# hash aggregates; the query-term set (3 base + 2 mined rows) joins
+# by broadcast; the feedback set is a TakeOrdered K-row broadcast;
+# the final cut is TakeOrdered. The vocabulary df aggregate is the
+# inverted-index df table any search deployment already maintains
+# (R3-74 inverted_index_blocks).
+# ---------------------------------------------------------------------------
+
+PRF_FB_K = 10
+PRF_EXP_TERMS = 2
+
+
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_dl"),
+    )
+    vocab_df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    base_terms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS], ["tok"]
+    )
+
+    def _comp_grid(tf_col, df_col):
+        n = F.col("n_docs").cast("double")
+        avgdl = F.col("s_dl").cast("double") / n
+        idf = F.log(
+            1.0 + (n - df_col.cast("double") + 0.5)
+            / (df_col.cast("double") + 0.5)
+        )
+        tf = tf_col.cast("double")
+        comp = idf * (
+            tf * (BM25_K1 + 1.0)
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / avgdl)
+            )
+        )
+        return F.floor(comp * 1e6 + 1e-6).cast("long")
+
+    def _score_grid(term_df: DataFrame) -> DataFrame:
+        tf = (
+            toks.join(F.broadcast(term_df), "tok")
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+        return (
+            tf.join(F.broadcast(vocab_df), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                _comp_grid(F.col("tf"), F.col("df")).alias("comp"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("comp").cast("long").alias("grid"))
+        )
+    base = _score_grid(base_terms)
+    feedback = (
+        base.orderBy(F.desc("grid"), F.asc("doc_id"))
+        .limit(PRF_FB_K)
+        .select("doc_id")
+    )
+    n_docs_df = stats.select("n_docs")
+    cand = (
+        toks.join(F.broadcast(feedback), "doc_id")
+        .where(~F.col("tok").isin(BM25_TERMS))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("fb_tf"))
+        .join(vocab_df, "tok")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "tok",
+            (
+                F.col("fb_tf")
+                * F.floor(
+                    F.log(
+                        F.col("n_docs").cast("double")
+                        / F.col("df").cast("double")
+                    )
+                    * 1e6
+                    + 1e-6
+                ).cast("long")
+            ).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("tok"))
+        .limit(PRF_EXP_TERMS)
+    )
+    exp_label = cand.agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("weight")).alias("nw"),
+                                            F.col("tok").alias("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("expansion_terms")
+    )
+    expanded = _score_grid(base_terms.unionByName(cand.select("tok")))
+    return (
+        expanded.join(base.withColumnRenamed("grid", "base_grid"),
+                      "doc_id", "left")
+        .crossJoin(F.broadcast(exp_label))
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("base_grid"), F.lit(0)).cast("double") / 1e6)
+            .alias("bm25_base"),
+            (F.col("grid").cast("double") / 1e6).alias("bm25_expanded"),
+            "expansion_terms",
+        )
+        .orderBy(F.desc("bm25_expanded"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _prf_score_cte(terms_cte: str, out: str) -> str:
+    """Row-based grid BM25 scoring CTE — identical arithmetic to
+    _comp_grid, emitted once per term set (base, expanded)."""
+    return f"""{out} AS MATERIALIZED (
+  SELECT c.doc_id, CAST(sum(
+    CAST(floor(
+      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(v.df AS DOUBLE) + 0.5)
+               / (CAST(v.df AS DOUBLE) + 0.5))
+      * (CAST(c.tf AS DOUBLE) * ({BM25_K1} + 1.0)
+         / (CAST(c.tf AS DOUBLE)
+            + {BM25_K1} * (1.0 - {BM25_B}
+                           + {BM25_B} * CAST(d.dl AS DOUBLE)
+                             / (CAST(s.s_dl AS DOUBLE)
+                                / CAST(s.n_docs AS DOUBLE)))))
+      * 1000000 + 1e-6) AS BIGINT)
+  ) AS BIGINT) AS grid
+  FROM (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks JOIN {terms_cte} USING (tok) GROUP BY 1, 2) c
+  JOIN vocab_df v ON v.tok = c.tok
+  JOIN dl d ON d.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)"""
+
+
+_PRF_BASE_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+PRF_EXPANSION_SQL = rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, x AS tok
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS x
+        FROM documents WHERE text IS NOT NULL)
+  WHERE x <> ''
+),
+dl AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+),
+stats AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS s_dl
+  FROM dl
+),
+vocab_df AS MATERIALIZED (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY 1
+),
+base_terms AS (
+  SELECT unnest([{_PRF_BASE_LIST}]) AS tok
+),
+{_prf_score_cte("base_terms", "base")},
+feedback AS (
+  SELECT doc_id FROM base ORDER BY grid DESC, doc_id ASC LIMIT {PRF_FB_K}
+),
+cand AS MATERIALIZED (
+  SELECT g.tok,
+         CAST(g.fb_tf * CAST(floor(ln(CAST(s.n_docs AS DOUBLE)
+                                      / CAST(v.df AS DOUBLE))
+                                   * 1000000 + 1e-6) AS BIGINT)
+              AS BIGINT) AS weight
+  FROM (SELECT t.tok, CAST(count(*) AS BIGINT) AS fb_tf
+        FROM toks t JOIN feedback f USING (doc_id)
+        WHERE t.tok NOT IN ({_PRF_BASE_LIST})
+        GROUP BY 1) g
+  JOIN vocab_df v ON v.tok = g.tok
+  CROSS JOIN stats s
+  ORDER BY weight DESC, g.tok ASC
+  LIMIT {PRF_EXP_TERMS}
+),
+exp_label AS (
+  SELECT string_agg(tok, ' ' ORDER BY weight DESC, tok ASC)
+    AS expansion_terms
+  FROM cand
+),
+exp_terms AS (
+  SELECT tok FROM base_terms UNION ALL SELECT tok FROM cand
+),
+{_prf_score_cte("exp_terms", "expanded")}
+SELECT e.doc_id,
+       CAST(coalesce(b.grid, 0) AS DOUBLE) / 1000000.0 AS bm25_base,
+       CAST(e.grid AS DOUBLE) / 1000000.0 AS bm25_expanded,
+       l.expansion_terms
+FROM expanded e
+LEFT JOIN base b ON b.doc_id = e.doc_id
+CROSS JOIN exp_label l
+ORDER BY e.grid DESC, e.doc_id ASC
+LIMIT 10
+"""
