@@ -2290,3 +2290,148 @@ SELECT pack_group, n_docs, total_tokens,
 FROM grp
 ORDER BY pack_group
 """
+
+
+# ---------------------------------------------------------------------------
+# Shard rebalance audit: consistent ring vs mod hashing (R4-185,
+# training:shard-rebalance): when the export grows from N to N+1
+# shards, how much data MOVES? mod-hashing reassigns ~N/(N+1) of the
+# corpus (every doc whose hash changes residue); a consistent ring
+# (one anchor point per shard, doc → first anchor clockwise) moves
+# only the segment claimed by the new anchor (~1/(N+1) expected, with
+# the single-point variance the audit makes visible). This is the
+# planning read behind rebucket_store (R3-71): it quantifies the
+# copy-on-write cost of a shard-count change under both policies.
+#
+# All positions are the shared 32-bit md5 grid (_salted_hash64), all
+# decisions integer comparisons; the ring argmin is min(struct) over
+# a ≤(N+1)-row broadcast anchor table with wraparound handled by
+# +2^32 adjustment — exact in both engines.
+# ---------------------------------------------------------------------------
+
+REBALANCE_N = 8
+
+
+def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").cast("string").alias("did")
+    )
+    pos = docs.select(
+        "doc_id", _salted_hash64("ring", F.col("did")).alias("pos")
+    )
+    anchors = spark.range(REBALANCE_N + 1).select(
+        F.col("id").cast("int").alias("s"),
+        _salted_hash64("anchor", F.col("id").cast("string")).alias("apos"),
+    )
+    ring = pos.crossJoin(F.broadcast(anchors))
+    WRAP = 2**32
+
+    def _ring_assign(df, n_anchors, out):
+        return (
+            df.where(F.col("s") < n_anchors)
+            .select(
+                "doc_id",
+                F.struct(
+                    F.when(
+                        F.col("apos") >= F.col("pos"), F.col("apos")
+                    )
+                    .otherwise(F.col("apos") + WRAP)
+                    .alias("adj"),
+                    F.col("s").alias("s"),
+                ).alias("cand"),
+            )
+            .groupBy("doc_id")
+            .agg(F.min("cand").alias("m"))
+            .select("doc_id", F.col("m.s").alias(out))
+        )
+
+    ring_n = _ring_assign(ring, REBALANCE_N, "ring_a")
+    ring_n1 = _ring_assign(ring, REBALANCE_N + 1, "ring_b")
+    moved_ring = (
+        ring_n.join(ring_n1, "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("ring_a") != F.col("ring_b")).cast("long")
+            ).cast("long").alias("n_moved"),
+        )
+        .select(F.lit("ring").alias("policy"), "n_docs", "n_moved")
+    )
+    moved_mod = pos.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            (
+                (F.col("pos") % REBALANCE_N)
+                != (F.col("pos") % (REBALANCE_N + 1))
+            ).cast("long")
+        ).cast("long").alias("n_moved"),
+    ).select(F.lit("mod").alias("policy"), "n_docs", "n_moved")
+    return (
+        moved_mod.unionByName(moved_ring)
+        .select(
+            "policy",
+            "n_docs",
+            "n_moved",
+            floor_round(
+                F.col("n_moved").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("moved_share"),
+        )
+        .orderBy("policy")
+    )
+
+
+SHARD_REBALANCE_SQL = f"""
+WITH pos AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('ring|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS pos
+  FROM documents
+),
+anchors AS (
+  SELECT s,
+         CAST('0x' || substr(md5('anchor|' || CAST(s AS VARCHAR)), 1, 8)
+              AS BIGINT) AS apos
+  FROM (SELECT unnest(generate_series(0, {REBALANCE_N})) AS s)
+),
+ring AS (
+  SELECT p.doc_id, p.pos, a.s, a.apos,
+         CASE WHEN a.apos >= p.pos THEN a.apos
+              ELSE a.apos + 4294967296 END AS adj
+  FROM pos p CROSS JOIN anchors a
+),
+ring_n AS (
+  SELECT doc_id, s AS ring_a FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY adj, s) AS rk
+    FROM ring WHERE s < {REBALANCE_N}
+  ) WHERE rk = 1
+),
+ring_n1 AS (
+  SELECT doc_id, s AS ring_b FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY adj, s) AS rk
+    FROM ring
+  ) WHERE rk = 1
+),
+rows_out AS (
+  SELECT 'mod' AS policy,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN pos % {REBALANCE_N}
+                        <> pos % {REBALANCE_N + 1}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+  FROM pos
+  UNION ALL
+  SELECT 'ring',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN a.ring_a <> b.ring_b THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM ring_n a JOIN ring_n1 b USING (doc_id)
+)
+SELECT policy, n_docs, n_moved,
+       CAST(floor(CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS moved_share
+FROM rows_out
+ORDER BY policy
+"""

@@ -989,3 +989,354 @@ JOIN deg gv ON gv.v = ne.v
 ORDER BY ne.aa_grid DESC, ne.cn DESC, ne.u ASC, ne.v ASC
 LIMIT {LP_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation, K fixed synchronous rounds
+# (R4-183, training:label-propagation — the classic "spread the
+# trusted labels" pass: seed a few pages with known classes, let
+# labels flow over the link graph; web-quality pipelines use exactly
+# this to extend a small human-labeled set). Seeds: doc_id <
+# LPA_SEEDS carry label doc_id % LPA_CLASSES, permanently. Each
+# round, every NON-seed vertex takes the majority label among its
+# labeled neighbors from the PREVIOUS round (count desc, label asc
+# tie-break — a deterministic argmax on integers); vertices with no
+# labeled neighbor keep their previous state. K = LPA_ROUNDS.
+#
+# Distinct from connected components (min-label fixpoint, rows-only):
+# LPA's majority vote is not monotone, so the round count is part of
+# the CONTRACT (K fixed) and the whole operator unrolls into both
+# engines exactly — argmax decisions are pure integer (count, label)
+# comparisons, no floats anywhere.
+#
+# Scale shape: per round ONE join (prev labels → adjacency) + ONE
+# (vertex, label) count aggregate + ONE integer argmax aggregate —
+# all hash ops on vertex ids; prev labels localCheckpoint-pinned per
+# round (the §19 plan-doubling pin: each round's output feeds BOTH
+# the next round's join and its keep-previous fallback).
+# ---------------------------------------------------------------------------
+
+LPA_SEEDS = 24
+LPA_CLASSES = 4
+LPA_ROUNDS = 3
+
+
+def label_propagation_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    und, _, _ = _und_deg_tris(docs, n)
+    adj = und.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    adj = adj.localCheckpoint(eager=True)
+    labels = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < LPA_SEEDS,
+            (F.col("doc_id") % LPA_CLASSES).cast("long"),
+        ).alias("label"),
+        (F.col("doc_id") < LPA_SEEDS).alias("is_seed"),
+    ).localCheckpoint(eager=True)
+    for _r in range(LPA_ROUNDS):
+        nbr = (
+            adj.join(
+                labels.where(F.col("label").isNotNull()).select(
+                    F.col("doc_id").alias("w"), F.col("label").alias("nl")
+                ),
+                "w",
+            )
+            .groupBy(F.col("v").alias("doc_id"), F.col("nl"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        vote = (
+            nbr.groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("nl")).alias("neg"),
+                    )
+                ).alias("m")
+            )
+            .select("doc_id", (-F.col("m.neg")).cast("long").alias("maj"))
+        )
+        labels = (
+            labels.join(vote, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce(F.col("maj"), F.col("label")))
+                .alias("label"),
+                "is_seed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "doc_id",
+        "label",
+        F.col("is_seed").cast("boolean").alias("is_seed"),
+    ).orderBy("doc_id")
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+nbr_{out} AS (
+  SELECT a.v AS doc_id, p.label AS nl, CAST(count(*) AS BIGINT) AS c
+  FROM adj a JOIN {prev} p ON p.doc_id = a.w
+  WHERE p.label IS NOT NULL
+  GROUP BY 1, 2
+),
+vote_{out} AS (
+  SELECT doc_id, nl AS maj FROM (
+    SELECT doc_id, nl,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, nl ASC) AS rk
+    FROM nbr_{out}
+  ) WHERE rk = 1
+),
+{out} AS MATERIALIZED (
+  SELECT p.doc_id,
+         CASE WHEN p.is_seed THEN p.label
+              ELSE coalesce(v.maj, p.label) END AS label,
+         p.is_seed
+  FROM {prev} p LEFT JOIN vote_{out} v ON v.doc_id = p.doc_id
+)"""
+
+
+LABEL_PROPAGATION_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw_edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 3) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, CAST(floor(doc_id / 2.0) AS BIGINT) FROM documents, nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst
+),
+adj AS MATERIALIZED (
+  SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und
+),
+l0 AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id < {LPA_SEEDS}
+              THEN CAST(doc_id % {LPA_CLASSES} AS BIGINT) END AS label,
+         doc_id < {LPA_SEEDS} AS is_seed
+  FROM documents
+),
+{",".join(_lpa_round_sql(f"l{r}", f"l{r + 1}") for r in range(LPA_ROUNDS))}
+SELECT doc_id, label, is_seed
+FROM l{LPA_ROUNDS}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strength fit over pairwise preferences (R4-184,
+# training:bradley-terry — the model behind reward-model data
+# analysis: given "A beat B" comparisons, estimate latent strengths;
+# RLHF preference sets are audited with exactly this fit before
+# training). Comparison fixture (deterministic, stated rule):
+# adjacent documents (doc_id, doc_id+1) from DIFFERENT sources form a
+# match between their sources; the longer document (n_chars) wins,
+# ties are dropped. Items are the ~20 sources.
+#
+# Fit: BT_ITERS rounds of the classic MM update
+#   p_i ← W_i / Σ_j n_ij / (p_i + p_j),  then rescale to Σp = n_items
+# with every update QUANTIZED (stated rule): each denominator term
+# lands on an exact 1e-9 BIGINT grid before the per-item sum, and the
+# rescaled strengths are re-floored onto the 1e-9 grid at the end of
+# every round — so all cross-item aggregation is exact integer
+# arithmetic and both engines replay the identical fit step for step
+# (the MMR greedy-walk lesson, docs/PLANS.md §19).
+#
+# Scale shape: the comparison aggregate is one self-join on doc_id+1
+# (equi) + one hash agg; each MM round joins the directed match table
+# to the K-item strength table (broadcast) and re-aggregates per
+# item — per-round cost is O(matches), lineage pinned by
+# localCheckpoint per round.
+# ---------------------------------------------------------------------------
+
+BT_ITERS = 3
+BT_GRID = 1_000_000_000  # 1e-9 quantization grid
+
+
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("n_chars_b"),
+    )
+    matches = (
+        docs.join(nxt, "doc_id")
+        .where(
+            (F.col("source") != F.col("source_b"))
+            & (F.col("n_chars") != F.col("n_chars_b"))
+        )
+        .select(
+            F.least("source", "source_b").alias("i"),
+            F.greatest("source", "source_b").alias("j"),
+            F.when(
+                (
+                    (F.col("n_chars") > F.col("n_chars_b"))
+                    & (F.col("source") < F.col("source_b"))
+                )
+                | (
+                    (F.col("n_chars_b") > F.col("n_chars"))
+                    & (F.col("source_b") < F.col("source"))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("i_won"),
+        )
+    )
+    pair = matches.groupBy("i", "j").agg(
+        F.count("*").cast("long").alias("n_ij"),
+        F.sum("i_won").cast("long").alias("w_i"),
+    )
+    directed = pair.select(
+        F.col("i").alias("item"), F.col("j").alias("opp"),
+        "n_ij", F.col("w_i").alias("w"),
+    ).unionByName(
+        pair.select(
+            F.col("j").alias("item"), F.col("i").alias("opp"),
+            "n_ij", (F.col("n_ij") - F.col("w_i")).alias("w"),
+        )
+    ).localCheckpoint(eager=True)
+    items = directed.groupBy("item").agg(
+        F.sum("w").cast("long").alias("wins"),
+        F.sum("n_ij").cast("long").alias("matches"),
+    ).localCheckpoint(eager=True)
+    n_items = items.count()  # bounded: the source dimension
+    p = items.select("item", F.lit(float(1.0)).alias("p"))
+    for _r in range(BT_ITERS):
+        pj = p.select(F.col("item").alias("opp"), F.col("p").alias("p_opp"))
+        denom = (
+            directed.join(F.broadcast(p), "item")
+            .join(F.broadcast(pj), "opp")
+            .select(
+                "item",
+                F.floor(
+                    F.col("n_ij").cast("double")
+                    * BT_GRID
+                    / (F.col("p") + F.col("p_opp"))
+                    + 1e-6
+                )
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("item")
+            .agg(F.sum("t").cast("long").alias("dg"))
+        )
+        raw = (
+            items.join(denom, "item")
+            .select(
+                "item",
+                F.floor(
+                    F.col("wins").cast("double")
+                    * BT_GRID
+                    * BT_GRID
+                    / F.col("dg").cast("double")
+                    + 1e-6
+                )
+                .cast("long")
+                .alias("pg"),
+            )
+        )
+        tot = raw.agg(F.sum("pg").cast("long").alias("s"))
+        p = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "item",
+                (
+                    F.floor(
+                        F.col("pg").cast("double")
+                        * float(n_items)
+                        * BT_GRID
+                        / F.col("s").cast("double")
+                        + 1e-6
+                    ).cast("long")
+                    / F.lit(float(BT_GRID))
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        items.join(p, "item")
+        .select(
+            F.col("item").alias("source"),
+            "wins",
+            "matches",
+            floor_round(F.col("p"), 6).alias("strength"),
+        )
+        .orderBy(F.desc("strength"), F.asc("source"))
+    )
+
+
+def _bt_round_sql(prev: str, out: str) -> str:
+    return f"""
+denom_{out} AS (
+  SELECT d.item,
+         CAST(sum(CAST(floor(CAST(d.n_ij AS DOUBLE) * {BT_GRID}
+                             / (pi.p + pj.p) + 1e-6) AS BIGINT))
+              AS BIGINT) AS dg
+  FROM directed d
+  JOIN {prev} pi ON pi.item = d.item
+  JOIN {prev} pj ON pj.item = d.opp
+  GROUP BY 1
+),
+raw_{out} AS (
+  SELECT i.item,
+         CAST(floor(CAST(i.wins AS DOUBLE) * {BT_GRID} * {BT_GRID}
+                    / CAST(g.dg AS DOUBLE) + 1e-6) AS BIGINT) AS pg
+  FROM items i JOIN denom_{out} g ON g.item = i.item
+),
+{out} AS MATERIALIZED (
+  SELECT item,
+         CAST(floor(CAST(pg AS DOUBLE)
+                    * (SELECT CAST(count(*) AS DOUBLE) FROM items)
+                    * {BT_GRID}
+                    / (SELECT CAST(sum(pg) AS DOUBLE) FROM raw_{out})
+                    + 1e-6) AS BIGINT) / CAST({BT_GRID} AS DOUBLE) AS p
+  FROM raw_{out}
+)"""
+
+
+BRADLEY_TERRY_SQL = f"""
+WITH pairs_src AS (
+  SELECT least(a.source, b.source) AS i,
+         greatest(a.source, b.source) AS j,
+         CASE WHEN (a.n_chars > b.n_chars AND a.source < b.source)
+                OR (b.n_chars > a.n_chars AND b.source < a.source)
+              THEN 1 ELSE 0 END AS i_won
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.source <> b.source AND a.n_chars <> b.n_chars
+),
+pair AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n_ij,
+         CAST(sum(i_won) AS BIGINT) AS w_i
+  FROM pairs_src GROUP BY 1, 2
+),
+directed AS MATERIALIZED (
+  SELECT i AS item, j AS opp, n_ij, w_i AS w FROM pair
+  UNION ALL
+  SELECT j, i, n_ij, n_ij - w_i FROM pair
+),
+items AS MATERIALIZED (
+  SELECT item, CAST(sum(w) AS BIGINT) AS wins,
+         CAST(sum(n_ij) AS BIGINT) AS matches
+  FROM directed GROUP BY 1
+),
+p0 AS MATERIALIZED (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM items),
+{",".join(_bt_round_sql(f"p{r}", f"p{r + 1}") for r in range(BT_ITERS))}
+SELECT i.item AS source, i.wins, i.matches,
+       CAST(floor(f.p * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS strength
+FROM items i JOIN p{BT_ITERS} f ON f.item = i.item
+ORDER BY strength DESC, source ASC
+"""

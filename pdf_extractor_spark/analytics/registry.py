@@ -1290,6 +1290,18 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.SEQ_PACK_EFFICIENCY_SQL,
         "R4-182 packing fill-ratio + boundary-spanning audit",
     ),
+    "label_propagation_fixed": QuerySpec(
+        graphalgo.label_propagation_fixed, graphalgo.LABEL_PROPAGATION_SQL,
+        "R4-183 K-round semi-supervised label propagation",
+    ),
+    "bradley_terry_strengths": QuerySpec(
+        graphalgo.bradley_terry_strengths, graphalgo.BRADLEY_TERRY_SQL,
+        "R4-184 Bradley-Terry preference-strength MM fit",
+    ),
+    "shard_rebalance_audit": QuerySpec(
+        curation.shard_rebalance_audit, curation.SHARD_REBALANCE_SQL,
+        "R4-185 consistent-ring vs mod-hash rebalance cost",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),
