@@ -1302,6 +1302,19 @@ QUERIES: Dict[str, QuerySpec] = {
         curation.shard_rebalance_audit, curation.SHARD_REBALANCE_SQL,
         "R4-185 consistent-ring vs mod-hash rebalance cost",
     ),
+    "textrank_keywords": QuerySpec(
+        textstats.textrank_keywords, textstats.TEXTRANK_SQL,
+        "R4-186 TextRank over the window-2 co-occurrence graph",
+    ),
+    "kmv_distinct_audit": QuerySpec(
+        textstats.kmv_distinct_audit, textstats.KMV_SQL,
+        "R4-187 k-minimum-values distinct sketch vs exact",
+    ),
+    "posting_compression_plan": QuerySpec(
+        textstats.posting_compression_plan,
+        textstats.POSTING_COMPRESSION_SQL,
+        "R4-188 Elias-gamma posting compression planner",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -5696,3 +5696,453 @@ CROSS JOIN exp_label l
 ORDER BY e.grid DESC, e.doc_id ASC
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (R4-186, training:textrank — Mihalcea & Tarau
+# 2004): the graph-based member of the keyword family (tf-idf R3,
+# RAKE R4-174, PMI R4-31) — build the window-2 co-occurrence graph
+# over the stopword-filtered token stream and run weighted PageRank;
+# terms that many well-connected terms co-occur with rank first.
+# K = TEXTRANK_ITERS fixed rounds of
+#   WS(v) = (1−d) + d · Σ_u (w_uv / sumw(u)) · WS(u)
+# with every contribution QUANTIZED onto an exact 1e-9 BIGINT grid
+# before the per-vertex sum and scores re-floored each round — the
+# Bradley-Terry/§19 quantized-iteration rule, so both engines replay
+# the walk exactly.
+#
+# Scale shape: bigram edges are MAP-ONLY (slice-pairs over the
+# materialized filtered array — no explode-then-self-join), one hash
+# agg to edge weights; each round joins the directed edge table to
+# the vocabulary-sized score table (broadcast) and re-aggregates;
+# localCheckpoint per round pins the lineage; TakeOrdered cut.
+# ---------------------------------------------------------------------------
+
+TEXTRANK_D = 0.85
+TEXTRANK_ITERS = 3
+TEXTRANK_TOP = 15
+_TR_GRID = 1_000_000_000
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.filter(
+                _tokens("text"),
+                lambda t: (t != "") & ~t.isin(STOPWORDS),
+            ).alias("ft")
+        )
+    )
+    pairs = docs.select(
+        F.when(
+            F.size("ft") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ft") - 1),
+                lambda i: F.struct(
+                    F.element_at("ft", i).alias("x"),
+                    F.element_at("ft", i + 1).alias("y"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        .alias("ps")
+    ).select(F.explode("ps").alias("p")).select(
+        F.least("p.x", "p.y").alias("a"),
+        F.greatest("p.x", "p.y").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    directed = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    ).localCheckpoint(eager=True)
+    sumw = directed.groupBy("u").agg(
+        F.sum("w").cast("long").alias("sw")
+    ).localCheckpoint(eager=True)
+    ws = sumw.select(F.col("u").alias("term"), F.lit(1.0).alias("ws"))
+    for _r in range(TEXTRANK_ITERS):
+        contrib = (
+            directed.join(
+                F.broadcast(
+                    ws.select(F.col("term").alias("u"), "ws")
+                ),
+                "u",
+            )
+            .join(F.broadcast(sumw), "u")
+            .select(
+                "v",
+                F.floor(
+                    F.col("w").cast("double")
+                    * F.col("ws")
+                    * _TR_GRID
+                    / F.col("sw").cast("double")
+                    + 1e-6
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ws = (
+            sumw.select(F.col("u").alias("term"))
+            .join(
+                contrib.select(F.col("v").alias("term"), "s"),
+                "term",
+                "left",
+            )
+            .select(
+                "term",
+                (
+                    F.floor(
+                        (
+                            F.lit(1.0 - TEXTRANK_D)
+                            + F.lit(TEXTRANK_D)
+                            * (
+                                F.coalesce(F.col("s"), F.lit(0))
+                                .cast("double")
+                                / float(_TR_GRID)
+                            )
+                        )
+                        * _TR_GRID
+                        + 1e-6
+                    ).cast("long")
+                    / F.lit(float(_TR_GRID))
+                ).alias("ws"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ws.join(sumw.select(F.col("u").alias("term"), "sw"), "term")
+        .select(
+            "term",
+            F.col("sw").alias("edge_weight"),
+            _floor_round(F.col("ws"), 6).alias("textrank"),
+        )
+        .orderBy(F.desc("textrank"), F.asc("term"))
+        .limit(TEXTRANK_TOP)
+    )
+
+
+_TR_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _tr_round_sql(prev: str, out: str) -> str:
+    return f"""
+contrib_{out} AS (
+  SELECT d.v,
+         CAST(sum(CAST(floor(CAST(d.w AS DOUBLE) * p.ws * {_TR_GRID}
+                             / CAST(s.sw AS DOUBLE) + 1e-6)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM directed d
+  JOIN {prev} p ON p.term = d.u
+  JOIN sumw s ON s.u = d.u
+  GROUP BY 1
+),
+{out} AS MATERIALIZED (
+  SELECT s.u AS term,
+         CAST(floor((CAST({1.0 - TEXTRANK_D!r} AS DOUBLE)
+                     + CAST({TEXTRANK_D!r} AS DOUBLE)
+                       * (CAST(coalesce(c.s, 0) AS DOUBLE)
+                          / CAST({_TR_GRID} AS DOUBLE)))
+                    * {_TR_GRID} + 1e-6) AS BIGINT)
+           / CAST({_TR_GRID} AS DOUBLE) AS ws
+  FROM sumw s LEFT JOIN contrib_{out} c ON c.v = s.u
+)"""
+
+
+TEXTRANK_SQL = rf"""
+WITH ft AS (
+  SELECT list_filter(string_split_regex(text, '\s+'),
+                     t -> t <> '' AND t NOT IN ({_TR_STOP_LIST})) AS l
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b
+  FROM (
+    SELECT unnest(CASE WHEN len(l) >= 2
+                       THEN list_transform(generate_series(1, len(l) - 1),
+                                           i -> {{'x': l[i], 'y': l[i + 1]}})
+                       ELSE CAST([] AS STRUCT(x VARCHAR, y VARCHAR)[])
+                  END) AS p
+    FROM ft
+  )
+  WHERE p.x <> p.y
+),
+und AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY 1, 2
+),
+directed AS MATERIALIZED (
+  SELECT a AS u, b AS v, w FROM und UNION ALL SELECT b, a, w FROM und
+),
+sumw AS MATERIALIZED (
+  SELECT u, CAST(sum(w) AS BIGINT) AS sw FROM directed GROUP BY 1
+),
+ws0 AS MATERIALIZED (
+  SELECT u AS term, CAST(1.0 AS DOUBLE) AS ws FROM sumw
+),
+{",".join(_tr_round_sql(f"ws{r}", f"ws{r + 1}") for r in range(TEXTRANK_ITERS))}
+SELECT f.term, s.sw AS edge_weight,
+       CAST(floor(f.ws * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS textrank
+FROM ws{TEXTRANK_ITERS} f JOIN sumw s ON s.u = f.term
+ORDER BY textrank DESC, term ASC
+LIMIT {TEXTRANK_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct audit (R4-187,
+# training:kmv-distinct — Bar-Yossef et al. 2002): the fourth
+# mergeable sketch beside HLL / CMS / histogram quantiles, and the
+# one a bottom-k sampler already pays for (keep the k smallest
+# hashes; merge = k-way min-merge). Estimate: with h_k the k-th
+# smallest 32-bit hash over the group's distinct values,
+# D̂ = (k−1)·2³² / h_k. Audited domain = the HLL audit's 3-gram
+# shingles per language (same reason: the raw vocabulary is ~31
+# tokens — every group would sit below k and the estimator would
+# never fire). Groups with fewer than k distinct hashes report the
+# exact count (the sketch IS exact below k — stated rule).
+#
+# Exactness: hash arithmetic is integer md5; the estimate is one
+# double division executed identically in both engines, floored.
+#
+# Scale shape: distinct (lang, hash) collapse is a hash aggregate;
+# the k-th minimum runs as a TWO-LEVEL TOURNAMENT (rank within
+# (lang, hash-salt bucket), keep ≤ k, re-rank survivors — the
+# domain_cap lesson: global bottom-k ⊆ union of bucket bottom-ks),
+# so no window ever owns a group's full distinct stream; the oracle
+# states the single-window form.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SALT_BUCKETS = 16
+
+
+def kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok_docs = docs.select("lang", _tokens().alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = tok_docs.select("lang", F.explode(grams).alias("t"))
+    exact = sh.groupBy("lang").agg(
+        F.countDistinct("t").cast("long").alias("n_exact")
+    )
+    hashes = sh.select(
+        "lang",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w_bucket = Window.partitionBy(
+        "lang", F.col("h") % KMV_SALT_BUCKETS
+    ).orderBy("h")
+    survivors = hashes.withColumn(
+        "rk_b", F.row_number().over(w_bucket)
+    ).where(F.col("rk_b") <= KMV_K)
+    w_final = Window.partitionBy("lang").orderBy("h")
+    ranked = survivors.withColumn(
+        "rk", F.row_number().over(w_final)
+    )
+    kth = ranked.where(F.col("rk") == KMV_K).select(
+        "lang", F.col("h").alias("h_k")
+    )
+    n_hashes = hashes.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_h")
+    )
+    est = F.when(
+        F.col("h_k").isNotNull(),
+        F.floor(
+            float(KMV_K - 1) * float(2**32) / F.col("h_k").cast("double")
+            + 1e-6
+        ).cast("long"),
+    ).otherwise(F.col("n_h"))
+    return (
+        exact.join(n_hashes, "lang")
+        .join(kth, "lang", "left")
+        .select(
+            "lang",
+            "n_exact",
+            est.alias("kmv_est"),
+            _floor_round(
+                (est - F.col("n_exact")).cast("double")
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
+KMV_SQL = rf"""
+WITH sh AS MATERIALIZED (
+  SELECT lang, t FROM (
+    SELECT lang,
+           unnest(CASE WHEN len(toks) >= 3
+                       THEN list_transform(
+                              generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i : i + 2], ' '))
+                       ELSE CAST([] AS VARCHAR[]) END) AS t
+    FROM (SELECT lang, string_split_regex(text, '\s+') AS toks
+          FROM documents)
+  )
+),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS n_exact
+  FROM sh GROUP BY 1
+),
+hashes AS MATERIALIZED (
+  SELECT DISTINCT lang,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+  FROM hashes
+),
+kth AS (SELECT lang, h AS h_k FROM ranked WHERE rk = {KMV_K}),
+nh AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_h FROM hashes GROUP BY 1)
+SELECT e.lang, e.n_exact,
+       CASE WHEN k.h_k IS NOT NULL
+            THEN CAST(floor({float(KMV_K - 1)!r} * {float(2**32)!r}
+                            / CAST(k.h_k AS DOUBLE) + 1e-6) AS BIGINT)
+            ELSE n.n_h END AS kmv_est,
+       CAST(floor(CAST((CASE WHEN k.h_k IS NOT NULL
+                             THEN CAST(floor({float(KMV_K - 1)!r}
+                                             * {float(2**32)!r}
+                                             / CAST(k.h_k AS DOUBLE) + 1e-6)
+                                       AS BIGINT)
+                             ELSE n.n_h END) - e.n_exact AS DOUBLE)
+                  / CAST(e.n_exact AS DOUBLE) * 10000 + 1e-6) / 10000
+            AS DOUBLE) AS rel_err
+FROM exact e
+JOIN nh n ON n.lang = e.lang
+LEFT JOIN kth k ON k.lang = e.lang
+ORDER BY e.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Posting-list compression planner (R4-188, training:index-compress):
+# the storage-planning read on top of the blocked inverted index
+# (R3-74) — Elias-gamma codes a doc-id GAP g in 2·⌊log2 g⌋ + 1 bits,
+# so the per-term compressed size is pure integer arithmetic over the
+# sorted posting list's deltas (first gap = doc_id + 1, every gap
+# ≥ 1 because ids are distinct). Reported against the raw 64-bit
+# layout for the top PCOMP_TOP terms by document frequency plus a
+# corpus TOTAL row — the numbers that size an index deployment.
+#
+# Scale shape: (term, doc_id) postings from one explode-distinct,
+# gaps via ONE lag window hash-partitioned by term (state bounded by
+# the term's df — the blocked-postings caveat applies and the block
+# split of R3-74 is the remedy at the extreme), then hash aggregates;
+# bit_length is length(bin(x)) — identical integers in both engines.
+# ---------------------------------------------------------------------------
+
+PCOMP_TOP = 10
+
+
+def posting_compression_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(_tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = docs.select(
+        "tok",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ).alias("g"),
+    )
+    per_term = gaps.groupBy("tok").agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.sum(
+            2 * (F.length(F.bin("g")) - 1) + 1
+        ).cast("long").alias("gamma_bits"),
+    ).select(
+        "tok",
+        "n_postings",
+        (F.col("n_postings") * 64).cast("long").alias("raw_bits"),
+        "gamma_bits",
+    )
+    top = per_term.orderBy(
+        F.desc("n_postings"), F.asc("tok")
+    ).limit(PCOMP_TOP)
+    total = per_term.agg(
+        F.lit("<TOTAL>").alias("tok"),
+        F.sum("n_postings").cast("long").alias("n_postings"),
+        F.sum("raw_bits").cast("long").alias("raw_bits"),
+        F.sum("gamma_bits").cast("long").alias("gamma_bits"),
+    )
+    return (
+        top.unionByName(total)
+        .select(
+            F.col("tok").alias("term"),
+            "n_postings",
+            "raw_bits",
+            "gamma_bits",
+            _floor_round(
+                F.col("gamma_bits").cast("double")
+                / F.col("raw_bits").cast("double"),
+                6,
+            ).alias("compressed_ratio"),
+        )
+        .orderBy("term")
+    )
+
+
+POSTING_COMPRESSION_SQL = rf"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, x AS tok
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS x
+        FROM documents WHERE text IS NOT NULL)
+  WHERE x <> ''
+),
+gaps AS (
+  SELECT tok,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id),
+                  doc_id + 1) AS g
+  FROM postings
+),
+per_term AS MATERIALIZED (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+         CAST(sum(2 * (length(bin(g)) - 1) + 1) AS BIGINT) AS gamma_bits
+  FROM gaps GROUP BY 1
+),
+rows_out AS (
+  SELECT tok, n_postings, raw_bits, gamma_bits
+  FROM (SELECT *, row_number() OVER (ORDER BY n_postings DESC, tok ASC)
+               AS rk
+        FROM per_term)
+  WHERE rk <= {PCOMP_TOP}
+  UNION ALL
+  SELECT '<TOTAL>', CAST(sum(n_postings) AS BIGINT),
+         CAST(sum(raw_bits) AS BIGINT), CAST(sum(gamma_bits) AS BIGINT)
+  FROM per_term
+)
+SELECT tok AS term, n_postings, raw_bits, gamma_bits,
+       CAST(floor(CAST(gamma_bits AS DOUBLE) / CAST(raw_bits AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS compressed_ratio
+FROM rows_out
+ORDER BY term
+"""
