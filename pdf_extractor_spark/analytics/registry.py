@@ -1315,6 +1315,22 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.POSTING_COMPRESSION_SQL,
         "R4-188 Elias-gamma posting compression planner",
     ),
+    "gpd_tail_fit": QuerySpec(
+        relational.gpd_tail_fit, relational.GPD_TAIL_SQL,
+        "R4-189 GPD peaks-over-threshold tail fit + return level",
+    ),
+    "kneser_ney_crossentropy": QuerySpec(
+        textstats.kneser_ney_crossentropy, textstats.KN_CROSSENTROPY_SQL,
+        "R4-190 interpolated Kneser-Ney held-out cross-entropy",
+    ),
+    "simpsons_paradox_audit": QuerySpec(
+        relational.simpsons_paradox_audit, relational.SIMPSONS_SQL,
+        "R4-191 stratified-vs-overall correlation flip audit",
+    ),
+    "good_turing_unseen": QuerySpec(
+        textstats.good_turing_unseen, textstats.GOOD_TURING_SQL,
+        "R4-192 Good-Turing unseen-mass estimate per source",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -10597,3 +10597,251 @@ SELECT g.n_gaps,
          AS observed_mean_hours
 FROM mom m, gstats g
 """
+
+
+# ---------------------------------------------------------------------------
+# GPD peaks-over-threshold tail fit (R4-189): the second extreme-value
+# method next to the Gumbel block-maxima fit (R4-106) — threshold the
+# order totals at the EXACT p95 (nearest-rank over the value
+# histogram, the exact_group_median machinery), fit a Generalized
+# Pareto to the excesses by method of moments (closed forms:
+# m²/v = 1−2ξ ⇒ ξ = (1 − m²/v)/2, σ = m(1−ξ)), and report the
+# 1-in-RET_T order return level x_T = u + σ/ξ·((T·ζ_u)^ξ − 1).
+# Moments are exact BIGINT sums of cent excesses (Σe² bounded:
+# ≤ (5e6)²·10⁵ ≈ 2.5e18 at sf1 — inside BIGINT, stated bound); the
+# closed forms run in identical op order in both engines.
+#
+# Scale shape: one cents histogram (hash agg bounded by the value
+# domain) + the Lorenz-style domain-bounded cumulative walk for the
+# exact threshold, then one 3-number excess aggregate.
+# ---------------------------------------------------------------------------
+
+GPD_P = 95
+GPD_RET_T = 10_000
+
+
+def gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("c")
+    )
+    hist = cents.groupBy("c").agg(F.count("*").cast("long").alias("n_v"))
+    tot = hist.agg(F.sum("n_v").cast("long").alias("n"))
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "c", F.sum("n_v").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    k = F.floor((F.lit(GPD_P) * F.col("n") + 99) / 100).cast("long")
+    u_row = (
+        cum.where(F.col("cum") >= k)
+        .agg(F.min("c").cast("long").alias("u"))
+    )
+    exc = (
+        cents.crossJoin(F.broadcast(u_row))
+        .where(F.col("c") > F.col("u"))
+        .select((F.col("c") - F.col("u")).alias("e"), "u")
+    )
+    mom = exc.groupBy("u").agg(
+        F.count("*").cast("long").alias("n_e"),
+        F.sum("e").cast("long").alias("s"),
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("s2"),
+    ).crossJoin(F.broadcast(tot))
+    m = F.col("s").cast("double") / F.col("n_e").cast("double")
+    v = F.col("s2").cast("double") / F.col("n_e").cast("double") - m * m
+    xi = 0.5 * (1.0 - m * m / v)
+    sigma = m * (1.0 - xi)
+    zeta = F.col("n_e").cast("double") / F.col("n").cast("double")
+    ret = F.col("u").cast("double") + sigma / xi * (
+        F.pow(float(GPD_RET_T) * zeta, xi) - 1.0
+    )
+    return mom.select(
+        F.col("u").alias("threshold_cents"),
+        F.col("n_e").alias("n_exceed"),
+        floor_round(zeta, 6).alias("exceed_rate"),
+        floor_round(xi, 6).alias("xi"),
+        floor_round(sigma, 2).alias("sigma_cents"),
+        floor_round(ret, 2).alias("ret10k_cents"),
+    )
+
+
+GPD_TAIL_SQL = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) AS c
+  FROM orders
+),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS n_v FROM cents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n FROM hist),
+cum AS (
+  SELECT c, CAST(sum(n_v) OVER (ORDER BY c
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+u_row AS (
+  SELECT CAST(min(c) AS BIGINT) AS u
+  FROM cum, tot
+  WHERE cum >= CAST(floor(({GPD_P} * tot.n + 99) / 100.0) AS BIGINT)
+),
+mom AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS n_e,
+         CAST(sum(c - u) AS BIGINT) AS s,
+         CAST(sum((c - u) * (c - u)) AS BIGINT) AS s2
+  FROM cents, u_row WHERE c > u
+  GROUP BY u
+)
+SELECT u AS threshold_cents, n_e AS n_exceed,
+       CAST(floor(CAST(n_e AS DOUBLE) / CAST(t.n AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS exceed_rate,
+       CAST(floor(0.5 * (1.0 - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                               * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                               / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
+                                  - (CAST(s AS DOUBLE)
+                                     / CAST(n_e AS DOUBLE))
+                                    * (CAST(s AS DOUBLE)
+                                       / CAST(n_e AS DOUBLE))))
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS xi,
+       CAST(floor((CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                  * (1.0 - 0.5 * (1.0
+                       - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                         / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE)))))
+                  * 100 + 1e-6) / 100 AS DOUBLE) AS sigma_cents,
+       CAST(floor((CAST(u AS DOUBLE)
+                   + ((CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                      * (1.0 - 0.5 * (1.0
+                           - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                             / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
+                                - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                                  * (CAST(s AS DOUBLE)
+                                     / CAST(n_e AS DOUBLE))))))
+                     / (0.5 * (1.0
+                          - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                            * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                            / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
+                               - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                                 * (CAST(s AS DOUBLE)
+                                    / CAST(n_e AS DOUBLE)))))
+                     * (pow({float(GPD_RET_T)!r}
+                            * (CAST(n_e AS DOUBLE) / CAST(t.n AS DOUBLE)),
+                            0.5 * (1.0
+                              - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+                                / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
+                                   - (CAST(s AS DOUBLE)
+                                      / CAST(n_e AS DOUBLE))
+                                     * (CAST(s AS DOUBLE)
+                                        / CAST(n_e AS DOUBLE)))))
+                        - 1.0))
+                  * 100 + 1e-6) / 100 AS DOUBLE) AS ret10k_cents
+FROM mom, tot t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (R4-191): does the discount↔quantity
+# association FLIP when conditioned on return status? The aggregation
+# trap every analyst gets burned by once — a positive overall
+# correlation can reverse inside every stratum. ONE rollup aggregate
+# computes the exact correlation moments per l_returnflag stratum AND
+# overall (grouping-set, no second scan); each stratum row carries
+# its Pearson r (closed form over exact BIGINT sums) and a flip flag
+# vs the overall sign compared on the FLOORED grid (the rounded-grid
+# decision rule; the '<ALL>' row's flag is NULL).
+# ---------------------------------------------------------------------------
+
+
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_discount") * 10000 + 1e-6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("l_quantity") + 1e-6).cast("long").alias("y"),
+    )
+    mom = li.rollup("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    scored = mom.select(
+        F.coalesce("l_returnflag", F.lit("<ALL>")).alias("stratum"),
+        "n",
+        floor_round(num / den, 6).alias("pearson_r"),
+    )
+    overall = scored.where(F.col("stratum") == "<ALL>").select(
+        F.col("pearson_r").alias("r_all")
+    )
+    return (
+        scored.crossJoin(F.broadcast(overall))
+        .select(
+            "stratum",
+            F.col("n").alias("n_lines"),
+            "pearson_r",
+            F.when(
+                F.col("stratum") != "<ALL>",
+                F.signum("pearson_r") != F.signum("r_all"),
+            ).alias("sign_flip_vs_overall"),
+        )
+        .orderBy("stratum")
+    )
+
+
+SIMPSONS_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(floor(l_discount * 10000 + 1e-6) AS BIGINT) AS x,
+         CAST(floor(l_quantity + 1e-6) AS BIGINT) AS y
+  FROM lineitem
+),
+mom AS (
+  SELECT coalesce(l_returnflag, '<ALL>') AS stratum,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM li GROUP BY ROLLUP (l_returnflag)
+),
+scored AS MATERIALIZED (
+  SELECT stratum, n,
+         CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS pearson_r
+  FROM mom
+),
+ov AS (SELECT pearson_r AS r_all FROM scored WHERE stratum = '<ALL>')
+SELECT s.stratum, s.n AS n_lines, s.pearson_r,
+       CASE WHEN s.stratum <> '<ALL>'
+            THEN sign(s.pearson_r) <> sign(o.r_all) END
+         AS sign_flip_vs_overall
+FROM scored s, ov o
+ORDER BY s.stratum
+"""

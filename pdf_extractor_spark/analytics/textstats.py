@@ -6146,3 +6146,317 @@ SELECT tok AS term, n_postings, raw_bits, gamma_bits,
 FROM rows_out
 ORDER BY term
 """
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram cross-entropy (R4-190, training:kn-perplexity):
+# the proper smoothed LM evaluation next to the raw bigram
+# cross-entropy (R4-81) and the CCNet unigram perplexity filter —
+# interpolated KN with fixed discount D (Chen & Goodman 1999):
+#   p(w|v) = max(c(vw)−D, 0)/c(v) + D·N1+(v·)/c(v) · p_cont(w)
+#   p_cont(w) = N1+(·w) / |distinct bigrams|
+# trained on EVEN doc_ids, evaluated held-out on ODD doc_ids per
+# source (stated split). Unseen contexts back off to p_cont(w);
+# eval bigrams with p = 0 (unseen w as continuation) are skipped and
+# counted (n_zero — stated rule; ln 0 must not poison the sum). Per
+# (source, v, w) the ln p lands on an exact 1e-6 BIGINT grid, so the
+# per-source cross-entropy sum is exact integer arithmetic.
+#
+# Scale shape: train-side count tables are three hash aggregates;
+# the eval side groups to DISTINCT (source, v, w) with multiplicity
+# BEFORE the probability joins, so join fan-in is bounded by the
+# eval vocabulary, not the token stream; everything is equi-joins.
+# ---------------------------------------------------------------------------
+
+KN_D = 0.75
+
+
+def kneser_ney_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.filter(_tokens("text"), lambda t: t != "").alias("ft"),
+        )
+    )
+    bigrams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("ft") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ft") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ft", i).alias("v"),
+                        F.element_at("ft", i + 1).alias("w"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+        ).alias("b"),
+    ).select("doc_id", "source", "b.v", "b.w")
+    train = bigrams.where(F.col("doc_id") % 2 == 0)
+    c_vw = train.groupBy("v", "w").agg(
+        F.count("*").cast("long").alias("c_vw")
+    ).localCheckpoint(eager=True)
+    c_v = c_vw.groupBy("v").agg(
+        F.sum("c_vw").cast("long").alias("c_v"),
+        F.count("*").cast("long").alias("n1f"),  # N1+(v·)
+    )
+    n1r = c_vw.groupBy("w").agg(
+        F.count("*").cast("long").alias("n1r")  # N1+(·w)
+    )
+    n_big = c_vw.agg(F.count("*").cast("long").alias("b_total"))
+    ev = (
+        bigrams.where(F.col("doc_id") % 2 == 1)
+        .groupBy("source", "v", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    joined = (
+        ev.join(F.broadcast(c_vw), ["v", "w"], "left")
+        .join(F.broadcast(c_v), "v", "left")
+        .join(F.broadcast(n1r), "w", "left")
+        .crossJoin(F.broadcast(n_big))
+    )
+    p_cont = (
+        F.coalesce(F.col("n1r"), F.lit(0)).cast("double")
+        / F.col("b_total").cast("double")
+    )
+    p_kn = F.when(
+        F.coalesce(F.col("c_v"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") - KN_D,
+            F.lit(0.0),
+        )
+        / F.col("c_v").cast("double")
+        + KN_D
+        * F.col("n1f").cast("double")
+        / F.col("c_v").cast("double")
+        * p_cont,
+    ).otherwise(p_cont)
+    scored = joined.select(
+        "source",
+        "n",
+        p_kn.alias("p"),
+    ).select(
+        "source",
+        "n",
+        F.when(
+            F.col("p") > 0,
+            F.floor(F.log("p") * 1e6 + 1e-6).cast("long"),
+        ).alias("lnp"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("lnp").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            F.sum(
+                F.when(
+                    F.col("lnp").isNotNull(), F.col("n") * F.col("lnp")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_lnp"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "n_zero",
+            _floor_round(
+                -F.col("s_lnp").cast("double")
+                / 1e6
+                / (F.col("n_bigrams") - F.col("n_zero")).cast("double"),
+                4,
+            ).alias("cross_entropy_nats"),
+            _floor_round(
+                F.exp(
+                    -F.col("s_lnp").cast("double")
+                    / 1e6
+                    / (F.col("n_bigrams") - F.col("n_zero")).cast("double")
+                ),
+                4,
+            ).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+KN_CROSSENTROPY_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ft
+  FROM documents WHERE text IS NOT NULL
+),
+bigrams AS MATERIALIZED (
+  SELECT doc_id, source, b.v AS v, b.w AS w
+  FROM (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(ft) >= 2
+                       THEN list_transform(
+                              generate_series(1, len(ft) - 1),
+                              i -> {{'v': ft[i], 'w': ft[i + 1]}})
+                       ELSE CAST([] AS STRUCT(v VARCHAR, w VARCHAR)[])
+                  END) AS b
+    FROM docs
+  )
+),
+c_vw AS MATERIALIZED (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw
+  FROM bigrams WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+c_v AS MATERIALIZED (
+  SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM c_vw GROUP BY 1
+),
+n1r AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n1r FROM c_vw GROUP BY 1
+),
+n_big AS (SELECT CAST(count(*) AS BIGINT) AS b_total FROM c_vw),
+ev AS (
+  SELECT source, v, w, CAST(count(*) AS BIGINT) AS n
+  FROM bigrams WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT source, n,
+         CASE WHEN p > 0
+              THEN CAST(floor(ln(p) * 1000000 + 1e-6) AS BIGINT)
+         END AS lnp
+  FROM (
+    SELECT e.source, e.n,
+           CASE WHEN coalesce(cv.c_v, 0) > 0
+                THEN greatest(CAST(coalesce(c.c_vw, 0) AS DOUBLE)
+                              - CAST({KN_D} AS DOUBLE),
+                              CAST(0 AS DOUBLE))
+                     / CAST(cv.c_v AS DOUBLE)
+                     + CAST({KN_D} AS DOUBLE) * CAST(cv.n1f AS DOUBLE)
+                       / CAST(cv.c_v AS DOUBLE)
+                       * (CAST(coalesce(r.n1r, 0) AS DOUBLE)
+                          / CAST(nb.b_total AS DOUBLE))
+                ELSE CAST(coalesce(r.n1r, 0) AS DOUBLE)
+                     / CAST(nb.b_total AS DOUBLE) END AS p
+    FROM ev e
+    LEFT JOIN c_vw c ON c.v = e.v AND c.w = e.w
+    LEFT JOIN c_v cv ON cv.v = e.v
+    LEFT JOIN n1r r ON r.w = e.w
+    CROSS JOIN n_big nb
+  )
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN lnp IS NULL THEN n ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       CAST(floor(-CAST(sum(CASE WHEN lnp IS NOT NULL THEN n * lnp
+                             ELSE 0 END) AS DOUBLE) / 1e6
+                  / CAST(sum(n) - sum(CASE WHEN lnp IS NULL THEN n
+                                      ELSE 0 END) AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS cross_entropy_nats,
+       CAST(floor(exp(-CAST(sum(CASE WHEN lnp IS NOT NULL THEN n * lnp
+                                ELSE 0 END) AS DOUBLE) / 1e6
+                      / CAST(sum(n) - sum(CASE WHEN lnp IS NULL THEN n
+                                          ELSE 0 END) AS DOUBLE))
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS perplexity
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen-mass estimate (R4-192, training:good-turing):
+# the missing-species statistic a crawler planner reads before
+# deciding whether more data from a source still buys new vocabulary
+# — P(next token is a NEW type) ≈ N₁/N (Good 1953), with the
+# Good-Turing adjusted count for singletons c*₁ = 2·N₂/N₁. Pure
+# frequency-spectrum arithmetic per source (the stylometric
+# machinery of R4-176 pointed at the smoothing question): exact
+# BIGINT spectrum sums, two closed forms.
+# ---------------------------------------------------------------------------
+
+
+def good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # domain = 3-gram shingles (the HLL/KMV lesson): the raw ~31-token
+    # vocabulary saturates instantly (N1 in {0, 1} — the statistic
+    # would answer nothing); shingles carry real singleton mass
+    tok_docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", _tokens().alias("toks"))
+    )
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = tok_docs.select("source", F.explode(grams).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    prof = tf.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("m") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("m") == 2).cast("long")).cast("long").alias("n2"),
+    )
+    return prof.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        _floor_round(
+            F.col("n1").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("p_unseen"),
+        _floor_round(
+            F.when(
+                F.col("n1") > 0,
+                2.0 * F.col("n2").cast("double")
+                / F.col("n1").cast("double"),
+            ),
+            4,
+        ).alias("c1_star"),
+    ).orderBy("source")
+
+
+GOOD_TURING_SQL = r"""
+WITH toks AS (
+  SELECT source, t AS tok FROM (
+    SELECT source,
+           unnest(CASE WHEN len(toks) >= 3
+                       THEN list_transform(
+                              generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i : i + 2], ' '))
+                       ELSE CAST([] AS VARCHAR[]) END) AS t
+    FROM (SELECT source, string_split_regex(text, '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL)
+  )
+),
+tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS m
+  FROM toks GROUP BY 1, 2
+),
+prof AS (
+  SELECT source,
+         CAST(sum(m) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, n_types, n1, n2,
+       CAST(floor(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS p_unseen,
+       CAST(floor(CASE WHEN n1 > 0
+                       THEN 2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  END * 10000 + 1e-6) / 10000 AS DOUBLE) AS c1_star
+FROM prof
+ORDER BY source
+"""
