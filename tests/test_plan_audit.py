@@ -430,3 +430,48 @@ def test_r4_warehouse_batch_plan_shapes(spark):
     assert "CartesianProduct" not in tr
     assert tr.count("NestedLoop") == tr.count("BroadcastNestedLoopJoin")
     assert "Window" not in tr  # calendar-bounded closed forms only
+
+
+def test_r4_continuation3_plan_shapes(spark):
+    """R4-171..192 (this session's additions): candidate/wedge joins
+    ride equi-keys, every nested loop is a bounded broadcast, top-k
+    cuts plan as TakeOrderedAndProject, and iterative fits keep their
+    lineage checkpoint-pinned (no plan blowup shows up as Cartesian
+    or unchecked NestedLoop here)."""
+    # wedge/candidate equi-join family: no all-pairs anywhere
+    for name in ("link_prediction_scores", "simhash_hamming_histogram",
+                 "rake_keywords", "prf_query_expansion",
+                 "textrank_keywords", "bradley_terry_strengths",
+                 "label_propagation_fixed", "kneser_ney_crossentropy"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("NestedLoop") == plan.count(
+            "BroadcastNestedLoopJoin"
+        ), name
+    # link prediction: existing edges drop via a hash anti-join
+    assert "LeftAnti" in _plan(spark, "link_prediction_scores")
+    # top-k cuts: no global sort
+    for name in ("link_prediction_scores", "rake_keywords",
+                 "prf_query_expansion", "textrank_keywords",
+                 "posting_compression_plan"):
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
+    # map-only text pass: sliding windows live inside one projection —
+    # no Window operator, no shuffle before the graded-output sort
+    plan = _plan(spark, "mattr_lexical_diversity")
+    assert "Window" not in plan
+    # per-group windows stay partitioned (no single-partition funnel):
+    # the only global windows in this batch are histogram walks over
+    # bounded value domains (gpd_tail_fit — the lorenz precedent)
+    for name in ("rake_keywords", "sequence_pack_efficiency",
+                 "posting_compression_plan", "kmv_distinct_audit"):
+        plan = _plan(spark, name)
+        for frag in plan.split("Window")[1:]:
+            head = frag[:400]
+            if "windowspecdefinition" in head:
+                assert "SinglePartition" not in head, name
+    # closed-form single-row fits: pure hash aggregates, zero windows
+    for name in ("partial_corr_features", "price_index_pairs",
+                 "spend_migration_matrix", "good_turing_unseen",
+                 "stylometric_richness"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, name
