@@ -1331,6 +1331,14 @@ QUERIES: Dict[str, QuerySpec] = {
         textstats.good_turing_unseen, textstats.GOOD_TURING_SQL,
         "R4-192 Good-Turing unseen-mass estimate per source",
     ),
+    "median_ci_order_stats": QuerySpec(
+        relational.median_ci_order_stats, relational.MEDIAN_CI_SQL,
+        "R4-193 distribution-free order-statistic median CI",
+    ),
+    "embedding_effective_dim": QuerySpec(
+        similarity.embedding_effective_dim, similarity.EFFECTIVE_DIM_SQL,
+        "R4-194 participation-ratio effective dimensionality",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

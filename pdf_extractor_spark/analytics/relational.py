@@ -10845,3 +10845,98 @@ SELECT s.stratum, s.n AS n_lines, s.pearson_r,
 FROM scored s, ov o
 ORDER BY s.stratum
 """
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median CI via order statistics (R4-193): the
+# binomial/normal-approximation confidence interval every robust
+# report should carry next to its median — ranks
+# l = ⌊(n − z√n)/2⌋ (clamped ≥ 1), u = ⌊(n + z√n)/2 + 1⌋ (clamped
+# ≤ n), z = 1.959964; the interval [x₍l₎, x₍u₎] covers the true
+# median with ≥95% probability with NO distributional assumption
+# (order-statistic coverage). Median itself is the nearest-rank
+# value at ⌈n/2⌉ (stated rule — no interpolation-mode divergence).
+# All three rank lookups ride the SAME domain-bounded histogram
+# cumulative walk as the exact-median machinery; rank arithmetic is
+# identical closed-form doubles floored with slack in both engines.
+# ---------------------------------------------------------------------------
+
+MEDIAN_CI_Z = 1.959964
+
+
+def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 1e-6)
+        .cast("long")
+        .alias("c")
+    )
+    hist = cents.groupBy("c").agg(F.count("*").cast("long").alias("n_v"))
+    tot = hist.agg(F.sum("n_v").cast("long").alias("n"))
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "c", F.sum("n_v").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    l_rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((nd - MEDIAN_CI_Z * F.sqrt(nd)) / 2.0 + 1e-6).cast("long"),
+    )
+    u_rank = F.least(
+        F.col("n"),
+        F.floor((nd + MEDIAN_CI_Z * F.sqrt(nd)) / 2.0 + 1.0 + 1e-6).cast(
+            "long"
+        ),
+    )
+    m_rank = F.floor((nd + 1.0) / 2.0 + 1e-6).cast("long")
+    return cum.groupBy("n").agg(
+        F.min(F.when(F.col("cum") >= m_rank, F.col("c")))
+        .cast("long")
+        .alias("median_cents"),
+        F.min(F.when(F.col("cum") >= l_rank, F.col("c")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.min(F.when(F.col("cum") >= u_rank, F.col("c")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    ).select(
+        F.col("n").alias("n_orders"),
+        "median_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )
+
+
+MEDIAN_CI_SQL = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT) AS c
+  FROM orders
+),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS n_v FROM cents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n FROM hist),
+cum AS (
+  SELECT c, CAST(sum(n_v) OVER (ORDER BY c
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+)
+SELECT t.n AS n_orders,
+       CAST(min(CASE WHEN cum >= CAST(floor((CAST(t.n AS DOUBLE) + 1.0)
+                                            / 2.0 + 1e-6) AS BIGINT)
+                     THEN c END) AS BIGINT) AS median_cents,
+       CAST(min(CASE WHEN cum >= greatest(
+                  CAST(1 AS BIGINT),
+                  CAST(floor((CAST(t.n AS DOUBLE)
+                              - {MEDIAN_CI_Z!r} * sqrt(CAST(t.n AS DOUBLE)))
+                             / 2.0 + 1e-6) AS BIGINT))
+                     THEN c END) AS BIGINT) AS ci_lo_cents,
+       CAST(min(CASE WHEN cum >= least(
+                  t.n,
+                  CAST(floor((CAST(t.n AS DOUBLE)
+                              + {MEDIAN_CI_Z!r} * sqrt(CAST(t.n AS DOUBLE)))
+                             / 2.0 + 1.0 + 1e-6) AS BIGINT))
+                     THEN c END) AS BIGINT) AS ci_hi_cents
+FROM cum, tot t
+GROUP BY t.n
+"""

@@ -3293,3 +3293,102 @@ SELECT CAST(n_probe AS INT) AS n_probe,
 FROM pivoted
 ORDER BY n_probe
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding effective dimensionality (R4-194, training:effective-dim):
+# the one-number encoder-health read on top of the per-dimension
+# variance profile (R4-152) — the participation ratio
+# PR = (Σ_d v_d)² / Σ_d v_d², the standard "how many dimensions
+# actually carry variance" statistic (PR = D for isotropic, → 1 for
+# rank-collapsed embeddings; anisotropy/dimension-collapse is the
+# known failure mode of contrastive encoders). Variances land on the
+# shared 1e-8 integer grid, so the numerator square and denominator
+# sum are EXACT BIGINTs ((Σvq)² ≤ ~4e17 at 64 dims — inside BIGINT,
+# stated bound) and only the final ratio is a double.
+#
+# Scale shape: one posexplode → per-dim hash aggregate (64-row
+# state) → one 3-number aggregate. Nothing else moves.
+# ---------------------------------------------------------------------------
+
+
+def embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "x")
+    ).select(
+        "i", F.floor(F.col("x") * 1000000 + 1e-6).cast("long").alias("xq")
+    )
+    agg = comp.groupBy("i").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double") / F.col("n").cast("double") - mu * mu
+    ) / 1.0e12
+    scored = agg.select(
+        F.floor(var * 100000000 + 1e-6).cast("long").alias("vq")
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum("vq").cast("long").alias("sv"),
+        F.sum(F.col("vq") * F.col("vq")).cast("long").alias("svv"),
+        F.max("vq").cast("long").alias("v_max"),
+    )
+    pr = (F.col("sv") * F.col("sv")).cast("double") / F.col(
+        "svv"
+    ).cast("double")
+    return tot.select(
+        "n_dims",
+        floor_round(pr, 4).alias("effective_dim"),
+        floor_round(pr / F.col("n_dims").cast("double"), 6).alias(
+            "pr_ratio"
+        ),
+        floor_round(
+            F.col("v_max").cast("double") / F.col("sv").cast("double"), 6
+        ).alias("top_dim_var_share"),
+    )
+
+
+EFFECTIVE_DIM_SQL = """
+WITH comp AS (
+  SELECT i, CAST(floor(CAST(x AS DOUBLE) * 1000000 + 1e-6) AS BIGINT)
+           AS xq
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+agg AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS s,
+         CAST(sum(xq * xq) AS BIGINT) AS ss
+  FROM comp GROUP BY 1
+),
+scored AS (
+  SELECT CAST(floor((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / 1e12
+                    * 100000000 + 1e-6) AS BIGINT) AS vq
+  FROM agg
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dims,
+         CAST(sum(vq) AS BIGINT) AS sv,
+         CAST(sum(vq * vq) AS BIGINT) AS svv,
+         CAST(max(vq) AS BIGINT) AS v_max
+  FROM scored
+)
+SELECT n_dims,
+       CAST(floor(CAST(sv * sv AS DOUBLE) / CAST(svv AS DOUBLE)
+                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS effective_dim,
+       CAST(floor(CAST(sv * sv AS DOUBLE) / CAST(svv AS DOUBLE)
+                  / CAST(n_dims AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS pr_ratio,
+       CAST(floor(CAST(v_max AS DOUBLE) / CAST(sv AS DOUBLE)
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+         AS top_dim_var_share
+FROM tot
+"""
