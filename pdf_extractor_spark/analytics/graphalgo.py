@@ -892,7 +892,13 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = und.select(
         F.col("a").alias("w"), F.col("b").alias("x")
     ).unionAll(und.select(F.col("b").alias("w"), F.col("a").alias("x")))
-    centers = deg.where(F.col("d") <= LP_HUB_CAP).select(
+    # d >= 2 guard: a degree-1 vertex cannot center a wedge anyway,
+    # and ln(1) = 0 would be an ANSI divide-by-zero on non-contiguous
+    # id corpora (adversarial-sweep find: appended high-id docs leave
+    # dangling degree-1 link targets)
+    centers = deg.where(
+        (F.col("d") <= LP_HUB_CAP) & (F.col("d") >= 2)
+    ).select(
         F.col("v").alias("w"),
         F.floor(1e6 / F.log(F.col("d").cast("double")) + 1e-6)
         .cast("long")
@@ -962,7 +968,7 @@ centers AS (
   SELECT v AS w,
          CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 1e-6) AS BIGINT)
            AS aa_grid_term
-  FROM deg WHERE d <= {LP_HUB_CAP}
+  FROM deg WHERE d <= {LP_HUB_CAP} AND d >= 2
 ),
 cand AS (
   SELECT a1.x AS u, a2.x AS v,

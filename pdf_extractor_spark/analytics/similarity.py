@@ -2537,9 +2537,27 @@ LIMIT {OUT_TOP}
 # ---------------------------------------------------------------------------
 
 
+
+# Profile-audit component clamp (adversarial-sweep hardening, the §14
+# LONG-cliff class): statistical profile audits quantize components /
+# norms onto integer grids, and a junk 1e18-magnitude component must
+# DEGRADE (saturate at the clamp) rather than overflow the grid cast
+# or poison float sums with catastrophic cancellation. ±1e3 is far
+# outside any sane encoder's range (clean corpus max |x| = 0.58), so
+# the clamp is inert on real data; identical in both engines.
+EMB_PROFILE_CLAMP = 1e3
+
+
+def _prof_clamp(x):
+    return F.least(F.greatest(x, F.lit(-EMB_PROFILE_CLAMP)),
+                   F.lit(EMB_PROFILE_CLAMP))
+
+
 def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    x = lambda i: F.col("embedding")[i].cast("double")  # noqa: E731
+    x = lambda i: _prof_clamp(  # noqa: E731
+        F.col("embedding")[i].cast("double")
+    )
     sums = emb.groupBy("label").agg(
         F.count("*").cast("long").alias("n_vecs"),
         *[F.sum(x(i)).alias(f"s{i}") for i in range(DIMS)],
@@ -2574,12 +2592,15 @@ def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+_FR_CL = (
+    "least(greatest(CAST(embedding[{j}] AS DOUBLE), -1e3), 1e3)"
+)
 _FR_S_LIST = "[" + ", ".join(
-    f"sum(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(DIMS)
+    f"sum({_FR_CL.format(j=i + 1)})" for i in range(DIMS)
 ) + "]"
 _FR_Q_LIST = "[" + ", ".join(
-    f"sum(CAST(embedding[{i + 1}] AS DOUBLE)"
-    f" * CAST(embedding[{i + 1}] AS DOUBLE))"
+    f"sum({_FR_CL.format(j=i + 1)}"
+    f" * {_FR_CL.format(j=i + 1)})"
     for i in range(DIMS)
 ) + "]"
 _FR_G_LIST = "[" + ", ".join(f"sum(s[{i + 1}])" for i in range(DIMS)) + "]"
@@ -2927,7 +2948,8 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             _as_double(F.col("embedding")),
             F.lit(0.0),
-            lambda acc, x: acc + x * x,
+            lambda acc, x: acc
+            + _prof_clamp(x) * _prof_clamp(x),
         )
     )
     q = emb.select(
@@ -2937,7 +2959,10 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = q.groupBy("label").agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.sum("nq").cast("long").alias("s"),
-        F.sum(F.col("nq") * F.col("nq")).cast("long").alias("ss"),
+        # decimal(38,0): exact integer sum without long's overflow
+        # cliff (nq is clamp-bounded but nq**2 sums grow with corpus)
+        F.sum((F.col("nq") * F.col("nq")).cast("decimal(38,0)"))
+        .alias("ss"),
         F.min("nq").cast("long").alias("mn"),
         F.max("nq").cast("long").alias("mx"),
     )
@@ -2960,7 +2985,8 @@ NORM_PROFILE_SQL = """
 WITH q AS (
   SELECT label,
          CAST(floor(sqrt(list_sum(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                x -> least(greatest(CAST(x AS DOUBLE), -1e3), 1e3)
+                     * least(greatest(CAST(x AS DOUBLE), -1e3), 1e3))))
                     * 10000 + 1e-6) AS BIGINT) AS nq
   FROM embeddings
 ),
@@ -2968,7 +2994,7 @@ agg AS (
   SELECT label,
          CAST(count(*) AS BIGINT) AS n_vecs,
          CAST(sum(nq) AS BIGINT) AS s,
-         CAST(sum(nq * nq) AS BIGINT) AS ss,
+         CAST(sum(nq * nq) AS HUGEINT) AS ss,
          CAST(min(nq) AS BIGINT) AS mn,
          CAST(max(nq) AS BIGINT) AS mx
   FROM q GROUP BY 1
@@ -3004,12 +3030,16 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = emb.select(
         F.posexplode(_as_double(F.col("embedding"))).alias("i", "x")
     ).select(
-        "i", F.floor(F.col("x") * 1000000 + 1e-6).cast("long").alias("xq")
+        "i",
+        F.floor(_prof_clamp(F.col("x")) * 1000000 + 1e-6)
+        .cast("long")
+        .alias("xq"),
     )
     agg = comp.groupBy("i").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("xq").cast("long").alias("s"),
-        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("ss"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)"))
+        .alias("ss"),
     )
     mu = F.col("s").cast("double") / F.col("n").cast("double")
     var = (
@@ -3040,7 +3070,8 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DIM_VARIANCE_SQL = """
 WITH comp AS (
-  SELECT i, CAST(floor(CAST(x AS DOUBLE) * 1000000 + 1e-6) AS BIGINT)
+  SELECT i, CAST(floor(least(greatest(CAST(x AS DOUBLE), -1e3), 1e3)
+                       * 1000000 + 1e-6) AS BIGINT)
            AS xq
   FROM (SELECT unnest(embedding) AS x,
                generate_subscripts(embedding, 1) - 1 AS i
@@ -3050,7 +3081,7 @@ agg AS (
   SELECT i,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(xq) AS BIGINT) AS s,
-         CAST(sum(xq * xq) AS BIGINT) AS ss
+         CAST(sum(xq * xq) AS HUGEINT) AS ss
   FROM comp GROUP BY 1
 ),
 scored AS (
@@ -3317,12 +3348,16 @@ def embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = emb.select(
         F.posexplode(_as_double(F.col("embedding"))).alias("i", "x")
     ).select(
-        "i", F.floor(F.col("x") * 1000000 + 1e-6).cast("long").alias("xq")
+        "i",
+        F.floor(_prof_clamp(F.col("x")) * 1000000 + 1e-6)
+        .cast("long")
+        .alias("xq"),
     )
     agg = comp.groupBy("i").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("xq").cast("long").alias("s"),
-        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("ss"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)"))
+        .alias("ss"),
     )
     mu = F.col("s").cast("double") / F.col("n").cast("double")
     var = (
@@ -3334,12 +3369,14 @@ def embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = scored.agg(
         F.count("*").cast("long").alias("n_dims"),
         F.sum("vq").cast("long").alias("sv"),
-        F.sum(F.col("vq") * F.col("vq")).cast("long").alias("svv"),
+        # vq is clamp-bounded ~1e14, so vq**2 needs decimal width
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq"))
+        .alias("svv"),
         F.max("vq").cast("long").alias("v_max"),
     )
-    pr = (F.col("sv") * F.col("sv")).cast("double") / F.col(
-        "svv"
-    ).cast("double")
+    pr = (
+        F.col("sv").cast("decimal(38,0)") * F.col("sv")
+    ).cast("double") / F.col("svv").cast("double")
     return tot.select(
         "n_dims",
         floor_round(pr, 4).alias("effective_dim"),
@@ -3354,7 +3391,8 @@ def embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EFFECTIVE_DIM_SQL = """
 WITH comp AS (
-  SELECT i, CAST(floor(CAST(x AS DOUBLE) * 1000000 + 1e-6) AS BIGINT)
+  SELECT i, CAST(floor(least(greatest(CAST(x AS DOUBLE), -1e3), 1e3)
+                       * 1000000 + 1e-6) AS BIGINT)
            AS xq
   FROM (SELECT unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
@@ -3363,7 +3401,7 @@ WITH comp AS (
 agg AS (
   SELECT i, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(xq) AS BIGINT) AS s,
-         CAST(sum(xq * xq) AS BIGINT) AS ss
+         CAST(sum(xq * xq) AS HUGEINT) AS ss
   FROM comp GROUP BY 1
 ),
 scored AS (
@@ -3377,14 +3415,16 @@ scored AS (
 tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n_dims,
          CAST(sum(vq) AS BIGINT) AS sv,
-         CAST(sum(vq * vq) AS BIGINT) AS svv,
+         CAST(sum(CAST(vq AS HUGEINT) * vq) AS HUGEINT) AS svv,
          CAST(max(vq) AS BIGINT) AS v_max
   FROM scored
 )
 SELECT n_dims,
-       CAST(floor(CAST(sv * sv AS DOUBLE) / CAST(svv AS DOUBLE)
+       CAST(floor(CAST(CAST(sv AS HUGEINT) * sv AS DOUBLE)
+                  / CAST(svv AS DOUBLE)
                   * 10000 + 1e-6) / 10000 AS DOUBLE) AS effective_dim,
-       CAST(floor(CAST(sv * sv AS DOUBLE) / CAST(svv AS DOUBLE)
+       CAST(floor(CAST(CAST(sv AS HUGEINT) * sv AS DOUBLE)
+                  / CAST(svv AS DOUBLE)
                   / CAST(n_dims AS DOUBLE)
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS pr_ratio,
        CAST(floor(CAST(v_max AS DOUBLE) / CAST(sv AS DOUBLE)

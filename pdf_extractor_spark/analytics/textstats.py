@@ -5294,7 +5294,11 @@ def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.size(F.col("toks"))
-    docs = docs.select("doc_id", "toks", n.alias("n_tokens"))
+    # token-less docs (whitespace-only text) have no diversity to
+    # measure — dropped by rule; keeps every later ratio ANSI-safe
+    docs = docs.select("doc_id", "toks", n.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
     # guard: sequence(1, 0) DESCENDS in Spark (PLANS 17.8) — gate on n >= W
     win_counts = F.when(
         F.col("n_tokens") >= MATTR_W,
@@ -5349,6 +5353,7 @@ base AS MATERIALIZED (
   SELECT doc_id, l, len(l) AS n_tokens,
          len(list_distinct(l)) AS n_types
   FROM toks
+  WHERE len(l) > 0
 ),
 wins AS (
   SELECT doc_id, n_tokens, n_types,
