@@ -1339,6 +1339,10 @@ QUERIES: Dict[str, QuerySpec] = {
         similarity.embedding_effective_dim, similarity.EFFECTIVE_DIM_SQL,
         "R4-194 participation-ratio effective dimensionality",
     ),
+    "mann_kendall_trend": QuerySpec(
+        relational.mann_kendall_trend, relational.MANN_KENDALL_SQL,
+        "R4-195 Mann-Kendall monotone-trend test (Theil-Sen companion)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

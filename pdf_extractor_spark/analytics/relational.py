@@ -10940,3 +10940,147 @@ SELECT t.n AS n_orders,
 FROM cum, tot t
 GROUP BY t.n
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on daily revenue (R4-195): the significance
+# companion to the Theil-Sen slope (R4-101) — the standard
+# non-parametric pair: MK answers IS there a monotone trend, Theil-Sen
+# answers how steep. S = Σ_{i<j} sign(c_j − c_i) over day pairs
+# (exact integer), tie-corrected variance
+# Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 (exact integer
+# arithmetic over the value-tie histogram; /18 as the only rational),
+# continuity-corrected z, and a trend verdict decided on the FLOORED
+# z grid vs ±1.96 (the rounded-grid decision rule).
+#
+# Scale shape: identical to Theil-Sen — the pair join is over the
+# CALENDAR-bounded daily aggregate (domain², not corpus²; stated
+# bound), S is a map-side-combinable integer sum, ties come from one
+# value histogram.
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("day", F.col("o_orderdate"))
+            .cast("date")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 1e-6).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    s_stat = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.signum(F.col("cb") - F.col("ca")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where(F.col("t") >= 2)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tie_term")
+        )
+    )
+    j = s_stat.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("double") / 18.0
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var_s)
+    ).when(
+        F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    zf = floor_round(z, 4)
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        floor_round(var_s, 4).alias("var_s"),
+        zf.alias("z_score"),
+        F.when(zf > 1.96, F.lit("increasing"))
+        .when(zf < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no-trend"))
+        .alias("trend"),
+    )
+
+
+MANN_KENDALL_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 1e-6) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+s_stat AS (
+  SELECT CAST(sum(CAST(sign(b.cents - a.cents) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY cents)
+  WHERE t >= 2
+),
+j AS (SELECT s, n, tie_term FROM s_stat, nn, ties)
+SELECT n AS n_days, s AS s_stat,
+       CAST(floor(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                  / 18.0 * 10000 + 1e-6) / 10000 AS DOUBLE) AS var_s,
+       CAST(floor(CASE WHEN s > 0
+                       THEN CAST(s - 1 AS DOUBLE)
+                            / sqrt(CAST(n * (n - 1) * (2 * n + 5)
+                                        - tie_term AS DOUBLE) / 18.0)
+                       WHEN s < 0
+                       THEN CAST(s + 1 AS DOUBLE)
+                            / sqrt(CAST(n * (n - 1) * (2 * n + 5)
+                                        - tie_term AS DOUBLE) / 18.0)
+                       ELSE 0.0 END * 10000 + 1e-6) / 10000 AS DOUBLE)
+         AS z_score,
+       CASE WHEN floor(CASE WHEN s > 0
+                            THEN CAST(s - 1 AS DOUBLE)
+                                 / sqrt(CAST(n * (n - 1) * (2 * n + 5)
+                                             - tie_term AS DOUBLE) / 18.0)
+                            WHEN s < 0
+                            THEN CAST(s + 1 AS DOUBLE)
+                                 / sqrt(CAST(n * (n - 1) * (2 * n + 5)
+                                             - tie_term AS DOUBLE) / 18.0)
+                            ELSE 0.0 END * 10000 + 1e-6) / 10000 > 1.96
+            THEN 'increasing'
+            WHEN floor(CASE WHEN s > 0
+                            THEN CAST(s - 1 AS DOUBLE)
+                                 / sqrt(CAST(n * (n - 1) * (2 * n + 5)
+                                             - tie_term AS DOUBLE) / 18.0)
+                            WHEN s < 0
+                            THEN CAST(s + 1 AS DOUBLE)
+                                 / sqrt(CAST(n * (n - 1) * (2 * n + 5)
+                                             - tie_term AS DOUBLE) / 18.0)
+                            ELSE 0.0 END * 10000 + 1e-6) / 10000 < -1.96
+            THEN 'decreasing'
+            ELSE 'no-trend' END AS trend
+FROM j
+"""

@@ -74,3 +74,48 @@ def test_effective_dim_recompute(spark):
     assert r["pr_ratio"] == _fl(pr / len(vqs), 6)
     assert r["top_dim_var_share"] == _fl(max(vqs) / sv, 6)
     assert 1.0 <= r["effective_dim"] <= len(vqs) + 1e-9
+
+
+def test_mann_kendall_recompute(spark):
+    """R4-195: S, tie-corrected variance, continuity-corrected z and
+    the grid-decided verdict equal a direct Python pair walk."""
+    from collections import Counter, defaultdict
+
+    from pdf_extractor_spark.analytics.relational import (
+        mann_kendall_trend,
+    )
+
+    daily = defaultdict(int)
+    for row in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        daily[row["o_orderdate"].date()] += math.floor(
+            row["o_totalprice"] * 100 + 1e-6
+        )
+    vals = [c for _, c in sorted(daily.items())]
+    n = len(vals)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+    ties = Counter(vals)
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t >= 2
+    )
+    var_s = float(n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = float(s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = float(s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    zf = _fl(z, 4)
+    trend = (
+        "increasing" if zf > 1.96
+        else "decreasing" if zf < -1.96
+        else "no-trend"
+    )
+    r = mann_kendall_trend(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert r["s_stat"] == s
+    assert r["var_s"] == _fl(var_s, 4)
+    assert r["z_score"] == zf
+    assert r["trend"] == trend
