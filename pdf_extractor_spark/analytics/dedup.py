@@ -579,14 +579,14 @@ SELECT node AS doc_id, min(r) AS survivor FROM reach GROUP BY 1
 
 
 NGRAM_JACCARD_SQL = rf"""
-WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
-cand AS (
+WITH bands AS MATERIALIZED ({_minhash_sql(_DUP_SOURCE_SQL)}),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, lang, list_distinct({_SHINGLES_SQL}) AS shset
   FROM (
     SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS toks
@@ -1651,7 +1651,7 @@ def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_CURVE_SQL = f"""
-WITH pairs AS ({NGRAM_JACCARD_SQL}),
+WITH pairs AS MATERIALIZED ({NGRAM_JACCARD_SQL}),
 thr(threshold) AS (VALUES {', '.join(f'(CAST({t} AS DOUBLE))' for t in JACCARD_THRESHOLDS)}),
 exploded AS (
   SELECT t.threshold, u.doc_id
@@ -2741,14 +2741,14 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CROSS_SOURCE_DUP_SQL = rf"""
-WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
-cand AS (
+WITH bands AS MATERIALIZED ({_minhash_sql(_DUP_SOURCE_SQL)}),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, lang, list_distinct({_SHINGLES_SQL}) AS shset
   FROM (
     SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS toks

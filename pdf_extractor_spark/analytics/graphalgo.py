@@ -928,11 +928,16 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u",
             "v",
             "cn",
+            # "capped": cn counts only common neighbors passing the
+            # 2<=d<=LP_HUB_CAP center filter while du/dv are full
+            # degrees — a deliberate production trade (hubs contribute
+            # ~0 AA weight), named so consumers don't read it as the
+            # true neighborhood Jaccard
             floor_round(
                 F.col("cn").cast("double")
                 / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
                 6,
-            ).alias("jaccard"),
+            ).alias("jaccard_capped"),
             (F.col("aa_grid").cast("double") / 1e6).alias("adamic_adar"),
             F.col("aa_grid"),
         )
@@ -986,7 +991,7 @@ non_edges AS (
 SELECT ne.u, ne.v, ne.cn,
        CAST(floor(CAST(ne.cn AS DOUBLE)
                   / CAST(gu.d + gv.d - ne.cn AS DOUBLE)
-                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS jaccard,
+                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS jaccard_capped,
        CAST(ne.aa_grid AS DOUBLE) / 1000000.0 AS adamic_adar,
        ne.aa_grid
 FROM non_edges ne

@@ -10515,20 +10515,24 @@ def interarrival_exponential_fit(
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("b") * F.col("y")).cast("long").alias("swy"),
     )
-    slope = (
+    # ANSI guard: with ≤1 occupied bin n*sww - sw*sw = 0 (the OLS
+    # slope is undefined) — NULL, matching the oracle's CASE n >= 2
+    slope = F.when(
+        F.col("n") >= 2,
         (F.col("n") * F.col("swy") - F.col("sw") * F.col("sy")).cast(
             "double"
         )
         / (F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")).cast(
             "double"
         )
-        / 1e6
+        / 1e6,
     )
     lam = -slope
-    observed_mean_h = (
+    observed_mean_h = F.when(
+        F.col("n_gaps") > 0,
         F.col("s_gap").cast("double")
         / F.col("n_gaps").cast("double")
-        / float(IAF_BIN_SECONDS)
+        / float(IAF_BIN_SECONDS),
     )
     return (
         mom.crossJoin(F.broadcast(gstats))
@@ -10578,10 +10582,12 @@ mom AS (
 )
 SELECT g.n_gaps,
        m.n AS n_bins,
+       CASE WHEN m.n >= 2 THEN
        CAST(floor(-(CAST(m.n * m.swy - m.sw * m.sy AS DOUBLE)
                     / CAST(m.n * m.sww - m.sw * m.sw AS DOUBLE) / 1e6)
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE)
-         AS lambda_per_hour,
+       END AS lambda_per_hour,
+       CASE WHEN m.n >= 2 THEN
        CAST(floor(CASE WHEN -(CAST(m.n * m.swy - m.sw * m.sy AS DOUBLE)
                               / CAST(m.n * m.sww - m.sw * m.sw AS DOUBLE)
                               / 1e6) > 0
@@ -10590,11 +10596,12 @@ SELECT g.n_gaps,
                                      / CAST(m.n * m.sww - m.sw * m.sw
                                             AS DOUBLE) / 1e6))
                   END * 10000 + 1e-6) / 10000 AS DOUBLE)
-         AS implied_mean_hours,
+       END AS implied_mean_hours,
+       CASE WHEN g.n_gaps > 0 THEN
        CAST(floor(CAST(g.s_gap AS DOUBLE) / CAST(g.n_gaps AS DOUBLE)
                   / {IAF_BIN_SECONDS}.0
                   * 10000 + 1e-6) / 10000 AS DOUBLE)
-         AS observed_mean_hours
+       END AS observed_mean_hours
 FROM mom m, gstats g
 """
 
@@ -10651,11 +10658,16 @@ def gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(tot))
     m = F.col("s").cast("double") / F.col("n_e").cast("double")
     v = F.col("s2").cast("double") / F.col("n_e").cast("double") - m * m
-    xi = 0.5 * (1.0 - m * m / v)
+    # ANSI guards: v=0 (all excesses identical) makes xi undefined;
+    # xi=0 (m² exactly equals v) makes the return level undefined —
+    # NULL both, matching the oracle's CASE chain
+    xi = F.when(v > 0, 0.5 * (1.0 - m * m / v))
     sigma = m * (1.0 - xi)
     zeta = F.col("n_e").cast("double") / F.col("n").cast("double")
-    ret = F.col("u").cast("double") + sigma / xi * (
-        F.pow(float(GPD_RET_T) * zeta, xi) - 1.0
+    ret = F.when(
+        xi != 0,
+        F.col("u").cast("double")
+        + sigma / xi * (F.pow(float(GPD_RET_T) * zeta, xi) - 1.0),
     )
     return mom.select(
         F.col("u").alias("threshold_cents"),
@@ -10691,55 +10703,39 @@ mom AS (
          CAST(sum((c - u) * (c - u)) AS BIGINT) AS s2
   FROM cents, u_row WHERE c > u
   GROUP BY u
+),
+derived AS (
+  SELECT u, n_e, t.n AS n,
+         CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE) AS m,
+         CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE)) AS v
+  FROM mom, tot t
+),
+fit AS (
+  SELECT u, n_e, n, m,
+         CASE WHEN v > 0 THEN 0.5 * (1.0 - m * m / v) END AS xi
+  FROM derived
 )
 SELECT u AS threshold_cents, n_e AS n_exceed,
-       CAST(floor(CAST(n_e AS DOUBLE) / CAST(t.n AS DOUBLE)
+       CAST(floor(CAST(n_e AS DOUBLE) / CAST(n AS DOUBLE)
                   * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS exceed_rate,
-       CAST(floor(0.5 * (1.0 - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                               * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                               / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
-                                  - (CAST(s AS DOUBLE)
-                                     / CAST(n_e AS DOUBLE))
-                                    * (CAST(s AS DOUBLE)
-                                       / CAST(n_e AS DOUBLE))))
-                  * 1000000 + 1e-6) / 1000000 AS DOUBLE) AS xi,
-       CAST(floor((CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                  * (1.0 - 0.5 * (1.0
-                       - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                         * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                         / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
-                            - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                              * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE)))))
-                  * 100 + 1e-6) / 100 AS DOUBLE) AS sigma_cents,
-       CAST(floor((CAST(u AS DOUBLE)
-                   + ((CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                      * (1.0 - 0.5 * (1.0
-                           - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                             * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                             / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
-                                - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                                  * (CAST(s AS DOUBLE)
-                                     / CAST(n_e AS DOUBLE))))))
-                     / (0.5 * (1.0
-                          - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                            * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                            / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
-                               - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                                 * (CAST(s AS DOUBLE)
-                                    / CAST(n_e AS DOUBLE)))))
-                     * (pow({float(GPD_RET_T)!r}
-                            * (CAST(n_e AS DOUBLE) / CAST(t.n AS DOUBLE)),
-                            0.5 * (1.0
-                              - (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                                * (CAST(s AS DOUBLE) / CAST(n_e AS DOUBLE))
-                                / (CAST(s2 AS DOUBLE) / CAST(n_e AS DOUBLE)
-                                   - (CAST(s AS DOUBLE)
-                                      / CAST(n_e AS DOUBLE))
-                                     * (CAST(s AS DOUBLE)
-                                        / CAST(n_e AS DOUBLE)))))
-                        - 1.0))
-                  * 100 + 1e-6) / 100 AS DOUBLE) AS ret10k_cents
-FROM mom, tot t
+       CASE WHEN xi IS NOT NULL THEN
+         CAST(floor(xi * 1000000 + 1e-6) / 1000000 AS DOUBLE)
+       END AS xi,
+       CASE WHEN xi IS NOT NULL THEN
+         CAST(floor(m * (1.0 - xi) * 100 + 1e-6) / 100 AS DOUBLE)
+       END AS sigma_cents,
+       CASE WHEN xi IS NOT NULL AND xi <> 0 THEN
+         CAST(floor((CAST(u AS DOUBLE)
+                     + (m * (1.0 - xi)) / xi
+                       * (pow({float(GPD_RET_T)!r}
+                              * (CAST(n_e AS DOUBLE) / CAST(n AS DOUBLE)),
+                              xi)
+                          - 1.0))
+                    * 100 + 1e-6) / 100 AS DOUBLE)
+       END AS ret10k_cents
+FROM fit
 """
 
 

@@ -5683,7 +5683,9 @@ cand AS MATERIALIZED (
   LIMIT {PRF_EXP_TERMS}
 ),
 exp_label AS (
-  SELECT string_agg(tok, ' ' ORDER BY weight DESC, tok ASC)
+  -- coalesce: empty cand must yield '' like Spark's concat_ws over an
+  -- empty collect_list (string_agg over zero rows is NULL in DuckDB)
+  SELECT coalesce(string_agg(tok, ' ' ORDER BY weight DESC, tok ASC), '')
     AS expansion_terms
   FROM cand
 ),
@@ -6272,19 +6274,28 @@ def kneser_ney_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_bigrams",
             "n_zero",
-            _floor_round(
-                -F.col("s_lnp").cast("double")
-                / 1e6
-                / (F.col("n_bigrams") - F.col("n_zero")).cast("double"),
-                4,
-            ).alias("cross_entropy_nats"),
-            _floor_round(
-                F.exp(
+            # ANSI guard: a source whose every held-out bigram has p=0
+            # (all continuation words unseen in training) makes the
+            # denominator 0 — NULL, matching the oracle's CASE WHEN
+            F.when(
+                (F.col("n_bigrams") - F.col("n_zero")) > 0,
+                _floor_round(
                     -F.col("s_lnp").cast("double")
                     / 1e6
-                    / (F.col("n_bigrams") - F.col("n_zero")).cast("double")
+                    / (F.col("n_bigrams") - F.col("n_zero")).cast("double"),
+                    4,
                 ),
-                4,
+            ).alias("cross_entropy_nats"),
+            F.when(
+                (F.col("n_bigrams") - F.col("n_zero")) > 0,
+                _floor_round(
+                    F.exp(
+                        -F.col("s_lnp").cast("double")
+                        / 1e6
+                        / (F.col("n_bigrams") - F.col("n_zero")).cast("double")
+                    ),
+                    4,
+                ),
             ).alias("perplexity"),
         )
         .orderBy("source")
@@ -6356,16 +6367,20 @@ SELECT source,
        CAST(sum(n) AS BIGINT) AS n_bigrams,
        CAST(sum(CASE WHEN lnp IS NULL THEN n ELSE 0 END) AS BIGINT)
          AS n_zero,
-       CAST(floor(-CAST(sum(CASE WHEN lnp IS NOT NULL THEN n * lnp
+       CASE WHEN sum(n) - sum(CASE WHEN lnp IS NULL THEN n ELSE 0 END) > 0
+       THEN CAST(floor(-CAST(sum(CASE WHEN lnp IS NOT NULL THEN n * lnp
                              ELSE 0 END) AS DOUBLE) / 1e6
                   / CAST(sum(n) - sum(CASE WHEN lnp IS NULL THEN n
                                       ELSE 0 END) AS DOUBLE)
-                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS cross_entropy_nats,
-       CAST(floor(exp(-CAST(sum(CASE WHEN lnp IS NOT NULL THEN n * lnp
+                  * 10000 + 1e-6) / 10000 AS DOUBLE)
+       END AS cross_entropy_nats,
+       CASE WHEN sum(n) - sum(CASE WHEN lnp IS NULL THEN n ELSE 0 END) > 0
+       THEN CAST(floor(exp(-CAST(sum(CASE WHEN lnp IS NOT NULL THEN n * lnp
                                 ELSE 0 END) AS DOUBLE) / 1e6
                       / CAST(sum(n) - sum(CASE WHEN lnp IS NULL THEN n
                                           ELSE 0 END) AS DOUBLE))
-                  * 10000 + 1e-6) / 10000 AS DOUBLE) AS perplexity
+                  * 10000 + 1e-6) / 10000 AS DOUBLE)
+       END AS perplexity
 FROM scored
 GROUP BY 1
 ORDER BY 1

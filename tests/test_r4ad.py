@@ -70,7 +70,7 @@ def test_link_prediction_recompute(spark):
         for negaa, negcn, u, v, jac in cand[:LP_TOP]
     ]
     got = [
-        (r["u"], r["v"], r["cn"], r["jaccard"], r["adamic_adar"],
+        (r["u"], r["v"], r["cn"], r["jaccard_capped"], r["adamic_adar"],
          r["aa_grid"])
         for r in link_prediction_scores(spark, SF).collect()
     ]
