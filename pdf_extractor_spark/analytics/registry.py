@@ -1343,6 +1343,22 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.mann_kendall_trend, relational.MANN_KENDALL_SQL,
         "R4-195 Mann-Kendall monotone-trend test (Theil-Sen companion)",
     ),
+    "tpch_q11_important_stock": QuerySpec(
+        relational.tpch_q11_important_stock, relational.TPCH_Q11_SQL,
+        "R5-1 Q11 group HAVING over a scalar subquery (22/22 close)",
+    ),
+    "tpch_q12_shipmode_priority": QuerySpec(
+        relational.tpch_q12_shipmode_priority, relational.TPCH_Q12_SQL,
+        "R5-2 Q12 late-lineitem priority counts by derived ship mode",
+    ),
+    "tpch_q20_promotion_suppliers": QuerySpec(
+        relational.tpch_q20_promotion_suppliers, relational.TPCH_Q20_SQL,
+        "R5-3 Q20 nested semi-join chain over the partsupp stand-in",
+    ),
+    "tpch_q21_waiting_suppliers": QuerySpec(
+        relational.tpch_q21_waiting_suppliers, relational.TPCH_Q21_SQL,
+        "R5-4 Q21 multi-EXISTS anti pattern (waiting suppliers)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -11080,3 +11080,413 @@ SELECT n AS n_days, s AS s_stat,
             ELSE 'no-trend' END AS trend
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H 22/22 (R5-1..R5-4): Q11 / Q12 / Q20 / Q21 — the four shapes
+# excluded at R4-29 because the synthetic corpus has no partsupp
+# table, no l_shipmode, and no commit/receipt dates. Rather than skip
+# them, the missing attributes are DERIVED deterministically from the
+# lineitem primary key via md5 (the repo's cross-engine hashing rule),
+# identically in both engines, so the oracle gate grades real plans
+# over real data:
+#   h1/h2/h3 = md5('lx|'||l_orderkey||'|'||l_linenumber) hex bytes
+#              1-8 / 9-16 / 17-24 as BIGINT
+#   l_shipmode     = MODES[h1 % 7 + 1]   (7 TPC-H ship modes)
+#   l_commit_days  = h2 % 31             (offset from shipdate, days)
+#   l_receipt_days = 1 + h3 % 30
+# "late" compares the INTEGER offsets (receipt_days > commit_days) —
+# no engine-specific date arithmetic in the hot predicate. partsupp
+# stand-in follows the Q2/Q16 precedent: the observed (l_partkey,
+# l_suppkey) relation with ps_availqty = Σ floor(l_quantity) (exact
+# BIGINT) and ps_supplycost on the 1e4 grid via the min unit price
+# (min: summation-order-independent, bit-identical cross-engine).
+# Nation slices stand in for the named-nation literals: % 5 == 0
+# ('GERMANY', Q11), % 4 == 1 ('CANADA', Q20), % 5 == 2
+# ('SAUDI ARABIA', Q21).
+# Reference anchor: AQL filtered-aggregation layer
+# (src/pdf_extractor/arangodb/search_api/* — SURVEY §2.2/2.5).
+# ---------------------------------------------------------------------------
+
+TPCH_MODES = ("AIR", "AIR REG", "FOB", "MAIL", "RAIL", "SHIP", "TRUCK")
+# HAVING part_value > MULT × mean part value — scale-free (TPC-H's
+# FRACTION/SF): value·n_parts > MULT·total compares exact BIGINTs and
+# keeps a stable share of parts at every SF
+TPCH_Q11_MULT = 2
+TPCH_Q12_MODES = ("MAIL", "SHIP")
+TPCH_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+def _li_ext(li: DataFrame) -> DataFrame:
+    """lineitem + derived shipmode / commit-day / receipt-day columns."""
+    md = F.md5(
+        F.concat(
+            F.lit("lx|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    h1 = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    h3 = F.conv(F.substring(md, 17, 8), 16, 10).cast("long")
+    modes = F.array(*[F.lit(m) for m in TPCH_MODES])
+    return (
+        li.withColumn(
+            "l_shipmode", F.element_at(modes, (h1 % 7 + 1).cast("int"))
+        )
+        .withColumn("l_commit_days", h2 % 31)
+        .withColumn("l_receipt_days", h3 % 30 + 1)
+    )
+
+
+_LI_MD5 = (
+    "md5('lx|' || CAST(l_orderkey AS VARCHAR) || '|' || "
+    "CAST(l_linenumber AS VARCHAR))"
+)
+_LI_MODE_LIST = "[" + ", ".join(f"'{m}'" for m in TPCH_MODES) + "]"
+_LI_EXT_SQL = f"""
+  SELECT l.*,
+         ({_LI_MODE_LIST})[
+           CAST(CAST('0x' || substr({_LI_MD5}, 1, 8) AS BIGINT) % 7 + 1
+                AS INT)] AS l_shipmode,
+         CAST('0x' || substr({_LI_MD5}, 9, 8) AS BIGINT) % 31
+           AS l_commit_days,
+         CAST('0x' || substr({_LI_MD5}, 17, 8) AS BIGINT) % 30 + 1
+           AS l_receipt_days
+  FROM lineitem l
+"""
+
+# the Q2/Q16 partsupp stand-in with exact-integer stock/cost columns
+_PS_SQL = """
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_quantity + 1e-6) AS BIGINT)) AS BIGINT)
+           AS availqty,
+         CAST(floor(min(l_extendedprice / l_quantity) * 10000 + 1e-6)
+              AS BIGINT) AS supplycost_grid
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _ps_standin(li: DataFrame) -> DataFrame:
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.floor(F.col("l_quantity") + 1e-6))
+        .cast("long")
+        .alias("availqty"),
+        F.floor(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000
+            + 1e-6
+        )
+        .cast("long")
+        .alias("supplycost_grid"),
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 analog — important stock: group HAVING over a scalar
+    subquery. value rides an exact BIGINT grid (supplycost_grid ×
+    availqty) so the HAVING compares integers (part_value · n_parts >
+    MULT · total_value, i.e. value > MULT × the mean — scale-free, so
+    the cut stays non-trivial at every SF). Plan: one pair hash agg,
+    the nation-slice supplier dim BROADCAST into it, one part hash
+    agg, and the scalar total as a broadcast cross join — no window,
+    no per-row subquery."""
+    li = load(spark, sf_dir, "lineitem")
+    nat_sup = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") % 5 == 0)
+        .select("s_suppkey")
+    )
+    val = (
+        _ps_standin(li)
+        .join(
+            F.broadcast(nat_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "l_partkey",
+            (F.col("supplycost_grid") * F.col("availqty")).alias(
+                "value_grid"
+            ),
+        )
+    )
+    per_part = val.groupBy("l_partkey").agg(
+        F.sum("value_grid").cast("long").alias("value_grid")
+    )
+    total = per_part.agg(
+        F.sum("value_grid").cast("long").alias("total_grid"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_grid") * F.col("n_parts")
+            > TPCH_Q11_MULT * F.col("total_grid")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "value_grid",
+            (F.col("value_grid").cast("double") / 1e4).alias("value"),
+        )
+        .orderBy(F.desc("value_grid"), F.asc("partkey"))
+    )
+
+
+TPCH_Q11_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+val AS (
+  SELECT p.l_partkey, p.supplycost_grid * p.availqty AS value_grid
+  FROM ps p
+  JOIN supplier s ON s.s_suppkey = p.l_suppkey AND s.s_nationkey % 5 = 0
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(value_grid) AS BIGINT) AS value_grid
+  FROM val GROUP BY 1
+),
+tot AS (SELECT CAST(sum(value_grid) AS BIGINT) AS total_grid,
+               CAST(count(*) AS BIGINT) AS n_parts FROM per_part)
+SELECT p.l_partkey AS partkey, p.value_grid,
+       CAST(p.value_grid AS DOUBLE) / 10000.0 AS value
+FROM per_part p, tot t
+WHERE p.value_grid * t.n_parts > {TPCH_Q11_MULT} * t.total_grid
+ORDER BY p.value_grid DESC, partkey ASC
+"""
+
+
+def tpch_q12_shipmode_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q12 analog — late lineitems by ship mode, split by order
+    priority. The derived-mode/late predicates prune lineitem to a
+    small slice BEFORE the join, so the slice BROADCASTS into the
+    orders scan (the big side streams; no shuffle of orders). The
+    1996 window filters on l_shipdate (the one real date column) —
+    commit/receipt stay integer offsets."""
+    li = (
+        _li_ext(load(spark, sf_dir, "lineitem"))
+        .where(
+            F.col("l_shipmode").isin(*TPCH_Q12_MODES)
+            & (F.col("l_receipt_days") > F.col("l_commit_days"))
+            & (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_shipmode")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*TPCH_HIGH_PRIO)
+    return (
+        orders.join(
+            F.broadcast(li), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .withColumnRenamed("l_shipmode", "shipmode")
+        .orderBy("shipmode")
+    )
+
+
+_Q12_MODE_IN = ", ".join(f"'{m}'" for m in TPCH_Q12_MODES)
+_HIGH_PRIO_IN = ", ".join(f"'{p}'" for p in TPCH_HIGH_PRIO)
+TPCH_Q12_SQL = f"""
+WITH ext AS ({_LI_EXT_SQL})
+SELECT e.l_shipmode AS shipmode,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ({_HIGH_PRIO_IN})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ({_HIGH_PRIO_IN})
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM ext e
+JOIN orders o ON o.o_orderkey = e.l_orderkey
+WHERE e.l_shipmode IN ({_Q12_MODE_IN})
+  AND e.l_receipt_days > e.l_commit_days
+  AND e.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND e.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def tpch_q20_promotion_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q20 analog — nested semi-join chain: nation-slice suppliers
+    holding excess stock of 'small%' parts. availqty (all-time exact
+    quantity) must exceed half the 1996-window shipments of that
+    (part, supplier) pair: 2·availqty > qty_window compares exact
+    BIGINTs. Plan: part slice BROADCAST LeftSemi into the pair agg,
+    pair-keyed equi-join of the two aggregates, then one LeftSemi
+    into the supplier dim — no correlated subquery, no window."""
+    li = load(spark, sf_dir, "lineitem")
+    part_f = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 1e-6))
+            .cast("long")
+            .alias("qty_window")
+        )
+    )
+    excess = (
+        _ps_standin(li)
+        .join(
+            F.broadcast(part_f),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(shipped, ["l_partkey", "l_suppkey"])
+        .where(F.col("availqty") * 2 > F.col("qty_window"))
+        .select("l_suppkey")
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") % 4 == 1)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sup.join(
+            excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+TPCH_Q20_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_quantity + 1e-6) AS BIGINT)) AS BIGINT)
+           AS qty_window
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT p.l_suppkey
+  FROM ps p
+  JOIN shipped w ON w.l_partkey = p.l_partkey
+                AND w.l_suppkey = p.l_suppkey
+  WHERE p.availqty * 2 > w.qty_window
+    AND EXISTS (SELECT 1 FROM part pa
+                WHERE pa.p_partkey = p.l_partkey
+                  AND pa.p_name LIKE 'small%')
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_nationkey % 4 = 1
+  AND EXISTS (SELECT 1 FROM excess e WHERE e.l_suppkey = s.s_suppkey)
+ORDER BY s.s_name, s.s_suppkey
+"""
+
+
+def tpch_q21_waiting_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q21 analog — suppliers who kept F-status orders waiting: the
+    multi-EXISTS anti pattern. A (order, supplier) pair waits when it
+    was late (receipt_days > commit_days), ANOTHER supplier shipped on
+    the same order (LeftSemi), and NO other supplier was late on it
+    (LeftAnti). numwait counts waiting ORDERS per supplier (the
+    per-pair distinct makes multi-line lateness count once —
+    disclosed analog of the per-lineitem original). Both EXISTS ride
+    orderkey equi-keys with the supplier inequality as a join
+    residual — hash joins, never a per-row subquery."""
+    li = _li_ext(load(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey", "l_commit_days", "l_receipt_days"
+    )
+    late = (
+        li.where(F.col("l_receipt_days") > F.col("l_commit_days"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    f_orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") % 5 == 2)
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        late.join(
+            f_orders, F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .alias("a")
+    )
+    others = li.select("l_orderkey", "l_suppkey").alias("b")
+    sem = l1.join(
+        others,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    ).alias("s")
+    late_others = late.alias("c")
+    waiting = sem.join(
+        late_others,
+        (F.col("s.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("s.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        waiting.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+TPCH_Q21_SQL = f"""
+WITH ext AS MATERIALIZED ({_LI_EXT_SQL}),
+late AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM ext WHERE l_receipt_days > l_commit_days
+),
+l1 AS (
+  SELECT lt.l_orderkey, lt.l_suppkey
+  FROM late lt
+  JOIN orders o ON o.o_orderkey = lt.l_orderkey
+               AND o.o_orderstatus = 'F'
+  JOIN supplier sn ON sn.s_suppkey = lt.l_suppkey
+                  AND sn.s_nationkey % 5 = 2
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""

@@ -475,3 +475,28 @@ def test_r4_continuation3_plan_shapes(spark):
                  "stylometric_richness"):
         plan = _plan(spark, name)
         assert "Window" not in plan, name
+
+
+def test_r5_tpch_close_plan_shapes(spark):
+    """R5-1..R5-4 (TPC-H 22/22 close): the EXISTS/NOT-EXISTS shapes
+    plan as hash LeftSemi/LeftAnti joins (never per-row subqueries),
+    dimension sides broadcast, scalar totals ride a broadcast nested
+    loop only, and the Q21 top-100 cut is a TakeOrderedAndProject."""
+    for name in ("tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+                 "tpch_q20_promotion_suppliers",
+                 "tpch_q21_waiting_suppliers"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("NestedLoop") == plan.count(
+            "BroadcastNestedLoopJoin"
+        ), name
+        assert "BatchEvalPython" not in plan, name
+        assert "Window" not in plan, name
+    # the nested semi-join chain and the multi-EXISTS anti pattern
+    assert "LeftSemi" in _plan(spark, "tpch_q20_promotion_suppliers")
+    q21 = _plan(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "TakeOrderedAndProject" in q21
+    # dimension broadcasts reach the joins
+    for name in ("tpch_q11_important_stock", "tpch_q12_shipmode_priority"):
+        assert "BroadcastHashJoin" in _plan(spark, name), name
