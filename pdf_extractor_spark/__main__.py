@@ -221,6 +221,129 @@ def _cmd_graph(args) -> int:
     raise AssertionError(f"unknown graph cmd {args.graph_cmd}")
 
 
+def _cmd_lessons(args) -> int:
+    """Lessons-learned CRUD — the reference's lessons typer CLI
+    (``arangodb/lessons_cli.py:164-419`` add/get/list/update/delete)
+    over the keyed lessons store (operators/lessons.py). Interactive
+    divergences, disclosed: the ``update --add-lesson-item`` prompt
+    loop becomes five ``--item-*`` flags, and ``delete``'s typer
+    confirm becomes ``--yes`` (without it the command prints the
+    reference's 'Deletion cancelled.' and exits 0)."""
+    import json as _json
+
+    from .operators.lessons import (
+        add_lesson,
+        delete_lesson,
+        get_lesson,
+        list_lessons,
+        update_lesson,
+    )
+    from .session import get_spark
+
+    spark = get_spark("pdf_extractor_spark.lessons", master=args.master)
+
+    def _fmt(data) -> None:
+        print(_json.dumps(data, indent=2 if args.pretty else None))
+
+    if args.lessons_cmd == "add":
+        data = {
+            "problem": args.problem,
+            "solution": args.solution,
+            "project": args.project,
+            "module": args.module,
+            "tags": [t.strip() for t in args.tags.split(",")] if args.tags else [],
+            "author": args.author,
+            "lessons": [],
+        }
+        if args.key:
+            data["_key"] = args.key
+        if args.date:
+            data["created_date"] = args.date
+        try:
+            result = add_lesson(spark, args.store, data)
+        except ValueError as e:
+            print(f"Error: Invalid lesson data: {e}")
+            return 1
+        print(f"Successfully added lesson with key: {result['_key']}")
+        _fmt(result)
+        return 0
+
+    if args.lessons_cmd == "get":
+        lesson = get_lesson(spark, args.store, args.key)
+        if lesson is None:
+            print(f"Error: Lesson not found with key: {args.key}")
+            return 1
+        _fmt(lesson)
+        return 0
+
+    if args.lessons_cmd == "list":
+        tags = (
+            [t.strip() for t in args.tags.split(",")] if args.tags else None
+        )
+        lessons = list_lessons(
+            spark, args.store, tags=tags, project=args.project,
+            limit=args.limit,
+        )
+        if not lessons:
+            if tags or args.project:
+                print("No lessons found matching the filter criteria.")
+            else:
+                print("No lessons found in the database.")
+            return 0
+        _fmt(lessons)
+        return 0
+
+    if args.lessons_cmd == "update":
+        updates = {}
+        if args.problem:
+            updates["problem"] = args.problem
+        if args.solution:
+            updates["solution"] = args.solution
+        if args.tags:
+            updates["tags"] = [t.strip() for t in args.tags.split(",")]
+        item_vals = [
+            args.item_category, args.item_title, args.item_description,
+            args.item_details, args.item_benefit,
+        ]
+        new_item = None
+        if any(item_vals):
+            new_item = {
+                "category": args.item_category,
+                "title": args.item_title,
+                "description": args.item_description,
+                "details": args.item_details,
+                "benefit": args.item_benefit,
+            }
+        if not updates and new_item is None:
+            print("No updates provided. Use --help to see available options.")
+            return 0
+        try:
+            result = update_lesson(
+                spark, args.store, args.key, updates, new_item=new_item
+            )
+        except ValueError as e:
+            print(f"Error: Invalid lesson item: {e}")
+            return 1
+        if result is None:
+            print(f"Error: Lesson not found with key: {args.key}")
+            return 1
+        print(f"Successfully updated lesson: {args.key}")
+        _fmt(result)
+        return 0
+
+    if args.lessons_cmd == "delete":
+        if not args.yes:
+            print("Deletion cancelled.")
+            return 0
+        if delete_lesson(spark, args.store, args.key):
+            print(f"Successfully deleted lesson: {args.key}")
+            return 0
+        print(f"Error: Lesson not found with key: {args.key}")
+        return 1
+
+    raise AssertionError(f"unknown lessons cmd {args.lessons_cmd}")
+
+
 def _cmd_messages(args) -> int:
     """Message-history maintenance — the reference's
     ``message-history delete-conversation`` (cli_extensions.py:300-340
@@ -328,6 +451,58 @@ def build_parser() -> argparse.ArgumentParser:
     gq.add_argument("--sf-dir", required=True)
     gq.add_argument("--no-relationships", action="store_true")
     gq.set_defaults(fn=_cmd_graph)
+
+    ls = sub.add_parser("lessons", help="lessons-learned CRUD")
+    lsub = ls.add_subparsers(dest="lessons_cmd", required=True)
+
+    la = lsub.add_parser("add", help="add a lesson learned")
+    la.add_argument("--store", required=True, help="lessons store dir")
+    la.add_argument("--problem", required=True)
+    la.add_argument("--solution", required=True)
+    la.add_argument("--project", required=True)
+    la.add_argument("--module", required=True)
+    la.add_argument("--tags", default="", help="comma-separated tags")
+    la.add_argument("--author", default="Claude")
+    la.add_argument("--key", default=None, help="custom key (optional)")
+    la.add_argument("--date", default=None,
+                    help="created_date override (YYYY-MM-DD)")
+    la.add_argument("--pretty", action="store_true", default=True)
+    la.set_defaults(fn=_cmd_lessons)
+
+    lg = lsub.add_parser("get", help="retrieve a lesson by key")
+    lg.add_argument("key")
+    lg.add_argument("--store", required=True)
+    lg.add_argument("--pretty", action="store_true", default=True)
+    lg.set_defaults(fn=_cmd_lessons)
+
+    ll = lsub.add_parser("list", help="list lessons with filters")
+    ll.add_argument("--store", required=True)
+    ll.add_argument("--tags", default=None, help="comma-separated filter")
+    ll.add_argument("--project", default=None)
+    ll.add_argument("--limit", type=int, default=20)
+    ll.add_argument("--pretty", action="store_true", default=True)
+    ll.set_defaults(fn=_cmd_lessons)
+
+    lu = lsub.add_parser("update", help="update a lesson")
+    lu.add_argument("key")
+    lu.add_argument("--store", required=True)
+    lu.add_argument("--problem", default=None)
+    lu.add_argument("--solution", default=None)
+    lu.add_argument("--tags", default=None)
+    lu.add_argument("--item-category", default=None)
+    lu.add_argument("--item-title", default=None)
+    lu.add_argument("--item-description", default=None)
+    lu.add_argument("--item-details", default=None)
+    lu.add_argument("--item-benefit", default=None)
+    lu.add_argument("--pretty", action="store_true", default=True)
+    lu.set_defaults(fn=_cmd_lessons)
+
+    ld = lsub.add_parser("delete", help="delete a lesson")
+    ld.add_argument("key")
+    ld.add_argument("--store", required=True)
+    ld.add_argument("--yes", action="store_true",
+                    help="confirm deletion (typer-confirm stand-in)")
+    ld.set_defaults(fn=_cmd_lessons)
 
     ms = sub.add_parser("messages", help="message-history maintenance")
     msub = ms.add_subparsers(dest="messages_cmd", required=True)
