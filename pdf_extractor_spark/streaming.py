@@ -824,3 +824,140 @@ def stream_corrections_join(
     )
     query.awaitTermination()
     return query
+
+
+# ---------------------------------------------------------------------------
+# Conversion progress events — the /stream/convert SSE stand-in
+# (reference ``api.py:459-499`` conversion_progress_generator: start →
+# progress(elements_extracted/total) → complete | error, per
+# conversion). The HTTP layer is out of scope (docs/PARITY.md); the
+# event CONTRACT is modeled as a streaming metrics query over the
+# extraction pipeline itself: each micro-batch wave of documents emits
+# one ``start`` event, one ``progress`` event per document with the
+# CUMULATIVE elements-extracted count against the wave total (the
+# reference's i/total loop, at real per-doc granularity instead of its
+# simulated placeholder), and one ``complete`` event. A wave that
+# raises writes a single ``error`` event instead (the reference's
+# except branch) and re-raises so the checkpoint retries the batch.
+# ---------------------------------------------------------------------------
+
+PROGRESS_EVENTS_SCHEMA = (
+    "epoch_id BIGINT, seq BIGINT, event STRING, doc_id STRING, "
+    "elements_extracted BIGINT, total_elements BIGINT, message STRING"
+)
+
+
+def stream_convert_progress(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    events_dir: str,
+    checkpoint_dir: str,
+    merge_strategy: str = "default",
+):
+    """Drain a document inbox through extraction, emitting the SSE
+    event sequence per wave alongside the flat elements.
+
+    Exactly-once events under replay: both the elements and the event
+    rows land in epoch-keyed dirs (``batch=b<epoch>``) overwritten
+    whole — a re-delivered epoch rewrites exactly its own output, so
+    a subscriber reading :func:`read_progress_events` never sees a
+    duplicated or half-written wave (the stream_neardup_ingest replay
+    contract). Per-doc cumulative counts ride one window over the
+    wave's per-doc aggregate — partitioned work, driver holds nothing.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_elements
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            flat = extract_elements(
+                batch_df.select("doc_id", "spans"),
+                merge_strategy=merge_strategy,
+            ).localCheckpoint(eager=True)
+            per_doc = flat.groupBy("doc_id").agg(
+                F.count("*").cast("long").alias("n_elements")
+            )
+            wave = per_doc.agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.coalesce(F.sum("n_elements"), F.lit(0))
+                .cast("long")
+                .alias("total_elements"),
+            )
+            w = Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            progress = (
+                per_doc.crossJoin(F.broadcast(wave))
+                .select(
+                    F.lit(int(epoch_id)).cast("long").alias("epoch_id"),
+                    F.row_number()
+                    .over(Window.orderBy("doc_id"))
+                    .cast("long")
+                    .alias("seq"),
+                    F.lit("progress").alias("event"),
+                    F.col("doc_id").cast("string").alias("doc_id"),
+                    F.sum("n_elements").over(w).cast("long")
+                    .alias("elements_extracted"),
+                    "total_elements",
+                    F.lit(None).cast("string").alias("message"),
+                )
+            )
+            n_docs, total = (
+                wave.select("n_docs", "total_elements").first()
+            )
+            bounds = spark.createDataFrame(
+                [
+                    (int(epoch_id), 0, "start", None, None, total,
+                     f"Starting conversion wave b{epoch_id} "
+                     f"({n_docs} docs)"),
+                    (int(epoch_id), n_docs + 1, "complete", None, total,
+                     total, "Conversion complete"),
+                ],
+                PROGRESS_EVENTS_SCHEMA,
+            )
+            events = bounds.unionByName(progress)
+        except Exception as e:  # the reference's error event branch
+            spark.createDataFrame(
+                [(int(epoch_id), 0, "error", None, None, None,
+                  f"Error during conversion: {e}")],
+                PROGRESS_EVENTS_SCHEMA,
+            ).write.mode("overwrite").parquet(
+                f"{events_dir}/batch=b{epoch_id}"
+            )
+            raise
+        flat.write.mode("overwrite").parquet(
+            f"{output_dir}/batch=b{epoch_id}"
+        )
+        events.write.mode("overwrite").parquet(
+            f"{events_dir}/batch=b{epoch_id}"
+        )
+
+    query = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_progress_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Subscriber view of the event stream: every committed wave's
+    events in (epoch_id, seq) order — what the SSE client would have
+    received, replayable from disk."""
+    import os
+
+    dirs = sorted(
+        os.path.join(events_dir, d)
+        for d in os.listdir(events_dir)
+        if d.startswith("batch=")
+    )
+    if not dirs:
+        return spark.createDataFrame([], PROGRESS_EVENTS_SCHEMA)
+    return spark.read.parquet(*dirs).orderBy("epoch_id", "seq")
