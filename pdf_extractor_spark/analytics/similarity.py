@@ -142,15 +142,26 @@ HP_BANDS = 2
 HP_BITS = 8  # 256 keys per band
 
 
-def _hp_band_structs(emb_col: Column) -> Column:
+def _hp_band_structs(
+    emb_col: Column, n_bands: int = HP_BANDS, n_bits: int = HP_BITS
+) -> Column:
     """array<struct<band_id, band_key>>: sign-bit keys from the
     deterministic sin-derived hyperplane family (plane j, dim i →
-    sin((j+1)(i+1)); identical expression on the DuckDB side)."""
+    sin((j+1)(i+1)); identical expression on the DuckDB side).
+
+    n_bits is the scale knob: bucket count 2^n_bits must grow with the
+    corpus (n_bits ≈ log2(N / target_width)) so bucket width — and
+    with it the self-join candidate mass, which is quadratic in width —
+    stays bounded. The graded toy-scale queries pin 8 bits for oracle
+    parity; scripts/scale_stress_vec.py drives the same kernels at 14
+    bits over 240k vectors. Exact-duplicate recall is invariant in
+    n_bits (identical vectors agree on every sign bit); threshold-pair
+    recall follows the standard LSH curve 1-(1-s^bits)^bands."""
     bands = []
-    for band in range(HP_BANDS):
+    for band in range(n_bands):
         key = None
-        for r in range(HP_BITS):
-            j = band * HP_BITS + r
+        for r in range(n_bits):
+            j = band * n_bits + r
             plane = F.array(*[F.lit(math.sin((j + 1) * (i + 1))) for i in range(DIMS)])
             bit = F.when(_dot(_as_double(emb_col), plane) >= 0, F.lit(2**r)).otherwise(
                 F.lit(0)
@@ -1245,12 +1256,27 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + DUP_ID_OFFSET).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(dups)
-    seeds = F.broadcast(
-        emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-            F.col("vec_id").cast("int").alias("seed_id"),
-            F.col("embedding").alias("seed_emb"),
-        )
+    seeds = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").cast("int").alias("seed_id"),
+        F.col("embedding").alias("seed_emb"),
     )
+    return _semdedup_kernel(corpus, seeds).orderBy("vec_id")
+
+
+def _semdedup_kernel(corpus: DataFrame, seeds: DataFrame) -> DataFrame:
+    """SemDeDup over an explicit (vec_id, embedding) corpus and a seed
+    table: nearest-seed assignment (K-row broadcast + max(struct) hash
+    agg), then the within-cluster pair join at the SEMDEDUP_THRESHOLD
+    cosine bar.
+
+    SCALE RULE (the knob scale_stress_vec.py exercises): the
+    within-cluster join is quadratic in cluster WIDTH, so the seed
+    count must grow with the corpus (K ≈ N / target_width — SemDeDup
+    runs production corpora with tens of thousands of clusters). The
+    graded query's K=8 is a toy-scale setting; driving it unchanged at
+    240k vectors would hand one join task ~30k² /2 pair evaluations —
+    the band-clique OOM class of docs/PLANS.md §18."""
+    seeds = F.broadcast(seeds)
     pairs = corpus.crossJoin(seeds).select(
         "vec_id",
         "embedding",
@@ -1298,7 +1324,6 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNull().alias("kept"),
             "dup_of",
         )
-        .orderBy("vec_id")
     )
 
 
@@ -1891,8 +1916,22 @@ HARD_NEG_K = 3
 
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _hard_negative_kernel(emb)
+
+
+def _hard_negative_kernel(
+    emb: DataFrame, n_bits: int = HP_BITS
+) -> DataFrame:
+    """Hard-negative mining over an explicit (vec_id, embedding) table.
+    Candidate mass is anchors × corpus / 2^n_bits per band — n_bits is
+    the scale knob (see _hp_band_structs); anchors are the fixed-rate
+    vec_id % HARD_NEG_ANCHOR_MOD == 0 sample, so total candidate mass
+    is quadratic in the corpus unless buckets scale with it."""
     bands = emb.select(
-        "vec_id", F.explode(_hp_band_structs(F.col("embedding"))).alias("bb")
+        "vec_id",
+        F.explode(
+            _hp_band_structs(F.col("embedding"), n_bits=n_bits)
+        ).alias("bb"),
     ).select(
         "vec_id",
         F.col("bb.band_id").alias("band_id"),
@@ -2078,15 +2117,26 @@ BITEXT_SRC_LANG = "en"
 
 
 def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     langs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
-    base = emb.join(langs, "vec_id")
+    return _bitext_kernel(emb.join(langs, "vec_id"))
+
+
+def _bitext_kernel(base: DataFrame, n_bits: int = HP_BITS) -> DataFrame:
+    """Margin-based bitext mining over an explicit (vec_id, embedding,
+    lang) table. The candidate join is a FULL corpus self-join through
+    the band buckets — pair mass N²/2^n_bits per band, the most
+    bits-sensitive member of the family: n_bits MUST scale with the
+    corpus (see _hp_band_structs)."""
+    from pyspark.sql import Window
+
     bands = base.select(
-        "vec_id", F.explode(_hp_band_structs(F.col("embedding"))).alias("bb")
+        "vec_id",
+        F.explode(
+            _hp_band_structs(F.col("embedding"), n_bits=n_bits)
+        ).alias("bb"),
     ).select(
         "vec_id",
         F.col("bb.band_id").alias("band_id"),
