@@ -1359,6 +1359,14 @@ QUERIES: Dict[str, QuerySpec] = {
         relational.tpch_q21_waiting_suppliers, relational.TPCH_Q21_SQL,
         "R5-4 Q21 multi-EXISTS anti pattern (waiting suppliers)",
     ),
+    "lsh_bits_width_curve": QuerySpec(
+        similarity.lsh_bits_width_curve, similarity.LSH_BITS_CURVE_SQL,
+        "R5-10 LSH band-bit planning curve (width / pair mass per bits)",
+    ),
+    "semdedup_k_width_audit": QuerySpec(
+        similarity.semdedup_k_width_audit, similarity.SEMDEDUP_K_AUDIT_SQL,
+        "R5-11 SemDeDup seed-count planning curve (cluster width / pair mass)",
+    ),
     "language_mix_sample": QuerySpec(
         curation.language_mix_sample, curation.LANGUAGE_MIX_SQL, "R3-46"
     ),

@@ -3482,3 +3482,204 @@ SELECT n_dims,
          AS top_dim_var_share
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH bits→width planning curve (R5-10): the index-design read behind
+# the round-5 vector scale stress (BENCH/SCALE_STRESS_VEC_r05.json /
+# docs/PLANS.md §22.3). For each candidate band-bit count, one row of
+# bucket statistics over band 0: bucket count, max/mean width, and the
+# self-join candidate-pair mass Σ w·(w−1)/2 — the quantity that is
+# QUADRATIC in width and decides whether a pair-mining join survives
+# the corpus (observed at 240k vectors: 8 bits → 110 s / 5.3 GB
+# shuffle, 14 bits → 15 s / 367 MB, identical output). The rule the
+# curve operationalizes: n_bits ≈ log2(N / target_width).
+#
+# Scale shape: widths are one hash agg per bit setting over the scan
+# (bounded by the 2^bits key domain), the curve is ≤len(settings)
+# rows. Mean width is floored on the 1e4 grid; everything else is
+# exact BIGINT.
+# ---------------------------------------------------------------------------
+
+LSH_CURVE_BITS = (4, 6, 8)
+
+
+def lsh_bits_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    curves = []
+    for bits in LSH_CURVE_BITS:
+        keys = emb.select(
+            F.element_at(
+                _hp_band_structs(F.col("embedding"), n_bands=1, n_bits=bits),
+                1,
+            )["band_key"].alias("band_key")
+        )
+        widths = keys.groupBy("band_key").agg(
+            F.count("*").cast("long").alias("w")
+        )
+        curves.append(
+            widths.agg(
+                F.lit(bits).alias("n_bits"),
+                F.count("*").cast("long").alias("n_buckets"),
+                F.max("w").cast("long").alias("max_width"),
+                F.sum("w").cast("long").alias("n_vecs"),
+                F.sum(F.col("w") * (F.col("w") - 1) / 2)
+                .cast("long")
+                .alias("pair_mass"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "n_bits",
+        "n_buckets",
+        "max_width",
+        floor_round(
+            F.col("n_vecs").cast("double") / F.col("n_buckets").cast("double"),
+            4,
+        ).alias("mean_width"),
+        "pair_mass",
+    ).orderBy("n_bits")
+
+
+def _lsh_curve_sql_one(bits: int) -> str:
+    terms = []
+    for r in range(bits):
+        j = r  # band 0: plane index = 0*bits + r
+        plane = ", ".join(f"{math.sin((j + 1) * (i + 1))!r}" for i in range(DIMS))
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {DIMS}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{plane}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**r} ELSE 0 END)")
+    key = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    return f"""
+  SELECT {bits} AS n_bits,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(max(w) AS BIGINT) AS max_width,
+         CAST(floor(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_width,
+         CAST(sum(w * (w - 1) / 2) AS BIGINT) AS pair_mass
+  FROM (SELECT {key} AS band_key, CAST(count(*) AS BIGINT) AS w
+        FROM embeddings GROUP BY 1)"""
+
+
+LSH_BITS_CURVE_SQL = (
+    "\nUNION ALL\n".join(_lsh_curve_sql_one(b) for b in LSH_CURVE_BITS)
+    + "\nORDER BY n_bits"
+)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup K→cluster-width audit (R5-11): the companion planning read
+# for the OTHER quadratic knob the stress quantified (docs/PLANS.md
+# §22.3) — the within-cluster pair join is quadratic in cluster
+# WIDTH, so the seed count must grow with the corpus (K ≈
+# N / target_width; at 245k vectors the graded toy K=8 would hand one
+# task ~4.7e8 pair evaluations). For each candidate K: max/mean
+# cluster width and the within-cluster pair mass Σ w·(w−1)/2, from
+# the SAME nearest-seed assignment the graded semantic_dedup uses —
+# so the curve predicts the real join's cost, not a proxy's.
+#
+# Scale shape: per K one K-row broadcast + one max(struct) hash agg
+# (the whitelisted seed-join idiom) + one width hash agg bounded by
+# K; output ≤len(settings) rows.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CURVE_K = (2, 8, 32)
+
+
+def semdedup_k_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    curves = []
+    for k in SEMDEDUP_CURVE_K:
+        seeds = F.broadcast(
+            emb.filter(F.col("vec_id") < k).select(
+                F.col("vec_id").cast("int").alias("seed_id"),
+                F.col("embedding").alias("seed_emb"),
+            )
+        )
+        assigned = (
+            emb.crossJoin(seeds)
+            .select(
+                "vec_id",
+                "seed_id",
+                F.coalesce(
+                    _cosine(_as_double("embedding"), _as_double("seed_emb")),
+                    F.lit(-2.0),
+                ).alias("cos_seed"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cos_seed"), (-F.col("seed_id")).alias("nid")
+                    )
+                ).alias("w")
+            )
+            .select((-F.col("w")["nid"]).cast("int").alias("cluster"))
+        )
+        widths = assigned.groupBy("cluster").agg(
+            F.count("*").cast("long").alias("w")
+        )
+        curves.append(
+            widths.agg(
+                F.lit(k).alias("k_seeds"),
+                F.count("*").cast("long").alias("n_clusters"),
+                F.max("w").cast("long").alias("max_width"),
+                F.sum("w").cast("long").alias("n_vecs"),
+                F.sum(F.col("w") * (F.col("w") - 1) / 2)
+                .cast("long")
+                .alias("pair_mass"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "k_seeds",
+        "n_clusters",
+        "max_width",
+        floor_round(
+            F.col("n_vecs").cast("double")
+            / F.col("n_clusters").cast("double"),
+            4,
+        ).alias("mean_width"),
+        "pair_mass",
+    ).orderBy("k_seeds")
+
+
+def _semdedup_curve_sql_one(k: int) -> str:
+    return f"""
+  SELECT {k} AS k_seeds,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(max(w) AS BIGINT) AS max_width,
+         CAST(floor(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    * 10000 + 1e-6) / 10000 AS DOUBLE) AS mean_width,
+         CAST(sum(w * (w - 1) / 2) AS BIGINT) AS pair_mass
+  FROM (
+    SELECT cluster, CAST(count(*) AS BIGINT) AS w
+    FROM (
+      SELECT vec_id,
+             CAST(-(max(struct_pack(c := cos_seed, nid := -seed_id)).nid)
+                  AS INT) AS cluster
+      FROM (
+        SELECT e.vec_id, s.seed_id,
+               coalesce({_cosine_sql('e.embedding', 's.seed_emb')}, -2.0)
+                 AS cos_seed
+        FROM embeddings e
+        CROSS JOIN (SELECT CAST(vec_id AS INT) AS seed_id,
+                           embedding AS seed_emb
+                    FROM embeddings WHERE vec_id < {k}) s
+      )
+      GROUP BY vec_id
+    )
+    GROUP BY cluster
+  )"""
+
+
+SEMDEDUP_K_AUDIT_SQL = (
+    "\nUNION ALL\n".join(_semdedup_curve_sql_one(k) for k in SEMDEDUP_CURVE_K)
+    + "\nORDER BY k_seeds"
+)
