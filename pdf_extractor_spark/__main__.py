@@ -462,6 +462,7 @@ def build_parser() -> argparse.ArgumentParser:
     la.add_argument("--project", required=True)
     la.add_argument("--module", required=True)
     la.add_argument("--tags", default="", help="comma-separated tags")
+    # default carried from the reference CLI (lessons_cli.py:171)
     la.add_argument("--author", default="Claude")
     la.add_argument("--key", default=None, help="custom key (optional)")
     la.add_argument("--date", default=None,
