@@ -55,6 +55,25 @@ def _cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _norm_col(emb_col: Column) -> Column:
+    """sqrt(dot(e,e)) as a per-row column. Compute it BEFORE a join
+    that fans a row out to many pairs: the per-pair cosine then reuses
+    the norm instead of re-folding dot(e,e) per pair (3 HOF folds →
+    1). Bit-identical to the inline form — same sqrt, multiplied in
+    the same order — so the 1e-4-floored gates are unaffected.
+    Projection stays BELOW the join in the plan (Catalyst does not
+    collapse projects across a join), so it evaluates once per input
+    row, not per output pair."""
+    d = _as_double(emb_col)
+    return F.sqrt(_dot(d, d))
+
+
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with precomputed side norms (see _norm_col); same
+    try_divide NULL contract as _cosine (zero-norm → NULL)."""
+    return F.try_divide(_dot(_as_double(a), _as_double(b)), na * nb)
+
+
 def _floor4(col: Column) -> Column:
     return floor_round(col, 4)
 
@@ -203,9 +222,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
-    va = pool.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    vb = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    cos = _cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb")))
+    va = pool.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        _norm_col(F.col("embedding")).alias("a_n"),
+    )
+    vb = pool.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        _norm_col(F.col("embedding")).alias("b_n"),
+    )
+    cos = _cosine_pre(
+        F.col("a_emb"), F.col("b_emb"), F.col("a_n"), F.col("b_n")
+    )
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
@@ -757,12 +786,20 @@ def _vec_statuses_from_reps(
     batch = batch.select(
         "vec_id", "embedding", F.md5(F.to_json(F.struct("embedding"))).alias("fp")
     )
+    # side norms precomputed before the candidate joins (see
+    # _norm_col): the store row and the rep row each fold their own
+    # norm once, not once per colliding pair
     cos_rs = _floor4(
-        _cosine(_as_double(F.col("r_emb")), _as_double(F.col("s_emb")))
+        _cosine_pre(
+            F.col("r_emb"), F.col("s_emb"), F.col("r_n"), F.col("s_n")
+        )
     )
     vs_store = (
         store_bands.select(
-            "band_id", "band_key", F.col("embedding").alias("s_emb")
+            "band_id",
+            "band_key",
+            F.col("embedding").alias("s_emb"),
+            _norm_col(F.col("embedding")).alias("s_n"),
         )
         .join(
             F.broadcast(
@@ -771,6 +808,7 @@ def _vec_statuses_from_reps(
                     "band_key",
                     F.col("vec_id").alias("rep"),
                     F.col("embedding").alias("r_emb"),
+                    _norm_col(F.col("embedding")).alias("r_n"),
                 )
             ),
             ["band_id", "band_key"],
@@ -783,12 +821,18 @@ def _vec_statuses_from_reps(
     a = rep_bands.select(
         F.col("vec_id").alias("a_id"), "band_id", "band_key",
         F.col("embedding").alias("a_emb"),
+        _norm_col(F.col("embedding")).alias("a_n"),
     )
     b = rep_bands.select(
         F.col("vec_id").alias("b_id"), "band_id", "band_key",
         F.col("embedding").alias("b_emb"),
+        _norm_col(F.col("embedding")).alias("b_n"),
     )
-    cos_ab = _floor4(_cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb"))))
+    cos_ab = _floor4(
+        _cosine_pre(
+            F.col("a_emb"), F.col("b_emb"), F.col("a_n"), F.col("b_n")
+        )
+    )
     in_batch = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("b_id") < F.col("a_id"))
@@ -1276,15 +1320,30 @@ def _semdedup_kernel(corpus: DataFrame, seeds: DataFrame) -> DataFrame:
     graded query's K=8 is a toy-scale setting; driving it unchanged at
     240k vectors would hand one join task ~30k² /2 pair evaluations —
     the band-clique OOM class of docs/PLANS.md §18."""
-    seeds = F.broadcast(seeds)
+    # norms fold ONCE per corpus row / per seed, not once per
+    # (vec, seed) pair — 3× fewer HOF folds in the K-row assignment
+    # and in the within-cluster pair join (bit-identical, _norm_col)
+    corpus = corpus.select(
+        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("_n")
+    )
+    seeds = F.broadcast(
+        seeds.select(
+            "seed_id", "seed_emb",
+            _norm_col(F.col("seed_emb")).alias("_sn"),
+        )
+    )
     pairs = corpus.crossJoin(seeds).select(
         "vec_id",
         "embedding",
+        "_n",
         "seed_id",
         # zero-norm junk: cosine NULL → -2 sentinel → such a vector
         # lands in the lowest seed id deterministically in both engines
         F.coalesce(
-            _cosine(_as_double("embedding"), _as_double("seed_emb")),
+            _cosine_pre(
+                F.col("embedding"), F.col("seed_emb"),
+                F.col("_n"), F.col("_sn"),
+            ),
             F.lit(-2.0),
         ).alias("cos_seed"),
     )
@@ -1293,9 +1352,11 @@ def _semdedup_kernel(corpus: DataFrame, seeds: DataFrame) -> DataFrame:
             F.struct(F.col("cos_seed"), (-F.col("seed_id")).alias("nid"))
         ).alias("w"),
         F.first("embedding").alias("embedding"),
+        F.first("_n").alias("_n"),
     )
     clustered = assigned.select(
-        "vec_id", "embedding", (-F.col("w")["nid"]).cast("int").alias("cluster")
+        "vec_id", "embedding", "_n",
+        (-F.col("w")["nid"]).cast("int").alias("cluster"),
     )
     a, b = clustered.alias("a"), clustered.alias("b")
     dup_pairs = (
@@ -1305,8 +1366,9 @@ def _semdedup_kernel(corpus: DataFrame, seeds: DataFrame) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(
-            _cosine(
-                _as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))
+            _cosine_pre(
+                F.col("a.embedding"), F.col("b.embedding"),
+                F.col("a._n"), F.col("b._n"),
             )
             >= SEMDEDUP_THRESHOLD
         )
@@ -1382,18 +1444,27 @@ ORDER BY c.vec_id
 
 
 def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .select("vec_id", "embedding",
+                _norm_col(F.col("embedding")).alias("_n"))
+    )
     seeds = F.broadcast(
         emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
             F.col("vec_id").cast("int").alias("seed_id"),
             F.col("embedding").alias("seed_emb"),
+            F.col("_n").alias("_sn"),
         )
     )
     pairs = emb.crossJoin(seeds).select(
         "vec_id",
         "seed_id",
         F.coalesce(
-            _cosine(_as_double("embedding"), _as_double("seed_emb")),
+            _cosine_pre(
+                F.col("embedding"), F.col("seed_emb"),
+                F.col("_n"), F.col("_sn"),
+            ),
             F.lit(-2.0),
         ).alias("cos_seed"),
     )
@@ -1952,9 +2023,19 @@ def _hard_negative_kernel(
         )
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"))
-    vb = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("b_emb"))
-    cos = _cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb")))
+    va = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        _norm_col(F.col("embedding")).alias("a_n"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("b_emb"),
+        _norm_col(F.col("embedding")).alias("b_n"),
+    )
+    cos = _cosine_pre(
+        F.col("a_emb"), F.col("b_emb"), F.col("a_n"), F.col("b_n")
+    )
     scored = (
         cand.join(va, "anchor_id")
         .join(vb, "neg_id")
@@ -2156,11 +2237,13 @@ def _bitext_kernel(base: DataFrame, n_bits: int = HP_BITS) -> DataFrame:
     va = base.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
+        _norm_col(F.col("embedding")).alias("a_n"),
         F.col("lang").alias("a_lang"),
     )
     vb = base.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
+        _norm_col(F.col("embedding")).alias("b_n"),
         F.col("lang").alias("b_lang"),
     )
     scored = (
@@ -2169,7 +2252,10 @@ def _bitext_kernel(base: DataFrame, n_bits: int = HP_BITS) -> DataFrame:
         .select(
             "a_id", "b_id", "a_lang", "b_lang",
             _floor4(
-                _cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb")))
+                _cosine_pre(
+                    F.col("a_emb"), F.col("b_emb"),
+                    F.col("a_n"), F.col("b_n"),
+                )
             ).alias("cos"),
         )
         .localCheckpoint()  # one cosine pass feeds both k-NN and pairs
@@ -3591,13 +3677,19 @@ SEMDEDUP_CURVE_K = (2, 8, 32)
 
 
 def semdedup_k_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .select("vec_id", "embedding",
+                _norm_col(F.col("embedding")).alias("_n"))
+    )
     curves = []
     for k in SEMDEDUP_CURVE_K:
         seeds = F.broadcast(
             emb.filter(F.col("vec_id") < k).select(
                 F.col("vec_id").cast("int").alias("seed_id"),
                 F.col("embedding").alias("seed_emb"),
+                F.col("_n").alias("_sn"),
             )
         )
         assigned = (
@@ -3606,7 +3698,10 @@ def semdedup_k_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "seed_id",
                 F.coalesce(
-                    _cosine(_as_double("embedding"), _as_double("seed_emb")),
+                    _cosine_pre(
+                        F.col("embedding"), F.col("seed_emb"),
+                        F.col("_n"), F.col("_sn"),
+                    ),
                     F.lit(-2.0),
                 ).alias("cos_seed"),
             )
