@@ -119,11 +119,18 @@ def _cosine_sql(a: str, b: str) -> str:
 
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # query norm folded ONCE inside the broadcast row, not once per
+    # scanned vector (see _norm_col — bit-identical)
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    joined = emb.crossJoin(F.broadcast(query))
-    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    joined = emb.select(
+        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("_n")
+    ).crossJoin(F.broadcast(query))
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     return (
         joined.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", _floor4(cos).alias("cos"))
@@ -307,12 +314,21 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", _bucket_expr_spark(F.col("embedding")).alias("bucket")
     )
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    cand = emb.join(
-        F.broadcast(query), F.col("bucket") == F.col("q_bucket")
-    ).filter(F.col("vec_id") != QUERY_VEC_ID)
-    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    cand = (
+        emb.select(
+            "vec_id", "embedding", "bucket",
+            _norm_col(F.col("embedding")).alias("_n"),
+        )
+        .join(F.broadcast(query), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+    )
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     return (
         cand.select("vec_id", "bucket", _floor4(cos).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -359,12 +375,21 @@ LIMIT {TOP_K}
 def ivf_label_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding"), F.col("label").alias("q_label")
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    cand = emb.join(F.broadcast(query), F.col("label") == F.col("q_label")).filter(
-        F.col("vec_id") != QUERY_VEC_ID
+    cand = (
+        emb.select(
+            "vec_id", "embedding", "label",
+            _norm_col(F.col("embedding")).alias("_n"),
+        )
+        .join(F.broadcast(query), F.col("label") == F.col("q_label"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
     )
-    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     return (
         cand.select("vec_id", "label", _floor4(cos).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -449,11 +474,16 @@ def semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = _sem_pool(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     query = pool.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    cos = _cosine(F.col("embedding"), F.col("q_embedding"))
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     topk = (
-        pool.crossJoin(F.broadcast(query))
+        pool.select("vec_id", "embedding",
+                    _norm_col(F.col("embedding")).alias("_n"))
+        .crossJoin(F.broadcast(query))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select(
             (F.col("vec_id") % DUP_ID_OFFSET).alias("doc_id"),
@@ -685,14 +715,18 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         :IVF_N_PROBE
     ]
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
     cand = (
         emb.withColumn("cluster", _cluster_expr(F.col("embedding"), cents))
         .filter(F.col("cluster").isin([int(p) for p in probe]))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("_n", _norm_col(F.col("embedding")))
     )
-    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     return (
         cand.crossJoin(F.broadcast(query))
         .select("vec_id", "cluster", _floor4(cos).alias("cos"))
