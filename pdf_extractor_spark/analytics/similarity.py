@@ -1740,11 +1740,16 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding",
+                _norm_col(F.col("embedding")).alias("_n"))
         .crossJoin(F.broadcast(qvec))
         .select("vec_id", "label", _floor4(cos).alias("cos"))
     )
@@ -1886,11 +1891,16 @@ MMR_LAMBDA = 0.7
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    rel = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    rel = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     pool = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "embedding",
+                _norm_col(F.col("embedding")).alias("_n"))
         .crossJoin(F.broadcast(query))
         .select("vec_id", "embedding", _floor4(rel).alias("rel"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -2149,8 +2159,18 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("label").alias("c_label"),
         F.array(*[F.col(f"c{i}") for i in range(DIMS)]).alias("centroid"),
+    ).select(
+        "c_label", "centroid", _norm_col(F.col("centroid")).alias("c_n")
     )
-    dist = F.lit(1.0) - _cosine(_as_double(F.col("embedding")), F.col("centroid"))
+    emb = emb.select(
+        "vec_id", "label", "embedding",
+        _norm_col(F.col("embedding")).alias("_n"),
+    )
+    # vec norm folds once per row, not once per centroid in the K-row
+    # broadcast joins (see _norm_col)
+    dist = F.lit(1.0) - _cosine_pre(
+        F.col("embedding"), F.col("centroid"), F.col("_n"), F.col("c_n")
+    )
     own = emb.join(
         F.broadcast(cent), F.col("label") == F.col("c_label")
     ).select("vec_id", "label", dist.alias("a"))
@@ -2457,11 +2477,16 @@ def ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding",
+                _norm_col(F.col("embedding")).alias("_n"))
         .crossJoin(F.broadcast(qvec))
         .select("vec_id", "label", _floor4(cos).alias("cos"))
     )
@@ -2854,11 +2879,16 @@ def ann_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    cos = _cosine(_as_double(F.col("embedding")), _as_double(F.col("q_embedding")))
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
+    )
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding",
+                _norm_col(F.col("embedding")).alias("_n"))
         .crossJoin(F.broadcast(qvec))
         .select("vec_id", "label", _floor4(cos).alias("cos"))
     )
@@ -3330,13 +3360,16 @@ def ann_err_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm_col(F.col("embedding")).alias("q_n"),
     )
-    cos = _cosine(
-        _as_double(F.col("embedding")), _as_double(F.col("q_embedding"))
+    cos = _cosine_pre(
+        F.col("embedding"), F.col("q_embedding"), F.col("_n"), F.col("q_n")
     )
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding",
+                _norm_col(F.col("embedding")).alias("_n"))
         .crossJoin(F.broadcast(qvec))
         .select("vec_id", "label", _floor4(cos).alias("cos"))
     )
