@@ -113,7 +113,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shset").alias("b_sh"),
     )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    # |A∪B| = |A|+|B|−|A∩B| for sets (shsets are array_distinct'd):
+    # integer-exact, and skips building a second per-pair hash set
+    union = F.size("a_sh") + F.size("b_sh") - inter
     jac = (F.floor(inter.cast("double") / union * 10000 + 1e-6) / 10000).cast("double")
     return (
         cand.join(sa, "a_id")
@@ -2152,7 +2154,9 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(MINHASH_K)
     ).cast("long")
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    # |A∪B| = |A|+|B|−|A∩B| for sets (shsets are array_distinct'd):
+    # integer-exact, and skips building a second per-pair hash set
+    union = F.size("a_sh") + F.size("b_sh") - inter
     est = F.col("n_match").cast("double") / MINHASH_K
     exact = inter.cast("double") / union
     return (
@@ -2599,7 +2603,9 @@ def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shset").alias("b_sh"),
     )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    # |A∪B| = |A|+|B|−|A∩B| for sets (shsets are array_distinct'd):
+    # integer-exact, and skips building a second per-pair hash set
+    union = F.size("a_sh") + F.size("b_sh") - inter
     jac = (F.floor(inter.cast("double") / union * 10000 + 1e-6) / 10000).cast("double")
     return (
         cand.join(sa, "a_id")
@@ -2613,14 +2619,14 @@ def _lex_sem_sql() -> str:
     from .similarity import _cosine_sql
 
     return rf"""
-WITH bands AS ({_minhash_sql(_DUP_SOURCE_SQL)}),
-cand AS (
+WITH bands AS MATERIALIZED ({_minhash_sql(_DUP_SOURCE_SQL)}),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, lang, list_distinct({_SHINGLES_SQL}) AS shset
   FROM (
     SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS toks
